@@ -1,0 +1,400 @@
+"""Aggregate / join / window / set-op breadth (SURVEY §2.3-2.7, build-plan
+step 7).
+
+The reference's own aggregate surface is thin (group-collect, distinct,
+count, max-by — SURVEY §2.4); an analytics engine needs the full breadth, so
+these queries exercise Spark's hash aggregates, broadcast vs shuffle joins,
+window frames, rollup/cube grouping sets and set operations over the TPC-H-ish
+fixtures — each with an exact DuckDB oracle.
+
+Scale notes are per-query; the common rules: dimension tables (region,
+nation, supplier, groups) are broadcast so fact scans never shuffle for
+them; aggregates rely on map-side partial aggregation; no query collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ufload_spark.functions.names import db_to_instance, file_to_db
+from ufload_spark.operators.listing import BACKUPS_CTE, backups
+from ufload_spark.plans.registry import register
+from ufload_spark.sources.tables import table
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_extendedprice), 4)                              AS avg_price,
+       round(avg(l_discount), 4)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1 pricing summary: wide hash aggregate with partial agg",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline aggregate. Single scan → partial agg per partition → one
+    shuffle on a low-cardinality key (≤6 groups) → final agg. The shipdate
+    predicate pushes to the parquet scan."""
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3: 3-way join + agg + top-10",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join where the filtered customer side is small → broadcast;
+    lineitem never shuffles for the customer join. Top-10 via
+    TakeOrderedAndProject (no global sort materialization)."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+    doc="TPC-H Q5: 6-way join, local-supplier condition, per-nation revenue",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: region/nation/supplier are broadcast dims; the only
+    shuffle is lineitem⋈orders on orderkey (both huge at scale — the
+    bucketing candidate)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    """
+SELECT n_name, c_custkey, c_acctbal, rnk FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         rank() OVER (PARTITION BY n_name
+                      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rnk <= 3
+""",
+    doc="OP-WIN-1 generalization: top-k per group via rank",
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_acctbal")
+        .withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "orders_running_total",
+    """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+""",
+    doc="window frame: per-customer running revenue",
+)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "order_gap_days",
+    """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS gap_days
+FROM orders
+""",
+    doc="lag/lead analytics: days between consecutive orders per customer",
+)
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+@register(
+    "agg_rollup_status_priority",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="grouping sets: rollup over status×priority",
+)
+def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "agg_cube_flags",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="grouping sets: cube over returnflag×linestatus",
+)
+def agg_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@register(
+    "distinct_parts_per_flag",
+    """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="OP-AGG-2 distinct aggregate (two distinct columns → expand)",
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    None,  # HLL estimates are engine-specific → rows-only check
+    doc="approx_count_distinct (HLL) — scale path for distinct counting",
+)
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB exact distinct counts shuffle every key; HLL sketches keep
+    the aggregation map-side and mergeable. Estimates are engine-specific,
+    so the driver records a rows-only check."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    doc="OP-SET-2/OP-JOIN-2 shape: anti join on real fact table",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "segment_set_ops",
+    """
+SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'FURNITURE')
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 1000
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+""",
+    doc="OP-SET-1/2: union-shape include, except, intersect (distinct semantics)",
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL EXCEPT/INTERSECT bind INTERSECT tighter: A EXCEPT (B INTERSECT C).
+
+    Mirrors the reference's listing union + exclusion dict surgery
+    (cli/main.py:245-282) with proper distinct set semantics."""
+    c = table(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment").isin("BUILDING", "FURNITURE")).select("c_custkey")
+    b = c.where(F.col("c_acctbal") < 1000).select("c_custkey")
+    d = c.where(F.col("c_custkey") % 2 == 0).select("c_custkey")
+    return a.subtract(b.intersect(d))
+
+
+@register(
+    "orders_above_avg",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+""",
+    doc="OP-FIL-8 scalar-subquery predicate",
+)
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    avg = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.join(F.broadcast(avg))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "stale_dbs_to_drop",
+    BACKUPS_CTE
+    + """
+, dbs AS (
+  SELECT concat('pfx_', string_split(name, '-')[1], '_',
+                string_split(name, '-')[2], '_',
+                substr(string_split(name, '-')[3], 1, 4)) AS db_name,
+         mtime, name
+  FROM backups
+), keyed AS (
+  SELECT db_name,
+         regexp_replace(substr(db_name, 5), '_[0-9]{8}_[0-9]{4}$', '') AS instance,
+         mtime, name
+  FROM dbs
+)
+SELECT instance, db_name, rn FROM (
+  SELECT instance, db_name,
+         row_number() OVER (PARTITION BY instance
+                            ORDER BY mtime DESC, name DESC) AS rn
+  FROM keyed
+) WHERE rn > 1
+""",
+    doc="OP-JOIN-5 catalog clean: drop all but the newest DB per instance",
+)
+def stale_dbs_to_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's post-restore cleanup: derive each DB's instance, keep
+    the newest, drop the rest (db.py:193-199,660-677). Composition of
+    OP-FN-1 → OP-FN-2 → OP-WIN-1 over the catalog."""
+    b = backups(spark, sf_dir)
+    dbs = b.select(
+        file_to_db(F.col("name"), "pfx").alias("db_name"), "mtime", "name"
+    )
+    keyed = dbs.select(
+        "db_name",
+        db_to_instance(F.col("db_name"), "pfx").alias("instance"),
+        "mtime",
+        "name",
+    )
+    w = Window.partitionBy("instance").orderBy(F.desc("mtime"), F.desc("name"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("instance", "db_name", "rn")
+    )

@@ -1,0 +1,121 @@
+"""Archive merge + incremental idempotence (SURVEY §2.1 OP-SRC-10, §2.3
+OP-JOIN-3, §2.9 OP-STR-2).
+
+The reference's ``archive`` command pulls ``operations_event`` /
+``operations_count`` rows from remote databases over dblink and appends them
+with ``ON CONFLICT DO NOTHING`` — i.e. a PK-keyed anti-join merge executed
+inside PostgreSQL (reference ufload/db.py:792-830). Here the same merge is a
+left-anti join + union: incoming rows whose key already exists are dropped,
+everything else appends. At 100 TB this is the standard incremental-ingest
+shape — one shuffle on the key (or none, if both sides are bucketed by key);
+Delta/Iceberg MERGE is the transactional variant of the same plan.
+
+Inputs derive from ``events`` (FIXTURES.md §B4): ``existing`` = archive table,
+``incoming`` = the remote scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ufload_spark.operators.listing import BACKUPS_CTE, backups
+from ufload_spark.plans.registry import register
+from ufload_spark.sources.tables import table
+
+ARCHIVE_CTE = """
+WITH existing AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events WHERE event_id % 3 = 0
+), incoming AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events WHERE event_id % 2 = 0
+), merged AS (
+  SELECT * FROM existing
+  UNION ALL
+  SELECT i.* FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.event_id = i.event_id)
+)
+"""
+
+_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _existing_incoming(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = table(spark, sf_dir, "events").select(*_COLS)
+    return ev.where(F.col("event_id") % 3 == 0), ev.where(F.col("event_id") % 2 == 0)
+
+
+def merge_new_only(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    """ON CONFLICT DO NOTHING as dataflow: append only incoming rows whose
+    key is absent from existing (reference db.py:805-815,819-829)."""
+    fresh = incoming.join(existing.select(*keys), keys, "left_anti")
+    return existing.unionByName(fresh)
+
+
+@register(
+    "archive_merge",
+    ARCHIVE_CTE + "SELECT event_id, ts, user_id, event_type, value FROM merged",
+    doc="OP-JOIN-3 anti-join merge: dblink pull + ON CONFLICT DO NOTHING",
+)
+def archive_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing, incoming = _existing_incoming(spark, sf_dir)
+    return merge_new_only(existing, incoming, ["event_id"]).select(*_COLS)
+
+
+@register(
+    "archive_counts",
+    ARCHIVE_CTE
+    + """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM merged GROUP BY event_type
+""",
+    doc="operations_count analog: per-kind tallies over the merged archive",
+)
+def archive_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``operations_count`` companion merge (reference db.py:819-829)
+    re-expressed as an aggregate over the merged event archive."""
+    existing, incoming = _existing_incoming(spark, sf_dir)
+    merged = merge_new_only(existing, incoming, ["event_id"])
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "skip_if_unchanged",
+    BACKUPS_CTE
+    + """
+, ranked AS (
+  SELECT instance, size_bytes, mtime, name,
+         row_number() OVER (PARTITION BY instance
+                            ORDER BY mtime DESC, name DESC) AS rn,
+         lead(size_bytes) OVER (PARTITION BY instance
+                                ORDER BY mtime DESC, name DESC) AS prev_size
+  FROM backups
+)
+SELECT instance, size_bytes AS cur_size, prev_size,
+       coalesce(size_bytes = prev_size, false) AS skip
+FROM ranked WHERE rn = 1
+""",
+    doc="OP-STR-2 skip-if-unchanged: size memo vs newest backup (db.py:695-711)",
+)
+def skip_if_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental idempotence: reload only when the newest backup's size
+    differs from the previously-loaded one (the reference's ``about`` memo
+    table + HTTP HEAD check, db.py:695-711 / cli/main.py:413-428). The memo
+    is the second-newest file's size via ``lead`` over the same window —
+    one shuffle, shared by rank and lead."""
+    w = Window.partitionBy("instance").orderBy(F.desc("mtime"), F.desc("name"))
+    ranked = backups(spark, sf_dir).select(
+        "instance",
+        "size_bytes",
+        F.row_number().over(w).alias("rn"),
+        F.lead("size_bytes").over(w).alias("prev_size"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        F.col("instance"),
+        F.col("size_bytes").alias("cur_size"),
+        F.col("prev_size"),
+        F.coalesce(F.col("size_bytes") == F.col("prev_size"), F.lit(False)).alias("skip"),
+    )

@@ -1,0 +1,159 @@
+"""Event-stream semantics in batch (SURVEY §2.9 + extension surface).
+
+The reference encodes streaming concerns in batch form: a late-data guard
+(reference ufload/cloud.py:129-133) and incremental idempotence
+(db.py:695-711). Here the full Spark event-time surface is exercised over the
+``events`` fixture: tumbling windows, session windows, latest-per-key, and
+JSON property extraction. The streaming twins of these plans (readStream +
+watermark) live in ufload_spark.streaming; batch and streaming share the same
+aggregation semantics, so the DuckDB oracles below validate both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ufload_spark.plans.registry import register
+from ufload_spark.sources.tables import table
+
+
+@register(
+    "events_tumbling_hourly",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    doc="tumbling event-time window aggregate (streaming twin: groupBy(window))",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows via ``F.window`` — identical partial/final
+    aggregation to the Structured Streaming version; epoch-aligned windows
+    equal ``date_trunc('hour')``."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_session_windows",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+""",
+    doc="session windows (30 min gap) — F.session_window vs gaps-and-islands",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap via
+    ``F.session_window`` (the batch form of the streaming stateful session
+    operator). The oracle reconstructs sessions with the classic
+    gaps-and-islands SQL: a new session starts when the gap ≥ 30 min, since
+    Spark sessions are half-open ``[start, last+gap)``."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+""",
+    doc="JSON property extraction (extension surface over events.props)",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "events_latest_per_user",
+    """
+SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc="OP-WIN-1 on the raw stream table: latest event per user",
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship latest-per-key shape on raw events — in streaming form
+    this is ``applyInPandasWithState`` / max_by with watermark; in batch a
+    single window rank."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "events_dedup_keep_first",
+    """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc="deterministic dropDuplicates: keep earliest row per key",
+)
+def events_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicates`` keeps an arbitrary row; the deterministic form (and
+    the one a streaming pipeline needs for idempotent replay) is
+    keep-earliest via window rank."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )

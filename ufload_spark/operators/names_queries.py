@@ -1,0 +1,138 @@
+"""Name-function conformance queries (SURVEY §2.8, mirrors §5's unit tests).
+
+Each query applies one OP-FN expression to a literal frame of the exact
+cases the reference's own unit tests exercise (FIXTURES.md §B2; reference
+ufload/cli/test_main.py:7-12, ufload/test_db.py:11-21, ufload/test_cloud.py:3-7).
+The DuckDB oracle is a golden VALUES table of the reference-expected outputs,
+so these check our Column expressions against known-correct answers rather
+than against an equivalent SQL re-implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ufload_spark.functions.names import (
+    db_to_instance,
+    decrypt_password,
+    file_to_db,
+    instance_to_dir,
+    match_any_wildcard,
+)
+from ufload_spark.plans.registry import register
+
+_FILE_CASES = [
+    "OCG_MM1_WA-20160831-220427-A-UF2.1-2p3.dump",
+    "OCA_BD1-20200229-235959-A-UF17.0-1p1.zip",
+    "wrong.dump",
+    "noversion-x-y.zip",
+]
+
+
+@register(
+    "fn_file_to_db",
+    """
+SELECT * FROM (VALUES
+  ('OCG_MM1_WA-20160831-220427-A-UF2.1-2p3.dump', 'pfx_OCG_MM1_WA_20160831_2204'),
+  ('OCA_BD1-20200229-235959-A-UF17.0-1p1.zip',    'pfx_OCA_BD1_20200229_2359'),
+  ('wrong.dump',                                   NULL),
+  ('noversion-x-y.zip',                            NULL)
+) AS t(name, db_name)
+""",
+    doc="OP-FN-1 filename→db vs reference cli/test_main.py golden outputs",
+)
+def fn_file_to_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(n,) for n in _FILE_CASES], "name string")
+    return df.select("name", file_to_db(F.col("name"), "pfx").alias("db_name"))
+
+
+_DB_CASES = [
+    "OCG_KG1_OSH_20161116_0102",
+    "prod_OCBZW160_20161116_0102",
+    "prod_BD_DHK_OCA_20161116_0102",
+    "SYNC_SERVER_LOCAL",
+]
+
+
+@register(
+    "fn_db_to_instance",
+    """
+SELECT * FROM (VALUES
+  ('OCG_KG1_OSH_20161116_0102',    'OCG_KG1_OSH'),
+  ('prod_OCBZW160_20161116_0102',  'OCBZW160'),
+  ('prod_BD_DHK_OCA_20161116_0102','BD_DHK_OCA'),
+  ('SYNC_SERVER_LOCAL',            'SYNC_SERVER_LOCAL')
+) AS t(db, instance)
+""",
+    doc="OP-FN-2 db→instance vs reference test_db.py golden outputs",
+)
+def fn_db_to_instance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(d,) for d in _DB_CASES], "db string")
+    return df.select("db", db_to_instance(F.col("db"), "prod").alias("instance"))
+
+
+_INST_CASES = [
+    "BD_DHK_OCA",
+    "OCBZW160",
+    "OCP_HT1",
+    "OCG_KG1_OSH",
+    "OTHER_UNKNOWN",
+]
+
+
+@register(
+    "fn_instance_to_dir",
+    """
+SELECT * FROM (VALUES
+  ('BD_DHK_OCA',   '/UF_OCA/backups'),
+  ('OCBZW160',     '/UF_OCB/backups'),
+  ('OCP_HT1',      '/UF_OCP/backups'),
+  ('OCG_KG1_OSH',  '/UF_OCG/backups'),
+  ('OTHER_UNKNOWN', NULL)
+) AS t(instance, dir)
+""",
+    doc="OP-FN-3 instance→cloud-dir dispatch chain (cloud.py:34-48)",
+)
+def fn_instance_to_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(i,) for i in _INST_CASES], "instance string")
+    return df.select("instance", instance_to_dir(F.col("instance")).alias("dir"))
+
+
+_WILDCARD_FILES = ["other", "OCG_SZ1_NHL-Wed.zip", "OCG_UG2_SUKA-Fri.zip"]
+
+
+@register(
+    "fn_wildcard_match",
+    """
+SELECT * FROM (VALUES
+  ('other',                 false),
+  ('OCG_SZ1_NHL-Wed.zip',   true),
+  ('OCG_UG2_SUKA-Fri.zip',  true)
+) AS t(name, matched)
+""",
+    doc="OP-FIL-4 any-of wildcard vs reference test_cloud.py golden outputs",
+)
+def fn_wildcard_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(n,) for n in _WILDCARD_FILES], "name string")
+    return df.select(
+        "name",
+        match_any_wildcard(F.col("name"), ["SZ1_NHL", "OCG_UG"]).alias("matched"),
+    )
+
+
+@register(
+    "fn_decrypt_password",
+    """
+SELECT * FROM (VALUES
+  ('XXXXczNjcmV0LXB3', 's3cret-pw'),
+  ('AAAAaHVudGVyMg==', 'hunter2')
+) AS t(enc, pw)
+""",
+    doc="OP-FN-5 drop-4-then-base64-decode (cloud.py:22-31)",
+)
+def fn_decrypt_password(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(
+        [("XXXXczNjcmV0LXB3",), ("AAAAaHVudGVyMg==",)], "enc string"
+    )
+    return df.select("enc", decrypt_password(F.col("enc")).alias("pw"))

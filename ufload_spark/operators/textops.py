@@ -1,0 +1,139 @@
+"""Text-analysis operators over ``documents`` (extension surface: language
+ID, quality scoring, token counting, fingerprinting).
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; no Python in the hot path. At 100 TB these run as pure
+narrow maps over the document scan (no shuffle except the final per-language
+aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ufload_spark.plans.registry import register
+from ufload_spark.sources.tables import table
+
+#: Stopword alternation shared by Spark and the DuckDB oracles.
+_STOP = "the|a|and|of|to|in|is|it"
+_PUNCT = "[.,;:!?]"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def stopword_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(f"\\b({_STOP})\\b"), 0))
+
+
+_TOKENS_SQL = """CASE WHEN length(trim(text)) = 0 THEN 0
+  ELSE len(string_split_regex(trim(text), '\\s+')) END"""
+_STOPS_SQL = f"len(regexp_extract_all(lower(text), '\\b({_STOP})\\b'))"
+
+
+@register(
+    "text_token_stats",
+    f"""
+SELECT lang, count(*) AS n_docs,
+       round(avg({_TOKENS_SQL}), 4) AS avg_tokens,
+       max({_TOKENS_SQL}) AS max_tokens,
+       CAST(sum({_TOKENS_SQL}) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang
+""",
+    doc="token counting (whitespace tokenizer) aggregated per language",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+        F.max(toks).alias("max_tokens"),
+        F.sum(toks).cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+SELECT doc_id,
+       {_TOKENS_SQL} AS n_tokens,
+       round({_STOPS_SQL} / nullif({_TOKENS_SQL}, 0), 4) AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '{_PUNCT}', '', 'g')))
+             / nullif(CAST(length(text) AS DOUBLE), 0), 4) AS punct_ratio,
+       round(ln(1 + {_TOKENS_SQL}) / 10
+             + {_STOPS_SQL} / nullif({_TOKENS_SQL}, 0), 4) AS quality
+FROM documents
+""",
+    doc="quality scoring: length/punctuation/stopword signals per document",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (the filters a pretraining pipeline keys
+    on): token count, stopword ratio, punctuation density, and a combined
+    score. Pure projection — no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = token_count(F.col("text")).cast("double")
+    stops = stopword_count(F.col("text")).cast("double")
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", _PUNCT, ""))
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.round(stops / F.nullif(toks, F.lit(0.0)), 4).alias("stopword_ratio"),
+        F.round(punct / F.nullif(F.length("text").cast("double"), F.lit(0.0)), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(
+            F.log(toks + 1) / 10 + stops / F.nullif(toks, F.lit(0.0)), 4
+        ).alias("quality"),
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+SELECT doc_id, lang,
+       CASE WHEN {_STOPS_SQL} / nullif({_TOKENS_SQL}, 0) > 0.05
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+""",
+    doc="language ID: English function-word ratio heuristic",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language ID heuristic: classify as English when the
+    English function-word ratio clears a threshold. (A production version
+    extends the stopword tables per language; the dataflow is identical.)"""
+    d = table(spark, sf_dir, "documents")
+    toks = token_count(F.col("text")).cast("double")
+    stops = stopword_count(F.col("text")).cast("double")
+    ratio = stops / F.nullif(toks, F.lit(0.0))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(ratio > 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+    doc="document fingerprint: md5 over whitespace-normalized text",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form fingerprint (lowercase, collapse whitespace, md5) —
+    the exact-dedup key. md5 is bit-identical across engines, so this also
+    pins down the normalization."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))

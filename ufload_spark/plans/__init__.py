@@ -1,0 +1,3 @@
+from ufload_spark.plans.registry import QUERIES, Query, register
+
+__all__ = ["QUERIES", "Query", "register"]

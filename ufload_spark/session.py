@@ -1,0 +1,71 @@
+"""SparkSession construction and runtime tuning.
+
+The engine is designed for a multi-executor cluster reading ~100 TB; the
+session defaults encode that posture (AQE on, skew-join handling, broadcast
+threshold, partition sizing) while remaining correct on ``local[N]``.
+
+Any session handed to us (e.g. by the verification driver) is tuned in place
+via :func:`tune` — every conf set there is runtime-settable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to every session the engine touches.
+#: - UTC session timezone: the fixture parquet stores timezone-naive
+#:   timestamps; UTC makes Spark's reading bit-identical to DuckDB/pandas.
+#: - AQE + skew join: at 100 TB, static shuffle partition counts are always
+#:   wrong; AQE coalesces small partitions and splits skewed ones at runtime.
+#: - Arrow: every pandas_udf / mapInPandas boundary is Arrow-batched.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 64 MiB shuffle target: lets AQE pick partition counts by bytes, not a
+    # static number — the knob that survives a 1000× scale-up.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    # the events fixture stores TIMESTAMP(NANOS) parquet, which Spark's
+    # vectorized reader rejects; read as long and convert in the source
+    # (ns % 1000 == 0 in the fixtures, so the conversion is lossless).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+#: Build-time confs (only used when WE create the session, e.g. bench/tests).
+BUILD_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf locked by the host — keep going
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "ufload_spark", master: str | None = None) -> SparkSession:
+    """Create (or fetch) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``),
+    matching the harness environment; on a real cluster the master comes from
+    spark-submit and this argument is left None.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**BUILD_CONF, **RUNTIME_CONF}.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())

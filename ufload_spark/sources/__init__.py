@@ -1,0 +1,3 @@
+from ufload_spark.sources.tables import TABLES, register_views, table
+
+__all__ = ["TABLES", "table", "register_views"]
