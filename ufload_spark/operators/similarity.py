@@ -238,3 +238,185 @@ def similarity_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= 0.2)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+# --- IVF (inverted-file) ANN: coarse cells → probe nearest cells ----------
+
+N_CENTROIDS = 8
+N_PROBE = 2
+IVF_Q_LO, IVF_Q_HI = 8, 13  # query vectors: vec_id in [8, 13)
+
+
+def _cosine_sql(ae: str, be: str) -> str:
+    return (
+        f"sum(CAST({ae}[i] AS DOUBLE) * CAST({be}[i] AS DOUBLE)) / "
+        f"(sqrt(sum(CAST({ae}[i] AS DOUBLE) * CAST({ae}[i] AS DOUBLE))) * "
+        f"sqrt(sum(CAST({be}[i] AS DOUBLE) * CAST({be}[i] AS DOUBLE))))"
+    )
+
+
+@register(
+    "similarity_ivf_topk",
+    f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+              WHERE vec_id < {N_CENTROIDS}),
+cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {IVF_Q_HI}),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id >= {IVF_Q_LO} AND vec_id < {IVF_Q_HI}),
+idx AS (SELECT unnest(range(1, {DIM + 1})) AS i),
+cc AS (
+  SELECT c.vec_id, t.cid, round({_cosine_sql('c.embedding', 't.ce')}, 6) AS cos
+  FROM cand c, cent t, idx GROUP BY c.vec_id, t.cid
+), asn AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, cid) AS rn FROM cc
+  ) WHERE rn = 1
+), qc AS (
+  SELECT p.qid, t.cid, round({_cosine_sql('p.qe', 't.ce')}, 6) AS cos
+  FROM q p, cent t, idx GROUP BY p.qid, t.cid
+), probe AS (
+  SELECT qid, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, cid) AS rn FROM qc
+  ) WHERE rn <= {N_PROBE}
+), pairs AS (
+  SELECT p.qid, a.vec_id AS cand_id FROM probe p JOIN asn a ON p.cell = a.cell
+), scored AS (
+  SELECT pr.qid, pr.cand_id,
+         round({_cosine_sql('eq.embedding', 'ec.embedding')}, 6) AS cosine
+  FROM pairs pr
+  JOIN embeddings eq ON eq.vec_id = pr.qid
+  JOIN embeddings ec ON ec.vec_id = pr.cand_id, idx
+  GROUP BY pr.qid, pr.cand_id
+)
+SELECT qid, cand_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, cand_id) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+""",
+    doc="IVF ANN: assign candidates to coarse cells, probe the query's "
+    "nearest cells, exact top-k inside probed cells only",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file ANN. The coarse quantizer here is deterministic (the
+    first N_CENTROIDS vectors stand in for trained k-means centroids — the
+    index/probe dataflow is what scales, not how centroids were fit):
+
+    1. every candidate is assigned to its nearest cell — a broadcast of the
+       tiny centroid table against the candidate scan, then a per-vector
+       argmax (window rank over vec_id, an evenly-keyed shuffle);
+    2. each query probes its N_PROBE nearest cells;
+    3. exact cosine + top-k runs only on candidates in probed cells —
+       at scale this is the 1/(cells/probes) fraction of the corpus, the
+       whole point of IVF.
+
+    Probed queries (a handful of rows) broadcast into the assignment scan, so
+    the big side never shuffles on the skewed 8-value cell key."""
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cand = e.where(F.col("vec_id") >= IVF_Q_HI)
+    q = e.where(
+        (F.col("vec_id") >= IVF_Q_LO) & (F.col("vec_id") < IVF_Q_HI)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+
+    def cos(a: str, b: str) -> Column:
+        return F.round(
+            dot(F.col(a), F.col(b))
+            / (F.sqrt(sqnorm(F.col(a))) * F.sqrt(sqnorm(F.col(b)))),
+            6,
+        )
+
+    w_vec = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+    asn = (
+        cand.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", cos("embedding", "ce").alias("cos"))
+        .withColumn("rn", F.row_number().over(w_vec))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    probe = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qe", "cid", cos("qe", "ce").alias("cos"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= N_PROBE)
+        .select("qid", "qe", F.col("cid").alias("cell"))
+    )
+    scored = (
+        asn.join(F.broadcast(probe), "cell")
+        .select(
+            "qid",
+            F.col("vec_id").alias("cand_id"),
+            cos("qe", "embedding").alias("cosine"),
+        )
+    )
+    w_topk = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_topk))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", "cand_id", "cosine", "rnk")
+    )
+
+
+# --- embedding-cosine near-dedup ------------------------------------------
+
+DEDUP_COS_THRESHOLD = 0.4
+
+
+@register(
+    "dedup_embedding_cosine",
+    "WITH "
+    + _PLANES_SQL
+    + f"""
+, pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), pexpl AS (
+  SELECT p.vec_a, p.vec_b,
+         sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dp,
+         sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
+         sum(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b,
+  (SELECT unnest(range(1, {DIM + 1})) AS i)
+  GROUP BY 1, 2
+)
+SELECT DISTINCT vec_b AS dropped_vec_id
+FROM pexpl
+WHERE dp / (sqrt(na) * sqrt(nb)) >= {DEDUP_COS_THRESHOLD}
+""",
+    doc="embedding-cosine near-dedup: LSH candidates → exact cosine ≥ "
+    f"{DEDUP_COS_THRESHOLD} → drop the higher id of each near-dup pair",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate removal over embeddings: LSH buckets bound the
+    candidate set (no all-pairs), exact cosine confirms, and the KEEP rule
+    is deterministic — the lower vec_id of each confirmed pair survives, so
+    the result is the distinct set of dropped ids. This composes with
+    ``documents`` joins for text-level corpus dedup at 100 TB: bucket join →
+    rescore → anti-join the dropped ids against the corpus."""
+    sigs = _lsh_sigs(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(sqnorm(F.col("emb_a"))) * F.sqrt(sqnorm(F.col("emb_b")))
+    )
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(cos >= DEDUP_COS_THRESHOLD)
+        .select(F.col("vec_b").alias("dropped_vec_id"))
+        .distinct()
+    )

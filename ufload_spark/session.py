@@ -33,6 +33,10 @@ RUNTIME_CONF: dict[str, str] = {
     # vectorized reader rejects; read as long and convert in the source
     # (ns % 1000 == 0 in the fixtures, so the conversion is lossless).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Batch shuffles are sized by AQE (advisory bytes above), but streaming
+    # state stores fix their partition count from this at first run — the
+    # default 200 is pure overhead locally. A cluster deployment overrides.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 #: Build-time confs (only used when WE create the session, e.g. bench/tests).

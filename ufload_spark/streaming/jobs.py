@@ -1,0 +1,192 @@
+"""Streaming jobs over the ``events`` fixture (SURVEY §2.9, OP-STR-1..3).
+
+Each registered query runs a REAL Structured Streaming pipeline: a
+``readStream`` parquet file source, event-time transformations, a memory
+sink, and a ``Trigger.AvailableNow`` run to completion — then returns the
+sink contents as a DataFrame. Results are deterministic (complete-mode
+aggregation, or an order-insensitive post-aggregate over the sink), so each
+job has an exact DuckDB oracle shared with its batch twin in
+:mod:`ufload_spark.operators.events`.
+
+At 100 TB these same plans run unmodified against a continuous source
+(Kafka / object-store file arrivals): the file source scales by splitting
+input across executors; state (window partials, dedup keys, per-user
+session state) lives in the partitioned state store keyed by the groupBy
+columns, so stateful work shuffles once on the key and scales with
+executors, not with history.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ufload_spark.plans.registry import register
+from ufload_spark.session import tune
+
+_SINK_SEQ = itertools.count()
+
+
+def events_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet. The schema is taken from a
+    batch read (file sources need it declared up front); the ns-timestamp
+    conversion mirrors sources.tables (nanosAsLong, integer div — double
+    division corrupts ns epochs beyond 2^53)."""
+    tune(spark)
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    # the file source wants a directory (or glob) — the fixture is a single
+    # file, so address it through a trivial glob whose non-wildcard prefix
+    # (the directory) becomes the basePath; a real deployment streams a
+    # directory of arriving files and this disappears
+    sdf = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/events.[p]arquet"
+    )
+    if dict(sdf.dtypes)["ts"] == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def run_to_memory(
+    sdf: DataFrame, *, output_mode: str, prefix: str
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into a
+    memory sink and return the sink table. Sink names are unique per call so
+    repeated driver invocations never collide."""
+    name = f"{prefix}_{os.getpid()}_{next(_SINK_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix=f"ufload-ckpt-{name}-")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+@register(
+    "streaming_tumbling_hourly",
+    """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    doc="Structured Streaming tumbling-window aggregate run to completion "
+    "(readStream → watermark → window agg → memory sink, AvailableNow)",
+)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of ``events_tumbling_hourly``, actually executed
+    through the streaming engine. Complete output mode makes the final sink
+    contents equal the batch aggregate regardless of how the source was
+    batched; the watermark (OP-STR-1, the reference's 900 s guard) bounds
+    state eviction in a continuous deployment."""
+    sdf = events_readstream(spark, sf_dir).withWatermark("ts", "15 minutes")
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete", prefix="tumbling")
+
+
+@register(
+    "streaming_dedup_users_per_type",
+    """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+    doc="streaming dropDuplicates (stateful key dedup) → distinct users per type",
+)
+def streaming_dedup_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (OP-STR-2's idempotent-replay shape): project
+    to the key columns, ``dropDuplicates`` keeps the first arrival per
+    (user_id, event_type) in the state store, the memory sink receives each
+    key once. A batch count over the sink is then exactly
+    count-distinct-users per type. Projecting BEFORE the dedup means
+    whichever physical row wins, the emitted data is identical —
+    deterministic under any batching."""
+    sdf = events_readstream(spark, sf_dir)
+    deduped = sdf.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    sink = run_to_memory(deduped, output_mode="append", prefix="dedup")
+    return sink.groupBy("event_type").agg(F.count("*").alias("n_users"))
+
+
+_STATE_OUT_SCHEMA = "user_id long, last_ts timestamp, n_events long"
+_STATE_SCHEMA = "last_us long, n_events long"
+
+
+def _track_user_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: per-user running (max event time, count).
+
+    The state tuple stores the timestamp as int64 microseconds — the state
+    store codec round-trips primitives, not tz-aware pandas timestamps.
+    """
+    last_us, n = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        batch_max = pdf["ts"].max()
+        last_us = max(last_us, int(batch_max.value) // 1000)
+    state.update((last_us, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_ts": [pd.Timestamp(last_us * 1000)],
+            "n_events": [n],
+        }
+    )
+
+
+@register(
+    "streaming_user_activity_stateful",
+    """
+SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+FROM events GROUP BY user_id
+""",
+    doc="custom stateful streaming operator (applyInPandasWithState): "
+    "per-user activity tracking, final state per user",
+)
+def streaming_user_activity_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandasWithState`` — the escape hatch for operators Spark
+    lacks (per-key custom state machines). Each micro-batch updates per-user
+    state and emits the current (last_ts, n_events); the sink then holds one
+    row per user per batch that touched it, and a keep-latest batch
+    aggregate (max is monotone here) recovers the final state — so the
+    result is deterministic whatever the batching. State is hash-partitioned
+    by user_id: memory scales with #users per executor, not stream length."""
+    sdf = events_readstream(spark, sf_dir)
+    tracked = sdf.groupBy("user_id").applyInPandasWithState(
+        _track_user_state,
+        outputStructType=_STATE_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(tracked, output_mode="update", prefix="state")
+    return sink.groupBy("user_id").agg(
+        F.max("last_ts").alias("last_ts"), F.max("n_events").alias("n_events")
+    )
