@@ -228,3 +228,75 @@ def delive_create_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_users.join(F.broadcast(g), new_users.dept == g.name, "left").select(
         "id", "login", "gid"
     )
+
+
+@register(
+    "delive_logo_banner",
+    """
+SELECT n_nationkey AS id,
+       base64(encode('SANDBOX_LOGO_' || n_name)) AS logo,
+       'THIS IS A SANDBOX COPY — ' || n_name AS banner,
+       CASE WHEN n_regionkey % 2 = 0 THEN 'd:\\' ELSE '/tmp' END AS backup_path
+FROM nation
+""",
+    doc="§2.11 logo/banner injection + platform-dependent backup config "
+    "(db.py:426-439); OP-FN-7 base64 encode",
+)
+def delive_logo_banner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logo injection as a base64 literal column (reference db.py:426), the
+    dollar-quoted sandbox banner (db.py:429), and the platform-dependent
+    backup path reset (db.py:431-439) — one narrow projection per config
+    row, no shuffle."""
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").alias("id"),
+        F.base64(F.encode(F.concat(F.lit("SANDBOX_LOGO_"), F.col("n_name")), "UTF-8"))
+        .alias("logo"),
+        F.concat(F.lit("THIS IS A SANDBOX COPY — "), F.col("n_name")).alias("banner"),
+        F.when(F.col("n_regionkey") % 2 == 0, F.lit("d:\\"))
+        .otherwise(F.lit("/tmp"))
+        .alias("backup_path"),
+    )
+
+
+@register(
+    "delive_sequence_bump",
+    """
+SELECT o_orderpriority AS sequence_name,
+       max(o_orderkey) + 1000 AS number_next,
+       TIMESTAMP '2026-01-01 00:00:00' + INTERVAL 1 HOUR AS next_run
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="OP-FN-10 arithmetic: sequence bump number_next+1000 and "
+    "timestamp + interval (cli/main.py:456, db.py:407)",
+)
+def delive_sequence_bump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sync-sequence bump (reference cli/main.py:456
+    ``number_next=number_next+1000``) and interval push (db.py:407) over a
+    sequences frame derived from orders — partial aggregation map-side, tiny
+    final shuffle on the 5 priority keys."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("sequence_name")).agg(
+        (F.max("o_orderkey") + 1000).alias("number_next"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00")) + F.expr("INTERVAL 1 HOUR")
+        ).alias("next_run"),
+    )
+
+
+@register(
+    "delive_ilike_groups",
+    DELIVE_CTE
+    + """
+SELECT gid, name, false AS visible FROM groups WHERE name ILIKE '%ur%'
+""",
+    doc="OP-FIL-9 ILIKE predicate: hide groups by case-insensitive pattern "
+    "(db.py:422)",
+)
+def delive_ilike_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE res_groups SET visible='f' WHERE name ILIKE '<pat>'``
+    (reference db.py:422) — the matched rows with visibility stomped."""
+    g = groups(spark, sf_dir)
+    return g.where(F.col("name").ilike("%ur%")).select(
+        "gid", "name", F.lit(False).alias("visible")
+    )

@@ -136,3 +136,88 @@ def fn_decrypt_password(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("XXXXczNjcmV0LXB3",), ("AAAAaHVudGVyMg==",)], "enc string"
     )
     return df.select("enc", decrypt_password(F.col("enc")).alias("pw"))
+
+
+@register(
+    "fn_md5_checksum",
+    """
+SELECT doc_id, md5(coalesce(text, '')) AS checksum
+FROM documents WHERE doc_id < 100
+""",
+    doc="OP-FN-6 content md5 checksum (db.py:843-851 _zipChecksum)",
+)
+def fn_md5_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-blob checksumming (reference db.py:843-851 hashes the file in
+    8 KiB chunks; columnar form is one JVM-side md5 per value — narrow map,
+    codegen, no Python)."""
+    from ufload_spark.sources.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    return d.where(F.col("doc_id") < 100).select(
+        "doc_id", F.md5(F.encode(F.coalesce("text", F.lit("")), "UTF-8")).alias("checksum")
+    )
+
+
+@register(
+    "fn_hwid_group_md5",
+    """
+SELECT source, md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY CAST(doc_id AS VARCHAR))) AS hwid
+FROM documents GROUP BY source
+""",
+    doc="OP-FN-6 hardware-id analog: md5 over the sorted member list per "
+    "group (db.py:599-621 get_hwid = md5 of sorted MAC addresses)",
+)
+def fn_hwid_group_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference fingerprints a host as md5 of its sorted MAC list
+    (db.py:599-621). Set-fingerprinting per group: collect, sort, join,
+    md5 — sort_array makes the digest order-insensitive to shuffle
+    nondeterminism."""
+    from ufload_spark.sources.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
+                ),
+                "UTF-8",
+            )
+        ).alias("hwid")
+    )
+
+
+@register(
+    "fn_positional_password",
+    """
+SELECT n_nationkey AS id, n_name,
+       greatest(ascii(substr(lower(n_name), CAST(n_nationkey % length(n_name) AS INT) + 1, 1)), 96)
+         - 96 + CAST(n_nationkey % 5 AS INT) AS digit
+FROM nation
+""",
+    doc="OP-FN-8 positional password derivation: digit from name char "
+    "(db.py:459-473 template [pos+add])",
+)
+def fn_positional_password(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference derives per-instance password digits from db-name
+    characters: ``max(ord(ch), 96) - 96 + add`` (db.py:459-473). Pure
+    Column arithmetic — ascii/greatest/modulo, no UDF."""
+    n = table_nation(spark, sf_dir)
+    ch = F.expr(
+        "substr(lower(n_name), CAST(n_nationkey % length(n_name) AS INT) + 1, 1)"
+    )
+    return n.select(
+        F.col("n_nationkey").alias("id"),
+        "n_name",
+        (
+            F.greatest(F.ascii(ch), F.lit(96)) - 96
+            + (F.col("n_nationkey") % 5).cast("int")
+        ).alias("digit"),
+    )
+
+
+def table_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ufload_spark.sources.tables import table
+
+    return table(spark, sf_dir, "nation")

@@ -60,7 +60,7 @@ def load_all() -> dict[str, Query]:
         similarity,
         textops,
     )
-    from ufload_spark.sources import loader, zipsource  # noqa: F401
+    from ufload_spark.sources import catalog, loader, zipsource  # noqa: F401
     from ufload_spark.streaming import jobs  # noqa: F401
 
     return QUERIES
