@@ -200,18 +200,23 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the persisted signatures table every production LSH pipeline
     writes; locally ``localCheckpoint`` plays that role."""
     sigs = _minhash_sigs(spark, sf_dir).localCheckpoint()
+    # numeric band keys (the two member hashes), no string building — the
+    # join hashes two longs + the band id instead of a concat'd varchar
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).alias("key"),
+                F.col(f"m{2*b}").alias("k1"),
+                F.col(f"m{2*b+1}").alias("k2"),
             )
             for b in range(N_BANDS)
         ]
     )
     melted = sigs.select(
         "doc_id", *[f"m{i}" for i in range(K_HASHES)], F.explode(band_structs).alias("bk")
-    ).select("doc_id", *[f"m{i}" for i in range(K_HASHES)], "bk.band", "bk.key")
+    ).select(
+        "doc_id", *[f"m{i}" for i in range(K_HASHES)], "bk.band", "bk.k1", "bk.k2"
+    )
     a, b = melted.alias("a"), melted.alias("b")
     matches = sum(
         F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
@@ -220,7 +225,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.k1") == F.col("b.k1"))
+        & (F.col("a.k2") == F.col("b.k2"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"),
