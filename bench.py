@@ -25,6 +25,8 @@ HEADLINE = [
     "tpch_q1_pricing_summary",     # wide hash aggregate
     "tpch_q3_shipping_priority",   # broadcast join + top-k
     "tpch_q5_local_supplier_volume",  # multi-join star query
+    "tpch_q6_forecast_revenue",    # full-pushdown filter + scalar agg
+    "tpch_q18_large_orders",       # agg-derived semi-join, double shuffle
     "orders_running_total",        # window frame
     "events_session_windows",      # session windows
     "archive_merge",               # anti-join merge

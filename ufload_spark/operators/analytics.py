@@ -398,3 +398,155 @@ def stale_dbs_to_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") > 1)
         .select("instance", "db_name", "rn")
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6: pure filter + scalar aggregate, everything pushed to scan",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pushdown showcase: every predicate reaches the parquet reader
+    (PushedFilters), two columns read, no shuffle at all — partial sums
+    combine into one scalar."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10: returned-item revenue per customer, join + agg + top-20",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join on orderkey (the one real shuffle), nation broadcast,
+    top-20 via TakeOrderedAndProject."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+""",
+    doc="TPC-H Q14: promo revenue share — conditional aggregate over a join",
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part is the small side → broadcast; the filtered lineitem scan never
+    shuffles. One conditional-sum scalar aggregate."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 210
+)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    doc="TPC-H Q18: large-quantity orders — agg-derived semi-join filter",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HAVING-subquery becomes an aggregate + left-semi join: lineitem
+    aggregates once on orderkey, the qualifying keyset (tiny) semi-joins
+    back. Both lineitem passes shuffle on the same key — at scale, bucketed
+    layout on orderkey removes both exchanges."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 210)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
