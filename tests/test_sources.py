@@ -1,0 +1,127 @@
+"""Loader lifecycle, range reader, retrying download, ZIP corruption flags."""
+
+from __future__ import annotations
+
+import io
+import os
+import zipfile
+
+import pytest
+
+from tests.conftest import SF_DIR
+from ufload_spark.sources import remote
+from ufload_spark.sources.loader import (
+    AuditError,
+    record_loaded,
+    should_reload,
+    stage_and_publish,
+)
+from ufload_spark.sources.tables import table
+from ufload_spark.sources.zipsource import zip_listing
+
+
+def test_publish_then_atomic_replace(spark, tmp_path):
+    target = str(tmp_path / "t")
+    df = table(spark, SF_DIR, "region")
+    n = stage_and_publish(spark, df, target)
+    assert n == spark.read.parquet(target).count()
+    # re-publish with fewer rows: old data replaced, no staging left behind
+    n2 = stage_and_publish(spark, df.limit(2), target)
+    assert n2 == 2 == spark.read.parquet(target).count()
+    leftovers = [p for p in os.listdir(tmp_path) if "staging" in p or ".old" in p]
+    assert leftovers == []
+
+
+def test_publish_audit_failure_keeps_old(spark, tmp_path):
+    target = str(tmp_path / "t")
+    df = table(spark, SF_DIR, "region")
+    stage_and_publish(spark, df, target)
+    before = spark.read.parquet(target).count()
+    with pytest.raises(AuditError):
+        stage_and_publish(spark, df, target, expected_rows=before + 999)
+    # old table untouched, staging cleaned up
+    assert spark.read.parquet(target).count() == before
+    assert [p for p in os.listdir(tmp_path) if "staging" in p] == []
+
+
+def test_empty_stage_rejected(spark, tmp_path):
+    df = table(spark, SF_DIR, "region").limit(0)
+    with pytest.raises(AuditError):
+        stage_and_publish(spark, df, str(tmp_path / "t"))
+
+
+def test_skip_if_unchanged_memo(spark, tmp_path):
+    memo = str(tmp_path / "memo")
+    assert should_reload(spark, memo, 123)  # no memo yet
+    record_loaded(spark, memo, 123)
+    assert not should_reload(spark, memo, 123)  # unchanged → skip
+    assert should_reload(spark, memo, 124)  # size changed → reload
+
+
+def test_range_reader(tmp_path):
+    p = tmp_path / "blob.bin"
+    payload = bytes(range(256)) * 40
+    p.write_bytes(payload)
+    r = remote.RangeReader(f"file://{p}")
+    assert r.size() == len(payload)
+    assert r.read(10) == payload[:10]
+    r.seek(100)
+    assert r.read(16) == payload[100:116]
+    r.seek(-8, os.SEEK_END)
+    assert r.read() == payload[-8:]
+    assert r.read() == b""
+
+
+def test_download_retries_then_succeeds(tmp_path):
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"x" * 100_000)
+    dest = tmp_path / "dest.bin"
+    fails = {"n": 2}
+
+    def flaky_opener(url: str, offset: int) -> io.IOBase:
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise OSError("transient")
+        return remote.local_opener(url, offset)
+
+    retries = []
+    n = remote.download(
+        str(src),
+        str(dest),
+        opener=flaky_opener,
+        retry_sleep_s=0,
+        on_retry=lambda a, e: retries.append(a),
+    )
+    assert n == 100_000 and dest.read_bytes() == src.read_bytes()
+    assert retries == [0, 1]
+
+
+def test_download_gives_up(tmp_path):
+    def dead_opener(url: str, offset: int) -> io.IOBase:
+        raise OSError("down")
+
+    with pytest.raises(OSError, match="after 3 attempts"):
+        remote.download(
+            str(tmp_path / "s"),
+            str(tmp_path / "d"),
+            opener=dead_opener,
+            max_retries=3,
+            retry_sleep_s=0,
+        )
+
+
+def test_zip_corruption_flagged(spark, tmp_path):
+    good = tmp_path / "good.zip"
+    with zipfile.ZipFile(good, "w") as z:
+        z.writestr("member.txt", "hello")
+    multi = tmp_path / "multi.zip"
+    with zipfile.ZipFile(multi, "w") as z:
+        z.writestr("a.txt", "a")
+        z.writestr("b.txt", "b")
+    (tmp_path / "corrupt.zip").write_bytes(b"not a zip at all")
+
+    rows = {r["zip_name"]: r for r in zip_listing(spark, f"{tmp_path}/*.zip").collect()}
+    assert rows["good.zip"]["ok"] and rows["good.zip"]["member"] == "member.txt"
+    # the reference requires exactly one member (cloud.py:221-228)
+    assert not rows["multi.zip"]["ok"] and rows["multi.zip"]["n_members"] == 2
+    assert not rows["corrupt.zip"]["ok"]

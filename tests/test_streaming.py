@@ -1,0 +1,69 @@
+"""Streaming semantics beyond the oracle checks: watermark late-data
+eviction in append mode, which the oracle-checked complete-mode jobs don't
+exercise."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from ufload_spark.streaming.jobs import events_readstream, run_to_memory
+
+
+def test_append_mode_watermark_holds_back_open_windows(spark):
+    """With append output + watermark, only windows whose end precedes the
+    final watermark (max event time − delay) are emitted — the streaming
+    form of the reference's ignore-files-newer-than-900 s guard
+    (cloud.py:129-133). The open tail windows must NOT be in the sink."""
+    sdf = events_readstream(spark, SF_DIR).withWatermark("ts", "15 minutes")
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.end").alias("window_end"), "n")
+    )
+    sink = run_to_memory(agg, output_mode="append", prefix="late")
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(batch.dtypes)["ts"] == "bigint":
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    emitted = sink.agg(F.max("window_end")).first()[0]
+
+    n_windows_total = batch.select(
+        F.window("ts", "1 hour").alias("w")
+    ).select("w.end").distinct().count()
+    n_emitted = sink.count()
+
+    # something was emitted, but the windows still open at end-of-stream
+    # (those ending after the final watermark) were held back
+    assert n_emitted > 0
+    assert n_emitted < n_windows_total
+    assert emitted is not None and max_ts is not None
+    # every emitted window closed at or before the final event time
+    assert emitted <= max_ts
+
+
+def test_streaming_matches_batch_counts(spark):
+    """End-to-end conservation: complete-mode streaming aggregation equals
+    the batch aggregate over the same file."""
+    sdf = events_readstream(spark, SF_DIR)
+    agg = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
+    sink = run_to_memory(agg, output_mode="complete", prefix="cons")
+    got = {r["event_type"]: r["n"] for r in sink.collect()}
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_checkpoint_dir_is_isolated(spark):
+    """Two runs of the same job must not collide on sink name or
+    checkpoint dir (the driver may invoke a query repeatedly)."""
+    sdf = events_readstream(spark, SF_DIR)
+    agg = sdf.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = run_to_memory(agg, output_mode="complete", prefix="iso").count()
+    b = run_to_memory(agg, output_mode="complete", prefix="iso").count()
+    assert a == b > 0
