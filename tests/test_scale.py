@@ -1,0 +1,100 @@
+"""Scale-mechanics verification: the physical plans actually do what the
+design claims — bucketed joins drop their exchanges, partitioned writes
+prune partitions, predicates reach the parquet scan, salting stays
+result-identical."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from ufload_spark.sources.tables import table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both sides of the orderkey join on the same key/count lets
+    the join run exchange-free — the layout that removes the q18 double
+    shuffle at 100 TB."""
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("li_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("o_bucketed")
+    try:
+        joined = (
+            spark.table("li_bucketed")
+            .join(
+                spark.table("o_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = _plan(joined)
+        # co-located join: no exchange feeding the join (the only exchange
+        # allowed is none — bucketed scan satisfies the distribution)
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Writing events partitioned by event_type, then filtering on it, must
+    prune at the directory level (PartitionFilters), not scan-and-filter."""
+    ev = table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    one_type = ev.select("event_type").first()[0]
+    q = spark.read.parquet(path).where(F.col("event_type") == one_type)
+    plan = _plan(q)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0]
+    assert q.count() == ev.where(F.col("event_type") == one_type).count()
+
+
+def test_q6_predicates_reach_scan(spark):
+    from ufload_spark.operators.analytics import tpch_q6_forecast_revenue
+
+    plan = _plan(tpch_q6_forecast_revenue(spark, SF_DIR))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    # column pruning: only the needed columns in ReadSchema
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_comment" not in schema and "l_orderkey" not in schema
+
+
+def test_salted_agg_matches_direct(spark):
+    from ufload_spark.operators.skew import salted_agg
+
+    ev = table(spark, SF_DIR, "events")
+    got = {
+        r["event_type"]: (r["n_events"], r["total_value"])
+        for r in salted_agg(ev, "event_type").collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_broadcast_in_star_join(spark):
+    from ufload_spark.operators.analytics import tpch_q5_local_supplier_volume
+
+    plan = _plan(tpch_q5_local_supplier_volume(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,68 @@
+"""Skew-resilient aggregation: two-stage salted partial aggregation.
+
+AQE splits skewed JOIN partitions automatically, but a groupBy whose key
+distribution is pathological (one key holding half the table) still funnels
+that key's partials into one reducer. The classic fix is salting: stage 1
+aggregates on (key, salt) — spreading the hot key over N reducers — and
+stage 2 combines the N partials per key. Results are identical to a direct
+aggregation for any algebraic aggregate (sum/count/min/max), which the
+DuckDB oracle checks.
+
+The reference never aggregates at scale (its group-by is a client-side dict
+over file listings, reference ufload/cloud.py:161-180); this operator exists
+for the 100 TB posture, where `event_type` (a handful of values over 10^11
+rows) is exactly such a hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ufload_spark.plans.registry import register
+from ufload_spark.sources.tables import table
+
+N_SALTS = 16
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    *,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """count/sum('value') per ``key`` via two-stage salted aggregation.
+
+    Stage 1 groups on (key, salt) where salt spreads rows uniformly
+    (spark_partition_id + a per-row counter would be nondeterministic;
+    a hash of a high-cardinality column is deterministic and even). Stage 2
+    re-aggregates the ≤ n_salts partial rows per key.
+    """
+    salt = (F.abs(F.hash("event_id")) % n_salts).alias("salt")
+    partial = (
+        df.select(key, "value", salt)
+        .groupBy(key, "salt")
+        .agg(F.count("*").alias("pc"), F.sum("value").alias("ps"))
+    )
+    return partial.groupBy(key).agg(
+        F.sum("pc").alias("n_events"),
+        F.round(F.sum("ps"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "events_salted_agg",
+    """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+""",
+    doc="two-stage salted aggregation over a hot low-cardinality key — "
+    "identical result to a direct groupBy, skew-proof reduce stage",
+)
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-path twin of a plain ``groupBy(event_type)``: the oracle IS
+    the direct aggregation, proving the salted two-stage plan is
+    result-identical while no reducer ever receives more than 1/n_salts of
+    a hot key's rows."""
+    ev = table(spark, sf_dir, "events")
+    return salted_agg(ev, "event_type")

@@ -58,6 +58,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         names_queries,
         similarity,
+        skew,
         textops,
     )
     from ufload_spark.sources import catalog, loader, zipsource  # noqa: F401
