@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for the pure Column expression packs.
+
+The reference's unit tests cover three hand-picked cases per function
+(SURVEY §5); generative testing checks the invariants those cases imply.
+Each @given example carries a LIST of inputs evaluated in one Spark
+collect, so hypothesis explores widely without a job per value.
+"""
+
+from __future__ import annotations
+
+import base64
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ufload_spark.functions.names import (
+    db_to_instance,
+    decrypt_password,
+    file_to_db,
+    match_any_wildcard,
+    version_key,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_token = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Nd")),
+    min_size=1,
+    max_size=8,
+).filter(lambda s: "-" not in s and "_" not in s)
+
+_instance = st.lists(_token, min_size=1, max_size=3).map("_".join)
+
+_date = st.integers(19900101, 20991231).map(str)
+_time6 = st.integers(0, 235959).map(lambda t: f"{t:06d}")
+
+
+def _col_eval(spark, rows, colf):
+    df = spark.createDataFrame([(r,) for r in rows], "v string")
+    return [r["out"] for r in df.select(colf(F.col("v")).alias("out")).collect()]
+
+
+@given(cases=st.lists(st.tuples(_instance, _date, _time6), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_file_to_db_well_formed(spark, cases):
+    """Well-formed names always derive pfx_<inst>_<date>_<hhmm>."""
+    names = [f"{i}-{d}-{t}-A-UF1.0-1p1.dump" for i, d, t in cases]
+    got = _col_eval(spark, names, lambda c: file_to_db(c, "pfx"))
+    want = [f"pfx_{i}_{d}_{t[:4]}" for i, d, t in cases]
+    assert got == want
+
+
+@given(cases=st.lists(st.tuples(_instance, _date, _time6), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_db_roundtrip(spark, cases):
+    """db_to_instance(file_to_db(name)) recovers the instance — the
+    composition the restore loop relies on (derive db, group by instance)."""
+    names = [f"{i}-{d}-{t}-A.dump" for i, d, t in cases]
+    got = _col_eval(
+        spark, names, lambda c: db_to_instance(file_to_db(c, "pfx"), "pfx")
+    )
+    assert got == [i for i, _, _ in cases]
+
+
+@given(junk=st.lists(st.text(min_size=2, max_size=4), min_size=1, max_size=1))
+@settings(**_SETTINGS)
+def test_file_to_db_rejects_malformed(spark, junk):
+    """Names without the 3-token date shape yield NULL (reference returns
+    None, cli/main.py:80-82)."""
+    bad = [f"{j.replace('-', '')}.dump" for j in junk] + ["a-b-c.dump", "x-1234-12.zip"]
+    got = _col_eval(spark, bad, lambda c: file_to_db(c, "pfx"))
+    assert all(v is None for v in got)
+
+
+@given(
+    pws=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_decrypt_inverts_encrypt(spark, pws):
+    """decrypt(4-junk-chars + b64(pw)) == pw for any printable password."""
+    enc = ["XYZ1" + base64.b64encode(p.encode()).decode() for p in pws]
+    got = _col_eval(spark, enc, decrypt_password)
+    assert got == pws
+
+
+@given(
+    name=_token,
+    pats=st.lists(_token, min_size=0, max_size=4),
+)
+@settings(**_SETTINGS)
+def test_wildcard_matches_python_semantics(spark, name, pats):
+    """Empty pattern list matches everything; otherwise any-substring,
+    case-insensitive — exactly the reference's _match_any_wildcard."""
+    got = _col_eval(spark, [name], lambda c: match_any_wildcard(c, pats))[0]
+    want = (not pats) or any(p.lower() in name.lower() for p in pats)
+    assert got == want
+
+
+@given(
+    versions=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 20), st.integers(0, 9)),
+        min_size=2,
+        max_size=15,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_version_key_sorts_numerically(spark, versions):
+    """Sorting by version_key equals sorting by the numeric tuple — '10'
+    sorts after '9', the thing lexicographic sorting gets wrong."""
+    names = [f"uf{a}.{b}-{c}.patch.zip" for a, b, c in versions]
+    df = spark.createDataFrame([(n,) for n in names], "v string")
+    got = [
+        r["v"]
+        for r in df.orderBy(version_key(F.col("v")), F.col("v")).collect()
+    ]
+    want = [n for _, n in sorted(zip(versions, names), key=lambda p: (p[0], p[1]))]
+    assert got == want
