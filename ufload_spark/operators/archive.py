@@ -119,3 +119,85 @@ def skip_if_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_size"),
         F.coalesce(F.col("size_bytes") == F.col("prev_size"), F.lit(False)).alias("skip"),
     )
+
+
+def merge_upsert(
+    existing: DataFrame, incoming: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE … WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT as dataflow:
+    incoming wins on key collision, existing rows without a match survive,
+    new rows append. One full-outer join on the key — the plan Delta's
+    MERGE compiles to, minus the transaction log."""
+    e = existing.alias("e")
+    i = incoming.alias("i")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"e.{k}") == F.col(f"i.{k}"))
+    joined = e.join(i, cond, "full_outer")
+    picked = [
+        F.coalesce(F.col(f"i.{c}"), F.col(f"e.{c}")).alias(c)
+        for c in existing.columns
+    ]
+    return joined.select(*picked)
+
+
+@register(
+    "archive_upsert",
+    """
+WITH existing AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events WHERE event_id % 3 = 0
+), incoming AS (
+  SELECT event_id, ts, user_id, event_type, round(value * 2, 2) AS value
+  FROM events WHERE event_id % 2 = 0
+)
+SELECT coalesce(i.event_id, e.event_id) AS event_id,
+       coalesce(i.ts, e.ts) AS ts,
+       coalesce(i.user_id, e.user_id) AS user_id,
+       coalesce(i.event_type, e.event_type) AS event_type,
+       round(coalesce(i.value, e.value), 2) AS value
+FROM existing e FULL OUTER JOIN incoming i ON e.event_id = i.event_id
+""",
+    doc="MERGE upsert (WHEN MATCHED UPDATE / NOT MATCHED INSERT) as a "
+    "full-outer key join — the Delta MERGE plan shape",
+)
+def archive_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The update-variant of the archive merge: incoming re-observations
+    (here: value doubled) replace the archived row, unseen keys append.
+    Complements ``archive_merge``'s insert-only ON CONFLICT DO NOTHING."""
+    ev = table(spark, sf_dir, "events").select(*_COLS)
+    existing = ev.where(F.col("event_id") % 3 == 0)
+    incoming = ev.where(F.col("event_id") % 2 == 0).withColumn(
+        "value", F.round(F.col("value") * 2, 2)
+    )
+    merged = merge_upsert(existing, incoming, ["event_id"])
+    return merged.withColumn("value", F.round("value", 2))
+
+
+@register(
+    "patch_register_dedup",
+    BACKUPS_CTE
+    + """
+, patches AS (
+  SELECT name, md5(name) AS checksum FROM backups
+), registered AS (
+  SELECT md5(name) AS checksum FROM backups WHERE size_bytes % 2 = 0
+)
+SELECT p.name, p.checksum FROM patches p
+WHERE NOT EXISTS (SELECT 1 FROM registered r WHERE r.checksum = p.checksum)
+""",
+    doc="§2.11 patch registration: checksum dup-check then install "
+    "(db.py:863-896) as an anti-join",
+)
+def patch_register_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``installPatch``: compute each patch's checksum, skip ones already
+    registered (``SELECT 1 FROM sync_server_version WHERE sum='<md5>'``,
+    db.py:877), install the rest — the dup-check SELECT becomes a
+    broadcast anti-join on the checksum."""
+    b = backups(spark, sf_dir)
+    patches = b.select("name", F.md5("name").alias("checksum"))
+    registered = b.where(F.col("size_bytes") % 2 == 0).select(
+        F.md5("name").alias("checksum")
+    )
+    return patches.join(F.broadcast(registered), "checksum", "left_anti").select(
+        "name", "checksum"
+    )

@@ -157,3 +157,31 @@ def events_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
     )
+
+
+@register(
+    "events_late_data_guard",
+    """
+SELECT event_type, count(*) AS n_settled
+FROM events
+WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 15 MINUTE
+GROUP BY event_type
+""",
+    doc="OP-FIL-1/OP-STR-1 batch watermark: drop events inside the "
+    "still-settling window (cloud.py:129-133's 900 s guard)",
+)
+def events_late_data_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference ignores files modified < 900 s ago as possibly
+    half-uploaded (cloud.py:129-133). Batch form over events: treat the last
+    15 minutes before the observed max event time as unsettled and exclude
+    it. The max is a scalar-subquery broadcast (one row), so the guard adds
+    a cheap pre-pass, not a shuffle; in streaming this is exactly the
+    watermark (see ufload_spark.streaming)."""
+    ev = table(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 15 MINUTES")).alias("wm"))
+    return (
+        ev.join(F.broadcast(wm))
+        .where(F.col("ts") < F.col("wm"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_settled"))
+    )

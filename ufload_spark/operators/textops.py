@@ -137,3 +137,67 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+#: BPE-style pre-tokenizer (the GPT-2 shape, ASCII-reduced so Java and RE2
+#: agree): a token is an optional leading space + letters, + digits, or
+#: + punctuation run. Whitespace never merges into tokens.
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+"
+
+
+@register(
+    "text_bpe_tokens",
+    f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       {_TOKENS_SQL} AS n_ws_tokens
+FROM documents
+""",
+    doc="BPE-ish regex pre-tokenization vs whitespace tokens per document",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting the way a BPE pipeline pre-tokenizes (letter runs,
+    digit runs, punctuation runs, space-attached) — the cost model input
+    for training-data budgeting. Same narrow-map shape as the whitespace
+    tokenizer; the regex runs JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+    return d.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_ws_tokens"),
+    )
+
+
+#: High-frequency English character trigrams (with word-boundary spaces).
+_EN_TRIGRAMS = (" th", "the", "he ", "ing", "nd ", " an", "er ", " to")
+_TRIGRAM_RE = "|".join(_EN_TRIGRAMS)
+
+
+@register(
+    "text_ngram_lang_id",
+    f"""
+SELECT doc_id, lang,
+       CASE WHEN len(regexp_extract_all(lower(text), '({_TRIGRAM_RE})'))
+                 / nullif(CAST(length(text) AS DOUBLE), 0) > 0.02
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents
+""",
+    doc="character-trigram language ID: English trigram density heuristic",
+)
+def text_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language ID: density of high-frequency English character
+    trigrams. A production system scores against per-language trigram
+    tables; the dataflow — regex count + normalize, pure projection — is
+    identical, and composes with the function-word heuristic
+    (text_lang_id) as an ensemble."""
+    d = table(spark, sf_dir, "documents")
+    hits = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(f"({_TRIGRAM_RE})"), 0)
+    ).cast("double")
+    density = hits / F.nullif(F.length("text").cast("double"), F.lit(0.0))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(density > 0.02, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
