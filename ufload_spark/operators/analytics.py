@@ -561,3 +561,33 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "tpch_q13_custdist",
+    """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+""",
+    doc="TPC-H Q13: customer order-count distribution — outer join + "
+    "double aggregation",
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (customers without orders count 0) then a
+    distribution over the counts. Two shuffles: custkey, then the tiny
+    count-valued key — the second input is one row per customer, already
+    small."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))

@@ -11,6 +11,7 @@ aggregation semantics, so the DuckDB oracles below validate both.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -185,3 +186,79 @@ def events_late_data_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_settled"))
     )
+
+
+@register(
+    "events_sliding_windows",
+    """
+WITH expl AS (
+  SELECT e.value,
+         time_bucket(INTERVAL 30 MINUTE, e.ts)
+           - k.k * INTERVAL 30 MINUTE AS window_start
+  FROM events e, (SELECT unnest(range(0, 2)) AS k) k
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM expl GROUP BY window_start
+""",
+    doc="sliding event-time windows (1 h window, 30 min slide) — each event "
+    "lands in window_size/slide windows",
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping windows via ``F.window(ts, '1 hour', '30 minutes')``:
+    Spark assigns each event to the 2 windows covering it (the oracle
+    reconstructs them as the 30-min-aligned bucket and its predecessor).
+    Same partial-agg economics as tumbling windows — the row expansion
+    happens map-side before the partial aggregate."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+_GAP_SCHEMA = "user_id long, n_gaps long, median_gap_s double"
+
+
+def _median_gap(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: per-user median inter-event gap in seconds.
+    Median is non-algebraic — no partial aggregation exists — which is
+    exactly when a grouped pandas kernel is the right tool."""
+    ts = pdf["ts"].sort_values()
+    gaps = ts.diff().dropna().dt.total_seconds()
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_gaps": [len(gaps)],
+            "median_gap_s": [float(gaps.median()) if len(gaps) else None],
+        }
+    )
+
+
+@register(
+    "events_median_gap_per_user",
+    """
+WITH gaps AS (
+  SELECT user_id,
+         epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_s
+  FROM events
+)
+SELECT user_id, count(gap_s) AS n_gaps,
+       round(median(gap_s), 3) AS median_gap_s
+FROM gaps GROUP BY user_id
+""",
+    doc="applyInPandas grouped-map: per-user median inter-event gap "
+    "(non-algebraic statistic, Arrow-batched per group)",
+)
+def events_median_gap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map UDF surface (§2.10): ``applyInPandas`` ships each
+    user's rows to one Arrow batch and computes an exact median — the
+    statistic with no partial-aggregate form. One shuffle on user_id;
+    per-task memory is bounded by the largest single group, the same bound
+    any exact-median computation has."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    out = ev.groupBy("user_id").applyInPandas(_median_gap, schema=_GAP_SCHEMA)
+    return out.withColumn("median_gap_s", F.round("median_gap_s", 3))

@@ -16,6 +16,7 @@ are cast to double before any arithmetic so Spark and DuckDB agree.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -57,9 +58,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_topk_cosine",
-    f"""
+_TOPK_ORACLE_SQL = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 5),
 expl AS (
@@ -77,7 +76,12 @@ SELECT qid, cid, cosine, rnk FROM (
                                ORDER BY cosine DESC, cid) AS rnk
   FROM scored
 ) WHERE rnk <= {TOP_K}
-""",
+"""
+
+
+@register(
+    "similarity_topk_cosine",
+    _TOPK_ORACLE_SQL,
     doc="brute-force cosine top-k: broadcast query batch × candidate scan",
 )
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +241,59 @@ def similarity_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "vec_b")
         .where(cos >= 0.2)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+# --- vectorized Pandas-UDF scoring (the Arrow path) -----------------------
+
+
+def _cosine_pandas_udf():
+    """Arrow-batched cosine: whole float32 matrices cross the Python
+    boundary once per batch and numpy does the math in float64 (matching
+    JVM double arithmetic; 6-dp rounding absorbs summation-order ulps).
+    ~10-100× the throughput of a row-at-a-time UDF — the fallback when the
+    scoring math outgrows Column expressions (learned metrics, etc.)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(qe: pd.Series, ce: pd.Series) -> pd.Series:
+        a = np.stack(qe.to_numpy()).astype(np.float64)
+        b = np.stack(ce.to_numpy()).astype(np.float64)
+        num = (a * b).sum(axis=1)
+        den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+        return pd.Series(num / den)
+
+    return cos
+
+
+@register(
+    "similarity_topk_cosine_pandas",
+    _TOPK_ORACLE_SQL,  # identical oracle to the Column-expression variant
+    doc="brute-force cosine top-k scored by a vectorized Pandas UDF "
+    "(Arrow batches + numpy) — same oracle as the Column-expression form",
+)
+def similarity_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical query plan to ``similarity_topk_cosine`` except the
+    scoring expression runs as an Arrow-batched pandas UDF. Both variants
+    hash-match the same oracle, pinning down that the two execution paths
+    agree bit-for-bit after rounding."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = e.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cos = _cosine_pandas_udf()
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", F.round(cos(F.col("qe"), F.col("ce")), 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", "cid", "cosine", "rnk")
     )
 
 
