@@ -1,0 +1,155 @@
+"""Temporal joins Spark lacks as primitives: as-of join and range join.
+
+Neither exists in the reference (SURVEY §2.3 notes their absence) nor as a
+single Spark operator, but both are bread-and-butter for event analytics,
+so the engine provides them as compositions with cluster-safe plans:
+
+- **As-of join** (most recent right row at or before each left row): the
+  union + ordered-window trick. Both inputs are tagged and unioned, one
+  shuffle partitions by key and orders by (ts, side); a running
+  ``last(..., ignorenulls)`` carries the latest right payload forward into
+  each left row. No join product ever materializes — cost is one shuffle +
+  one sort, independent of how many right rows precede each left row.
+  (DuckDB has a native ASOF JOIN, which is the oracle.)
+
+- **Range join** (pairs within a time band): banded equi-join. Each left
+  row is exploded to its bucket and the two adjacent ±band buckets, the
+  join runs on (key, bucket) — an equi-join Catalyst can hash — and the
+  exact band predicate filters after. Each qualifying pair matches exactly
+  one bucket key, so no dedup pass is needed. The oracle is the quadratic
+  inequality join, which is exactly what this plan avoids at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ufload_spark.plans.registry import register
+from ufload_spark.sources.tables import table
+
+BAND_S = 300  # range-join band: 5 minutes
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """For every left row, attach the payload of the most recent right row
+    with ``right.ts <= left.ts`` (per key). Left rows with no prior right
+    row keep NULLs (ASOF LEFT JOIN semantics)."""
+    nulls = [F.lit(None).alias(f"r_{c}") for c in right_payload]
+    l_tag = left.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias("side"),
+        *[F.col(c) for c in left.columns if c not in (key, ts)],
+        *nulls,
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("side"),
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in left.columns
+            if c not in (key, ts)
+        ],
+        *[F.col(c).alias(f"r_{c}") for c in right_payload],
+    )
+    u = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal ts → ties match (>= asof)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_payload
+        ],
+    )
+    return carried.where(F.col("side") == 1).drop(
+        "side", *[f"r_{c}" for c in right_payload]
+    )
+
+
+@register(
+    "events_asof_last_click",
+    """
+SELECT p.event_id, p.user_id, p.ts,
+       c.event_id AS click_event_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    doc="as-of join: most recent click at or before each purchase, via the "
+    "union + ordered-window plan (no join product)",
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution shape: each purchase joined to the user's latest click
+    at or before it. One shuffle on user_id; window state is one row."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(purchases, clicks, "user_id", "ts", ["event_id", "ts"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("click_event_id"),
+        F.col("asof_ts").alias("click_ts"),
+    )
+
+
+@register(
+    "events_range_join_pairs",
+    f"""
+SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+       epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= {BAND_S} * 1000000
+""",
+    doc=f"range join: same-user event pairs within {BAND_S} s, via banded "
+    "bucket equi-join (the oracle runs the quadratic inequality join)",
+)
+def events_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: bucket = floor(epoch/band); the left side
+    explodes to buckets {b-1, b, b+1}, the join is a plain hash equi-join
+    on (user_id, bucket), and the exact |dt| ≤ band predicate filters the
+    band edges. Each qualifying pair hits exactly one bucket key — no
+    dedup. Shuffle volume is 3× the input, never the pair product."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    band_us = BAND_S * 1_000_000
+    bucket = F.floor(F.col("us") / band_us)
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("event_a"),
+        F.col("us").alias("us_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bucket"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("event_b"),
+        F.col("us").alias("us_b"),
+        bucket.alias("bucket"),
+    )
+    dt = F.col("us_b") - F.col("us_a")
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .where((F.col("event_a") < F.col("event_b")) & (F.abs(dt) <= band_us))
+        .select("user_id", "event_a", "event_b", dt.alias("dt_us"))
+    )

@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
         names_queries,
         similarity,
         skew,
+        temporal,
         textops,
     )
     from ufload_spark.sources import catalog, loader, zipsource  # noqa: F401
