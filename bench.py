@@ -29,6 +29,7 @@ HEADLINE = [
     "tpch_q18_large_orders",       # agg-derived semi-join, double shuffle
     "orders_running_total",        # window frame
     "events_session_windows",      # session windows
+    "events_asof_last_click",      # as-of join (union + ordered window)
     "archive_merge",               # anti-join merge
     "delive_password_stomp",       # sanitize projection
     "dedup_minhash_lsh_pairs",     # MinHash LSH near-dedup
