@@ -37,6 +37,9 @@ RUNTIME_CONF: dict[str, str] = {
     # state stores fix their partition count from this at first run — the
     # default 200 is pure overhead locally. A cluster deployment overrides.
     "spark.sql.shuffle.partitions": "32",
+    # push count/min/max straight into parquet footers (audit counts,
+    # skip-if-unchanged probes become metadata reads, no row scan)
+    "spark.sql.parquet.aggregatePushdown": "true",
 }
 
 #: Build-time confs (only used when WE create the session, e.g. bench/tests).
