@@ -98,3 +98,28 @@ def test_broadcast_in_star_join(spark):
 
     plan = _plan(tpch_q5_local_supplier_volume(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_analyze_table_feeds_cbo(spark):
+    """The reference runs ANALYZE after every restore (db.py:163-175,191);
+    Spark's ANALYZE TABLE COMPUTE STATISTICS records the row count/size the
+    cost-based optimizer and AQE read."""
+    table(spark, SF_DIR, "orders").write.mode("overwrite").saveAsTable(
+        "orders_published_stats"
+    )
+    try:
+        spark.sql(
+            "ANALYZE TABLE orders_published_stats COMPUTE STATISTICS"
+        )
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(
+                "DESCRIBE TABLE EXTENDED orders_published_stats"
+            ).collect()
+        }
+        stats = desc.get("Statistics", "")
+        assert "rows" in stats
+        n = spark.table("orders_published_stats").count()
+        assert f"{n} rows" in stats
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_published_stats")

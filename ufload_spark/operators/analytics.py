@@ -591,3 +591,59 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@register(
+    "orders_pivot_priority",
+    "SELECT o_orderstatus, "
+    + ", ".join(
+        f"""CAST(count(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS BIGINT)
+           AS "p{i + 1}" """
+        for i, p in enumerate(_PRIORITIES)
+    )
+    + " FROM orders GROUP BY o_orderstatus",
+    doc="PIVOT: order counts cross-tabulated status × priority",
+)
+def orders_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupBy().pivot()`` with explicit pivot values — compiles to one
+    hash aggregate with conditional counts (no per-value scans); listing
+    the values keeps the plan static, no discovery pass."""
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .count()
+    )
+    renamed = piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
+    )
+    return renamed
+
+
+@register(
+    "parts_unpivot_metrics",
+    """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+""",
+    doc="UNPIVOT/melt: wide part metrics to long (metric, value) rows",
+)
+def parts_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``unpivot`` (melt) — the wide→long reshape feature pipelines use
+    before generic per-metric aggregation. Narrow map, rows × n_metrics."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice"),
+    )
+    return p.unpivot(
+        "p_partkey", ["p_size", "p_retailprice"], "metric", "value"
+    )
