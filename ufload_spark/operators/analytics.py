@@ -647,3 +647,92 @@ def parts_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.unpivot(
         "p_partkey", ["p_size", "p_retailprice"], "metric", "value"
     )
+
+
+@register(
+    "supplier_acctbal_percentiles",
+    """
+SELECT n_nationkey % 5 AS bucket,
+       round(quantile_cont(s_acctbal, 0.25), 4) AS p25,
+       round(quantile_cont(s_acctbal, 0.50), 4) AS p50,
+       round(quantile_cont(s_acctbal, 0.75), 4) AS p75
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_nationkey % 5
+""",
+    doc="exact interpolated percentiles per group (percentile ≡ quantile_cont)",
+)
+def supplier_acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — identical definition in
+    Spark's ``percentile`` and DuckDB's ``quantile_cont``). Exact
+    percentile needs the group's values together (sort within group); the
+    scale path swaps in ``percentile_approx`` with mergeable sketches."""
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        (F.col("n_nationkey") % 5).alias("bucket"), "s_acctbal"
+    )
+    return j.groupBy("bucket").agg(
+        F.round(F.expr("percentile(s_acctbal, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(s_acctbal, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(s_acctbal, 0.75)"), 4).alias("p75"),
+    )
+
+
+@register(
+    "orders_stats_per_status",
+    """
+SELECT o_orderstatus,
+       round(stddev_samp(o_totalprice), 2) AS sd_price,
+       round(var_samp(o_totalprice) / 1000000, 2) AS var_price_m,
+       round(corr(o_totalprice, CAST(epoch(o_orderdate) AS DOUBLE)), 6) AS corr_price_date,
+       round(covar_samp(o_totalprice, CAST(epoch(o_orderdate) AS DOUBLE)) / 1000000, 2)
+         AS covar_price_date_m
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="statistical aggregates: stddev/variance/correlation/covariance",
+)
+def orders_stats_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates — all algebraic (sum/sum²/sum-of-products
+    partials), so they combine map-side like any sum at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp("o_orderdate").cast("double")
+    # second moments reach ~1e10 where engine summation-order ulps exceed a
+    # 2-dp rounding unit — report variance/covariance in millions instead
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("o_totalprice") / 1e6, 2).alias("var_price_m"),
+        F.round(F.corr(F.col("o_totalprice"), epoch), 6).alias("corr_price_date"),
+        F.round(F.covar_samp(F.col("o_totalprice"), epoch) / 1e6, 2).alias(
+            "covar_price_date_m"
+        ),
+    )
+
+
+@register(
+    "orders_date_dimensions",
+    """
+SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+       isodow(o_orderdate) AS dow_iso,
+       count(*) AS n_orders,
+       strftime(min(o_orderdate + INTERVAL 30 DAY), '%Y-%m-%d') AS first_due
+FROM orders GROUP BY 1, 2, 3
+""",
+    doc="date-function pack: year/quarter/ISO weekday extraction + date math",
+)
+def orders_date_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension derivation (the group keys every reporting
+    rollup uses) plus interval arithmetic — all JVM-side date functions.
+    ``weekday()+1`` is the ISO day-of-week DuckDB's ``isodow`` returns."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.weekday("o_orderdate") + 1).alias("dow_iso"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        # dates travel as strings: pandas widens DATE to midnight
+        # timestamps, which would sham-mismatch the comparator
+        F.date_format(
+            F.min(F.date_add(F.col("o_orderdate").cast("date"), 30)), "yyyy-MM-dd"
+        ).alias("first_due"),
+    )
