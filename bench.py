@@ -33,6 +33,7 @@ HEADLINE = [
     "archive_merge",               # anti-join merge
     "delive_password_stomp",       # sanitize projection
     "dedup_minhash_lsh_pairs",     # MinHash LSH near-dedup
+    "pipeline_curate_documents",   # composed curation pipeline
     "similarity_topk_cosine",      # vector top-k
     "text_quality_score",          # text scoring map
 ]

@@ -1,0 +1,130 @@
+"""End-to-end training-corpus curation: the flagship extension composition.
+
+A real pretraining data pipeline chains the extension operators this repo
+provides individually: quality filtering → language ID → exact dedup →
+near-duplicate removal → per-source token budgeting. This module composes
+them into ONE DataFrame plan (each stage is the same expression the
+standalone query uses, so the stitched DuckDB oracle is assembled from the
+same SQL fragments) and registers it as a single query — proving the
+operators compose, not just pass in isolation.
+
+Plan shape at 100 TB: stages 1–3 are narrow maps + one window over the
+fingerprint key; stage 4 reuses the MinHash-LSH candidate machinery (its
+own shuffles are on band keys, bounded by collision rate); the final join
+is a broadcast anti-join (the dropped-id set is tiny relative to the
+corpus); stage 5 is a partial-aggregated groupBy on source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ufload_spark.operators.dedup import dedup_minhash_lsh_pairs
+from ufload_spark.operators.textops import _TOKENS_SQL, token_count
+from ufload_spark.operators.textops import _TRIGRAM_RE
+from ufload_spark.plans.registry import QUERIES, register
+from ufload_spark.sources.tables import table
+
+MIN_TOKENS = 10
+MAX_PUNCT_RATIO = 0.30
+MIN_TRIGRAM_DENSITY = 0.02
+NEAR_DUP_SIM = 0.5  # ≥ 4 of 8 minhashes agree
+
+_PUNCT_RATIO_SQL = (
+    "(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+    " / nullif(CAST(length(text) AS DOUBLE), 0)"
+)
+_TRIGRAM_DENSITY_SQL = (
+    f"len(regexp_extract_all(lower(text), '({_TRIGRAM_RE})'))"
+    " / nullif(CAST(length(text) AS DOUBLE), 0)"
+)
+
+
+def _curate_oracle() -> str:
+    # the near-dup pair list IS the standalone LSH query's oracle, nested
+    # as a subquery so both pipelines share one definition
+    lsh_sql = QUERIES["dedup_minhash_lsh_pairs"].oracle
+    return f"""
+WITH kept AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+  WHERE {_TOKENS_SQL} >= {MIN_TOKENS}
+    AND coalesce({_PUNCT_RATIO_SQL}, 1.0) < {MAX_PUNCT_RATIO}
+    AND coalesce({_TRIGRAM_DENSITY_SQL}, 0.0) > {MIN_TRIGRAM_DENSITY}
+), exact_deduped AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+), near_dropped AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM ({lsh_sql}) WHERE est_sim >= {NEAR_DUP_SIM}
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM exact_deduped d
+WHERE NOT EXISTS (SELECT 1 FROM near_dropped x WHERE x.doc_id = d.doc_id)
+GROUP BY source
+"""
+
+
+@register(
+    "pipeline_curate_documents",
+    _curate_oracle(),
+    doc="end-to-end corpus curation: quality filter → language ID → exact "
+    "dedup → LSH near-dup drop → per-source token budget, one plan",
+)
+def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline. Stage expressions are identical to the
+    standalone queries' (text_quality_score, text_ngram_lang_id,
+    text_fingerprint, dedup_minhash_lsh_pairs), so this checks composition,
+    ordering, and the anti-join seam — the places a pipeline actually
+    breaks."""
+    d = table(spark, sf_dir, "documents")
+
+    toks = token_count(F.col("text")).cast("double")
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+    ).cast("double")
+    punct_ratio = punct / F.nullif(F.length("text").cast("double"), F.lit(0.0))
+    tri_hits = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(f"({_TRIGRAM_RE})"), 0)
+    ).cast("double")
+    tri_density = tri_hits / F.nullif(F.length("text").cast("double"), F.lit(0.0))
+
+    kept = d.where(
+        (toks >= MIN_TOKENS)
+        & (F.coalesce(punct_ratio, F.lit(1.0)) < MAX_PUNCT_RATIO)
+        & (F.coalesce(tri_density, F.lit(0.0)) > MIN_TRIGRAM_DENSITY)
+    ).select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact_deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+
+    near_dropped = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .where(F.col("est_sim") >= NEAR_DUP_SIM)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+    survivors = exact_deduped.join(
+        F.broadcast(near_dropped), "doc_id", "left_anti"
+    )
+    return survivors.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

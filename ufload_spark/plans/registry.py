@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         listing,
         multimodal,
         names_queries,
+        pipeline,
         similarity,
         skew,
         temporal,
