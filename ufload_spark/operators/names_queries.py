@@ -221,3 +221,38 @@ def table_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ufload_spark.sources.tables import table
 
     return table(spark, sf_dir, "nation")
+
+
+@register(
+    "fn_string_pack",
+    """
+SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       reverse(p_brand) AS brand_rev,
+       replace(p_type, ' ', '_') AS type_snake,
+       levenshtein(p_brand, p_type) AS brand_type_dist,
+       strpos(p_type, 'ED') AS ed_pos,
+       split_part(p_type, ' ', 1) AS type_head
+FROM part WHERE p_partkey < 200
+""",
+    doc="string-function pack: case, pad, reverse, replace, levenshtein, "
+    "position, split_part — shared semantics across engines",
+)
+def fn_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general string surface beyond the name derivations — all
+    JVM-side Column expressions with DuckDB-identical semantics (including
+    1-based strpos and edit distance)."""
+    from ufload_spark.sources.tables import table
+
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.instr("p_type", "ED").alias("ed_pos"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )

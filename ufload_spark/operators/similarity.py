@@ -244,6 +244,41 @@ def similarity_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_array_ops",
+    """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+       round(list_sum(list_transform(embedding[1:8],
+             x -> CAST(x AS DOUBLE))), 6) AS head_sum,
+       list_contains(list_transform(embedding, x -> x > 0), true) AS any_positive
+FROM embeddings WHERE vec_id < 50
+""",
+    doc="array-function pack over embeddings: size, index, max, slice-fold, "
+    "exists — the nested-type surface",
+)
+def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface breadth (size/element_at/array_max/slice + aggregate/
+    exists) — all JVM-side higher-order functions on the float vectors;
+    1-based indexing matches DuckDB lists."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    head_sum = F.aggregate(
+        F.slice("embedding", 1, 8),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(head_sum, 6).alias("head_sum"),
+        F.exists("embedding", lambda x: x > 0).alias("any_positive"),
+    )
+
+
 # --- vectorized Pandas-UDF scoring (the Arrow path) -----------------------
 
 

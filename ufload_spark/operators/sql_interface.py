@@ -1,0 +1,63 @@
+"""SQL front-end parity (OP-SNK-2): the same SQL text on both engines.
+
+The reference ships literal SQL strings to PostgreSQL (reference
+ufload/db.py:73-95 mkpsql/psql). The Spark analog is ``spark.sql`` over
+registered views — and for the ANSI-compatible subset, the exact same
+string runs on DuckDB, so these queries register ONE string as both the
+Spark implementation and the oracle. That is the strongest possible parity
+statement: not equivalent plans, the identical query text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ufload_spark.plans.registry import register
+from ufload_spark.sources.tables import register_views
+
+#: ANSI-subset SQL accepted verbatim by Spark SQL and DuckDB.
+_LATEST_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts FROM ranked WHERE rn = 1
+"""
+
+_REVENUE_SQL = """
+SELECT n_name, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderstatus <> 'F'
+GROUP BY n_name, o_orderpriority
+"""
+
+
+def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+@register(
+    "sql_latest_event_per_user",
+    _LATEST_SQL,
+    doc="OP-SNK-2 SQL executor: identical SQL text runs on spark.sql and "
+    "the DuckDB oracle (CTE + window rank)",
+)
+def sql_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, _LATEST_SQL)
+
+
+@register(
+    "sql_revenue_rollup",
+    _REVENUE_SQL,
+    doc="OP-SNK-2 SQL executor: identical SQL text on both engines "
+    "(multi-join + aggregate)",
+)
+def sql_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(spark, sf_dir, _REVENUE_SQL)

@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
         names_queries,
         pipeline,
         similarity,
+        sql_interface,
         skew,
         temporal,
         textops,
