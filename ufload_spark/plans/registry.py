@@ -61,6 +61,7 @@ def load_all() -> dict[str, Query]:
         similarity,
         sql_interface,
         skew,
+        tpch_full,
         temporal,
         textops,
     )
