@@ -27,6 +27,8 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",  # multi-join star query
     "tpch_q6_forecast_revenue",    # full-pushdown filter + scalar agg
     "tpch_q18_large_orders",       # agg-derived semi-join, double shuffle
+    "tpch_q8_market_share",        # 8-way star join, all dims broadcast
+    "tpch_q21_waiting_suppliers",  # EXISTS + NOT EXISTS double correlation
     "orders_running_total",        # window frame
     "events_session_windows",      # session windows
     "events_asof_last_click",      # as-of join (union + ordered window)

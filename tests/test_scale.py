@@ -123,3 +123,42 @@ def test_analyze_table_feeds_cbo(spark):
         assert f"{n} rows" in stats
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_published_stats")
+
+
+def test_q19_derives_per_table_pushdown(spark):
+    """The OR-of-ANDs predicate straddles lineitem and part, so the full
+    disjunction can't push down — but Catalyst must derive each table's
+    implied predicate (quantity bounds, brand/size disjunction) and push
+    THOSE into the scans."""
+    from ufload_spark.operators.tpch_full import tpch_q19_disjunctive_revenue
+
+    df = tpch_q19_disjunctive_revenue(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    li_scan = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln
+    ][0]
+    p_scan = [ln for ln in plan.splitlines() if "FileScan" in ln and "part.parquet" in ln][0]
+    assert "l_quantity" in li_scan.split("DataFilters", 1)[1]
+    assert "p_brand" in p_scan.split("DataFilters", 1)[1]
+
+
+def test_q21_double_correlation_joins(spark):
+    """Q21's EXISTS and NOT EXISTS must become one left-semi and one
+    left-anti join — not a cartesian fallback."""
+    from ufload_spark.operators.tpch_full import tpch_q21_waiting_suppliers
+
+    plan = _plan(tpch_q21_waiting_suppliers(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_dimensions_all_broadcast(spark):
+    """The 8-way star join must broadcast every dimension side — the fact
+    tables shuffle only for lineitem⋈orders⋈customer."""
+    from ufload_spark.operators.tpch_full import tpch_q8_market_share
+
+    df = tpch_q8_market_share(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 5

@@ -588,46 +588,42 @@ LIMIT 20
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The signature double-correlated query: a left-semi join (another
     supplier participated) AND a left-anti join (no OTHER supplier was
-    late) against the same lineitem table, both on orderkey. All three
-    lineitem branches shuffle on orderkey — one bucketed layout serves
-    every branch at scale."""
+    late) against the same lineitem table, both on orderkey.
+
+    The NOT-EXISTS branch correlates on the SAME orderkey as the outer
+    row, whose order is already known to have status 'F' — so both late
+    branches are the one frame ``late`` (late lines of F-orders), built
+    once and self-anti-joined; Catalyst's ReuseExchange serves the second
+    branch from the first's shuffle instead of re-running the
+    lineitem⋈orders join. All branches shuffle on orderkey — one bucketed
+    layout serves every branch at scale."""
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = table(spark, sf_dir, "lineitem")
-    late60 = lambda ship, od: ship > od + F.expr("INTERVAL 60 DAYS")  # noqa: E731
 
-    l1 = (
-        li.alias("l1")
-        .join(o.alias("o"), F.col("l1.l_orderkey") == F.col("o.o_orderkey"))
-        .where(late60(F.col("l1.l_shipdate"), F.col("o.o_orderdate")))
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
     )
-    l2 = li.select(
+    others = li.select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
     )
-    # late lines of OTHER suppliers, with their order dates
-    l3 = (
-        li.alias("l3")
-        .join(
-            table(spark, sf_dir, "orders").alias("o3"),
-            F.col("l3.l_orderkey") == F.col("o3.o_orderkey"),
-        )
-        .where(late60(F.col("l3.l_shipdate"), F.col("o3.o_orderdate")))
-        .select(F.col("l3.l_orderkey").alias("k3"), F.col("l3.l_suppkey").alias("s3"))
+    late_others = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
     )
-    cand = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("k2"))
-        & (F.col("l1.l_suppkey") != F.col("s2")),
+    cand = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
         "left_semi",
     ).join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("k3"))
-        & (F.col("l1.l_suppkey") != F.col("s3")),
+        late_others,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
         "left_anti",
     )
     return (
-        cand.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        cand.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
