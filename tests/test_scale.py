@@ -162,3 +162,19 @@ def test_q8_dimensions_all_broadcast(spark):
     df.write.format("noop").mode("overwrite").save()
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_lsh_self_join_reuses_one_exchange(spark):
+    """The LSH band self-join must compute the signature pipeline ONCE:
+    shuffle_hash on both sides → identical exchanges → AQE ReuseExchange.
+    An unhinted broadcast join would build the shingle→hash pipeline twice
+    (and could never broadcast 100 TB-scale signatures at all)."""
+    from ufload_spark.operators.dedup import dedup_minhash_lsh_pairs
+
+    df = dedup_minhash_lsh_pairs(spark, SF_DIR)
+    df.collect()  # materialize so AQE finalizes every query stage
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("FileScan") == 1

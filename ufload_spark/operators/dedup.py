@@ -21,7 +21,7 @@ exact DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ufload_spark.plans.registry import register
@@ -56,38 +56,45 @@ def _minhash_sql(i: int) -> str:
 
 
 #: Word-3-gram shingles, lowercased — shared shape with the DuckDB CTE below.
-def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs: whitespace tokens, lowercased,
-    3-gram windows. Narrow map + explode; distinct shuffles on (doc,shingle)
-    only within the dedup pipeline that consumes it."""
+def shingles(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) pairs: whitespace tokens, lowercased, 3-gram
+    windows — ``distinct=True`` gives per-document set semantics.
+
+    Built as posexplode → window ``lead(tok, 1..2)`` → concat instead of an
+    array higher-order function: Spark evaluates HOF lambdas
+    (``transform``/``array_distinct``) on the interpreted path, boxing every
+    element (~2× slower end-to-end, measured). This form stays inside
+    whole-stage codegen except the window's partition-local sort, and the
+    up-front repartition on doc_id serves the window AND every downstream
+    per-doc aggregate — one exchange for the whole dedup family.
+
+    The repartition exists to parallelize a pathologically-small input (the
+    fixture is one parquet split); at 100 TB the table arrives in thousands
+    of splits and the same hash exchange is what the window would demand
+    anyway.
+
+    Distinctness is a codegen hash-aggregate on (doc_id, shingle), requested
+    only by consumers whose math needs set semantics (SimHash's bit votes,
+    Jaccard's set sizes) — min-hash aggregates are duplicate-insensitive and
+    skip it."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n = F.size(toks)
-    grams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # The fixture is one parquet file → one input split; without a
-    # repartition the whole explode+hash pipeline runs on a single core.
-    # At 100 TB the table arrives in thousands of splits and this shuffle
-    # is unnecessary — it exists to parallelize a pathologically-small
-    # input, and its cost (the raw documents) is bounded by one row pass.
-    #
-    # Set semantics are PER DOCUMENT, so array_distinct before the explode
-    # gives distinct (doc_id, shingle) with a local array op — no global
-    # distinct shuffle of the exploded rows.
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    return d.repartition(n_parts, "doc_id").select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    t = d.repartition(n_parts, "doc_id").select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
     )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t3 = F.lead("tok", 2).over(w)
+    tri = (
+        t.select(
+            "doc_id",
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), t3).alias("shingle"),
+            t3.alias("t3"),
+        )
+        .where(F.col("t3").isNotNull())  # docs with < 3 tokens yield no rows
+        .select("doc_id", "shingle")
+    )
+    return tri.distinct() if distinct else tri
 
 
 SHINGLES_CTE = """
@@ -133,9 +140,10 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle but runs in Spark's interpreted higher-order-function path —
     boxing every element — and GC-thrashes at scale; the explode+agg form
     stays unboxed in codegen and benchmarked 2-4× faster and far steadier.
-    The shuffle it costs is (doc_id → K longs)-sized partial-agg output, not
-    the shingle stream."""
-    sh = shingles(spark, sf_dir).select(
+    ``min`` is insensitive to duplicate shingles, so the distinct pass is
+    skipped, and because the shingle stream is already hash-partitioned on
+    doc_id the group-by needs no new exchange — partial agg only."""
+    sh = shingles(spark, sf_dir, distinct=False).select(
         "doc_id", base_hash32(F.col("shingle")).alias("x")
     )
     return sh.groupBy("doc_id").agg(
@@ -194,12 +202,18 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated exactly twice (the two join sides), versus 4 self-joins + 2
     rejoins in the naive form. Shuffle is on the band key; never all-pairs.
 
-    The signature table (one short row per doc — orders of magnitude smaller
-    than the corpus) is materialized before the self-join, so the expensive
-    shingle→hash pipeline runs once, not once per join branch. On a cluster
-    this is the persisted signatures table every production LSH pipeline
-    writes; locally ``localCheckpoint`` plays that role."""
-    sigs = _minhash_sigs(spark, sf_dir).localCheckpoint()
+    The self-join carries a ``shuffle_hash`` hint: left to itself Catalyst
+    broadcasts one side (the sig table is tiny at test SF), which BUILDS THE
+    SIG PIPELINE TWICE — broadcast has no exchange for ReuseExchange to
+    dedupe. Hinted, both sides shuffle on (band, k1, k2) over an identical
+    child plan and AQE's exchange reuse serves the second side from the
+    first's shuffle files (final plan: one FileScan of documents, one
+    ``ReusedExchange``) — the shingle→hash pipeline physically runs once.
+    At 100 TB the hint is also the only viable plan: signatures of a
+    petabyte corpus don't broadcast. A production pipeline would still
+    persist the signature table so later incremental batches skip
+    recomputing it."""
+    sigs = _minhash_sigs(spark, sf_dir)
     # numeric band keys (the two member hashes), no string building — the
     # join hashes two longs + the band id instead of a concat'd varchar
     band_structs = F.array(
@@ -212,10 +226,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    melted = sigs.select(
-        "doc_id", *[f"m{i}" for i in range(K_HASHES)], F.explode(band_structs).alias("bk")
-    ).select(
-        "doc_id", *[f"m{i}" for i in range(K_HASHES)], "bk.band", "bk.k1", "bk.k2"
+    melted = (
+        sigs.select(
+            "doc_id",
+            *[f"m{i}" for i in range(K_HASHES)],
+            F.explode(band_structs).alias("bk"),
+        )
+        .select(
+            "doc_id", *[f"m{i}" for i in range(K_HASHES)], "bk.band", "bk.k1", "bk.k2"
+        )
+        .hint("shuffle_hash")  # see docstring: enables exchange reuse
     )
     a, b = melted.alias("a"), melted.alias("b")
     matches = sum(

@@ -53,12 +53,20 @@ BUILD_CONF: dict[str, str] = {
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable engine confs to an existing session."""
+    """Apply runtime-settable engine confs to an existing session.
+
+    Idempotent and cheap: each conf.set is a Python→JVM round trip and
+    ``tune`` is called from every table scan, so a sentinel attribute on the
+    session object skips re-application (a restarted session is a new object
+    and gets tuned afresh)."""
+    if getattr(spark, "_ufload_spark_tuned", False):
+        return spark
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # conf locked by the host — keep going
             pass
+    spark._ufload_spark_tuned = True
     return spark
 
 

@@ -28,11 +28,23 @@ TABLES = (
 )
 
 
+#: Per-session catalog cache: (session, sf_dir, name) → analyzed DataFrame.
+#: spark.read.parquet re-reads footers for schema inference on every call —
+#: pure driver-side latency. A real engine resolves a table's schema once in
+#: its catalog; this dict is that catalog. Keyed on the session object
+#: itself so a restarted session never sees stale frames.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Column pruning + predicate pushdown are left
     to Catalyst — callers select/filter on the returned DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    key = (spark, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
@@ -45,6 +57,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer div, not `/`: ns since epoch exceeds double precision
             # (2^53), and DuckDB truncates ns→us the same way
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
