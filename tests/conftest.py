@@ -1,9 +1,13 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import SparkSession
 
-SF_DIR = "/root/testdata/sf0.001"
+#: Default sf0.001 keeps the full suite fast; set UFLOAD_TEST_SF_DIR to run
+#: the identical gate at the driver's sf0.01 (or any other fixture dir).
+SF_DIR = os.environ.get("UFLOAD_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_MID = "/root/testdata/sf0.01"
 
 
