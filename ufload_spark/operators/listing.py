@@ -105,15 +105,25 @@ def latest_backup_per_instance(spark: SparkSession, sf_dir: str) -> DataFrame:
     backup per instance — the core of ``ufload ls`` / ``restore`` source
     selection (reference cloud.py:161-180 + cli/main.py:503-507).
 
-    Scale shape: one shuffle on ``instance`` (window partition key); AQE
-    handles skewed instances. No global sort, no driver collection.
-    """
-    w = Window.partitionBy("instance").orderBy(F.desc("mtime"), F.desc("name"))
+    Top-1-per-group is expressed as ``max_by`` over the (mtime, name)
+    tie-break struct (SURVEY §2.4 OP-AGG-4), not a window rank: the
+    aggregate partial-combines map-side, so the instance-key shuffle
+    carries ONE row per (mapper, instance) instead of every listing row
+    sorted — the difference between shuffling ~instances·mappers rows and
+    shuffling the whole 100 TB listing. Hot instances can't skew a
+    one-row-per-mapper shuffle. The genuine top-k shape (rank ≤ k
+    fall-through probing) keeps its window form in
+    ``backup_candidates_top3``. Ties on (mtime, name) are exact-duplicate
+    listings whose url is name-derived, so either physical winner yields
+    the same row."""
+    best = F.max_by(
+        F.struct("mtime", "name", "url"), F.struct("mtime", "name")
+    )
     return (
         fresh_backups(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("instance", "name", "mtime", "url")
+        .groupBy("instance")
+        .agg(best.alias("b"))
+        .select("instance", "b.name", "b.mtime", "b.url")
     )
 
 
