@@ -12,7 +12,7 @@ aggregation semantics, so the DuckDB oracles below validate both.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ufload_spark.plans.registry import register
@@ -124,14 +124,21 @@ SELECT user_id, event_id, ts, event_type FROM (
 )
 def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship latest-per-key shape on raw events — in streaming form
-    this is ``applyInPandasWithState`` / max_by with watermark; in batch a
-    single window rank."""
+    this is ``applyInPandasWithState`` / max_by with watermark; in batch
+    ``max_by`` over the (ts, event_id) tie-break struct: the aggregate
+    partial-combines map-side so the user_id shuffle carries one row per
+    (mapper, user) instead of sorting the whole event stream through the
+    exchange (same argument as latest_backup_per_instance; event_id makes
+    the winner unique, so this is value-identical to the oracle's window
+    rank)."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    best = F.max_by(
+        F.struct("ts", "event_id", "event_type"), F.struct("ts", "event_id")
+    )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_id", "ts", "event_type")
+        ev.groupBy("user_id")
+        .agg(best.alias("b"))
+        .select("user_id", "b.event_id", "b.ts", "b.event_type")
     )
 
 
@@ -148,15 +155,16 @@ SELECT user_id, event_type, event_id, ts FROM (
     doc="deterministic dropDuplicates: keep earliest row per key",
 )
 def events_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``dropDuplicates`` keeps an arbitrary row; the deterministic form (and
-    the one a streaming pipeline needs for idempotent replay) is
-    keep-earliest via window rank."""
+    """``dropDuplicates`` keeps an arbitrary row; the deterministic form
+    (and the one a streaming pipeline needs for idempotent replay) is
+    keep-earliest — ``min_by`` over the (ts, event_id) struct, the partial-
+    aggregating dual of the latest-per-key ``max_by`` above."""
     ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    first = F.min_by(F.struct("event_id", "ts"), F.struct("ts", "event_id"))
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", "event_type", "event_id", "ts")
+        ev.groupBy("user_id", "event_type")
+        .agg(first.alias("b"))
+        .select("user_id", "event_type", "b.event_id", "b.ts")
     )
 
 
