@@ -10,9 +10,11 @@ operators compose, not just pass in isolation.
 
 Plan shape at 100 TB: stages 1–3 are narrow maps + one window over the
 fingerprint key; stage 4 reuses the MinHash-LSH candidate machinery (its
-own shuffles are on band keys, bounded by collision rate); the final join
-is a broadcast anti-join (the dropped-id set is tiny relative to the
-corpus); stage 5 is a partial-aggregated groupBy on source.
+own shuffles are on band keys, bounded by collision rate); the final
+anti-join on doc_id is left to AQE — real corpora drop 10–50% of documents
+at the near-dup stage, so the dropped-id set is NOT broadcastable at scale
+(billions of ids); AQE picks broadcast only when the runtime size allows;
+stage 5 is a partial-aggregated groupBy on source.
 """
 
 from __future__ import annotations
@@ -121,9 +123,10 @@ def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    survivors = exact_deduped.join(
-        F.broadcast(near_dropped), "doc_id", "left_anti"
-    )
+    # No broadcast hint: the dropped-id set scales with the corpus (10-50%
+    # of documents on real data), so a forced BroadcastExchange is a
+    # scale-killer; AQE converts to broadcast at runtime when it fits.
+    survivors = exact_deduped.join(near_dropped, "doc_id", "left_anti")
     return survivors.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
