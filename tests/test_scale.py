@@ -164,6 +164,36 @@ def test_q8_dimensions_all_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 5
 
 
+def test_banded_lsh_bounds_bucket_share(spark):
+    """The banded hyperplane LSH must split every band into many small
+    buckets — within-bucket candidate pairing is quadratic in bucket size,
+    so a fat bucket is the scale failure mode the banding exists to
+    prevent. Bound the largest (band, sig) bucket's share of the corpus."""
+    from ufload_spark.operators.similarity import (
+        N_BANDS,
+        similarity_lsh_buckets,
+    )
+
+    rows = similarity_lsh_buckets(spark, SF_DIR).collect()
+    per_band_total = sum(r["n_vecs"] for r in rows) / N_BANDS
+    max_share = max(r["n_vecs"] for r in rows) / per_band_total
+    assert max_share <= 0.05, f"largest LSH bucket holds {max_share:.1%}"
+
+
+def test_curation_antijoin_not_hinted_broadcast(spark):
+    """The near-dup dropped-id set scales with the corpus (10-50% of docs
+    on real data), so the curation pipeline must NOT force a broadcast on
+    its anti-join seam — AQE may still choose broadcast at runtime from
+    observed sizes, which is fine; a static hint is not."""
+    from ufload_spark.operators.pipeline import pipeline_curate_documents
+
+    df = pipeline_curate_documents(spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in optimized.splitlines():
+        if "LeftAnti" in line:
+            assert "strategy=broadcast" not in line, line
+
+
 def test_lsh_self_join_reuses_one_exchange(spark):
     """The LSH band self-join must compute the signature pipeline ONCE:
     shuffle_hash on both sides → identical exchanges → AQE ReuseExchange.

@@ -3,12 +3,18 @@
 - Brute-force cosine top-k: the correctness baseline. The query set is
   broadcast; candidates never shuffle. O(Q×N) — fine for small Q, the
   benchmark shape for "embed a batch, look up neighbors".
-- Random-hyperplane LSH: the scale path. Each vector gets an 8-bit bucket
-  signature from sign(v·h_j) against deterministic md5-derived hyperplanes;
-  ANN candidates are pairs sharing a bucket (equi-join on the bucket key, no
-  all-pairs). At 100 TB this is shuffle-on-bucket — the same shape as
-  MinHash-LSH dedup. An IVF variant (k-means centroids → probe nearest
-  cells) drops in by replacing the bucket expression with a centroid id.
+- Random-hyperplane LSH: the scale path, **banded**. Each vector gets
+  N_BANDS signatures of PLANES_PER_BAND sign bits each from sign(v·h_j)
+  against deterministic md5-derived hyperplanes; ANN candidates are pairs
+  sharing ANY band's signature (union of per-band equi-joins, deduped —
+  the same amplification shape as MinHash-LSH in dedup.py). Bucket
+  cardinality per band is 2^PLANES_PER_BAND, so bucket population SHRINKS
+  as planes are added: scale r with log2(corpus) to bound within-bucket
+  pairing, and restore recall by adding bands. A single fixed-width
+  signature (the r1 design) capped at 2^8 buckets — within-bucket work
+  grew as (N/256)², a scale-killer this banding removes. An IVF variant
+  (k-means centroids → probe nearest cells) drops in by replacing the
+  bucket expression with a centroid id.
 
 Vector math uses ``zip_with``/``aggregate`` (JVM-side fold, no UDF); floats
 are cast to double before any arithmetic so Spark and DuckDB agree.
@@ -24,7 +30,13 @@ from ufload_spark.plans.registry import register
 from ufload_spark.sources.tables import table
 
 DIM = 64
-N_PLANES = 8
+# Banded LSH: N_BANDS independent signatures of PLANES_PER_BAND bits each.
+# 2^12 = 4096 buckets/band at r=12 keeps max bucket share <1% on the
+# fixtures; at larger corpora raise r (buckets grow 2^r) and add bands to
+# keep recall — the knobs are independent, unlike a single wide signature.
+N_BANDS = 6
+PLANES_PER_BAND = 12
+N_PLANES = N_BANDS * PLANES_PER_BAND
 TOP_K = 5
 
 
@@ -126,16 +138,22 @@ planes AS (
   SELECT e.vec_id, p.j, sum(e.x * p.s) AS d
   FROM expl e JOIN planes p ON e.i = p.i GROUP BY 1, 2
 ), sigs AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
-  FROM dots GROUP BY vec_id
+  SELECT vec_id, CAST(j // {PLANES_PER_BAND} AS INT) AS band,
+         CAST(sum(CASE WHEN d > 0 THEN 1 << (j % {PLANES_PER_BAND}) ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id, j // {PLANES_PER_BAND}
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
 )
 """
 
 
-def _lsh_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucket signature per vector: bit j = sign(v · h_j), h_j a ±1
-    hyperplane derived from md5(j_i) parity (identical in the oracle)."""
+def _lsh_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded signatures per vector: one row per (vec_id, band), where bit
+    (j % r) of ``sig`` is sign(v · h_j) for plane j in the band's range;
+    h_j is a ±1 hyperplane derived from md5(j_i) parity (identical in the
+    oracle). One explode + two codegen hash-aggs — no Python."""
     e = table(spark, sf_dir, "embeddings")
     planes = (
         spark.range(0, N_PLANES)
@@ -178,20 +196,46 @@ def _lsh_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("x") * F.col("s")).alias("d"))
     )
-    bucket = F.sum(
-        F.when(F.col("d") > 0, F.expr("shiftleft(1, j)")).otherwise(F.lit(0))
+    sig = F.sum(
+        F.when(
+            F.col("d") > 0,
+            F.expr(f"shiftleft(1, j % {PLANES_PER_BAND})"),
+        ).otherwise(F.lit(0))
     )
-    return dots.groupBy("vec_id").agg(bucket.cast("bigint").alias("bucket"))
+    return dots.groupBy(
+        "vec_id", F.expr(f"CAST(j div {PLANES_PER_BAND} AS INT)").alias("band")
+    ).agg(sig.cast("bigint").alias("sig"))
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-bands candidate proposal: pairs sharing ANY band signature.
+    Each band join is an equi-join on (band, sig) — the shuffle key carries
+    the band so all bands run in ONE self-join; ``distinct`` dedups pairs
+    proposed by several bands. No all-pairs work anywhere: within-bucket
+    pairing is bounded by 2^r bucket cardinality."""
+    sigs = _lsh_band_sigs(spark, sf_dir)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
 
 
 @register(
     "similarity_lsh_buckets",
-    _PLANES_SQL.join(["WITH ", "SELECT bucket, count(*) AS n_vecs FROM sigs GROUP BY bucket"]),
-    doc="random-hyperplane LSH bucket histogram (8-bit signatures)",
+    f"WITH {_PLANES_SQL} SELECT band, sig, count(*) AS n_vecs FROM sigs GROUP BY band, sig",
+    doc=f"banded hyperplane-LSH bucket histogram ({N_BANDS} bands × "
+    f"{PLANES_PER_BAND} bits)",
 )
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _lsh_sigs(spark, sf_dir)
-    return sigs.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+    sigs = _lsh_band_sigs(spark, sf_dir)
+    return sigs.groupBy("band", "sig").agg(F.count("*").alias("n_vecs"))
 
 
 @register(
@@ -199,10 +243,7 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WITH "
     + _PLANES_SQL
     + f"""
-, pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-), pexpl AS (
+, pexpl AS (
   SELECT p.vec_a, p.vec_b,
          sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dp,
          sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
@@ -217,20 +258,16 @@ SELECT vec_a, vec_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cosine
 FROM pexpl
 WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.2
 """,
-    doc="ANN within LSH buckets: bucket equi-join → exact rescoring",
+    doc="ANN via banded LSH: union-of-band equi-joins → exact rescoring",
 )
 def similarity_lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two-stage ANN pattern: cheap bucket equi-join proposes candidate
-    pairs, exact cosine rescoring keeps the real neighbors. All-pairs work
-    is confined to within-bucket, bounded by bucket size."""
-    sigs = _lsh_sigs(spark, sf_dir)
+    """The two-stage ANN pattern: cheap banded-signature equi-join proposes
+    candidate pairs, exact cosine rescoring keeps the real neighbors.
+    All-pairs work is confined to within-bucket, and bucket population is
+    corpus-size / 2^r per band — both knobs (bands for recall, planes for
+    bucket granularity) scale independently."""
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
-    a, b = sigs.alias("a"), sigs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cos = dot(F.col("emb_a"), F.col("emb_b")) / (
@@ -464,10 +501,7 @@ DEDUP_COS_THRESHOLD = 0.4
     "WITH "
     + _PLANES_SQL
     + f"""
-, pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-), pexpl AS (
+, pexpl AS (
   SELECT p.vec_a, p.vec_b,
          sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dp,
          sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
@@ -490,16 +524,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set (no all-pairs), exact cosine confirms, and the KEEP rule
     is deterministic — the lower vec_id of each confirmed pair survives, so
     the result is the distinct set of dropped ids. This composes with
-    ``documents`` joins for text-level corpus dedup at 100 TB: bucket join →
-    rescore → anti-join the dropped ids against the corpus."""
-    sigs = _lsh_sigs(spark, sf_dir)
+    ``documents`` joins for text-level corpus dedup at 100 TB: banded bucket
+    join → rescore → anti-join the dropped ids against the corpus."""
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
-    a, b = sigs.alias("a"), sigs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     cos = dot(F.col("emb_a"), F.col("emb_b")) / (
