@@ -9,7 +9,11 @@ Design for 100 TB:
   keys, so candidate generation is shuffle-on-band-key — the only scalable
   shape for near-dedup at pretraining scale.
 - SimHash: one aggregation pass producing a 16-bit locality-sensitive
-  fingerprint per doc; Hamming-bucket joins (not shown) extend it.
+  fingerprint per doc; ``dedup_simhash_pairs`` retrieves near-dup pairs
+  within Hamming distance d by the pigeonhole segment-join (split the
+  fingerprint into d+1 segments — a pair within distance d must agree
+  exactly on ≥1 segment, so candidates come from d+1 equi-joins, never
+  all-pairs).
 - Raw pairwise Jaccard is O(n²) by nature and kept only as the small-subset
   ground-truth for the LSH estimates.
 
@@ -263,6 +267,75 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_keys_sql(src: str) -> str:
+    return "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, m{2*b} AS k1, m{2*b+1} AS k2 FROM {src}"
+        for b in range(N_BANDS)
+    )
+
+
+@register(
+    "dedup_minhash_incremental",
+    _MINHASH_SIGS_SQL
+    + f"""
+, batch AS (SELECT * FROM sigs WHERE doc_id % 4 = 0),
+existing AS (SELECT * FROM sigs WHERE doc_id % 4 <> 0),
+batch_keys AS (
+{_band_keys_sql('batch')}
+), existing_keys AS (
+{_band_keys_sql('existing')}
+), collided AS (
+  SELECT DISTINCT bk.doc_id
+  FROM batch_keys bk JOIN existing_keys ek
+    ON bk.band = ek.band AND bk.k1 = ek.k1 AND bk.k2 = ek.k2
+)
+SELECT doc_id FROM batch
+WHERE doc_id NOT IN (SELECT doc_id FROM collided)
+""",
+    doc="incremental MinHash dedup: new-batch band keys anti-joined against "
+    "the persisted corpus signature table; survivors are appendable",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape for a GROWING corpus: signatures of already-
+    ingested documents are persisted (the loader's staging→publish tables —
+    sources/loader.py — are exactly how that table would be maintained), so
+    each incoming batch only hashes ITS OWN text, melts to band keys, and
+    anti-joins against the persisted band-key table. Nothing quadratic,
+    and the 100 TB corpus is never re-shingled.
+
+    Here the fixture stands in for both sides (batch = doc_id % 4 == 0,
+    corpus = the rest); in production ``existing`` is
+    ``spark.read.parquet(sig_table)``. Survivors = batch docs whose bands
+    all miss the corpus — the rows safe to append, after which their
+    signatures are appended to the signature table too."""
+    sigs = _minhash_sigs(spark, sf_dir)
+    batch = sigs.where(F.col("doc_id") % 4 == 0)
+    existing = sigs.where(F.col("doc_id") % 4 != 0)
+
+    def melt(df: DataFrame) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.col(f"m{2*b}").alias("k1"),
+                    F.col(f"m{2*b+1}").alias("k2"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+        return df.select("doc_id", F.explode(bands).alias("bk")).select(
+            "doc_id", "bk.band", "bk.k1", "bk.k2"
+        )
+
+    collided = (
+        melt(batch)
+        .join(melt(existing), ["band", "k1", "k2"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return batch.select("doc_id").join(collided, "doc_id", "left_anti")
+
+
 _SIMHASH_BITSUMS_SQL = ", ".join(
     f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
     for j in range(SIMHASH_BITS)
@@ -304,6 +377,97 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(SIMHASH_BITS)
     )
     return bitsums.select("doc_id", combined.cast("bigint").alias("simhash"))
+
+
+#: Hamming-distance retrieval: pairs within HAMMING_D of each other must
+#: agree exactly on at least one of HAMMING_D + 1 fingerprint segments.
+HAMMING_D = 3
+N_SEGS = HAMMING_D + 1
+SEG_BITS = SIMHASH_BITS // N_SEGS  # 16 bits → 4 segments × 4 bits
+
+_SIMHASH_CTE = (
+    SHINGLES_CTE
+    + f"""
+, hashed AS (
+  SELECT doc_id, {BASE_HASH32_SQL} AS h FROM shingles
+), bitsums AS (
+  SELECT doc_id, {_SIMHASH_BITSUMS_SQL} FROM hashed GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, CAST({_SIMHASH_COMBINE_SQL} AS BIGINT) AS simhash FROM bitsums
+)
+"""
+)
+
+
+@register(
+    "dedup_simhash_pairs",
+    _SIMHASH_CTE
+    + f"""
+, segs AS (
+  SELECT doc_id, simhash, j AS seg,
+         (simhash >> ({SEG_BITS} * j)) & {(1 << SEG_BITS) - 1} AS segval
+  FROM sims, (SELECT unnest(range(0, {N_SEGS})) AS j)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM segs a JOIN segs b
+    ON a.seg = b.seg AND a.segval = b.segval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {HAMMING_D}
+""",
+    doc=f"SimHash near-dup pairs within Hamming distance {HAMMING_D} via "
+    f"pigeonhole segment-bucket joins ({N_SEGS} segments × {SEG_BITS} bits)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval step SimHash exists for: near-dup pairs within Hamming
+    distance d, without all-pairs comparison.
+
+    Pigeonhole guarantee: if two 16-bit fingerprints differ in ≤ d bits,
+    then splitting into d+1 segments, at least one segment is bit-identical
+    — so the union of d+1 segment equi-joins proposes every true pair.
+    Like the MinHash banding above, segments are melted to (seg, segval)
+    rows that CARRY the full fingerprint, so one self-join both proposes
+    candidates and computes the exact Hamming distance (bit_count of xor);
+    the distinct collapses pairs proposed by several segments. Shuffle is
+    on (seg, segval); within-bucket pairing is bounded by 2^SEG_BITS
+    buckets per segment — widen SEG_BITS with corpus size exactly like the
+    hyperplane-LSH planes knob."""
+    sims = dedup_simhash(spark, sf_dir)
+    seg_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("seg"),
+                F.shiftright(F.col("simhash"), SEG_BITS * j)
+                .bitwiseAND(F.lit((1 << SEG_BITS) - 1))
+                .alias("segval"),
+            )
+            for j in range(N_SEGS)
+        ]
+    )
+    melted = (
+        sims.select("doc_id", "simhash", F.explode(seg_structs).alias("sv"))
+        .select("doc_id", "simhash", "sv.seg", "sv.segval")
+        .hint("shuffle_hash")  # both sides identical → AQE ReuseExchange
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.segval") == F.col("b.segval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= HAMMING_D)
+        .distinct()
+    )
 
 
 @register(
