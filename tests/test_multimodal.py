@@ -1,0 +1,64 @@
+"""Unit tests for the stdlib image parser/rewriter behind the multimodal
+queries — including bytes NOT produced by our own synthesizer, so the
+parser is checked against the real formats, not its own inverse."""
+
+from __future__ import annotations
+
+import base64
+import struct
+
+import pytest
+
+from ufload_spark.operators.multimodal import (
+    decode_image,
+    make_jpeg,
+    make_png,
+    resize_image,
+)
+
+#: a real 1×1 PNG (independently produced), not from make_png
+REAL_1X1_PNG = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+    "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+
+
+def test_decode_real_png():
+    assert decode_image(REAL_1X1_PNG) == ("png", 1, 1)
+
+
+def test_decode_synthesized_roundtrip():
+    assert decode_image(make_png(640, 360)) == ("png", 640, 360)
+    assert decode_image(make_jpeg(123, 456)) == ("jpeg", 123, 456)
+
+
+def test_decode_jpeg_walks_past_app_segments():
+    # SOI + APP0 (JFIF) + SOF0 + EOI: the parser must skip APP0 by its
+    # length field, not assume SOF comes first
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof = make_jpeg(77, 88)[2:-2]  # strip SOI/EOI, keep the SOF segment
+    jpeg = b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+    assert decode_image(jpeg) == ("jpeg", 77, 88)
+
+
+def test_decode_rejects_corrupt_bytes():
+    with pytest.raises(ValueError):
+        decode_image(b"not an image at all")
+    # flip a bit inside IHDR → CRC check must catch it
+    png = bytearray(make_png(10, 10))
+    png[17] ^= 0x01
+    with pytest.raises(ValueError):
+        decode_image(bytes(png))
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xd9")  # JPEG with no SOF
+
+
+@pytest.mark.parametrize("maker", [make_png, make_jpeg])
+def test_resize_rewrites_header(maker):
+    content = maker(640, 480)
+    out = resize_image(content, 128)
+    fmt, w, h = decode_image(out)
+    assert (w, h) == (128, 96)
+    # no upscale: already-small images pass through untouched
+    small = maker(100, 50)
+    assert resize_image(small, 128) is small

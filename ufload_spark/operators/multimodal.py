@@ -2,19 +2,24 @@
 
 Images/audio/video are carried as opaque ``binary`` columns with typed
 metadata; decode/feature-extract runs as Arrow-batched pandas over
-``mapInPandas``. The decode itself is STUBBED (no image/audio libraries in
-this environment): :func:`decode_image` raises ``NotImplementedError``, and
-the pipeline uses a deterministic fake extractor so the Spark-side plumbing —
-schema, batch shape, Arrow binary transfer, partitioning — is real and
-testable end-to-end.
+``mapInPandas``. :func:`decode_image` is a REAL stdlib parser (PNG
+signature + IHDR chunk, JPEG marker walk to SOFn) and
+:func:`resize_image` really rewrites the header geometry (struct + zlib.crc32
+only — no Pillow). The container has no image *fixtures*, so payloads are
+synthesized per document with valid PNG/JPEG structure and dimensions
+derived deterministically from ``doc_id`` — which is what gives every query
+an exact DuckDB oracle. Pixel-level resampling (the one step that genuinely
+needs an image library) is documented at :func:`resize_image`; everything
+else — schema, partitioning, Arrow batch shape, the parse itself — is real.
 
-The fixture has no binary table, so the binary column is derived from
-``documents.text`` (UTF-8 encode) — which also gives the fake extractor an
-exact DuckDB oracle.
+Video frame sampling stays a deterministic fake (no codecs in the
+container); its row-expanding mapInPandas shape is the point being tested.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -23,100 +28,204 @@ from pyspark.sql import DataFrame, SparkSession
 from ufload_spark.plans.registry import register
 from ufload_spark.sources.tables import table
 
-META_SCHEMA = "doc_id long, n_bytes long, fake_width int, fake_height int"
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: deterministic per-doc geometry — the DuckDB oracles repeat this arithmetic
+W_MOD, W_OFF = 640, 16
+H_MOD, H_OFF = 480, 16
+
+#: fixed synthesized payload sizes (header-only images)
+PNG_BYTES = len(PNG_SIG) + 25 + 12  # sig + IHDR chunk + IEND chunk = 45
+JPEG_BYTES = 2 + 19 + 2  # SOI + SOF0 segment (3 components) + EOI = 23
 
 
-def decode_image(content: bytes) -> "object":
-    """Real decode hook — requires an image library not present here.
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
 
-    STUB: a production build plugs Pillow/libvips in; the surrounding
-    dataflow (binary column → mapInPandas → typed metadata) is unchanged.
-    """
-    raise NotImplementedError("image decoding requires an image library (stubbed)")
+
+def make_png(width: int, height: int) -> bytes:
+    """Minimal structurally-valid PNG: signature, IHDR (8-bit RGB), IEND."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
 
 
-def _fake_extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic fake 'decode': byte length → pretend dimensions.
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal structurally-valid JPEG: SOI, SOF0 (3 components), EOI."""
+    # SOF0 payload: length(2) precision(1) height(2) width(2) ncomp(1) + 3×3
+    comps = b"".join(struct.pack("BBB", i + 1, 0x11, 0) for i in range(3))
+    payload = struct.pack(">HBHHB", 2 + 1 + 2 + 2 + 1 + len(comps), 8, height, width, 3)
+    return b"\xff\xd8" + b"\xff\xc0" + payload + comps + b"\xff\xd9"
 
-    Arrow hands us column batches; we never materialize more than one batch,
-    so memory stays bounded per task regardless of table size.
-    """
+
+#: SOF markers that carry frame geometry (C0-CF minus DHT/JPG/DAC)
+_SOF_MARKERS = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def _jpeg_sof_offset(content: bytes) -> int:
+    """Byte offset of the SOF payload (after marker + length), or raise."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", content[pos + 2 : pos + 4])[0]
+        if marker in _SOF_MARKERS:
+            return pos + 4
+        pos += 2 + seg_len
+    raise ValueError("no SOF marker found")
+
+
+def decode_image(content: bytes) -> tuple[str, int, int]:
+    """Parse real image bytes → (format, width, height). Pure stdlib:
+    PNG = signature check + IHDR big-endian fields (with CRC verification);
+    JPEG = marker walk to the first SOFn frame header. Raises ValueError on
+    non-image bytes — callers surface that as a corrupt-row flag, the same
+    posture as the reference's ZIP corruption detection
+    (/root/reference/ufload/cloud.py:215-232)."""
+    if content[: len(PNG_SIG)] == PNG_SIG:
+        length, ctype = struct.unpack(">I4s", content[8:16])
+        if ctype != b"IHDR" or length != 13:
+            raise ValueError("PNG missing IHDR")
+        data = content[16 : 16 + 13]
+        crc = struct.unpack(">I", content[16 + 13 : 16 + 17])[0]
+        if crc != (zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF):
+            raise ValueError("PNG IHDR CRC mismatch")
+        width, height = struct.unpack(">II", data[:8])
+        return ("png", width, height)
+    if content[:2] == b"\xff\xd8":
+        off = _jpeg_sof_offset(content)
+        _, height, width = struct.unpack(">BHH", content[off : off + 5])
+        return ("jpeg", width, height)
+    raise ValueError("unrecognized image format")
+
+
+def resize_image(content: bytes, edge: int) -> bytes:
+    """Header-level resize: parse the geometry, scale so the longest edge is
+    ``edge`` (never upscale, floor rounding), and rewrite the header's
+    dimension fields — PNG IHDR gets its CRC recomputed, JPEG's SOF height/
+    width are patched in place. On these header-only payloads this is the
+    complete operation; with real pixel data a resampler (Pillow/libvips)
+    would additionally rewrite the IDAT/scan contents — the dataflow around
+    it (binary in → mapInPandas → binary out) is unchanged."""
+    fmt, w, h = decode_image(content)
+    longest = max(w, h)
+    if longest <= edge:
+        return content
+    ow, oh = w * edge // longest, h * edge // longest
+    if fmt == "png":
+        data = bytearray(content[16 : 16 + 13])
+        data[0:8] = struct.pack(">II", ow, oh)
+        return (
+            content[:8]
+            + _png_chunk(b"IHDR", bytes(data))
+            + content[16 + 17 :]
+        )
+    off = _jpeg_sof_offset(content)
+    return (
+        content[: off + 1]
+        + struct.pack(">HH", oh, ow)
+        + content[off + 5 :]
+    )
+
+
+def _dims_for(doc_id: int) -> tuple[int, int]:
+    return doc_id % W_MOD + W_OFF, doc_id % H_MOD + H_OFF
+
+
+def synthesize_image(doc_id: int) -> bytes:
+    """Deterministic per-doc payload: even ids are PNG, odd are JPEG, with
+    dimensions derived from the id (the oracle repeats the arithmetic)."""
+    w, h = _dims_for(doc_id)
+    return make_png(w, h) if doc_id % 2 == 0 else make_jpeg(w, h)
+
+
+def _synthesize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        n = pdf["content"].map(len)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": n.astype("int64"),
-                "fake_width": (n % 640).astype("int32"),
-                "fake_height": (n % 480).astype("int32"),
+                "content": pdf["doc_id"].map(synthesize_image),
             }
         )
 
 
 def with_binary_content(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with an opaque binary payload column (UTF-8 bytes of text,
-    standing in for image bytes)."""
-    from pyspark.sql import functions as F
+    """documents' ids with an opaque binary image payload column (synthetic
+    but structurally-valid PNG/JPEG bytes standing in for stored images)."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_synthesize_batches, schema="doc_id long, content binary")
 
-    d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+
+META_SCHEMA = "doc_id long, fmt string, width int, height int, n_bytes long"
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow hands us column batches; we never materialize more than one
+    batch, so memory stays bounded per task regardless of table size."""
+    for pdf in batches:
+        decoded = pdf["content"].map(decode_image)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": decoded.map(lambda t: t[0]),
+                "width": decoded.map(lambda t: t[1]).astype("int32"),
+                "height": decoded.map(lambda t: t[2]).astype("int32"),
+                "n_bytes": pdf["content"].map(len).astype("int64"),
+            }
+        )
 
 
 @register(
     "multimodal_decode_meta",
-    """
+    f"""
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
-       CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(doc_id % {W_MOD} + {W_OFF} AS INT) AS width,
+       CAST(doc_id % {H_MOD} + {H_OFF} AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN {PNG_BYTES} ELSE {JPEG_BYTES} END AS BIGINT) AS n_bytes
 FROM documents
 """,
-    doc="binary-column decode/feature-extract via Arrow mapInPandas (stubbed decode)",
+    doc="real stdlib image decode (PNG IHDR / JPEG SOF) via Arrow mapInPandas",
 )
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal pipeline shape: binary column in, typed metadata out,
     via ``mapInPandas`` (Arrow batches, ~10-100× faster than row-at-a-time
-    Python). Narrow map — scales linearly, no shuffle."""
+    Python). The decode genuinely parses the bytes (signature, chunk/marker
+    structure, CRC); the oracle independently predicts the dims from the
+    synthesizer's arithmetic, so a parser bug hash-mismatches. Narrow map —
+    scales linearly, no shuffle."""
     return with_binary_content(spark, sf_dir).mapInPandas(
-        _fake_extract_batches, schema=META_SCHEMA
+        _decode_batches, schema=META_SCHEMA
     )
 
 
 TARGET_EDGE = 128  # resize target: longest edge in px
 
-RESIZE_SCHEMA = (
-    "doc_id long, fake_width int, fake_height int, out_width int, out_height int"
-)
+RESIZE_SCHEMA = "doc_id long, width int, height int, out_width int, out_height int"
 
 
-def resize_image(content: bytes, edge: int) -> bytes:
-    """Real resize hook — requires an image library not present here.
-
-    STUB: production plugs Pillow/libvips in; the dataflow (binary in,
-    binary + new dims out via mapInPandas) is unchanged.
-    """
-    raise NotImplementedError("image resizing requires an image library (stubbed)")
-
-
-def _fake_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic fake resize: scale fake dims so the longest edge is
-    TARGET_EDGE (no upscaling), floor-rounded — the arithmetic a real
-    thumbnailer does, minus the pixels."""
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        n = pdf["content"].map(len)
-        w = (n % 640 + 1).astype("int64")
-        h = (n % 480 + 1).astype("int64")
-        longest = w.where(w >= h, h)
-        # integer math only, so the DuckDB oracle is bit-identical
-        ow = w.where(longest <= TARGET_EDGE, w * TARGET_EDGE // longest)
-        oh = h.where(longest <= TARGET_EDGE, h * TARGET_EDGE // longest)
+        orig = pdf["content"].map(decode_image)
+        resized = pdf["content"].map(lambda c: decode_image(resize_image(c, TARGET_EDGE)))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "fake_width": w.astype("int32"),
-                "fake_height": h.astype("int32"),
-                "out_width": ow.astype("int32"),
-                "out_height": oh.astype("int32"),
+                "width": orig.map(lambda t: t[1]).astype("int32"),
+                "height": orig.map(lambda t: t[2]).astype("int32"),
+                "out_width": resized.map(lambda t: t[1]).astype("int32"),
+                "out_height": resized.map(lambda t: t[2]).astype("int32"),
             }
         )
 
@@ -125,27 +234,26 @@ def _fake_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     "multimodal_resize_meta",
     f"""
 WITH dims AS (
-  SELECT doc_id,
-         octet_length(encode(text)) % 640 + 1 AS w,
-         octet_length(encode(text)) % 480 + 1 AS h
+  SELECT doc_id, doc_id % {W_MOD} + {W_OFF} AS w, doc_id % {H_MOD} + {H_OFF} AS h
   FROM documents
 )
-SELECT doc_id, CAST(w AS INT) AS fake_width, CAST(h AS INT) AS fake_height,
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(CASE WHEN greatest(w, h) <= {TARGET_EDGE} THEN w
                  ELSE w * {TARGET_EDGE} // greatest(w, h) END AS INT) AS out_width,
        CAST(CASE WHEN greatest(w, h) <= {TARGET_EDGE} THEN h
                  ELSE h * {TARGET_EDGE} // greatest(w, h) END AS INT) AS out_height
 FROM dims
 """,
-    doc="image resize plumbing (stubbed decode): aspect-preserving thumbnail dims",
+    doc="header-level image resize (real byte rewrite + re-decode) via mapInPandas",
 )
 def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize-stage shape: binary in → mapInPandas → per-image output
-    geometry. A real deployment replaces the fake with
-    :func:`resize_image` and adds the thumbnail bytes to the output schema —
-    the plan (narrow Arrow-batched map, no shuffle) is identical."""
+    """Resize-stage shape: binary in → rewrite header geometry → re-decode
+    the rewritten bytes → per-image output geometry. Round-tripping through
+    :func:`resize_image` + :func:`decode_image` means the oracle checks the
+    byte-rewrite really happened (a stale-CRC or wrong-offset bug fails the
+    re-decode). Narrow Arrow-batched map, no shuffle."""
     return with_binary_content(spark, sf_dir).mapInPandas(
-        _fake_resize_batches, schema=RESIZE_SCHEMA
+        _resize_batches, schema=RESIZE_SCHEMA
     )
 
 
@@ -157,13 +265,14 @@ FRAMES_SCHEMA = "doc_id long, n_frames int, frame_idx int"
 def _fake_frame_sample_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """Deterministic fake video sampler: pretend n_frames = bytes // 100 + 1,
-    emit every FRAME_STEP-th frame index — a row-expanding map (1 video →
-    many frames), the shape real frame extraction has."""
+    """Deterministic fake video sampler (no codecs in this container):
+    pretend n_frames from the id, emit every FRAME_STEP-th frame index — a
+    row-expanding map (1 video → many frames), the shape real frame
+    extraction has."""
     for pdf in batches:
         out_doc, out_n, out_idx = [], [], []
-        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-            n_frames = len(content) // 100 + 1
+        for doc_id in pdf["doc_id"]:
+            n_frames = int(doc_id) % 97 + 1
             for idx in range(0, n_frames, FRAME_STEP):
                 out_doc.append(doc_id)
                 out_n.append(n_frames)
@@ -180,20 +289,17 @@ def _fake_frame_sample_batches(
 @register(
     "multimodal_frame_sample",
     f"""
-WITH vids AS (
-  SELECT doc_id, octet_length(encode(text)) // 100 + 1 AS n_frames
-  FROM documents
-)
+WITH vids AS (SELECT doc_id, doc_id % 97 + 1 AS n_frames FROM documents)
 SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
        CAST(unnest(range(0, n_frames, {FRAME_STEP})) AS INT) AS frame_idx
 FROM vids
 """,
-    doc="video frame sampling plumbing (stubbed decode): 1 video → k frame rows",
+    doc="video frame sampling plumbing (decode faked — no codecs): "
+    "1 video → k frame rows",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling shape: a row-EXPANDING mapInPandas (one binary video
     row fans out to sampled-frame rows). Output stays Arrow-batched and
     partition-local; a real extractor adds the frame bytes per row."""
-    return with_binary_content(spark, sf_dir).mapInPandas(
-        _fake_frame_sample_batches, schema=FRAMES_SCHEMA
-    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_fake_frame_sample_batches, schema=FRAMES_SCHEMA)
