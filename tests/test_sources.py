@@ -44,6 +44,19 @@ def test_publish_audit_failure_keeps_old(spark, tmp_path):
     assert [p for p in os.listdir(tmp_path) if "staging" in p] == []
 
 
+def test_publish_sweeps_crashed_run_leftovers(spark, tmp_path):
+    """Orphaned .staging/.old dirs from a crashed run must not break or
+    pollute the next publish."""
+    target = str(tmp_path / "t")
+    os.makedirs(f"{target}.staging.deadbeef.cafe")
+    os.makedirs(f"{target}.old.deadbeef.cafe")
+    df = table(spark, SF_DIR, "region")
+    n = stage_and_publish(spark, df, target)
+    assert n == spark.read.parquet(target).count()
+    leftovers = [p for p in os.listdir(tmp_path) if "staging" in p or ".old" in p]
+    assert leftovers == []
+
+
 def test_empty_stage_rejected(spark, tmp_path):
     df = table(spark, SF_DIR, "region").limit(0)
     with pytest.raises(AuditError):
@@ -108,6 +121,94 @@ def test_download_gives_up(tmp_path):
             max_retries=3,
             retry_sleep_s=0,
         )
+
+
+# --- ranged-HTTP transport, against a real local http.server thread ------
+
+
+class _RangeHTTPHandler(__import__("http.server", fromlist=["BaseHTTPRequestHandler"]).BaseHTTPRequestHandler):
+    """Minimal HTTP server speaking HEAD + Range GET (and optional
+    fail-first-N for retry tests) over an in-memory payload."""
+
+    payload = b""
+    fail_next = {"n": 0}
+
+    def _maybe_fail(self) -> bool:
+        if self.fail_next["n"] > 0:
+            self.fail_next["n"] -= 1
+            self.send_error(503, "transient")
+            return True
+        return False
+
+    def do_HEAD(self):  # noqa: N802 — http.server API
+        if self._maybe_fail():
+            return
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(self.payload)))
+        self.end_headers()
+
+    def do_GET(self):  # noqa: N802 — http.server API
+        if self._maybe_fail():
+            return
+        body = self.payload
+        status = 200
+        rng = self.headers.get("Range")
+        if rng and rng.startswith("bytes="):
+            start_s, _, end_s = rng[len("bytes=") :].partition("-")
+            start = int(start_s)
+            end = int(end_s) + 1 if end_s else len(body)
+            body, status = body[start:end], 206
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):  # silence per-request stderr noise
+        pass
+
+
+@pytest.fixture()
+def http_url():
+    import http.server
+    import threading
+
+    _RangeHTTPHandler.payload = bytes(range(256)) * 37
+    _RangeHTTPHandler.fail_next = {"n": 0}
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _RangeHTTPHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}/blob.bin"
+    finally:
+        srv.shutdown()
+
+
+def test_http_range_reader(http_url):
+    opener, sizer = remote.make_http_opener()
+    payload = _RangeHTTPHandler.payload
+    r = remote.RangeReader(http_url, opener=opener, sizer=sizer, retry_sleep_s=0)
+    assert r.size() == len(payload)  # HEAD content-length
+    assert r.read(10) == payload[:10]
+    r.seek(1000)
+    assert r.read(16) == payload[1000:1016]  # served via Range: bytes=1000-
+    r.seek(-8, os.SEEK_END)
+    assert r.read() == payload[-8:]
+
+
+def test_http_download_and_retry(http_url, tmp_path):
+    opener, _ = remote.make_http_opener()
+    dest = tmp_path / "dl.bin"
+    _RangeHTTPHandler.fail_next["n"] = 2  # first two requests 503
+    n = remote.download(http_url, str(dest), opener=opener, retry_sleep_s=0)
+    assert n == len(_RangeHTTPHandler.payload)
+    assert dest.read_bytes() == _RangeHTTPHandler.payload
+
+
+def test_http_range_read_retries(http_url):
+    opener, sizer = remote.make_http_opener()
+    r = remote.RangeReader(http_url, opener=opener, sizer=sizer, retry_sleep_s=0)
+    _RangeHTTPHandler.fail_next["n"] = 2  # reads must survive transient 503s
+    assert r.read(10) == _RangeHTTPHandler.payload[:10]
 
 
 def test_zip_corruption_flagged(spark, tmp_path):

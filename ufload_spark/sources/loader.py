@@ -27,6 +27,8 @@ reload when the source size is unchanged. :func:`should_reload` /
 from __future__ import annotations
 
 import os
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +47,18 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
 
 
+def _sweep_orphans(fs, jvm, target: str) -> None:
+    """Remove ``<target>.staging.*`` / ``<target>.old.*`` left by crashed
+    runs — a crashed publish must not make the NEXT publish fail (a stale
+    dir under the next run's name) or leak disk forever."""
+    for pattern in (f"{target}.staging.*", f"{target}.old.*"):
+        statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern))
+        if statuses is None:
+            continue
+        for st in statuses:
+            fs.delete(st.getPath(), True)
+
+
 def stage_and_publish(
     spark: SparkSession,
     df: DataFrame,
@@ -53,13 +67,28 @@ def stage_and_publish(
     expected_rows: int | None = None,
     partitions: int | None = None,
 ) -> int:
-    """Write ``df`` to a staging dir, audit it, atomically publish to
-    ``target``. Returns the audited row count. On any failure the staging
-    dir is removed and ``target`` is untouched (reference ufload/db.py:202-208
-    drops the staging DB on failure the same way)."""
-    staging = f"{target}.staging.{os.getpid()}"
+    """Write ``df`` to a staging dir, audit it, publish to ``target`` via
+    directory swap. Returns the audited row count.
+
+    Failure posture: on any audit/write failure the staging dir is removed
+    and ``target`` is untouched (reference ufload/db.py:202-208 drops the
+    staging DB the same way); if the publish rename itself fails after the
+    old data was moved aside, the old dir is renamed back. The swap is two
+    renames, so a CRASH (not an exception) between them can leave ``target``
+    absent with the data parked in ``<target>.old.<suffix>`` — inherent to
+    directory-swap publishing; orphaned staging/old dirs from crashed runs
+    are swept on the next publish. A transactional table format
+    (Delta/Iceberg) closes that crash window; this module is the
+    plain-filesystem shape of the same lifecycle."""
+    # unique per-invocation suffix: a reused pid (the reference's choice,
+    # db.py:101) collides with leftovers from a crashed earlier run
+    suffix = f"{int(time.time() * 1000):x}.{uuid.uuid4().hex[:8]}"
+    staging = f"{target}.staging.{suffix}"
     fs, jtarget, jvm = _fs(spark, target)
+    _sweep_orphans(fs, jvm, target)
     jstaging = jvm.org.apache.hadoop.fs.Path(staging)
+    old = jvm.org.apache.hadoop.fs.Path(f"{target}.old.{suffix}")
+    moved_aside = False
     try:
         w = df.repartition(partitions) if partitions else df
         w.write.mode("overwrite").parquet(staging)
@@ -70,19 +99,20 @@ def stage_and_publish(
             raise AuditError(
                 f"staged {staging} has {audited} rows, expected {expected_rows}"
             )
-        old = jvm.org.apache.hadoop.fs.Path(f"{target}.old.{os.getpid()}")
         if fs.exists(jtarget):
             if not fs.rename(jtarget, old):
                 raise AuditError(f"could not move aside {target}")
+            moved_aside = True
         if not fs.rename(jstaging, jtarget):
-            # roll the old data back into place before failing
-            if fs.exists(old):
-                fs.rename(old, jtarget)
             raise AuditError(f"could not publish {staging} -> {target}")
+        moved_aside = False  # published; the old copy is now disposable
         if fs.exists(old):
             fs.delete(old, True)
         return audited
     except Exception:
+        # roll the old data back if we got as far as moving it aside
+        if moved_aside and not fs.exists(jtarget):
+            fs.rename(old, jtarget)
         if fs.exists(jstaging):
             fs.delete(jstaging, True)
         raise

@@ -14,8 +14,10 @@ control-plane access — probing a dump's size before deciding to reload
 provides, transport-agnostic: an opener returns a file object given
 ``(url, offset)``, and :class:`RangeReader` layers sizing, seeking, chunked
 reads and bounded retry on top. The default opener handles ``file://`` and
-plain paths so everything is testable offline; an HTTP opener plugs in
-unchanged where a network exists.
+plain paths so everything is testable offline; :func:`make_http_opener`
+provides the authenticated ranged-HTTP transport (stdlib ``urllib`` with a
+``Range:`` header — reference httpfile.py:26-37) behind the same interface,
+tested against a local ``http.server`` thread.
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ from __future__ import annotations
 import io
 import os
 import time
+import urllib.request
 from collections.abc import Callable
 from urllib.parse import urlparse
 
@@ -53,21 +56,59 @@ def local_size(url: str) -> int:
     return os.path.getsize(path)
 
 
+def make_http_opener(
+    user: str | None = None,
+    password: str | None = None,
+    timeout_s: float = 30.0,
+) -> tuple[Opener, Callable[[str], int]]:
+    """(opener, sizer) pair speaking ranged HTTP via stdlib ``urllib`` —
+    the reference's ``HttpFile`` transport (httpfile.py:14-24 HEAD size,
+    26-37 ``Range: bytes=a-`` GET) with optional basic auth
+    (cli/main.py:412-438's dump fetch). No third-party deps; plugs into
+    :class:`RangeReader`/:func:`download` unchanged."""
+    handlers: list[urllib.request.BaseHandler] = []
+    if user is not None:
+        mgr = urllib.request.HTTPPasswordMgrWithDefaultRealm()
+        mgr.add_password(None, "http://", user, password or "")
+        mgr.add_password(None, "https://", user, password or "")
+        handlers.append(urllib.request.HTTPBasicAuthHandler(mgr))
+    director = urllib.request.build_opener(*handlers)
+
+    def opener(url: str, offset: int) -> io.IOBase:
+        req = urllib.request.Request(url)
+        if offset:
+            req.add_header("Range", f"bytes={offset}-")
+        return director.open(req, timeout=timeout_s)
+
+    def sizer(url: str) -> int:
+        req = urllib.request.Request(url, method="HEAD")
+        with director.open(req, timeout=timeout_s) as resp:
+            return int(resp.headers["Content-Length"])
+
+    return opener, sizer
+
+
 class RangeReader:
     """File-like random access over a remote object (reference
     httpfile.py:5-50): ``size``, ``seek``/``tell``, and ``read(n)`` served
-    by a fresh ranged open per call — no connection state to lose."""
+    by a fresh ranged open per call — no connection state to lose. Reads
+    share the module's bounded-retry policy (a transient failure re-opens
+    the range, up to ``max_retries``)."""
 
     def __init__(
         self,
         url: str,
         opener: Opener = local_opener,
         sizer: Callable[[str], int] = local_size,
+        max_retries: int = MAX_RETRIES,
+        retry_sleep_s: float = RETRY_SLEEP_S,
     ):
         self.url = url
         self._opener = opener
         self._size = sizer(url)
         self._pos = 0
+        self._max_retries = max_retries
+        self._retry_sleep_s = retry_sleep_s
 
     def size(self) -> int:
         return self._size
@@ -91,10 +132,20 @@ class RangeReader:
             n = self._size - self._pos
         if n == 0 or self._pos >= self._size:
             return b""
-        with self._opener(self.url, self._pos) as f:
-            data = f.read(n)
-        self._pos += len(data)
-        return data
+        last_err: Exception | None = None
+        for attempt in range(self._max_retries):
+            try:
+                with self._opener(self.url, self._pos) as f:
+                    data = f.read(n)
+                self._pos += len(data)
+                return data
+            except Exception as e:  # noqa: BLE001 — retrying any transport error
+                last_err = e
+                if attempt < self._max_retries - 1 and self._retry_sleep_s:
+                    time.sleep(self._retry_sleep_s)
+        raise OSError(
+            f"ranged read failed after {self._max_retries} attempts: {last_err}"
+        )
 
 
 def download(
