@@ -125,17 +125,28 @@ def merge_upsert(
     existing: DataFrame, incoming: DataFrame, keys: list[str]
 ) -> DataFrame:
     """MERGE … WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT as dataflow:
-    incoming wins on key collision, existing rows without a match survive,
-    new rows append. One full-outer join on the key — the plan Delta's
-    MERGE compiles to, minus the transaction log."""
+    the incoming row wins WHOLESALE on key collision (including columns it
+    explicitly sets to NULL — a per-column coalesce would silently keep the
+    existing value), existing rows without a match survive, new rows
+    append. One full-outer join on the key — the plan Delta's MERGE
+    compiles to, minus the transaction log.
+
+    Matched-ness is carried by a marker column rather than inferred from
+    key nullability, so incoming rows whose key IS null (which never match
+    anything) still come through intact as inserts. Duplicate keys in
+    ``incoming`` fan matched existing rows out, one output row per
+    incoming duplicate — SQL MERGE raises on that; callers wanting MERGE
+    strictness dedup incoming on the key first."""
+    marker = "__merge_incoming"
     e = existing.alias("e")
-    i = incoming.alias("i")
+    i = incoming.withColumn(marker, F.lit(True)).alias("i")
     cond = F.lit(True)
     for k in keys:
         cond = cond & (F.col(f"e.{k}") == F.col(f"i.{k}"))
     joined = e.join(i, cond, "full_outer")
+    take_incoming = F.col(f"i.{marker}").isNotNull()
     picked = [
-        F.coalesce(F.col(f"i.{c}"), F.col(f"e.{c}")).alias(c)
+        F.when(take_incoming, F.col(f"i.{c}")).otherwise(F.col(f"e.{c}")).alias(c)
         for c in existing.columns
     ]
     return joined.select(*picked)
@@ -150,11 +161,11 @@ WITH existing AS (
   SELECT event_id, ts, user_id, event_type, round(value * 2, 2) AS value
   FROM events WHERE event_id % 2 = 0
 )
-SELECT coalesce(i.event_id, e.event_id) AS event_id,
-       coalesce(i.ts, e.ts) AS ts,
-       coalesce(i.user_id, e.user_id) AS user_id,
-       coalesce(i.event_type, e.event_type) AS event_type,
-       round(coalesce(i.value, e.value), 2) AS value
+SELECT CASE WHEN i.event_id IS NOT NULL THEN i.event_id ELSE e.event_id END AS event_id,
+       CASE WHEN i.event_id IS NOT NULL THEN i.ts ELSE e.ts END AS ts,
+       CASE WHEN i.event_id IS NOT NULL THEN i.user_id ELSE e.user_id END AS user_id,
+       CASE WHEN i.event_id IS NOT NULL THEN i.event_type ELSE e.event_type END AS event_type,
+       round(CASE WHEN i.event_id IS NOT NULL THEN i.value ELSE e.value END, 2) AS value
 FROM existing e FULL OUTER JOIN incoming i ON e.event_id = i.event_id
 """,
     doc="MERGE upsert (WHEN MATCHED UPDATE / NOT MATCHED INSERT) as a "

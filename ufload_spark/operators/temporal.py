@@ -37,10 +37,19 @@ def asof_join(
     key: str,
     ts: str,
     right_payload: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the payload of the most recent right row
     with ``right.ts <= left.ts`` (per key). Left rows with no prior right
-    row keep NULLs (ASOF LEFT JOIN semantics)."""
+    row keep NULLs (ASOF LEFT JOIN semantics).
+
+    Determinism: several right rows can share (key, ts); (ts, side) alone
+    is then not a total order and ``last(...)`` would carry an arbitrary
+    one. ``right_tiebreak`` (default: the first payload column) breaks the
+    tie — the HIGHEST tiebreak value among equal-ts right rows wins,
+    always."""
+    tb = right_tiebreak or right_payload[0]
+    tb_type = dict(right.dtypes)[tb]
     nulls = [F.lit(None).alias(f"r_{c}") for c in right_payload]
     l_tag = left.select(
         F.col(key),
@@ -48,6 +57,7 @@ def asof_join(
         F.lit(1).alias("side"),
         *[F.col(c) for c in left.columns if c not in (key, ts)],
         *nulls,
+        F.lit(None).cast(tb_type).alias("__tb"),
     )
     r_tag = right.select(
         F.col(key),
@@ -59,12 +69,15 @@ def asof_join(
             if c not in (key, ts)
         ],
         *[F.col(c).alias(f"r_{c}") for c in right_payload],
+        F.col(tb).alias("__tb"),
     )
     u = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal ts → ties match (>= asof)
+    # right rows sort before left rows at equal ts → ties match (>= asof);
+    # among equal-ts right rows the tiebreak orders them totally and
+    # last() carries the highest one
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, "side")
+        .orderBy(ts, "side", F.col("__tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
@@ -75,7 +88,7 @@ def asof_join(
         ],
     )
     return carried.where(F.col("side") == 1).drop(
-        "side", *[f"r_{c}" for c in right_payload]
+        "side", "__tb", *[f"r_{c}" for c in right_payload]
     )
 
 
