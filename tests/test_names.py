@@ -27,7 +27,18 @@ def test_file_to_db(spark):
         ["OCG_MM1_WA-20160831-220427-A-UF2.1-2p3.dump", "wrong.dump"],
         lambda c: file_to_db(c, "pfx"),
     )
-    assert got == ["pfx_OCG_MM1_WA_20160831_2204", None]
+    # non-standard names take the live reference's fn[:-5] fallback
+    # (cli/main.py:77-78 — the None-return there is commented out)
+    assert got == ["pfx_OCG_MM1_WA_20160831_2204", "pfx_wrong"]
+
+
+def test_file_to_db_nosuffix_and_basename(spark):
+    got = _vals(
+        spark,
+        ["/backups/OCG_MM1_WA-20160831-220427-A.dump"],
+        lambda c: file_to_db(c, "pfx", nosuffix=True),
+    )
+    assert got == ["pfx_OCG_MM1_WA"]
 
 
 def test_file_to_db_no_prefix(spark):

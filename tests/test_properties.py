@@ -67,14 +67,36 @@ def test_db_roundtrip(spark, cases):
     assert got == [i for i, _, _ in cases]
 
 
-@given(junk=st.lists(st.text(min_size=2, max_size=4), min_size=1, max_size=1))
+def _ref_file_to_db(fn: str, prefix: str = "pfx") -> str:
+    """Python model of the reference's LIVE _file_to_db (cli/main.py:67-82,
+    with its len(x) guard corrected to what the data can reach)."""
+    fn = fn.split("/")[-1]
+    x = fn.split("-")
+    if len(x) > 2 and len(x[2]) == 6:
+        db = "_".join([x[0], x[1], x[2][:4]])
+    else:
+        db = fn[:-5]
+    return f"{prefix}_{db}"
+
+
+@given(
+    names=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
 @settings(**_SETTINGS)
-def test_file_to_db_rejects_malformed(spark, junk):
-    """Names without the 3-token date shape yield NULL (reference returns
-    None, cli/main.py:80-82)."""
-    bad = [f"{j.replace('-', '')}.dump" for j in junk] + ["a-b-c.dump", "x-1234-12.zip"]
-    got = _col_eval(spark, bad, lambda c: file_to_db(c, "pfx"))
-    assert all(v is None for v in got)
+def test_file_to_db_matches_reference_model(spark, names):
+    """For ARBITRARY names the Column expression agrees with a direct Python
+    transliteration of the reference's live branch structure — structured
+    3-token names, the fn[:-5] fallback, and basename stripping alike."""
+    got = _col_eval(spark, names, lambda c: file_to_db(c, "pfx"))
+    assert got == [_ref_file_to_db(n) for n in names]
 
 
 @given(

@@ -20,27 +20,37 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def file_to_db(name: Column, prefix: str | None = None) -> Column:
+def file_to_db(
+    name: Column, prefix: str | None = None, nosuffix: bool = False
+) -> Column:
     """Backup filename → database name (OP-FN-1).
 
     ``OCG_MM1_WA-20160831-220427-…`` → ``[pfx_]OCG_MM1_WA_20160831_2204``:
-    token 0 is the instance, token 1 an 8-digit date, token 2 a 6-digit time
-    truncated to HHMM; invalid shapes yield NULL (the reference returns None,
-    cli/main.py:80-82).
-    """
-    parts = F.split(name, "-")
-    inst = parts.getItem(0)
-    date = parts.getItem(1)
-    tm = parts.getItem(2)
-    valid = (
-        (F.size(parts) >= 3)
-        & (F.length(inst) > 0)
-        & date.rlike("^[0-9]{8}$")
-        & tm.rlike("^[0-9]{6}$")
-    )
-    pieces = [F.lit(prefix)] if prefix else []
-    pieces += [inst, date, F.substring(tm, 1, 4)]
-    return F.when(valid, F.concat_ws("_", *pieces))
+    token 0 is the instance, token 1 the date, token 2 a 6-char time
+    truncated to HHMM. Mirrors the reference's LIVE branch structure
+    (cli/main.py:67-82 — the None-return is commented out there): names
+    that don't have a 6-char third token fall back to the filename minus
+    its last 5 characters (the ``.dump`` extension), and ``nosuffix`` mode
+    takes token 0 alone. Directory components are stripped first
+    (``os.path.basename`` in the reference)."""
+    base = F.element_at(F.split(name, "/"), -1)
+    parts = F.split(base, "-")
+    if nosuffix:
+        db = parts.getItem(0)
+    else:
+        structured = (F.size(parts) >= 3) & (F.length(parts.getItem(2)) == 6)
+        joined = F.concat_ws(
+            "_",
+            parts.getItem(0),
+            parts.getItem(1),
+            F.substring(parts.getItem(2), 1, 4),
+        )
+        # fn[:-5]: strip the 5-char '.dump' extension; shorter names → ''
+        fallback = F.substring(base, 1, F.greatest(F.length(base) - 5, F.lit(0)))
+        db = F.when(structured, joined).otherwise(fallback)
+    if prefix:
+        return F.concat(F.lit(prefix + "_"), db)
+    return db
 
 
 def db_to_instance(db: Column, prefix: str | None = None) -> Column:

@@ -36,11 +36,12 @@ _FILE_CASES = [
 SELECT * FROM (VALUES
   ('OCG_MM1_WA-20160831-220427-A-UF2.1-2p3.dump', 'pfx_OCG_MM1_WA_20160831_2204'),
   ('OCA_BD1-20200229-235959-A-UF17.0-1p1.zip',    'pfx_OCA_BD1_20200229_2359'),
-  ('wrong.dump',                                   NULL),
-  ('noversion-x-y.zip',                            NULL)
+  ('wrong.dump',                                   'pfx_wrong'),
+  ('noversion-x-y.zip',                            'pfx_noversion-x-')
 ) AS t(name, db_name)
 """,
-    doc="OP-FN-1 filename→db vs reference cli/test_main.py golden outputs",
+    doc="OP-FN-1 filename→db vs reference cli/test_main.py golden outputs "
+    "plus the live fn[:-5] fallback branch (cli/main.py:77-78)",
 )
 def fn_file_to_db(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame([(n,) for n in _FILE_CASES], "name string")
