@@ -57,6 +57,11 @@ def users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     distinct = c.select(F.col("c_mktsegment").alias("name")).distinct()
+    # SCALE GUARD: partition-less window = a single-reducer sort. Safe here
+    # ONLY because the domain is the distinct market segments (5 rows, and
+    # bounded by the business domain, not the data volume). Do not copy
+    # this pattern onto per-row tables — for dense ids over an unbounded
+    # domain use a keyed window or hash-derived ids instead.
     w = Window.orderBy("name")
     return distinct.select(
         F.dense_rank().over(w).alias("gid"),

@@ -257,6 +257,12 @@ def version_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name")
     ).distinct()
     parsed = patches.withColumn("vkey", version_key(F.col("name")))
+    # SCALE GUARD: partition-less window = a single-reducer sort. Safe here
+    # ONLY because the input is the distinct patch catalog (hundreds of
+    # rows, bounded by release cadence, not data volume) — the reference
+    # sorts this same list in driver memory (cli/main.py:554). For a global
+    # rank over a large table, range-partition (orderBy) + per-partition
+    # rank + offset instead.
     w = Window.orderBy("vkey", "name")
     return parsed.select("name", F.row_number().over(w).alias("version_rank"))
 
