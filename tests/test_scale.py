@@ -164,6 +164,38 @@ def test_q8_dimensions_all_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 5
 
 
+def test_q18_semi_join_with_map_side_partials(spark):
+    """Q18's having-clause subquery must become a semi join (never a
+    cartesian fallback) and both aggregates must partial-combine map-side —
+    the properties that keep the double orderkey pass viable at 100×."""
+    from ufload_spark.operators.analytics import tpch_q18_large_orders
+
+    df = tpch_q18_large_orders(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # map-side combine on both agg stages
+
+
+def test_flagship_max_by_single_exchange(spark):
+    """latest_backup_per_instance is max_by over a tie-break struct: one
+    row per (mapper, instance) crosses the wire. Pin the shape — a partial
+    max_by below exactly one instance-keyed exchange. (The recency cutoff
+    adds a SinglePartition exchange for its 1-row scalar max; that is not a
+    data shuffle.)"""
+    from ufload_spark.operators.listing import latest_backup_per_instance
+
+    df = latest_backup_per_instance(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert "partial_max_by" in plan
+    hash_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1 and "instance" in hash_exchanges[0]
+
+
 def test_banded_lsh_bounds_bucket_share(spark):
     """The banded hyperplane LSH must split every band into many small
     buckets — within-bucket candidate pairing is quadratic in bucket size,
