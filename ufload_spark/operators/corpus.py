@@ -1,0 +1,260 @@
+"""Corpus-preparation operators a training-data pipeline runs after
+filtering/dedup (extension surface): PII scrubbing, deterministic
+train/validation splitting, stratified sampling, sequence packing, and
+language rebalancing.
+
+Everything here is shuffle-minimal and deterministic under parallelism:
+
+- PII scrub is a narrow map (regexp machinery, JVM-side).
+- Splits and samples are CONTENT-ADDRESSED (md5 of the id), not random():
+  the assignment is reproducible across runs, cluster sizes, and engines —
+  the property a 100 TB pipeline needs so reruns don't reshuffle the split.
+- Sequence packing is one partitioned window (cumulative tokens per
+  source) — no global sort.
+- Rebalancing is an aggregate + broadcast join of per-language factors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ufload_spark.operators.textops import _TOKENS_SQL, token_count
+from ufload_spark.plans.registry import register
+from ufload_spark.sources.tables import table
+
+# --- PII scrubbing ---------------------------------------------------------
+
+#: conservative patterns: emails, dotted-quad IPs, international-ish phones
+_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PHONE_RE = r"\+[0-9]{1,3}[ \-][0-9]{3,4}[ \-][0-9]{4,7}"
+
+#: the fixture text is synthetic word soup with no PII, so each doc gets a
+#: deterministic injected contact line — both engines inject identically,
+#: which is what lets the oracle check the scrub exactly
+_INJECT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'"
+    " || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' host 10.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+def _injected(d: DataFrame) -> Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+
+
+@register(
+    "corpus_pii_scrub",
+    f"""
+WITH raw AS (SELECT doc_id, {_INJECT_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IP_RE}', '<IP>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_hash
+FROM raw
+""",
+    doc="PII scrubbing: count + redact emails/IPs/phones; the redacted "
+    "text's md5 pins the exact rewrite",
+)
+def corpus_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass every public-web corpus runs before training. Counts
+    each PII class and replaces it with a typed placeholder; the md5 of the
+    scrubbed text makes the oracle verify the REWRITE, not just the counts.
+    Narrow map, no shuffle — linear at any scale."""
+    d = table(spark, sf_dir, "documents")
+    t = _injected(d)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(_IP_RE)).cast("int").alias("n_ips"),
+        F.regexp_count(t, F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(scrubbed).alias("clean_hash"),
+    )
+
+
+# --- deterministic train/val split ----------------------------------------
+
+VAL_PCT = 10  # 10% validation
+
+#: content-addressed bucket in [0, 100): first 4 md5 hex chars of the id
+_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100"
+
+
+def _bucket() -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+
+
+@register(
+    "corpus_train_val_split",
+    f"""
+SELECT source,
+       CASE WHEN {_BUCKET_SQL} < {VAL_PCT} THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(sum({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+""",
+    doc=f"deterministic {100 - VAL_PCT}/{VAL_PCT} train/val split by "
+    "md5(doc_id) bucket, counted per source",
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket splitting: the assignment depends only on the id, so it
+    is stable across reruns, engines, and cluster layouts — unlike
+    ``rand()``-based splits, which reshuffle every run and silently leak
+    val docs into train on retries. One aggregate, no extra shuffle."""
+    d = table(spark, sf_dir, "documents")
+    split = F.when(_bucket() < VAL_PCT, "val").otherwise("train")
+    return d.groupBy("source", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+
+
+# --- stratified sampling ---------------------------------------------------
+
+SAMPLE_PCT = 20
+
+
+@register(
+    "corpus_stratified_sample",
+    f"""
+SELECT doc_id, source FROM documents
+WHERE {_BUCKET_SQL} < {SAMPLE_PCT}
+""",
+    doc=f"deterministic {SAMPLE_PCT}% per-source sample by md5(doc_id) "
+    "bucket (content-addressed, rerun-stable)",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-eyeballing / eval subsets are drawn per source with the same
+    content-addressed buckets as the split — a doc's sample membership
+    never changes when the corpus grows. Pure filter: pushes to the scan,
+    no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+    return d.where(_bucket() < SAMPLE_PCT).select("doc_id", "source")
+
+
+# --- sequence packing ------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per training sequence
+
+
+@register(
+    "corpus_pack_sequences",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS n_tokens FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_tokens
+  FROM toks
+)
+SELECT source,
+       CAST(coalesce(prior_tokens, 0) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM cum
+GROUP BY 1, 2
+""",
+    doc=f"sequence packing: offset-packed {PACK_BUDGET}-token training "
+    "windows per source via one partitioned cumulative window",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences: pack_id =
+    floor(prior cumulative tokens / budget) within each source, docs in
+    doc_id order. This is OFFSET packing — a doc straddling a boundary
+    belongs to the pack where it starts (concat-and-chunk pipelines split
+    the text at the boundary; greedy bin packing would need sequential
+    state). One window partitioned by source — the cumsum shuffles each
+    source's docs once, no global sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", token_count(F.col("text")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn(
+        "prior_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return cum.groupBy(
+        "source",
+        F.floor(F.col("prior_tokens") / PACK_BUDGET).cast("bigint").alias("pack_id"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+# --- language rebalancing --------------------------------------------------
+
+LANG_CAP_PCT = 40  # no language may exceed this share of kept tokens
+
+
+@register(
+    "corpus_language_rebalance",
+    f"""
+WITH per_lang AS (
+  SELECT lang, CAST(sum({_TOKENS_SQL}) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+), tot AS (SELECT sum(lang_tokens) AS total_tokens FROM per_lang)
+SELECT lang, lang_tokens,
+       round(lang_tokens / CAST(total_tokens AS DOUBLE), 6) AS share,
+       round(least(1.0, ({LANG_CAP_PCT} / 100.0) * total_tokens
+                        / CAST(lang_tokens AS DOUBLE)), 6) AS keep_factor
+FROM per_lang, tot
+""",
+    doc=f"language rebalancing: per-language token share and the keep "
+    f"factor that caps any language at {LANG_CAP_PCT}% of the corpus",
+)
+def corpus_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual mixes cap dominant languages: compute each language's
+    token share and the downsampling factor that brings it under the cap.
+    The per-language table is tiny (one row per language) — the total joins
+    back by broadcast; applying the factor downstream is a content-addressed
+    sample with threshold keep_factor, same machinery as the split."""
+    d = table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("lang_tokens")
+    )
+    tot = per_lang.agg(F.sum("lang_tokens").alias("total_tokens"))
+    keep = F.least(
+        F.lit(1.0),
+        (F.lit(LANG_CAP_PCT) / 100.0)
+        * F.col("total_tokens")
+        / F.col("lang_tokens").cast("double"),
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "lang_tokens",
+        F.round(F.col("lang_tokens") / F.col("total_tokens").cast("double"), 6).alias(
+            "share"
+        ),
+        F.round(keep, 6).alias("keep_factor"),
+    )

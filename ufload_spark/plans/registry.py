@@ -84,6 +84,7 @@ def load_all() -> dict[str, Query]:
     from ufload_spark.operators import (  # noqa: F401
         analytics,
         archive,
+        corpus,
         dedup,
         delive,
         events,
