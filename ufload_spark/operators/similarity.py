@@ -316,6 +316,76 @@ def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_lsh_topk",
+    "WITH "
+    + _PLANES_SQL
+    + f"""
+, qsig AS (SELECT vec_id AS qid, band, sig FROM sigs WHERE vec_id < 5),
+csig AS (SELECT vec_id AS cid, band, sig FROM sigs WHERE vec_id >= 5),
+cand AS (
+  SELECT DISTINCT q.qid, c.cid
+  FROM qsig q JOIN csig c ON q.band = c.band AND q.sig = c.sig
+), scored AS (
+  SELECT cn.qid, cn.cid,
+         round(sum(CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE))
+               / (sqrt(sum(CAST(eq.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(ec.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))), 6)
+           AS cosine
+  FROM cand cn
+  JOIN embeddings eq ON eq.vec_id = cn.qid
+  JOIN embeddings ec ON ec.vec_id = cn.cid,
+  (SELECT unnest(range(1, {DIM + 1})) AS i)
+  GROUP BY cn.qid, cn.cid
+)
+SELECT qid, cid, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, cid) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+""",
+    doc="query-style ANN: the query batch's band signatures probe the "
+    "corpus signatures; exact top-k runs on collided candidates only",
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOOKUP shape of banded LSH (ann_pairs is the corpus-wide pair
+    shape): a small query batch computes its band signatures and probes
+    the corpus signature table — at scale, a PERSISTED table maintained by
+    the loader, so queries never re-hash the corpus. The query-side
+    signature frame is tiny and broadcasts into the corpus-signature join;
+    candidates (band collisions) are the only rows rescored exactly, and
+    the final top-k windows by qid — an evenly-keyed small shuffle."""
+    sigs = _lsh_band_sigs(spark, sf_dir)
+    qsig = sigs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "band", "sig"
+    )
+    csig = sigs.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), "band", "sig"
+    )
+    cand = (
+        csig.join(F.broadcast(qsig), ["band", "sig"])
+        .select("qid", "cid")
+        .distinct()
+    )
+    e = table(spark, sf_dir, "embeddings")
+    eq = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_q"))
+    ec = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("emb_c"))
+    cos = dot(F.col("emb_q"), F.col("emb_c")) / (
+        F.sqrt(sqnorm(F.col("emb_q"))) * F.sqrt(sqnorm(F.col("emb_c")))
+    )
+    scored = (
+        cand.join(F.broadcast(eq), "qid")
+        .join(ec, "cid")
+        .select("qid", "cid", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", "cid", "cosine", "rnk")
+    )
+
+
 # --- vectorized Pandas-UDF scoring (the Arrow path) -----------------------
 
 
