@@ -226,6 +226,20 @@ def test_curation_antijoin_not_hinted_broadcast(spark):
             assert "strategy=broadcast" not in line, line
 
 
+def test_simhash_pair_join_reuses_one_exchange(spark):
+    """The SimHash segment self-join mirrors the MinHash band join: hinted
+    shuffle_hash on identical children, so the fingerprint pipeline runs
+    once and the second side is a ReusedExchange — one documents scan."""
+    from ufload_spark.operators.dedup import dedup_simhash_pairs
+
+    df = dedup_simhash_pairs(spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    assert final.count("FileScan") == 1
+
+
 def test_lsh_self_join_reuses_one_exchange(spark):
     """The LSH band self-join must compute the signature pipeline ONCE:
     shuffle_hash on both sides → identical exchanges → AQE ReuseExchange.
