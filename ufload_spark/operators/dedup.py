@@ -470,6 +470,108 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: minimum band-agreement fraction for an edge in the cluster graph
+CLUSTER_SIM = 0.25
+
+_PAIRS_FOR_CLUSTERS_SQL = (
+    _MINHASH_SIGS_SQL
+    + f"""
+, cand AS (
+{_BAND_JOINS_SQL}
+), pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sigs a ON c.doc_a = a.doc_id JOIN sigs b ON c.doc_b = b.doc_id
+  WHERE ({_MATCHES_SQL}) >= {int(CLUSTER_SIM * K_HASHES)}
+)"""
+)
+
+
+@register(
+    "dedup_connected_components",
+    # the whole CTE chain must open WITH RECURSIVE for the reach() fixpoint
+    _PAIRS_FOR_CLUSTERS_SQL.replace("WITH tokens", "WITH RECURSIVE tokens", 1)
+    + """
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+)
+SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+""",
+    doc="near-dup cluster formation: connected components over the "
+    "MinHash-LSH pair graph via iterative min-label propagation "
+    "(oracle: recursive-CTE transitive closure)",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering — the step between pair detection and
+    'keep one doc per cluster'. A and B similar, B and C similar ⇒ {A,B,C}
+    dedup together even if A–C never collided.
+
+    Pregel-style min-label propagation: every node starts labeled with its
+    own id; each round, a node takes the min of its label and its
+    neighbors' labels; converged when no label changes. Rounds = graph
+    diameter — near-dup graphs are dense micro-clusters, so a handful.
+    Each round is one join + one aggregate, both shuffling on node id (at
+    production scale the edges frame would be persisted, and the
+    alternating large-star/small-star formulation cuts rounds further on
+    long chains). The per-round convergence check is a scalar count — the
+    one driver-side value an iterative algorithm needs.
+
+    DuckDB's oracle is the same fixpoint computed declaratively (recursive
+    CTE reachability + min over the reachable set) — quadratic blowup on
+    big graphs but exact on fixtures, and engine-independent."""
+    pairs = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .where(F.col("est_sim") >= CLUSTER_SIM)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("u", "v")
+    # cache: every iteration joins the same edge set
+    edges = edges.distinct().persist()
+    labels = (
+        edges.select(F.col("u").alias("n")).distinct().withColumn("m", F.col("n"))
+    )
+    try:
+        for _ in range(20):  # diameter bound; asserts below if exceeded
+            neighbor_min = (
+                edges.join(labels, edges.v == labels.n)
+                .groupBy("u")
+                .agg(F.min("m").alias("nm"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.n == neighbor_min.u, "left")
+                .select(
+                    "n",
+                    F.least(
+                        F.col("m"), F.coalesce(F.col("nm"), F.col("m"))
+                    ).alias("m"),
+                )
+            )
+            new_labels = new_labels.persist()
+            changed = (
+                new_labels.alias("a")
+                .join(labels.alias("b"), "n")
+                .where(F.col("a.m") != F.col("b.m"))
+                .count()
+            )
+            labels.unpersist()  # no-op on the (unpersisted) first frame
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError("label propagation did not converge in 20 rounds")
+        return labels.select(F.col("n").alias("doc_id"), F.col("m").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
 @register(
     "dedup_ngram_jaccard",
     SHINGLES_CTE

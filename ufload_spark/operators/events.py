@@ -270,3 +270,99 @@ def events_median_gap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("user_id", "ts")
     out = ev.groupBy("user_id").applyInPandas(_median_gap, schema=_GAP_SCHEMA)
     return out.withColumn("median_gap_s", F.round("median_gap_s", 3))
+
+
+@register(
+    "events_funnel",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS step_view,
+       (SELECT count(*) FROM c) AS step_click,
+       (SELECT count(*) FROM p) AS step_purchase
+""",
+    doc="ordered conversion funnel view→click→purchase: strictly-ordered "
+    "step timestamps via per-step min-after-previous joins",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: a user converts a step only with an event strictly
+    AFTER their previous step's first event — the standard product-
+    analytics definition (an unordered count would credit purchases that
+    preceded the view). Each step is a per-user min aggregate plus an
+    equi-join on user_id; every shuffle is on the high-cardinality user
+    key, and step frames shrink monotonically — at 100 TB the step-k join
+    input is only step-k-1 converters."""
+    ev = table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, t_prev: str, out: str) -> DataFrame:
+        e = ev.where(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .where(F.col("ts") > F.col(t_prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_after(v, "click", "t_view", "t_click")
+    p = first_after(c, "purchase", "t_click", "t_purchase")
+    counts = [
+        df.agg(F.count("*").alias(name))
+        for df, name in ((v, "step_view"), (c, "step_click"), (p, "step_purchase"))
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT f.cohort_week,
+       CAST((epoch(a.week) - epoch(f.cohort_week)) // 604800 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    doc="weekly retention cohorts: users bucketed by first-seen week, "
+    "counted per week offset",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the canonical growth-analytics rollup. First-seen
+    week per user (one agg), distinct active (user, week) pairs (one agg),
+    then a user-keyed join and a count per (cohort, offset). All shuffles
+    key on user_id until the final tiny (weeks × offsets) aggregate; no
+    windows, no driver loops — linear at any event volume."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    offset = (
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("int")
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+    )
