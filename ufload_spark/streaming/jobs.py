@@ -190,3 +190,59 @@ def streaming_user_activity_stateful(spark: SparkSession, sf_dir: str) -> DataFr
     return sink.groupBy("user_id").agg(
         F.max("last_ts").alias("last_ts"), F.max("n_events").alias("n_events")
     )
+
+
+@register(
+    "streaming_interval_join",
+    """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS dt_s
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    doc="stream-stream interval join (clicks ⋈ purchases within 30 min, "
+    "watermarks both sides) run to completion via AvailableNow",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream join surface: two event streams joined per user
+    with a time-band predicate. Both sides carry watermarks and the join
+    condition bounds event-time distance, so the state store can EVICT —
+    each side retains only rows inside (watermark - band), the property
+    that makes a continuous deployment's state finite. Inner join + append
+    mode means the sink holds exactly the matched pairs regardless of
+    batching, so the batch inequality join is an exact oracle."""
+    clicks = (
+        events_readstream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_readstream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias("dt_s"),
+    )
+    return run_to_memory(joined, output_mode="append", prefix="ssjoin")
