@@ -308,6 +308,45 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_approx_quantiles",
+    # sketch estimates are engine-specific; the checkable contract is the
+    # rank-error guarantee: each approx quantile must lie between the exact
+    # quantiles ±2.5% of rank around its target
+    """
+SELECT o_orderstatus, true AS within_bound FROM orders GROUP BY o_orderstatus
+""",
+    doc="percentile_approx (KLL-style sketch) — scale path for quantiles, "
+    "checked against its rank-error bound vs exact percentiles",
+)
+def orders_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB exact percentiles need a full sort or all values in one
+    aggregation buffer; percentile_approx keeps a bounded mergeable sketch
+    (map-side partials). The estimate is engine-specific, so the oracle
+    checks the sketch CONTRACT per group: with accuracy=1000 the rank error
+    is ≤0.1%, so each approx quantile q must land between the exact
+    quantiles at q∓2.5% rank — a generous envelope that still catches a
+    broken sketch. (Exact percentiles here are verification cost only.)"""
+    li = table(spark, sf_dir, "orders")
+    qs = [0.25, 0.5, 0.75]
+    lo = [q - 0.025 for q in qs]
+    hi = [q + 0.025 for q in qs]
+    agg = li.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", qs, 1000).alias("approx"),
+        F.percentile("o_totalprice", F.array(*[F.lit(x) for x in lo])).alias("lo"),
+        F.percentile("o_totalprice", F.array(*[F.lit(x) for x in hi])).alias("hi"),
+    )
+    within = F.lit(True)
+    for i in range(len(qs)):
+        a = F.element_at("approx", i + 1)
+        within = (
+            within
+            & (a >= F.element_at("lo", i + 1))
+            & (a <= F.element_at("hi", i + 1))
+        )
+    return agg.select("o_orderstatus", within.alias("within_bound"))
+
+
+@register(
     "customers_without_orders",
     """
 SELECT c_custkey, c_name FROM customer
