@@ -366,3 +366,54 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.count("*").alias("n_users"))
     )
+
+
+SESSION_GAP_S = 1800  # 30 min inactivity ends a session
+
+
+@register(
+    "events_sessionize_ids",
+    f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id, event_id,
+       CAST(session_seq AS BIGINT) AS session_seq
+FROM numbered
+""",
+    doc=f"gap-based sessionization: assign a per-user session sequence "
+    f"number ({SESSION_GAP_S} s inactivity gap) via lag + running sum",
+)
+def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-ID assignment — the per-EVENT form of sessionization
+    (``events_session_windows`` is the per-session aggregate form): mark
+    events whose gap from the previous exceeds the threshold, then a
+    running sum of marks numbers the sessions. Both windows share one
+    user_id partition — a single shuffle; (ts, event_id) ordering makes
+    the numbering deterministic under timestamp ties. The classic CDC/
+    clickstream enrichment at any scale."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_S), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(run).cast("bigint").alias("session_seq"),
+    )

@@ -201,3 +201,48 @@ def text_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.when(density > 0.02, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
     )
+
+
+TOP_TERMS_K = 5
+
+
+@register(
+    "text_top_terms_per_lang",
+    f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), counts AS (
+  SELECT lang, term, count(*) AS n FROM toks GROUP BY 1, 2
+)
+SELECT lang, term, n, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+  FROM counts
+) WHERE rnk <= {TOP_TERMS_K}
+""",
+    doc=f"heavy hitters: top-{TOP_TERMS_K} most frequent terms per language "
+    "(explode → count → windowed top-k)",
+)
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy-hitters — the corpus-inspection query behind
+    stopword lists and contamination checks. Explode to (lang, term), one
+    codegen hash-agg (map-side partials absorb the heavy skew of frequent
+    terms before the shuffle), then a per-lang top-k window over the much
+    smaller counts frame. At 100 TB the agg output is vocabulary-sized,
+    orders of magnitude below the corpus; for a single-pass bounded-memory
+    variant, a count-min sketch over mapInPandas slots into the same
+    shape."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.length(F.trim("text")) > 0)
+        .select("lang", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+    )
+    counts = toks.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.desc("n"), "term")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_TERMS_K)
+        .select("lang", "term", "n", "rnk")
+    )
