@@ -1,0 +1,62 @@
+"""Engine-wide discipline guards: the rules SCALING.md claims, enforced.
+
+These fail loudly if a future change sneaks a row-at-a-time Python UDF into
+a hot path or an undocumented driver-side materialization into an operator.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+from tests.conftest import SF_DIR
+
+OPERATORS = pathlib.Path(__file__).resolve().parents[1] / "ufload_spark" / "operators"
+
+
+def test_headline_plans_have_no_row_python(spark):
+    """Every bench headline query must execute without BatchEvalPython
+    (row-at-a-time Python). Arrow-batched Python (ArrowEvalPython /
+    mapInPandas) is the only allowed boundary, and none of the headline
+    set uses even that."""
+    import bench
+    from ufload_spark.plans.registry import load_all
+
+    registry = load_all()
+    for name in bench.HEADLINE:
+        df = registry[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row Python"
+
+
+def test_no_row_udf_registration_anywhere():
+    """`F.udf(` / `@udf` (row-at-a-time) must not appear in any operator
+    module — pandas_udf / mapInPandas / mapInArrow are the sanctioned
+    Python boundaries."""
+    offenders = []
+    for path in OPERATORS.glob("*.py"):
+        src = path.read_text()
+        if re.search(r"(?<!pandas_)\budf\s*\(", src.replace("@pandas_udf", "")):
+            offenders.append(path.name)
+    assert offenders == []
+
+
+#: .count() occurrences that are NOT driver-side materializations of a big
+#: frame, each justified where it appears
+_ALLOWED_COLLECT = {
+    "dedup.py": 1,  # connected-components convergence check (scalar count)
+    "analytics.py": 1,  # GroupedData.pivot().count() — a lazy aggregate
+}
+
+
+def test_driver_side_materialization_is_bounded():
+    """`.collect()` must not appear in operator modules, and `.count()`
+    only where an iterative/audit contract needs a scalar (allowlisted)."""
+    for path in OPERATORS.glob("*.py"):
+        src = path.read_text()
+        assert ".collect()" not in src, f"driver-side collect in {path.name}"
+        n_counts = src.count(".count()")
+        allowed = _ALLOWED_COLLECT.get(path.name, 0)
+        assert n_counts <= allowed, (
+            f"{path.name} has {n_counts} .count() calls, {allowed} allowed"
+        )

@@ -246,3 +246,53 @@ def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_TERMS_K)
         .select("lang", "term", "n", "rnk")
     )
+
+
+def _byte_stats_arrow(batches):
+    """pyarrow-native batch map: zero-copy Arrow RecordBatches in and out,
+    no pandas materialization at all — the leanest Python boundary Spark
+    offers (mapInArrow). Compute stays in pyarrow.compute kernels (C++)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column("text")
+        n_bytes = pc.binary_length(pc.cast(text, pa.binary()))
+        n_chars = pc.utf8_length(text)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(n_bytes, pa.int64()),
+                pc.cast(n_chars, pa.int64()),
+                pc.cast(
+                    pc.equal(n_bytes, pc.cast(n_chars, pa.int32())), pa.bool_()
+                ),
+            ],
+            names=["doc_id", "n_bytes", "n_chars", "ascii_only"],
+        )
+
+
+@register(
+    "text_byte_stats_arrow",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       octet_length(encode(text)) = length(text) AS ascii_only
+FROM documents
+""",
+    doc="mapInArrow byte/char stats: the pyarrow-native (no-pandas) UDF "
+    "tier, kernels in C++",
+)
+def text_byte_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fifth Python-boundary tier (§2.10) after scalar pandas_udf,
+    grouped-map, mapInPandas, and applyInPandasWithState: ``mapInArrow``
+    hands raw Arrow RecordBatches to Python with no pandas conversion —
+    lowest overhead when the computation is itself Arrow-kernel-shaped.
+    UTF-8 byte length vs codepoint count (multibyte detection) per doc;
+    narrow map, no shuffle."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        _byte_stats_arrow,
+        schema="doc_id long, n_bytes long, n_chars long, ascii_only boolean",
+    )
