@@ -43,9 +43,11 @@ _TRIGRAM_DENSITY_SQL = (
 )
 
 
-def _curate_oracle() -> str:
-    # the near-dup pair list IS the standalone LSH query's oracle, nested
-    # as a subquery so both pipelines share one definition
+def _survivors_sql() -> str:
+    """CTE chain ending in ``survivors(doc_id, source, n_tokens)`` — the
+    curated document set both composed pipelines build on. The near-dup
+    pair list IS the standalone LSH query's oracle, nested as a subquery
+    so all pipelines share one definition."""
     lsh_sql = QUERIES["dedup_minhash_lsh_pairs"].oracle
     return f"""
 WITH kept AS (
@@ -63,13 +65,22 @@ WITH kept AS (
 ), near_dropped AS (
   SELECT DISTINCT doc_b AS doc_id
   FROM ({lsh_sql}) WHERE est_sim >= {NEAR_DUP_SIM}
+), survivors AS (
+  SELECT doc_id, source, n_tokens FROM exact_deduped d
+  WHERE NOT EXISTS (SELECT 1 FROM near_dropped x WHERE x.doc_id = d.doc_id)
 )
+"""
+
+
+def _curate_oracle() -> str:
+    return (
+        _survivors_sql()
+        + """
 SELECT source, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-FROM exact_deduped d
-WHERE NOT EXISTS (SELECT 1 FROM near_dropped x WHERE x.doc_id = d.doc_id)
-GROUP BY source
+FROM survivors GROUP BY source
 """
+    )
 
 
 @register(
@@ -84,6 +95,17 @@ def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_fingerprint, dedup_minhash_lsh_pairs), so this checks composition,
     ordering, and the anti-join seam — the places a pipeline actually
     breaks."""
+    survivors = curated_documents(spark, sf_dir)
+    return survivors.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+def curated_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``survivors(doc_id, source, n_tokens)``: quality filter → exact
+    dedup → LSH near-dup drop, as ONE plan (the Spark twin of
+    :func:`_survivors_sql`)."""
     d = table(spark, sf_dir, "documents")
 
     toks = token_count(F.col("text")).cast("double")
@@ -126,8 +148,62 @@ def pipeline_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No broadcast hint: the dropped-id set scales with the corpus (10-50%
     # of documents on real data), so a forced BroadcastExchange is a
     # scale-killer; AQE converts to broadcast at runtime when it fits.
-    survivors = exact_deduped.join(near_dropped, "doc_id", "left_anti")
-    return survivors.groupBy("source").agg(
+    return exact_deduped.join(near_dropped, "doc_id", "left_anti")
+
+
+#: export parameters — mirror the corpus module's machinery
+EXPORT_VAL_PCT = 10
+EXPORT_PACK_BUDGET = 512
+
+_EXPORT_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100"
+
+
+@register(
+    "pipeline_training_export",
+    _survivors_sql()
+    + f"""
+, labeled AS (
+  SELECT s.doc_id, s.source, s.n_tokens, d.lang,
+         CASE WHEN {_EXPORT_BUCKET_SQL} < {EXPORT_VAL_PCT}
+              THEN 'val' ELSE 'train' END AS split
+  FROM survivors s JOIN documents d USING (doc_id)
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(n_tokens) / {EXPORT_PACK_BUDGET}.0) AS BIGINT) AS n_packs
+FROM labeled GROUP BY split, lang
+""",
+    doc="end-to-end training export audit: curated survivors → "
+    "content-addressed train/val split → per-(split, lang) doc/token/pack "
+    "counts, one plan",
+)
+def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest a training run consumes: the CURATED corpus (quality →
+    exact dedup → near-dup drop, shared with ``pipeline_curate_documents``)
+    joined back for language, split with the same content-addressed buckets
+    as ``corpus_train_val_split``, and rolled up to per-(split, lang)
+    document/token/sequence-pack counts (offset packing ⇒ packs =
+    ⌈tokens/budget⌉, no window needed at this granularity). In production
+    the write is ``survivors.write.partitionBy("split", "lang")`` through
+    the staged loader — this query IS that job's audit aggregate, so the
+    oracle validates the whole composition."""
+    d = table(spark, sf_dir, "documents")
+    survivors = curated_documents(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    labeled = survivors.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "lang",
+        F.when(bucket < EXPORT_VAL_PCT, "val").otherwise("train").alias("split"),
+    )
+    return labeled.groupBy("split", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.ceil(F.sum("n_tokens") / float(EXPORT_PACK_BUDGET))
+        .cast("bigint")
+        .alias("n_packs"),
     )

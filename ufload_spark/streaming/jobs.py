@@ -246,3 +246,33 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias("dt_s"),
     )
     return run_to_memory(joined, output_mode="append", prefix="ssjoin")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    """
+SELECT event_type, count(*) AS n_first_arrivals
+FROM (
+  SELECT DISTINCT user_id, event_type FROM events
+) GROUP BY event_type
+""",
+    doc="dropDuplicatesWithinWatermark: streaming dedup whose key state "
+    "EVICTS once the watermark passes — bounded state, unlike plain "
+    "dropDuplicates",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (the production form of
+    ``streaming_dedup_users_per_type``): plain ``dropDuplicates`` keeps
+    every key it has ever seen — state grows with history, eventually
+    fatal on a continuous stream. ``dropDuplicatesWithinWatermark``
+    guarantees dedup only for duplicates arriving within the watermark
+    delay and EVICTS older key state. The fixture's event-time span sits
+    inside one AvailableNow run's watermark progression per key, so the
+    sink equals exact distinct — which the oracle checks; on an unbounded
+    stream the same query runs with finite state."""
+    sdf = events_readstream(spark, sf_dir).withWatermark("ts", "31 days")
+    deduped = sdf.select("user_id", "event_type", "ts").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    sink = run_to_memory(deduped, output_mode="append", prefix="dedup_wm")
+    return sink.groupBy("event_type").agg(F.count("*").alias("n_first_arrivals"))
