@@ -417,3 +417,33 @@ def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum(new_session).over(run).cast("bigint").alias("session_seq"),
     )
+
+
+@register(
+    "events_props_variant",
+    """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS distinct_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k
+FROM events GROUP BY event_type
+""",
+    doc="semi-structured access via VariantType: parse_json once, "
+    "variant_get per field — the modern engine surface for open schemas",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType (Spark 4): ``parse_json`` converts the JSON string to a
+    binary variant ONCE, and ``variant_get`` does typed path access
+    without re-parsing text per field — the difference matters when a
+    props blob is accessed by several expressions (get_json_object
+    re-tokenizes the string each call). The shredded binary encoding is
+    also what open table formats push down. Oracle reads the same values
+    through DuckDB's JSON path functions."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count_distinct(k).alias("distinct_k"),
+        F.min(k).cast("int").alias("min_k"),
+    )

@@ -61,3 +61,47 @@ def sql_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(spark, sf_dir, _REVENUE_SQL)
+
+
+_GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+_LATERAL_SQL = """
+SELECT c_custkey, t.max_price
+FROM customer c, LATERAL (
+  SELECT max(o_totalprice) AS max_price FROM orders WHERE o_custkey = c.c_custkey
+) t
+WHERE c_custkey < 50
+"""
+
+
+@register(
+    "sql_grouping_sets",
+    _GROUPING_SETS_SQL,
+    doc="OP-SNK-2 SQL executor: explicit GROUPING SETS (the generalization "
+    "rollup/cube compile to), identical text on both engines",
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregation in ONE pass: Catalyst expands grouping
+    sets into a single Expand + hash aggregate — one scan serves every
+    granularity, versus one scan per rollup level done naively."""
+    return _run(spark, sf_dir, _GROUPING_SETS_SQL)
+
+
+@register(
+    "sql_lateral_correlated",
+    _LATERAL_SQL,
+    doc="OP-SNK-2 SQL executor: correlated LATERAL subquery, identical "
+    "text on both engines",
+)
+def sql_lateral_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL — the per-row subquery surface. Catalyst decorrelates it
+    into an aggregate + left outer join on o_custkey (no per-row
+    re-execution; `.explain` shows a plain join, which is why this scales
+    where a literal nested-loop interpretation would not)."""
+    return _run(spark, sf_dir, _LATERAL_SQL)
