@@ -1,0 +1,129 @@
+"""Storage-layout operators: bucketed and partitioned table layouts.
+
+The reference tunes physical layout with ``pg_restore -j N`` and post-load
+ANALYZE (reference ufload/db.py:61-65,163-175); a Spark warehouse tunes it
+with bucketing (pre-shuffled layout → exchange-free joins) and directory
+partitioning (partition pruning). Both are registered as driver-verified
+queries here: each WRITES the layout through the normal writer, then runs
+the query whose plan the layout improves, and the DuckDB oracle checks the
+answer survived the layout round-trip. `tests/test_scale.py` pins the plan
+properties themselves (no exchange before the bucketed join;
+PartitionFilters on the pruned scan).
+
+At 100 TB these layouts are THE repeated-join/selective-scan answer:
+bucketing pays one shuffle at write time and amortizes it over every
+subsequent orderkey join; partitioning turns a predicate into directory
+listing. Bucket/partition counts here are fixture-sized; production sizes
+them by data volume (buckets ≈ total/target-file-size).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ufload_spark.plans.registry import register
+from ufload_spark.sources.tables import table
+
+N_BUCKETS = 8
+
+
+def _reset_table(spark: SparkSession, name: str) -> None:
+    """Drop a managed table AND its leftover warehouse directory. A prior
+    session's crash (or just a new session over an old warehouse dir)
+    leaves the location on disk without a catalog entry, which makes
+    ``saveAsTable`` fail with LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{name}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+@register(
+    "layout_bucketed_orderkey_join",
+    """
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+    doc="bucketed-layout join: both tables bucketBy(orderkey) → the join "
+    "runs exchange-free; revenue rollup read back from the bucketed copies",
+)
+def layout_bucketed_orderkey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem and orders bucketed on the join key, then run the
+    classic revenue join ON THE BUCKETED COPIES. Spark records bucket specs
+    in the catalog, sees both sides pre-hashed into the same bucket count,
+    and plans the join with NO exchange (pinned by
+    ``test_bucketed_join_has_no_shuffle``) — at scale this converts every
+    recurring orderkey join from two shuffles to zero. The oracle computes
+    the same rollup from the raw parquet, proving the bucketed round-trip
+    changed the layout, not the data."""
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_t, o_t = f"li_bucketed_{suffix}", f"o_bucketed_{suffix}"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    _reset_table(spark, li_t)
+    _reset_table(spark, o_t)
+    li.write.bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(li_t)
+    o.write.bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(o_t)
+    j = spark.table(li_t).join(
+        spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return (
+        j.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "layout_partitioned_prune",
+    """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+""",
+    doc="partitioned-layout scan: write events partitionBy(event_type), "
+    "read back with a partition predicate — pruning at directory level",
+)
+def layout_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events partitioned by event_type, then aggregate two types
+    FROM THE PARTITIONED COPY: the predicate becomes a PartitionFilter —
+    Spark lists only the matching directories and never opens the other
+    files (pinned by ``test_partitioned_write_prunes``). The layout twin of
+    predicate pushdown: pushdown skips row groups, partitioning skips
+    whole files. Oracle reads the raw parquet."""
+    from ufload_spark.sources.loader import _scratch
+
+    dest = _scratch(
+        f"events_by_type_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    ev = table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(dest)
+    back = spark.read.parquet(dest).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
