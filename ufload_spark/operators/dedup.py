@@ -336,6 +336,77 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.select("doc_id").join(collided, "doc_id", "left_anti")
 
 
+@register(
+    "dedup_minhash_persist_roundtrip",
+    # identical oracle to dedup_minhash_incremental: persisting the corpus
+    # signatures through the loader must not change the answer
+    _MINHASH_SIGS_SQL
+    + f"""
+, batch AS (SELECT * FROM sigs WHERE doc_id % 4 = 0),
+existing AS (SELECT * FROM sigs WHERE doc_id % 4 <> 0),
+batch_keys AS (
+{_band_keys_sql('batch')}
+), existing_keys AS (
+{_band_keys_sql('existing')}
+), collided AS (
+  SELECT DISTINCT bk.doc_id
+  FROM batch_keys bk JOIN existing_keys ek
+    ON bk.band = ek.band AND bk.k1 = ek.k1 AND bk.k2 = ek.k2
+)
+SELECT doc_id FROM batch
+WHERE doc_id NOT IN (SELECT doc_id FROM collided)
+""",
+    doc="incremental dedup against a PERSISTED signature table: corpus "
+    "signatures go through stage→audit→publish, are read back from disk, "
+    "and the batch anti-joins the published copy",
+)
+def dedup_minhash_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production loop ``dedup_minhash_incremental`` describes, actually
+    executed: corpus signatures are WRITTEN through the staged loader
+    (stage → audit → atomic publish — the same path any table takes), read
+    back from the published parquet, and the new batch's band keys
+    anti-join the on-disk copy. Hash-matching the in-memory variant's
+    oracle pins that the persistence round-trip (parquet encode/decode,
+    partitioning) is lossless for signature data — the property the
+    incremental design depends on."""
+    import os
+
+    from ufload_spark.sources.loader import _scratch, stage_and_publish
+
+    sigs = _minhash_sigs(spark, sf_dir)
+    existing = sigs.where(F.col("doc_id") % 4 != 0)
+    target = _scratch(
+        f"minhash_sigs_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    stage_and_publish(spark, existing, target)
+    persisted = spark.read.parquet(target)
+
+    batch = sigs.where(F.col("doc_id") % 4 == 0)
+
+    def melt(df: DataFrame) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.col(f"m{2*b}").alias("k1"),
+                    F.col(f"m{2*b+1}").alias("k2"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+        return df.select("doc_id", F.explode(bands).alias("bk")).select(
+            "doc_id", "bk.band", "bk.k1", "bk.k2"
+        )
+
+    collided = (
+        melt(batch)
+        .join(melt(persisted), ["band", "k1", "k2"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return batch.select("doc_id").join(collided, "doc_id", "left_anti")
+
+
 _SIMHASH_BITSUMS_SQL = ", ".join(
     f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
     for j in range(SIMHASH_BITS)
