@@ -775,3 +775,43 @@ def orders_date_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.date_add(F.col("o_orderdate").cast("date"), 30)), "yyyy-MM-dd"
         ).alias("first_due"),
     )
+
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 600_000.0, 12
+_HIST_W = (HIST_HI - HIST_LO) / HIST_BUCKETS
+
+
+@register(
+    "orders_price_histogram",
+    f"""
+SELECT CAST(least({HIST_BUCKETS - 1},
+            greatest(0, floor((o_totalprice - {HIST_LO}) / {_HIST_W}))) AS INT)
+         AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo_price,
+       round(max(o_totalprice), 2) AS hi_price
+FROM orders GROUP BY 1
+""",
+    doc=f"histogram binning: {HIST_BUCKETS} fixed-width price buckets via "
+    "pure arithmetic (one codegen hash aggregate)",
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling as one aggregate: the bucket id is plain
+    arithmetic (floor over a fixed grid, edges clamped), so the whole
+    histogram is a single map-side-combined hash aggregate — no sort, no
+    window, and the same expression text works in both engines. The
+    data-adaptive variant (equi-depth) is `supplier_acctbal_percentiles`/
+    `orders_approx_quantiles`; fixed-width is the streaming-friendly one
+    (mergeable across partitions and batches)."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(HIST_BUCKETS - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col("o_totalprice") - HIST_LO) / _HIST_W)
+        ),
+    ).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo_price"),
+        F.round(F.max("o_totalprice"), 2).alias("hi_price"),
+    )

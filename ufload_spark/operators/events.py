@@ -447,3 +447,57 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(k).alias("distinct_k"),
         F.min(k).cast("int").alias("min_k"),
     )
+
+
+@register(
+    "events_fill_gaps",
+    """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+), hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+), actual AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events WHERE user_id < 5 GROUP BY 1, 2
+), users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 5)
+SELECT u.user_id, h.hour,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+FROM users u CROSS JOIN hours h
+LEFT JOIN actual a ON a.user_id = u.user_id AND a.hour = h.hour
+""",
+    doc="time-series gap filling: densify sparse per-user hourly counts "
+    "over the full range via sequence + explode + left join",
+)
+def events_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling sparse events to a dense grid — what every downstream
+    time-series model wants. The hour spine comes from ``sequence()`` over
+    the observed bounds (a 1-row aggregate, broadcast into the cross
+    join); missing (user, hour) cells left-join to zero. Spine size is
+    (range × keys), independent of event volume — at 100 TB the spine is
+    still tiny next to the events and the join shuffles on the dense keys.
+    User subset keeps the fixture output reviewable."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    sub = ev.where(F.col("user_id") < 5)
+    actual = sub.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    users = sub.select("user_id").distinct()
+    return (
+        users.crossJoin(F.broadcast(hours))
+        .join(actual, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )

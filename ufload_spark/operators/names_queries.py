@@ -257,3 +257,34 @@ def fn_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_type", "ED").alias("ed_pos"),
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
     )
+
+
+@register(
+    "fn_try_ops",
+    """
+SELECT * FROM (VALUES
+  ('7',                   CAST(7 AS BIGINT),    CAST(8 AS BIGINT),   50.0),
+  ('x',                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)),
+  ('9223372036854775807', 9223372036854775807,  CAST(NULL AS BIGINT), 100.0),
+  ('42',                  CAST(42 AS BIGINT),   CAST(43 AS BIGINT),  CAST(NULL AS DOUBLE))
+) AS t(s, as_long, plus_one, ratio)
+""",
+    doc="ANSI-safe arithmetic: try_cast / try_add (overflow→NULL) / "
+    "try_divide (÷0→NULL) against golden outputs",
+)
+def fn_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 runs ANSI mode by default — bad casts and overflow RAISE
+    instead of silently wrapping (the pre-4 behavior that corrupted
+    pipelines quietly). The try_* family is the per-expression opt-out:
+    NULL on failure, error swallowed locally, not globally. Golden rows
+    pin the three failure classes: unparseable cast, bigint overflow
+    (max+1), and division by zero."""
+    rows = [("7", 2), ("x", 0), ("9223372036854775807", 1), ("42", 0)]
+    df = spark.createDataFrame(rows, "s string, n int")
+    as_long = F.expr("try_cast(s AS BIGINT)")
+    return df.select(
+        "s",
+        as_long.alias("as_long"),
+        F.try_add(as_long, F.lit(1)).alias("plus_one"),
+        F.try_divide(F.lit(100), F.col("n")).alias("ratio"),
+    )
