@@ -35,9 +35,14 @@ HEADLINE = [
     "archive_merge",               # anti-join merge
     "delive_password_stomp",       # sanitize projection
     "dedup_minhash_lsh_pairs",     # MinHash LSH near-dedup
+    "dedup_simhash_pairs",         # SimHash Hamming-bucket retrieval (r2)
     "pipeline_curate_documents",   # composed curation pipeline
+    "pipeline_training_export",    # curate → split → pack manifest (r2)
     "similarity_topk_cosine",      # vector top-k
+    "similarity_lsh_topk",         # banded-LSH query-probe ANN (r2)
     "text_quality_score",          # text scoring map
+    "corpus_pii_scrub",            # regex redaction map (r2)
+    "events_retention_cohorts",    # cohort rollup (r2)
 ]
 
 

@@ -351,20 +351,25 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LOOKUP shape of banded LSH (ann_pairs is the corpus-wide pair
     shape): a small query batch computes its band signatures and probes
     the corpus signature table — at scale, a PERSISTED table maintained by
-    the loader, so queries never re-hash the corpus. The query-side
-    signature frame is tiny and broadcasts into the corpus-signature join;
-    candidates (band collisions) are the only rows rescored exactly, and
-    the final top-k windows by qid — an evenly-keyed small shuffle."""
-    sigs = _lsh_band_sigs(spark, sf_dir)
-    qsig = sigs.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), "band", "sig"
-    )
-    csig = sigs.where(F.col("vec_id") >= 5).select(
-        F.col("vec_id").alias("cid"), "band", "sig"
-    )
+    the loader, so queries never re-hash the corpus (see
+    ``dedup_minhash_persist_roundtrip`` for that loop executed). Here both
+    sides derive from one signature frame, so the split lives in the JOIN
+    CONDITION (not pre-filters, which would make the children differ) and
+    the ``shuffle_hash`` hint gives identical exchanges — AQE ReuseExchange
+    computes the signature pipeline ONCE. Candidates (band collisions) are
+    the only rows rescored exactly, and the final top-k windows by qid —
+    an evenly-keyed small shuffle."""
+    sigs = _lsh_band_sigs(spark, sf_dir).hint("shuffle_hash")
+    a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
-        csig.join(F.broadcast(qsig), ["band", "sig"])
-        .select("qid", "cid")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < 5)
+            & (F.col("b.vec_id") >= 5),
+        )
+        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("cid"))
         .distinct()
     )
     e = table(spark, sf_dir, "embeddings")
