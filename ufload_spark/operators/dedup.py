@@ -8,7 +8,7 @@ Design for 100 TB:
   banding turns the quadratic all-pairs problem into equi-joins on band
   keys, so candidate generation is shuffle-on-band-key — the only scalable
   shape for near-dedup at pretraining scale.
-- SimHash: one aggregation pass producing a 16-bit locality-sensitive
+- SimHash: one aggregation pass producing a 32-bit locality-sensitive
   fingerprint per doc; ``dedup_simhash_pairs`` retrieves near-dup pairs
   within Hamming distance d by the pigeonhole segment-join (split the
   fingerprint into d+1 segments — a pair within distance d must agree
@@ -33,7 +33,8 @@ from ufload_spark.sources.tables import table
 
 K_HASHES = 8
 N_BANDS = 4  # bands of 2 rows each
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32  # 16 bits was noise-dominated: random pairs collide at d<=3
+# with P~1%, drowning true near-dups; 32 bits drops that to ~1e-6
 
 #: MinHash family h_i(x) = (A[i]·x + B[i]) mod P32 over a single 32-bit
 #: md5-derived base hash — one md5 per shingle instead of K; the affine mix
@@ -427,7 +428,7 @@ _SIMHASH_COMBINE_SQL = " + ".join(
 )
 SELECT doc_id, CAST({_SIMHASH_COMBINE_SQL} AS BIGINT) AS simhash FROM bitsums
 """,
-    doc="SimHash (16-bit) locality-sensitive fingerprint per document",
+    doc="SimHash (32-bit) locality-sensitive fingerprint per document",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: per-bit majority vote over shingle hashes → near-identical
@@ -454,7 +455,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: agree exactly on at least one of HAMMING_D + 1 fingerprint segments.
 HAMMING_D = 3
 N_SEGS = HAMMING_D + 1
-SEG_BITS = SIMHASH_BITS // N_SEGS  # 16 bits → 4 segments × 4 bits
+SEG_BITS = SIMHASH_BITS // N_SEGS  # 32 bits → 4 segments × 8 bits
 
 _SIMHASH_CTE = (
     SHINGLES_CTE
