@@ -1,0 +1,123 @@
+"""Source-format breadth: CSV, JSON-lines, and ORC round-trips.
+
+The engine's native format is parquet; real ingestion also arrives as CSV
+and JSON lines (and ORC from Hive-era warehouses). Each query here WRITES a
+fixture slice in the format through Spark's writer, reads it back through
+the real reader with an EXPLICIT schema (schema inference is a full extra
+pass over the data — never pay it at 100 TB), and aggregates; the DuckDB
+oracle computes the same aggregate from the original parquet, so a lossy
+encode/decode (quoting, timestamp formatting, null handling) hash-fails.
+
+Scale posture: all three formats split across executors (CSV/JSON by line,
+ORC by stripe); only parquet/ORC carry column statistics, so CSV/JSON are
+ingest formats — land, convert to parquet via the staged loader, query the
+columns. That conversion IS ``stage_and_publish``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ufload_spark.plans.registry import register
+from ufload_spark.sources.loader import _scratch
+from ufload_spark.sources.tables import table
+
+_ORDERS_AGG_SQL = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total,
+       strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_date
+FROM orders WHERE o_custkey % 10 = 0
+GROUP BY o_orderstatus
+"""
+
+_ORDERS_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate date, o_orderpriority string"
+)
+
+
+def _orders_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            # the fixture stores o_orderdate as timestamp; DATE is the
+            # text-format-friendly type being round-tripped here
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        # string-typed on both sides: pandas coerces DuckDB DATEs to
+        # midnight Timestamps, which would hash-differ from Spark's dates
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+    )
+
+
+def _roundtrip(
+    spark: SparkSession, sf_dir: str, fmt: str, options: dict | None = None
+) -> DataFrame:
+    dest = _scratch(
+        f"orders_{fmt}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    w = _orders_slice(spark, sf_dir).write.mode("overwrite").format(fmt)
+    r = spark.read.format(fmt).schema(_ORDERS_SCHEMA)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+        r = r.option(k, v)
+    w.save(dest)
+    return _agg(r.load(dest))
+
+
+@register(
+    "source_csv_roundtrip",
+    _ORDERS_AGG_SQL,
+    doc="CSV source: write → read back with explicit schema (header, "
+    "quoting) → aggregate; oracle from the original parquet",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV is the lowest-common-denominator ingest format: no types, no
+    stats, line-splittable. The explicit schema avoids the inference pass
+    (a full extra scan); header + quote handling round-trips strings with
+    commas. Values surviving the text round-trip bit-exact is what the
+    oracle pins."""
+    return _roundtrip(spark, sf_dir, "csv", {"header": "true"})
+
+
+@register(
+    "source_json_roundtrip",
+    _ORDERS_AGG_SQL,
+    doc="JSON-lines source: write → schema-explicit read → aggregate; "
+    "oracle from the original parquet",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON lines: self-describing field names but stringly-typed values —
+    the explicit schema does the coercion at scan time (PERMISSIVE mode;
+    corrupt rows would surface in ``_corrupt_record`` rather than failing
+    the job, the posture bulk ingest wants)."""
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@register(
+    "source_orc_roundtrip",
+    _ORDERS_AGG_SQL,
+    doc="ORC source: columnar round-trip (stripe-split, stats-bearing) — "
+    "the Hive-era interchange format",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC is the other columnar: stripes split across executors, min/max
+    stats support predicate pushdown like parquet. Same round-trip
+    contract as the text formats."""
+    return _roundtrip(spark, sf_dir, "orc")
