@@ -151,3 +151,34 @@ def test_version_key_sorts_numerically(spark, versions):
     ]
     want = [n for _, n in sorted(zip(versions, names), key=lambda p: (p[0], p[1]))]
     assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(0, 2**32 - 1),
+            st.sets(st.integers(0, 31), min_size=0, max_size=3),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_simhash_pigeonhole_guarantee(spark, pairs):
+    """The segment-join soundness argument, checked directly: for ANY
+    32-bit fingerprint and any ≤3 bit flips, at least one of the four
+    8-bit segments is untouched — so the (seg, segval) equi-join proposes
+    every true pair. (spark fixture unused; kept for uniform signature.)"""
+    from ufload_spark.operators.dedup import HAMMING_D, N_SEGS, SEG_BITS
+
+    mask = (1 << SEG_BITS) - 1
+    for base, flips in pairs:
+        other = base
+        for b in flips:
+            other ^= 1 << b
+        assert bin(base ^ other).count("1") <= HAMMING_D
+        seg_equal = any(
+            (base >> (SEG_BITS * j)) & mask == (other >> (SEG_BITS * j)) & mask
+            for j in range(N_SEGS)
+        )
+        assert seg_equal, f"no shared segment for flips {flips}"
