@@ -123,6 +123,49 @@ def test_download_gives_up(tmp_path):
         )
 
 
+def test_publish_rename_failure_rolls_old_back(spark, tmp_path, monkeypatch):
+    """If the publish rename fails AFTER the old data was moved aside, the
+    old dir must be renamed back — target ends up exactly as before."""
+    from ufload_spark.sources import loader
+
+    target = str(tmp_path / "t")
+    df = table(spark, SF_DIR, "region")
+    stage_and_publish(spark, df, target)
+    before = sorted(r["r_regionkey"] for r in spark.read.parquet(target).collect())
+
+    real_fs = loader._fs
+
+    class FailingPublishFS:
+        """Delegates to the real Hadoop FS but fails the staging→target
+        rename, simulating a filesystem error mid-swap."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, src, dst):
+            if ".staging." in str(src) and str(dst).rstrip("/").endswith("/t"):
+                return False
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def failing_fs(s, path):
+        fs, jpath, jvm = real_fs(s, path)
+        return FailingPublishFS(fs), jpath, jvm
+
+    monkeypatch.setattr(loader, "_fs", failing_fs)
+    with pytest.raises(AuditError, match="could not publish"):
+        stage_and_publish(spark, df.limit(1), target)
+    monkeypatch.setattr(loader, "_fs", real_fs)
+
+    # old data rolled back into place, no staging/old leftovers
+    after = sorted(r["r_regionkey"] for r in spark.read.parquet(target).collect())
+    assert after == before
+    leftovers = [p for p in os.listdir(tmp_path) if "staging" in p or ".old" in p]
+    assert leftovers == []
+
+
 # --- ranged-HTTP transport, against a real local http.server thread ------
 
 
