@@ -59,6 +59,66 @@ def test_streaming_matches_batch_counts(spark):
     assert got == want
 
 
+def test_interval_join_invariant_under_micro_batching(spark, tmp_path):
+    """The one-file fixture gives AvailableNow a single micro-batch, which
+    can mask batching bugs. Split events into 8 files and stream them 2 at
+    a time (maxFilesPerTrigger) so the stream-stream interval join really
+    runs across ~4 micro-batches with state carried between them — the
+    matched pairs must equal the batch inequality join exactly."""
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(batch.dtypes)["ts"] == "bigint":
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src_dir = str(tmp_path / "events_split")
+    batch.repartition(8).write.parquet(src_dir)
+
+    sdf = spark.readStream.schema(batch.schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src_dir)
+    clicks = (
+        sdf.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "31 days")  # files arrive in arbitrary ts order
+    )
+    purchases = (
+        sdf.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "31 days")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select("click_id", "purchase_id")
+    sink = run_to_memory(joined, output_mode="append", prefix="mb_join")
+    got = {(r["click_id"], r["purchase_id"]) for r in sink.collect()}
+
+    c = batch.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("c_ts"), F.col("event_id").alias("click_id")
+    )
+    p = batch.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(p, "user_id")
+        .where(
+            (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_checkpoint_dir_is_isolated(spark):
     """Two runs of the same job must not collide on sink name or
     checkpoint dir (the driver may invoke a query repeatedly)."""
