@@ -815,3 +815,39 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo_price"),
         F.round(F.max("o_totalprice"), 2).alias("hi_price"),
     )
+
+
+@register(
+    "orders_trailing_revenue",
+    """
+SELECT o_orderkey, o_orderstatus,
+       CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day_no,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_orderstatus
+         ORDER BY CAST(epoch(o_orderdate) // 86400 AS BIGINT)
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing_7d
+FROM orders WHERE o_custkey % 20 = 0
+""",
+    doc="RANGE-frame window: per-status trailing-7-day revenue — value-"
+    "based frame bounds, not row counts",
+)
+def orders_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RANGE frame surface (every other window here uses ROWS): the
+    frame holds all peers within 6 DAYS of the current row's date, however
+    many rows that is — the semantics rolling business metrics actually
+    want (a ROWS frame silently under-counts on dense days). Ordering is
+    the integer day number; one shuffle on the partition key. DuckDB
+    executes the identical frame spec."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") % 20 == 0)
+    day_no = (F.unix_timestamp("o_orderdate") / 86400).cast("long")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(day_no)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        day_no.alias("day_no"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d"),
+    )
