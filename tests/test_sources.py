@@ -46,15 +46,78 @@ def test_publish_audit_failure_keeps_old(spark, tmp_path):
 
 def test_publish_sweeps_crashed_run_leftovers(spark, tmp_path):
     """Orphaned .staging/.old dirs from a crashed run must not break or
-    pollute the next publish."""
+    pollute the next publish: stale staging is swept up front, old copies
+    are swept only once the new publish has succeeded."""
     target = str(tmp_path / "t")
-    os.makedirs(f"{target}.staging.deadbeef.cafe")
-    os.makedirs(f"{target}.old.deadbeef.cafe")
     df = table(spark, SF_DIR, "region")
+    stage_and_publish(spark, df, target)  # target exists; .old is not recovery
+    os.makedirs(f"{target}.staging.deadbeef.cafe")
+    os.utime(f"{target}.staging.deadbeef.cafe", (0, 0))  # crash debris: old
+    os.makedirs(f"{target}.old.deadbeef.cafe")
     n = stage_and_publish(spark, df, target)
     assert n == spark.read.parquet(target).count()
     leftovers = [p for p in os.listdir(tmp_path) if "staging" in p or ".old" in p]
     assert leftovers == []
+
+
+def test_fresh_staging_of_concurrent_publisher_left_alone(spark, tmp_path):
+    """A young .staging dir may belong to a LIVE concurrent publish — the
+    sweep must not delete it mid-write (r2 ADVICE)."""
+    target = str(tmp_path / "t")
+    live = f"{target}.staging.someother.run"
+    os.makedirs(live)
+    df = table(spark, SF_DIR, "region")
+    stage_and_publish(spark, df, target)
+    assert os.path.isdir(live)  # untouched: too young to be debris
+
+
+def test_crash_window_old_copy_is_recovered_not_swept(spark, tmp_path):
+    """Crash between the two swap renames leaves target absent and the only
+    surviving copy in <target>.old.*. The next publish must treat that copy
+    as recovery data — restore it first — NOT sweep it (r2 ADVICE, medium):
+    if the next publish then fails, the data must still be there."""
+    target = str(tmp_path / "t")
+    df = table(spark, SF_DIR, "region")
+    stage_and_publish(spark, df, target)
+    before = spark.read.parquet(target).count()
+    # simulate the mid-swap crash state: target moved aside, never replaced
+    os.rename(target, f"{target}.old.crashed.run")
+    assert not os.path.exists(target)
+    # next publish fails its audit — but recovery must already have happened
+    with pytest.raises(AuditError):
+        stage_and_publish(spark, df, target, expected_rows=before + 999)
+    assert spark.read.parquet(target).count() == before  # data survived
+
+
+def test_pointer_publish_reader_never_sees_missing(spark, tmp_path, monkeypatch):
+    """publish_versioned commits via an atomic pointer-file swap: a reader
+    resolves a complete version at every instant, even when a new publish
+    crashes before its commit."""
+    from ufload_spark.sources import loader
+
+    target = str(tmp_path / "t")
+    df = table(spark, SF_DIR, "region")
+    n1 = loader.publish_versioned(spark, df, target)
+    assert loader.read_current(spark, target).count() == n1
+
+    # crash injected between the version write and the pointer commit
+    real_commit = loader._commit_pointer
+
+    def crashing_commit(fs, jvm, tgt, version_name):
+        raise RuntimeError("simulated crash before pointer commit")
+
+    monkeypatch.setattr(loader, "_commit_pointer", crashing_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        loader.publish_versioned(spark, df.limit(2), target)
+    # reader still sees the previous committed version, intact
+    assert loader.read_current(spark, target).count() == n1
+
+    monkeypatch.setattr(loader, "_commit_pointer", real_commit)
+    n2 = loader.publish_versioned(spark, df.limit(2), target)
+    assert n2 == 2 == loader.read_current(spark, target).count()
+    # superseded versions beyond keep_versions are swept; current survives
+    versions = [p for p in os.listdir(tmp_path) if ".v." in p]
+    assert len(versions) <= 2
 
 
 def test_empty_stage_rejected(spark, tmp_path):
@@ -252,6 +315,68 @@ def test_http_range_read_retries(http_url):
     r = remote.RangeReader(http_url, opener=opener, sizer=sizer, retry_sleep_s=0)
     _RangeHTTPHandler.fail_next["n"] = 2  # reads must survive transient 503s
     assert r.read(10) == _RangeHTTPHandler.payload[:10]
+
+
+def _auth_server(realm_payload: bytes):
+    """An HTTP server demanding basic auth; records Authorization headers."""
+    import http.server
+
+    seen: list = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 — http.server API
+            auth = self.headers.get("Authorization")
+            seen.append(auth)
+            if auth is None:
+                self.send_response(401)
+                self.send_header("WWW-Authenticate", 'Basic realm="dumps"')
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(realm_payload)))
+            self.end_headers()
+            self.wfile.write(realm_payload)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    import threading
+
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}", seen
+
+
+def test_http_auth_requires_scope():
+    """Credentials without a base URL to scope them to are a config error —
+    scheme-wide registration would replay them to arbitrary hosts."""
+    with pytest.raises(ValueError, match="auth_base_url"):
+        remote.make_http_opener(user="u", password="p")
+
+
+def test_http_auth_scoped_to_dump_host_only():
+    """Scoped creds answer the dump host's 401 but are NOT offered to a
+    different host that also demands auth (r2 ADVICE: credential leak)."""
+    import urllib.error
+
+    srv1, base1, seen1 = _auth_server(b"dump-bytes")
+    srv2, base2, seen2 = _auth_server(b"other-bytes")
+    try:
+        opener, _ = remote.make_http_opener(
+            user="u", password="p", auth_base_url=base1
+        )
+        # dump host: 401 challenge answered, payload served
+        with opener(f"{base1}/blob.bin", 0) as resp:
+            assert resp.read() == b"dump-bytes"
+        assert any(a and a.startswith("Basic ") for a in seen1)
+        # other host: challenge NOT answered — no Authorization ever sent
+        with pytest.raises(urllib.error.HTTPError):
+            opener(f"{base2}/blob.bin", 0)
+        assert all(a is None for a in seen2)
+    finally:
+        srv1.shutdown()
+        srv2.shutdown()
 
 
 def test_zip_corruption_flagged(spark, tmp_path):

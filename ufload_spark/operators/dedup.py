@@ -494,7 +494,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retrieval step SimHash exists for: near-dup pairs within Hamming
     distance d, without all-pairs comparison.
 
-    Pigeonhole guarantee: if two 16-bit fingerprints differ in ≤ d bits,
+    Pigeonhole guarantee: if two SIMHASH_BITS-bit fingerprints differ in ≤ d bits,
     then splitting into d+1 segments, at least one segment is bit-identical
     — so the union of d+1 segment equi-joins proposes every true pair.
     Like the MinHash banding above, segments are melted to (seg, segval)

@@ -6,10 +6,11 @@ fixups, then atomically swaps it into place and drops the old one
 Here the same lifecycle is expressed over table directories:
 
 1. **stage**: write the DataFrame as parquet under ``<target>.staging.<pid>``
-2. **audit**: read the staged copy back and check row count (and any caller
-   predicate) — nothing is visible to readers yet
+2. **audit**: row count *observed during the staging write itself*
+   (``df.observe`` — one scan of the source, no second pass) must equal the
+   staged copy's parquet-footer count — nothing is visible to readers yet
 3. **publish**: atomically rename staging → target (old data, if any, is
-   moved aside first and deleted after the swap)
+   moved aside first and deleted only after the swap succeeds)
 
 All filesystem ops go through the Hadoop ``FileSystem`` API, so the code is
 identical on local disk, HDFS, and object stores. Directory rename is atomic
@@ -17,6 +18,17 @@ on local/HDFS; on S3-like stores it is copy+delete — production deployments
 layer a transactional table format (Delta/Iceberg) over the same
 stage/audit/publish sequence, which this module documents as the swap-in
 replacement.
+
+Crash posture of the two-rename swap: a crash *between* the renames leaves
+``target`` absent with the previous data parked in ``<target>.old.<suffix>``
+(the reference's drop-then-rename, db.py:179-208, has the same window).
+Recovery is built in: the next publish first restores the newest ``.old``
+copy if ``target`` is absent, and ``.old`` dirs are swept only *after* a
+successful publish — never up front, where they may be the only surviving
+copy. For readers that must never observe an absent target at all,
+:func:`publish_versioned` / :func:`read_current` close the window entirely
+with a pointer-file commit (data dirs are immutable versions; the commit is
+one atomic rename of a one-line pointer file).
 
 Skip-if-unchanged (OP-STR-2): the reference memoizes the last-loaded dump
 size in an ``about`` table (reference ufload/db.py:695-711) and skips the
@@ -30,11 +42,17 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ufload_spark.plans.registry import register
 from ufload_spark.sources.tables import table
+
+# Staging dirs younger than this are presumed to belong to a live concurrent
+# publish and are left alone; older ones are crash debris. Directory mtimes
+# tick while the writer streams files in, so any actively-written staging
+# dir is far younger than this.
+ORPHAN_MIN_AGE_S = 3600.0
 
 
 class AuditError(RuntimeError):
@@ -47,16 +65,42 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
 
 
-def _sweep_orphans(fs, jvm, target: str) -> None:
-    """Remove ``<target>.staging.*`` / ``<target>.old.*`` left by crashed
-    runs — a crashed publish must not make the NEXT publish fail (a stale
-    dir under the next run's name) or leak disk forever."""
-    for pattern in (f"{target}.staging.*", f"{target}.old.*"):
-        statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern))
-        if statuses is None:
-            continue
-        for st in statuses:
+def _glob(fs, jvm, pattern: str):
+    statuses = fs.globStatus(jvm.org.apache.hadoop.fs.Path(pattern))
+    return list(statuses) if statuses is not None else []
+
+
+def _recover_old(fs, jvm, jtarget, target: str) -> None:
+    """If a previous publish crashed between its two swap renames, ``target``
+    is absent and the only surviving copy sits in ``<target>.old.<suffix>``.
+    Restore the newest such copy instead of treating it as garbage."""
+    if fs.exists(jtarget):
+        return
+    olds = _glob(fs, jvm, f"{target}.old.*")
+    if not olds:
+        return
+    newest = max(olds, key=lambda st: st.getModificationTime())
+    fs.rename(newest.getPath(), jtarget)
+
+
+def _sweep_stale_staging(fs, jvm, target: str, *, min_age_s: float = ORPHAN_MIN_AGE_S) -> None:
+    """Remove ``<target>.staging.*`` left by *crashed* runs. Only dirs older
+    than ``min_age_s`` are touched: a fresh staging dir may belong to a live
+    concurrent publish (each run's unique suffix keeps names disjoint, so age
+    is the only signal needed to tell debris from in-flight work)."""
+    now_ms = time.time() * 1000
+    for st in _glob(fs, jvm, f"{target}.staging.*"):
+        if now_ms - st.getModificationTime() >= min_age_s * 1000:
             fs.delete(st.getPath(), True)
+
+
+def _sweep_old(fs, jvm, target: str) -> None:
+    """Remove every ``<target>.old.*``. Called only after a successful
+    publish, when ``target`` holds the new data and the old copies are
+    genuinely disposable — never up front (ADVICE r2: an up-front sweep
+    deletes the crash-recovery copy before anything replaced it)."""
+    for st in _glob(fs, jvm, f"{target}.old.*"):
+        fs.delete(st.getPath(), True)
 
 
 def stage_and_publish(
@@ -70,31 +114,45 @@ def stage_and_publish(
     """Write ``df`` to a staging dir, audit it, publish to ``target`` via
     directory swap. Returns the audited row count.
 
+    The row count is **observed during the staging write** (one scan of the
+    source) and audited against the staged copy's parquet-footer count; pass
+    ``expected_rows`` only when the caller has an independent expectation —
+    there is no internal pre-count.
+
     Failure posture: on any audit/write failure the staging dir is removed
     and ``target`` is untouched (reference ufload/db.py:202-208 drops the
     staging DB the same way); if the publish rename itself fails after the
-    old data was moved aside, the old dir is renamed back. The swap is two
-    renames, so a CRASH (not an exception) between them can leave ``target``
-    absent with the data parked in ``<target>.old.<suffix>`` — inherent to
-    directory-swap publishing; orphaned staging/old dirs from crashed runs
-    are swept on the next publish. A transactional table format
-    (Delta/Iceberg) closes that crash window; this module is the
-    plain-filesystem shape of the same lifecycle."""
+    old data was moved aside, the old dir is renamed back. Old copies are
+    swept only after the new publish succeeds; if a previous run crashed
+    mid-swap, its ``.old`` copy is restored to ``target`` first.
+    """
     # unique per-invocation suffix: a reused pid (the reference's choice,
     # db.py:101) collides with leftovers from a crashed earlier run
     suffix = f"{int(time.time() * 1000):x}.{uuid.uuid4().hex[:8]}"
     staging = f"{target}.staging.{suffix}"
     fs, jtarget, jvm = _fs(spark, target)
-    _sweep_orphans(fs, jvm, target)
+    _recover_old(fs, jvm, jtarget, target)
+    _sweep_stale_staging(fs, jvm, target)
     jstaging = jvm.org.apache.hadoop.fs.Path(staging)
     old = jvm.org.apache.hadoop.fs.Path(f"{target}.old.{suffix}")
     moved_aside = False
     try:
         w = df.repartition(partitions) if partitions else df
-        w.write.mode("overwrite").parquet(staging)
-        audited = spark.read.parquet(staging).count()
-        if audited == 0:
+        obs = Observation(f"stage_audit_{suffix}")
+        w.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        written = obs.get["rows"]
+        if written == 0:
             raise AuditError(f"staged {staging} is empty")
+        # footer-metadata count of the staged copy — cheap (no column reads),
+        # and proves the bytes on disk agree with what the scan produced
+        audited = spark.read.parquet(staging).count()
+        if audited != written:
+            raise AuditError(
+                f"staged {staging} has {audited} rows but the write observed "
+                f"{written} — staged copy is corrupt"
+            )
         if expected_rows is not None and audited != expected_rows:
             raise AuditError(
                 f"staged {staging} has {audited} rows, expected {expected_rows}"
@@ -105,9 +163,8 @@ def stage_and_publish(
             moved_aside = True
         if not fs.rename(jstaging, jtarget):
             raise AuditError(f"could not publish {staging} -> {target}")
-        moved_aside = False  # published; the old copy is now disposable
-        if fs.exists(old):
-            fs.delete(old, True)
+        moved_aside = False  # published; old copies are now disposable
+        _sweep_old(fs, jvm, target)
         return audited
     except Exception:
         # roll the old data back if we got as far as moving it aside
@@ -116,6 +173,125 @@ def stage_and_publish(
         if fs.exists(jstaging):
             fs.delete(jstaging, True)
         raise
+
+
+# --- pointer-file publish: no reader-visible gap, ever ---------------------
+
+
+def _pointer_path(target: str) -> str:
+    return f"{target}.current"
+
+
+def publish_versioned(
+    spark: SparkSession,
+    df: DataFrame,
+    target: str,
+    *,
+    keep_versions: int = 1,
+) -> int:
+    """Publish ``df`` under ``target`` with a pointer-file commit: write an
+    immutable version dir ``<target>.v.<suffix>``, audit it, then atomically
+    swap a one-line pointer file ``<target>.current`` to name it. Readers
+    (:func:`read_current`) resolve the pointer and read a complete version —
+    there is **no instant at which the table is absent**, unlike the
+    two-rename directory swap (whose crash window the reference's
+    drop-then-rename, db.py:179-208, shares). A crash before the pointer
+    rename leaves the previous version live; after it, the new one. Returns
+    the audited row count.
+
+    ``keep_versions`` older versions are retained after commit for
+    time-travel-ish debugging; the rest are swept (current is always kept).
+    """
+    suffix = f"{int(time.time() * 1000):x}.{uuid.uuid4().hex[:8]}"
+    version = f"{target}.v.{suffix}"
+    fs, _, jvm = _fs(spark, target)
+    jversion = jvm.org.apache.hadoop.fs.Path(version)
+    try:
+        obs = Observation(f"version_audit_{suffix}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(version)
+        written = obs.get["rows"]
+        if written == 0:
+            raise AuditError(f"staged version {version} is empty")
+        audited = spark.read.parquet(version).count()
+        if audited != written:
+            raise AuditError(
+                f"version {version} has {audited} rows but the write observed "
+                f"{written}"
+            )
+        _commit_pointer(fs, jvm, target, os.path.basename(version))
+    except Exception:
+        if fs.exists(jversion):
+            fs.delete(jversion, True)
+        raise
+    _sweep_versions(fs, jvm, target, keep=keep_versions)
+    return audited
+
+
+def _commit_pointer(fs, jvm, target: str, version_name: str) -> None:
+    """Atomically point ``<target>.current`` at ``version_name``: write a tmp
+    file, then rename over the pointer. File rename is atomic on local/HDFS;
+    readers see either the old pointer or the new one, never neither."""
+    pointer = _pointer_path(target)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{pointer}.tmp.{uuid.uuid4().hex[:8]}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(version_name.encode("utf-8")))
+    finally:
+        out.close()
+    jpointer = jvm.org.apache.hadoop.fs.Path(pointer)
+    # HDFS rename refuses to clobber; Hadoop's rename(Path,Path,Options)
+    # with OVERWRITE is the atomic form. Local FS rename clobbers natively.
+    if fs.exists(jpointer):
+        fs.delete(jpointer, False)
+    if not fs.rename(tmp, jpointer):
+        fs.delete(tmp, False)
+        raise AuditError(f"could not commit pointer {pointer}")
+
+
+def _sweep_versions(fs, jvm, target: str, *, keep: int) -> None:
+    current = _read_pointer(fs, jvm, target)
+    versions = sorted(
+        _glob(fs, jvm, f"{target}.v.*"),
+        key=lambda st: st.getModificationTime(),
+        reverse=True,
+    )
+    survivors = 0
+    for st in versions:
+        name = st.getPath().getName()
+        if name == current:
+            continue
+        if survivors < keep:
+            survivors += 1
+            continue
+        fs.delete(st.getPath(), True)
+
+
+def _read_pointer(fs, jvm, target: str) -> str | None:
+    jpointer = jvm.org.apache.hadoop.fs.Path(_pointer_path(target))
+    if not fs.exists(jpointer):
+        return None
+    stream = fs.open(jpointer)
+    try:
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return data.decode("utf-8").strip()
+    finally:
+        stream.close()
+
+
+def read_current(spark: SparkSession, target: str) -> DataFrame:
+    """Read the pointer-committed current version of ``target``."""
+    fs, _, jvm = _fs(spark, target)
+    name = _read_pointer(fs, jvm, target)
+    if name is None:
+        raise FileNotFoundError(f"no committed version for {target}")
+    return spark.read.parquet(os.path.join(os.path.dirname(target) or ".", name))
 
 
 def should_reload(spark: SparkSession, memo_path: str, current_len: int) -> bool:
@@ -153,13 +329,13 @@ FROM orders WHERE o_totalprice > 0 GROUP BY o_orderstatus
 )
 def loader_staging_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the full load lifecycle: writes ``orders`` through the staging
-    dir, audits the count, atomically swaps it into place, then aggregates
-    FROM THE PUBLISHED COPY — so the oracle checks the data actually made it
-    through the write path byte-correct."""
+    dir, audits the observed-during-write count against the staged footer
+    count (ONE scan of the source — no pre-``count()`` second pass), swaps it
+    into place, then aggregates FROM THE PUBLISHED COPY — so the oracle
+    checks the data actually made it through the write path byte-correct."""
     src = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
     target = _scratch(f"orders_published_{os.path.basename(sf_dir.rstrip('/'))}")
-    expected = src.count()
-    stage_and_publish(spark, src, target, expected_rows=expected)
+    stage_and_publish(spark, src, target)
     return (
         spark.read.parquet(target)
         .groupBy("o_orderstatus")
@@ -167,4 +343,26 @@ def loader_staging_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
+    )
+
+
+@register(
+    "loader_pointer_publish",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="OP-SNK-1 (pointer-commit variant): versioned publish with an atomic "
+    "pointer-file swap — readers never observe an absent table",
+)
+def loader_pointer_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publishes ``orders`` via :func:`publish_versioned` and aggregates from
+    :func:`read_current` — the crash-window-free publish path."""
+    src = table(spark, sf_dir, "orders")
+    target = _scratch(f"orders_versioned_{os.path.basename(sf_dir.rstrip('/'))}")
+    publish_versioned(spark, src, target)
+    return (
+        read_current(spark, target)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
     )

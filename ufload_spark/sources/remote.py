@@ -60,17 +60,27 @@ def make_http_opener(
     user: str | None = None,
     password: str | None = None,
     timeout_s: float = 30.0,
+    auth_base_url: str | None = None,
 ) -> tuple[Opener, Callable[[str], int]]:
     """(opener, sizer) pair speaking ranged HTTP via stdlib ``urllib`` —
     the reference's ``HttpFile`` transport (httpfile.py:14-24 HEAD size,
     26-37 ``Range: bytes=a-`` GET) with optional basic auth
     (cli/main.py:412-438's dump fetch). No third-party deps; plugs into
-    :class:`RangeReader`/:func:`download` unchanged."""
+    :class:`RangeReader`/:func:`download` unchanged.
+
+    Credentials are scoped to ``auth_base_url`` (the dump host/prefix) —
+    required when ``user`` is given. Registering them for the bare scheme
+    would make urllib replay them to ANY host that answers 401, including
+    redirect targets (r2 ADVICE: credential leak beyond the dump host)."""
     handlers: list[urllib.request.BaseHandler] = []
     if user is not None:
+        if auth_base_url is None:
+            raise ValueError(
+                "auth_base_url is required with credentials: basic auth must "
+                "be scoped to the dump host, not every http(s) server"
+            )
         mgr = urllib.request.HTTPPasswordMgrWithDefaultRealm()
-        mgr.add_password(None, "http://", user, password or "")
-        mgr.add_password(None, "https://", user, password or "")
+        mgr.add_password(None, auth_base_url, user, password or "")
         handlers.append(urllib.request.HTTPBasicAuthHandler(mgr))
     director = urllib.request.build_opener(*handlers)
 

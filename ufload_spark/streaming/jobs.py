@@ -212,7 +212,15 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     each side retains only rows inside (watermark - band), the property
     that makes a continuous deployment's state finite. Inner join + append
     mode means the sink holds exactly the matched pairs regardless of
-    batching, so the batch inequality join is an exact oracle."""
+    batching, so the batch inequality join is an exact oracle.
+
+    Watermark choice: generous (31 days, beyond the fixture's whole
+    event-time span) so the exact-match oracle holds under ANY
+    micro-batching of the input, not just the single-batch single-file
+    fixture (r2 ADVICE: a 1-hour watermark silently drops matches once the
+    source splits into multiple files). A production deployment trading
+    completeness for bounded state would shrink it to its lateness SLA —
+    see test_interval_join_invariant_under_micro_batching."""
     clicks = (
         events_readstream(spark, sf_dir)
         .where(F.col("event_type") == "click")
@@ -221,7 +229,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("c_ts"),
             F.col("event_id").alias("click_id"),
         )
-        .withWatermark("c_ts", "1 hour")
+        .withWatermark("c_ts", "31 days")
     )
     purchases = (
         events_readstream(spark, sf_dir)
@@ -231,7 +239,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("p_ts"),
             F.col("event_id").alias("purchase_id"),
         )
-        .withWatermark("p_ts", "1 hour")
+        .withWatermark("p_ts", "31 days")
     )
     joined = clicks.join(
         purchases,
