@@ -122,7 +122,11 @@ def skip_if_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def merge_upsert(
-    existing: DataFrame, incoming: DataFrame, keys: list[str]
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    *,
+    on_duplicate: str = "fanout",
 ) -> DataFrame:
     """MERGE … WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT as dataflow:
     the incoming row wins WHOLESALE on key collision (including columns it
@@ -133,13 +137,56 @@ def merge_upsert(
 
     Matched-ness is carried by a marker column rather than inferred from
     key nullability, so incoming rows whose key IS null (which never match
-    anything) still come through intact as inserts. Duplicate keys in
-    ``incoming`` fan matched existing rows out, one output row per
-    incoming duplicate — SQL MERGE raises on that; callers wanting MERGE
-    strictness dedup incoming on the key first."""
+    anything) still come through intact as inserts.
+
+    ``on_duplicate`` controls SQL MERGE's multiple-source-rows-match rule:
+
+    - ``"fanout"`` (default): duplicate incoming keys fan matched existing
+      rows out, one output row per incoming duplicate — documented
+      dataflow semantics.
+    - ``"raise"``: SQL MERGE strictness. A lazy, distributed guard (a
+      window count over the join keys — the same hash partitioning the
+      join needs, so no extra shuffle) calls ``raise_error`` during
+      execution if any non-null incoming key occurs twice. No eager
+      pre-scan; the check rides the merge itself.
+    - ``"dedup"``: keep exactly one incoming row per key —
+      deterministically the greatest by the tuple of non-key columns
+      (``row_number`` over the key, descending) so reruns pick the same
+      winner. Null-key rows bypass the dedup: they match nothing and all
+      survive as inserts, mirroring the marker-column rule above.
+    """
+    if on_duplicate not in ("fanout", "raise", "dedup"):
+        raise ValueError(f"on_duplicate must be fanout|raise|dedup, got {on_duplicate!r}")
     marker = "__merge_incoming"
+    marker_col = F.lit(True)
+    nonkeys = [c for c in incoming.columns if c not in keys]
+    keys_nonnull = F.lit(True)
+    for k in keys:
+        keys_nonnull = keys_nonnull & F.col(k).isNotNull()
+    if on_duplicate == "raise":
+        wcnt = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        # fused into the marker column so Catalyst cannot prune it away;
+        # fires executor-side, only when a real duplicate exists
+        marker_col = F.when(
+            keys_nonnull & (wcnt > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_upsert: duplicate incoming key ("),
+                    F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+                    F.lit(")"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    elif on_duplicate == "dedup":
+        order = [F.col(c).desc_nulls_last() for c in nonkeys] or [F.lit(1)]
+        rn = F.row_number().over(Window.partitionBy(*keys).orderBy(*order))
+        incoming = (
+            incoming.withColumn("__rn", rn)
+            .where(~keys_nonnull | (F.col("__rn") == 1))
+            .drop("__rn")
+        )
     e = existing.alias("e")
-    i = incoming.withColumn(marker, F.lit(True)).alias("i")
+    i = incoming.withColumn(marker, marker_col).alias("i")
     cond = F.lit(True)
     for k in keys:
         cond = cond & (F.col(f"e.{k}") == F.col(f"i.{k}"))
