@@ -448,7 +448,11 @@ def similarity_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
 
 N_CENTROIDS = 8
 N_PROBE = 2
+KMEANS_ITERS = 3
 IVF_Q_LO, IVF_Q_HI = 8, 13  # query vectors: vec_id in [8, 13)
+_R = 6  # shared rounding (decimals) that makes Spark and DuckDB float
+#        reductions comparable: both engines round every centroid
+#        coordinate and every distance before it feeds a comparison
 
 
 def _cosine_sql(ae: str, be: str) -> str:
@@ -459,30 +463,138 @@ def _cosine_sql(ae: str, be: str) -> str:
     )
 
 
-@register(
-    "similarity_ivf_topk",
-    f"""
-WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-              WHERE vec_id < {N_CENTROIDS}),
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two double arrays, sequential fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd's k-means over an embeddings frame, as pure DataFrame ops —
+    no MLlib, no RDDs, no Python rows. Returns ``(cid int, ce
+    array<double>)``.
+
+    - **init**: the first ``k`` vectors by ``vec_id`` — a deterministic
+      sample (rerun-stable, oracle-expressible; swap for a seeded hash
+      sample at scale).
+    - **assign**: broadcast the k×DIM centroid table against the corpus
+      scan; per-vector argmin of squared L2 (window over ``vec_id`` — one
+      evenly-keyed shuffle). The fold runs JVM-side via zip_with/aggregate.
+    - **update**: posexplode to (cell, i, x) and groupBy(cell, i).avg —
+      map-side partial aggregation does the heavy lifting, the shuffle
+      carries k×DIM partials per partition, not vectors. Cells that lose
+      all members keep their previous centroid.
+
+    Every averaged coordinate and every distance is rounded to ``_R``
+    decimals so the DuckDB oracle (same algorithm, unrolled CTEs) lands on
+    bit-identical centroids — float reduction order differs between
+    engines, rounding absorbs it.
+
+    At 100 TB: train on a sample (k-means needs representativeness, not
+    the corpus); ``iters`` chained plans deepen lineage, so checkpoint
+    between iterations past ~10. The plan per iteration is
+    broadcast-join → window argmin → explode+agg: no driver-side state.
+    """
+    cent = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    for _ in range(iters):
+        asn = (
+            emb.select(
+                "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("xe")
+            )
+            .crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "xe",
+                "cid",
+                F.round(sqdist(F.col("xe"), F.col("ce")), _R).alias("d"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        means = (
+            asn.select("cid", F.posexplode("xe").alias("pos", "x"))
+            .groupBy("cid", (F.col("pos") + 1).alias("i"))
+            .agg(F.round(F.avg("x"), _R).alias("mi"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mi"))),
+                    lambda s: s.getField("mi"),
+                ).alias("me")
+            )
+        )
+        cent = (
+            cent.withColumnRenamed("ce", "pe")
+            .join(means, "cid", "left")
+            .select("cid", F.coalesce("me", "pe").alias("ce"))
+        )
+    return cent
+
+
+def _kmeans_ctes(k: int = N_CENTROIDS, iters: int = KMEANS_ITERS) -> str:
+    """The DuckDB twin of :func:`kmeans_centroids`: Lloyd iterations
+    unrolled as chained CTEs over a long-form (cid, i, ci) centroid table.
+    Ends by defining ``centf`` = the trained centroids."""
+    ctes = [
+        f"idx AS (SELECT unnest(range(1, {DIM + 1})) AS i)",
+        f"""cent0 AS (
+  SELECT CAST(vec_id AS INT) AS cid, x.i, CAST(embedding[x.i] AS DOUBLE) AS ci
+  FROM embeddings, idx x WHERE vec_id < {k})""",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes.append(f"""d{t} AS (
+  SELECT e.vec_id, c.cid,
+         round(sum(pow(CAST(e.embedding[c.i] AS DOUBLE) - c.ci, 2)), {_R}) AS d
+  FROM embeddings e JOIN cent{p} c ON true GROUP BY e.vec_id, c.cid)""")
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d, cid) AS rn FROM d{t}
+  ) WHERE rn = 1)""")
+        ctes.append(f"""m{t} AS (
+  SELECT a.cell AS cid, x.i, round(avg(CAST(e.embedding[x.i] AS DOUBLE)), {_R}) AS mi
+  FROM a{t} a JOIN embeddings e ON e.vec_id = a.vec_id, idx x GROUP BY 1, 2)""")
+        ctes.append(f"""cent{t} AS (
+  SELECT p.cid, p.i, coalesce(m.mi, p.ci) AS ci
+  FROM cent{p} p LEFT JOIN m{t} m ON m.cid = p.cid AND m.i = p.i)""")
+    ctes.append(f"centf AS (SELECT cid, i, ci FROM cent{iters})")
+    return ",\n".join(ctes)
+
+
+_IVF_ORACLE_SQL = (
+    "WITH "
+    + _kmeans_ctes()
+    + f""",
 cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {IVF_Q_HI}),
 q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
       WHERE vec_id >= {IVF_Q_LO} AND vec_id < {IVF_Q_HI}),
-idx AS (SELECT unnest(range(1, {DIM + 1})) AS i),
-cc AS (
-  SELECT c.vec_id, t.cid, round({_cosine_sql('c.embedding', 't.ce')}, 6) AS cos
-  FROM cand c, cent t, idx GROUP BY c.vec_id, t.cid
+ad AS (
+  SELECT e.vec_id, c.cid,
+         round(sum(pow(CAST(e.embedding[c.i] AS DOUBLE) - c.ci, 2)), {_R}) AS d
+  FROM cand e JOIN centf c ON true GROUP BY e.vec_id, c.cid
 ), asn AS (
   SELECT vec_id, cid AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, cid) AS rn FROM cc
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d, cid) AS rn FROM ad
   ) WHERE rn = 1
-), qc AS (
-  SELECT p.qid, t.cid, round({_cosine_sql('p.qe', 't.ce')}, 6) AS cos
-  FROM q p, cent t, idx GROUP BY p.qid, t.cid
+), qd AS (
+  SELECT p.qid, c.cid,
+         round(sum(pow(CAST(p.qe[c.i] AS DOUBLE) - c.ci, 2)), {_R}) AS d
+  FROM q p JOIN centf c ON true GROUP BY p.qid, c.cid
 ), probe AS (
   SELECT qid, cid AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY qid
-                                 ORDER BY cos DESC, cid) AS rn FROM qc
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                                        ORDER BY d, cid) AS rn FROM qd
   ) WHERE rn <= {N_PROBE}
 ), pairs AS (
   SELECT p.qid, a.vec_id AS cand_id FROM probe p JOIN asn a ON p.cell = a.cell
@@ -499,29 +611,36 @@ SELECT qid, cand_id, cosine, rnk FROM (
                                ORDER BY cosine DESC, cand_id) AS rnk
   FROM scored
 ) WHERE rnk <= {TOP_K}
-""",
-    doc="IVF ANN: assign candidates to coarse cells, probe the query's "
-    "nearest cells, exact top-k inside probed cells only",
+"""
+)
+
+
+@register(
+    "similarity_ivf_topk",
+    _IVF_ORACLE_SQL,
+    doc="IVF ANN with a TRAINED coarse quantizer: Lloyd's k-means as "
+    "DataFrame ops, assign candidates to cells, probe the query's nearest "
+    "cells, exact top-k inside probed cells only",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-file ANN. The coarse quantizer here is deterministic (the
-    first N_CENTROIDS vectors stand in for trained k-means centroids — the
-    index/probe dataflow is what scales, not how centroids were fit):
+    """Inverted-file ANN with a quantizer trained by :func:`kmeans_centroids`
+    (Lloyd's iterations as DataFrame ops; the oracle runs the identical
+    algorithm as unrolled CTEs, so centroids — and therefore cells, probes
+    and results — are bit-equal cross-engine):
 
     1. every candidate is assigned to its nearest cell — a broadcast of the
-       tiny centroid table against the candidate scan, then a per-vector
-       argmax (window rank over vec_id, an evenly-keyed shuffle);
-    2. each query probes its N_PROBE nearest cells;
+       tiny trained-centroid table against the candidate scan, then a
+       per-vector argmin (window rank over vec_id, an evenly-keyed shuffle);
+    2. each query probes its N_PROBE nearest cells (same metric as the
+       quantizer: squared L2);
     3. exact cosine + top-k runs only on candidates in probed cells —
        at scale this is the 1/(cells/probes) fraction of the corpus, the
        whole point of IVF.
 
     Probed queries (a handful of rows) broadcast into the assignment scan, so
-    the big side never shuffles on the skewed 8-value cell key."""
+    the big side never shuffles on the skewed cell key."""
     e = table(spark, sf_dir, "embeddings")
-    cent = e.where(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
+    cent = kmeans_centroids(e)
     cand = e.where(F.col("vec_id") >= IVF_Q_HI)
     q = e.where(
         (F.col("vec_id") >= IVF_Q_LO) & (F.col("vec_id") < IVF_Q_HI)
@@ -534,18 +653,23 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
 
-    w_vec = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+    def d2(a: str) -> Column:
+        return F.round(
+            sqdist(F.transform(a, lambda x: x.cast("double")), F.col("ce")), _R
+        )
+
+    w_vec = Window.partitionBy("vec_id").orderBy("d", "cid")
     asn = (
         cand.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", cos("embedding", "ce").alias("cos"))
+        .select("vec_id", "embedding", "cid", d2("embedding").alias("d"))
         .withColumn("rn", F.row_number().over(w_vec))
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", F.col("cid").alias("cell"))
     )
-    w_q = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    w_q = Window.partitionBy("qid").orderBy("d", "cid")
     probe = (
         q.crossJoin(F.broadcast(cent))
-        .select("qid", "qe", "cid", cos("qe", "ce").alias("cos"))
+        .select("qid", "qe", "cid", d2("qe").alias("d"))
         .withColumn("rn", F.row_number().over(w_q))
         .where(F.col("rn") <= N_PROBE)
         .select("qid", "qe", F.col("cid").alias("cell"))
