@@ -70,19 +70,20 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    # Two measured passes, best-of-2 per query: the first pass doubles as
+    # Three measured passes, per-query MEDIAN: the first pass doubles as
     # the JIT warm-up at the real plan shapes (AQE picks different physical
-    # plans per data size), and the min filters out interference from other
-    # load on the host. Reported numbers are steady-state query cost — what
-    # a long-running service sees.
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # plans per data size); the median filters host-load interference in
+    # both directions — a single lucky run can't mask a regression the way
+    # best-of-N could, and a single stall can't fake one (r2 advice:
+    # ±25% single-run swings at sub-second scale read as regressions).
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
         for name in HEADLINE:
             fn = registry[name].fn
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            runs[name].append(time.perf_counter() - t0)
+    timings = {name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
 
     print(

@@ -93,6 +93,42 @@ def test_salted_agg_matches_direct(spark):
     assert got == want
 
 
+def test_aqe_splits_skewed_join(spark):
+    """One key holding 80% of the left side: AQE's OptimizeSkewedJoin must
+    split the oversized partition (SortMergeJoin(skew=true) over an
+    AQEShuffleRead marked skewed) and the split plan must return exactly
+    the un-split plan's result. Thresholds are scaled down to fixture
+    size; the rule is the same one that breaks stragglers at 100 TB."""
+    from ufload_spark.operators.skew import skewed_join_inputs, skewed_join_total
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left, right = skewed_join_inputs(spark)
+        q = skewed_join_total(left, right)
+        [row] = q.collect()  # AQE finalizes the plan during execution
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "OptimizeSkewedJoin did not fire"
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # result identical to the default (broadcast-allowed, no forced split) plan
+    [direct] = skewed_join_total(*skewed_join_inputs(spark)).collect()
+    assert row["s"] == direct["s"] and direct["s"] > 0
+
+
 def test_broadcast_in_star_join(spark):
     from ufload_spark.operators.analytics import tpch_q5_local_supplier_volume
 

@@ -50,6 +50,52 @@ def salted_agg(
     )
 
 
+def skewed_join_inputs(
+    spark: SparkSession,
+    *,
+    n_left: int = 500_000,
+    n_right: int = 5_000,
+    n_keys: int = 1_000,
+    hot_rows: int = 400_000,
+) -> tuple[DataFrame, DataFrame]:
+    """A deterministic, genuinely skewed join fixture: ``hot_rows`` of the
+    left side share user_id 0 (80% of the table on one key), the rest
+    spread over ``n_keys``; the right side is uniform. Built from
+    ``spark.range`` so tests need no files and the skew is exact.
+
+    This is the complement of :func:`salted_agg`: salting fixes skewed
+    *aggregation* by hand; skewed *joins* Spark fixes itself — AQE's
+    OptimizeSkewedJoin splits the oversized shuffle partition into chunks
+    and replicates the matching right side, visible in the executed plan as
+    ``SortMergeJoin(skew=true)`` over an ``AQEShuffleRead ... skewed``
+    (pinned by tests/test_scale.py). At 100 TB this is the difference
+    between one straggler task holding 80% of the data and N parallel
+    chunk-tasks; the demo thresholds just scale the trigger down to
+    fixture size."""
+    left = spark.range(0, n_left).select(
+        F.when(F.col("id") < hot_rows, F.lit(0))
+        .otherwise(F.col("id") % n_keys)
+        .alias("user_id"),
+        (F.col("id") % 97).alias("value"),
+    )
+    right = spark.range(0, n_right).select(
+        (F.col("id") % n_keys).alias("user_id"),
+        (F.col("id") % 7).alias("w"),
+    )
+    return left, right
+
+
+def skewed_join_total(left: DataFrame, right: DataFrame) -> DataFrame:
+    """The skew-probe query: inner join on the hot key, then a scalar
+    aggregate so the result is batching-independent and cheap to compare
+    across plan variants."""
+    return (
+        left.join(right, "user_id")
+        .groupBy()
+        .agg(F.sum(F.col("value") * F.col("w")).alias("s"))
+    )
+
+
 @register(
     "events_salted_agg",
     """
