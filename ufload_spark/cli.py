@@ -13,7 +13,9 @@ each returning a DataFrame (reports) or performing the load lifecycle:
 - :func:`archive`  — PK-deduplicating merge of operational events
   (cli/main.py:85-88, db.py:792-830)
 - :func:`upgrade`  — patch discovery + natural version ordering + dup-check
-  (cli/main.py:522-766)
+  (cli/main.py:522-766); the post-install polling state machine (auth
+  ladder, restart poll, module-update poll, main.py:599-699) lives in
+  :mod:`ufload_spark.upgrade` over injectable probes
 - :func:`clean`    — drop every non-newest DB per instance (cli/main.py:511-520,
   db.py:636-677)
 
