@@ -258,3 +258,69 @@ def corpus_language_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(keep, 6).alias("keep_factor"),
     )
+
+
+#: the held-out benchmark: one source's documents stand in for an eval set
+_BENCH_SOURCE = "src0"
+
+
+@register(
+    "corpus_contamination_overlap",
+    r"""
+WITH tokens AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM tokens WHERE len(toks) >= 3
+), bench AS (
+  SELECT DISTINCT s.shingle FROM sh s
+  JOIN documents d ON d.doc_id = s.doc_id WHERE d.source = 'src0'
+), cand AS (
+  SELECT s.doc_id, s.shingle FROM sh s
+  JOIN documents d ON d.doc_id = s.doc_id WHERE d.source <> 'src0'
+), tot AS (
+  SELECT doc_id, count(*) AS n_total FROM cand GROUP BY doc_id
+), hits AS (
+  SELECT c.doc_id, count(*) AS n_overlap FROM cand c
+  JOIN bench b ON c.shingle = b.shingle GROUP BY c.doc_id
+)
+SELECT t.doc_id, h.n_overlap, t.n_total,
+       round(h.n_overlap * 1.0 / t.n_total, 6) AS contamination
+FROM tot t JOIN hits h ON h.doc_id = t.doc_id
+""",
+    doc="train/eval contamination check: per-document fraction of distinct "
+    "word-3-grams shared with a held-out benchmark source",
+)
+def corpus_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection — the pre-training audit that keeps
+    eval sets out of the training corpus. The held-out set (here: every
+    document from one source) is reduced to its distinct shingle set; each
+    training candidate's distinct shingles join against it and the overlap
+    fraction is reported for contaminated documents.
+
+    Scale shape: the benchmark shingle set is eval-sized (millions of
+    rows), orders of magnitude below the corpus — AQE broadcasts it, so
+    the corpus-side shingle stream never shuffles on shingle; the per-doc
+    totals ride the same doc_id exchange the shingle pipeline already
+    made. Threshold-and-drop composes as an anti-join downstream."""
+    from ufload_spark.operators.dedup import shingles
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = shingles(spark, sf_dir, distinct=True).join(d, "doc_id")
+    bench = (
+        sh.where(F.col("source") == _BENCH_SOURCE).select("shingle").distinct()
+    )
+    cand = sh.where(F.col("source") != _BENCH_SOURCE).select("doc_id", "shingle")
+    tot = cand.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    hits = cand.join(bench, "shingle").groupBy("doc_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return tot.join(hits, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "n_total",
+        F.round(F.col("n_overlap") / F.col("n_total"), 6).alias("contamination"),
+    )

@@ -296,3 +296,43 @@ def text_byte_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _byte_stats_arrow,
         schema="doc_id long, n_bytes long, n_chars long, ascii_only boolean",
     )
+
+
+@register(
+    "text_repetition_ratio",
+    r"""
+WITH tokens AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM tokens WHERE len(toks) >= 3
+)
+SELECT doc_id, count(*) AS n_ngrams,
+       count(DISTINCT shingle) AS n_distinct,
+       round(1.0 - count(DISTINCT shingle) * 1.0 / count(*), 6) AS repetition_ratio
+FROM sh GROUP BY doc_id
+""",
+    doc="duplicate-3-gram fraction per document — the Gopher-style "
+    "repetition quality signal (high ratio = boilerplate/spam)",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: 1 − distinct/total word-3-grams. The
+    quality-filter complement of cross-document dedup — a document that
+    repeats itself (listings, keyword stuffing, templated boilerplate)
+    scores high and gets dropped before training. Reuses the shingle
+    pipeline (one exchange on doc_id serves the window AND this
+    aggregate); ``count(DISTINCT)`` is a two-phase codegen hash-agg, no
+    extra shuffle beyond the partial-agg exchange. Linear at 100 TB."""
+    from ufload_spark.operators.dedup import shingles
+
+    sh = shingles(spark, sf_dir, distinct=False)
+    return sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.count_distinct("shingle").alias("n_distinct"),
+        F.round(
+            1.0 - F.count_distinct("shingle") / F.count("*"), 6
+        ).alias("repetition_ratio"),
+    )
