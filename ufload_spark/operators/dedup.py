@@ -84,6 +84,9 @@ def shingles(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFra
     skip it."""
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # floor of 8 only matters on tiny local sessions (defaultParallelism
+    # dominates on any real cluster); the exchange itself is what the
+    # downstream window needs regardless of the count
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     t = d.repartition(n_parts, "doc_id").select(
         "doc_id", F.posexplode(toks).alias("pos", "tok")
