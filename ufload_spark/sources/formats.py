@@ -121,3 +121,46 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats support predicate pushdown like parquet. Same round-trip
     contract as the text formats."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    "source_schema_evolution",
+    """
+SELECT o_orderstatus, count(*) AS n_orders,
+       sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n_with_priority,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="schema evolution: old-schema and new-schema parquet files read as "
+    "one table via mergeSchema; missing columns null-padded",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A table whose schema grew mid-life — the normal state of a 100 TB
+    dataset written over months. Half of ``orders`` is written WITHOUT
+    ``o_orderpriority`` (the old producer), half WITH it (the new one),
+    into the same directory; ``mergeSchema=true`` reconciles the footers
+    into the union schema and null-pads the old files' missing column at
+    scan time — no rewrite of historical data. The oracle checks the
+    null-padding exactly: ``count(o_orderpriority)`` must equal the
+    new-schema row count.
+
+    Scale note: ``mergeSchema`` reads every file footer at planning time —
+    on object stores pin a table-format (Delta/Iceberg) schema instead;
+    the scan-side semantics (union schema, null padding) are identical.
+    """
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    dest = _scratch(
+        f"orders_evolved_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    old = base.where(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
+    new = base.where(F.col("o_orderkey") % 2 == 1)
+    old.write.mode("overwrite").parquet(dest)
+    new.write.mode("append").parquet(dest)
+    merged = spark.read.option("mergeSchema", "true").parquet(dest)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -284,3 +284,46 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     )
     sink = run_to_memory(deduped, output_mode="append", prefix="dedup_wm")
     return sink.groupBy("event_type").agg(F.count("*").alias("n_first_arrivals"))
+
+
+@register(
+    "streaming_static_enrich",
+    """
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id % 100 + 1
+GROUP BY c.c_mktsegment
+""",
+    doc="stream-static join: streaming events enriched against a static "
+    "dimension table (broadcast per micro-batch), windowless complete agg",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-static join surface: each micro-batch of the event
+    stream joins against a STATIC dimension frame — Spark re-plans the
+    join per batch, broadcasting the dimension side, with no state store
+    involvement at all (only stream-stream joins need state). This is the
+    enrichment shape of every production pipeline (events × customer /
+    device / geo dims); at 100 TB of stream the dimension stays
+    executor-cached and the stream never shuffles for the join. Inner
+    join + complete-mode aggregate makes the sink equal the batch twin
+    regardless of batching, giving an exact oracle.
+
+    The synthetic key maps users onto the customer table's key range
+    (events and TPC-H tables are unrelated fixtures) — the join mechanics,
+    not the key choice, are what's under test."""
+    from ufload_spark.sources.tables import table as static_table
+
+    sdf = events_readstream(spark, sf_dir)
+    dim = static_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = sdf.withColumn(
+        "c_custkey", (F.col("user_id") % 100 + 1)
+    ).join(F.broadcast(dim), "c_custkey")
+    agg = enriched.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_memory(agg, output_mode="complete", prefix="enrich")
