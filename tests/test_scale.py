@@ -93,6 +93,37 @@ def test_salted_agg_matches_direct(spark):
     assert got == want
 
 
+def test_contamination_benchmark_side_broadcasts(spark):
+    """The eval-sized benchmark shingle set must broadcast into the corpus
+    shingle stream — the corpus side shuffling on `shingle` would be the
+    100 TB scale-killer for the contamination audit."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["corpus_contamination_overlap"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    # the shingle-keyed join itself must be broadcast, never sort-merge:
+    # an SMJ here reshuffles every corpus shingle (the bench side's own
+    # tiny distinct exchange is fine — it's eval-sized by construction)
+    assert any("BroadcastHashJoin [shingle" in ln for ln in plan.splitlines())
+    assert not any("SortMergeJoin [shingle" in ln for ln in plan.splitlines())
+
+
+def test_repetition_ratio_single_doc_exchange(spark):
+    """text_repetition_ratio rides the shingle pipeline's doc_id exchange:
+    exactly one hash-partitioning exchange (on doc_id), the distinct-count
+    two-phase agg adds none."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["text_repetition_ratio"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    hash_exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_exchanges) == 1 and "doc_id" in hash_exchanges[0]
+
+
 def test_aqe_splits_skewed_join(spark):
     """One key holding 80% of the left side: AQE's OptimizeSkewedJoin must
     split the oversized partition (SortMergeJoin(skew=true) over an

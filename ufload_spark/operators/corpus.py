@@ -301,11 +301,17 @@ def corpus_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     training candidate's distinct shingles join against it and the overlap
     fraction is reported for contaminated documents.
 
-    Scale shape: the benchmark shingle set is eval-sized (millions of
-    rows), orders of magnitude below the corpus — AQE broadcasts it, so
-    the corpus-side shingle stream never shuffles on shingle; the per-doc
-    totals ride the same doc_id exchange the shingle pipeline already
-    made. Threshold-and-drop composes as an anti-join downstream."""
+    Scale shape: the benchmark shingle set is BOUNDED BY CONSTRUCTION —
+    an eval suite is a fixed artifact (thousands of documents → millions
+    of shingles), it does not grow with the corpus — so it carries an
+    explicit broadcast hint: without it, cardinality estimation through
+    the distinct+join lineage overestimates and Catalyst picks a
+    sort-merge join that reshuffles EVERY corpus shingle (the 100 TB
+    scale-killer; plan pinned by tests/test_scale.py). This differs from
+    the curation pipeline's dropped-id set, which scales with the corpus
+    and must NOT be force-broadcast (the r1 lesson). The per-doc totals
+    ride the doc_id exchange the shingle pipeline already made;
+    threshold-and-drop composes as an anti-join downstream."""
     from ufload_spark.operators.dedup import shingles
 
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -315,7 +321,7 @@ def corpus_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = sh.where(F.col("source") != _BENCH_SOURCE).select("doc_id", "shingle")
     tot = cand.groupBy("doc_id").agg(F.count("*").alias("n_total"))
-    hits = cand.join(bench, "shingle").groupBy("doc_id").agg(
+    hits = cand.join(F.broadcast(bench), "shingle").groupBy("doc_id").agg(
         F.count("*").alias("n_overlap")
     )
     return tot.join(hits, "doc_id").select(
