@@ -127,3 +127,52 @@ def test_checkpoint_dir_is_isolated(spark):
     a = run_to_memory(agg, output_mode="complete", prefix="iso").count()
     b = run_to_memory(agg, output_mode="complete", prefix="iso").count()
     assert a == b > 0
+
+
+def test_upsert_publish_invariant_under_micro_batching(spark, tmp_path):
+    """The incremental MERGE-publish sink must converge to the same table
+    whatever the batching: split events into 8 files, stream 2 per
+    trigger (~4 micro-batches), merge-publish each batch, and compare the
+    final published table to the full event set."""
+    from ufload_spark.operators.archive import merge_upsert
+    from ufload_spark.sources.loader import _fs, stage_and_publish
+    from ufload_spark.streaming.notify import run_with_notify
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(batch.dtypes)["ts"] == "bigint":
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src_dir = str(tmp_path / "events_split")
+    batch.repartition(8).write.parquet(src_dir)
+    target = str(tmp_path / "published")
+
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+        .select("event_id", "event_type", "value")
+    )
+
+    batches = []
+
+    def upsert(b, epoch_id):
+        if b.isEmpty():
+            return
+        batches.append(epoch_id)
+        s = b.sparkSession
+        fs, jt, _ = _fs(s, target)
+        existing = (
+            s.read.parquet(target) if fs.exists(jt)
+            else s.createDataFrame([], b.schema)
+        )
+        stage_and_publish(
+            s, merge_upsert(existing, b, ["event_id"], on_duplicate="raise"), target
+        )
+
+    run_with_notify(sdf, upsert, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert len(batches) >= 3  # really ran across micro-batches
+    got = spark.read.parquet(target)
+    assert got.count() == batch.count()
+    # value totals conserved through repeated merge+publish cycles
+    g = got.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
+    w = batch.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
+    assert g == w
