@@ -103,7 +103,7 @@ def test_pointer_publish_reader_never_sees_missing(spark, tmp_path, monkeypatch)
     # crash injected between the version write and the pointer commit
     real_commit = loader._commit_pointer
 
-    def crashing_commit(fs, jvm, tgt, version_name):
+    def crashing_commit(s, fs, jvm, tgt, version_name):
         raise RuntimeError("simulated crash before pointer commit")
 
     monkeypatch.setattr(loader, "_commit_pointer", crashing_commit)

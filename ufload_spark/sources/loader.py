@@ -220,7 +220,7 @@ def publish_versioned(
                 f"version {version} has {audited} rows but the write observed "
                 f"{written}"
             )
-        _commit_pointer(fs, jvm, target, os.path.basename(version))
+        _commit_pointer(spark, fs, jvm, target, os.path.basename(version))
     except Exception:
         if fs.exists(jversion):
             fs.delete(jversion, True)
@@ -229,10 +229,14 @@ def publish_versioned(
     return audited
 
 
-def _commit_pointer(fs, jvm, target: str, version_name: str) -> None:
+def _commit_pointer(spark: SparkSession, fs, jvm, target: str, version_name: str) -> None:
     """Atomically point ``<target>.current`` at ``version_name``: write a tmp
-    file, then rename over the pointer. File rename is atomic on local/HDFS;
-    readers see either the old pointer or the new one, never neither."""
+    file, then rename over the pointer with ``Options.Rename.OVERWRITE``
+    (``FileContext.rename`` — the atomic clobbering form; plain
+    ``FileSystem.rename`` refuses an existing destination, and a
+    delete-then-rename would reopen exactly the absence window this publish
+    path exists to close). Readers see either the old pointer or the new
+    one, never neither."""
     pointer = _pointer_path(target)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{pointer}.tmp.{uuid.uuid4().hex[:8]}")
     out = fs.create(tmp, True)
@@ -241,13 +245,17 @@ def _commit_pointer(fs, jvm, target: str, version_name: str) -> None:
     finally:
         out.close()
     jpointer = jvm.org.apache.hadoop.fs.Path(pointer)
-    # HDFS rename refuses to clobber; Hadoop's rename(Path,Path,Options)
-    # with OVERWRITE is the atomic form. Local FS rename clobbers natively.
-    if fs.exists(jpointer):
-        fs.delete(jpointer, False)
-    if not fs.rename(tmp, jpointer):
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        spark._jsc.hadoopConfiguration()
+    )
+    rename_opt = jvm.org.apache.hadoop.fs.Options.Rename
+    overwrite = spark.sparkContext._gateway.new_array(rename_opt, 1)
+    overwrite[0] = rename_opt.OVERWRITE
+    try:
+        fc.rename(tmp, jpointer, overwrite)
+    except Exception as e:
         fs.delete(tmp, False)
-        raise AuditError(f"could not commit pointer {pointer}")
+        raise AuditError(f"could not commit pointer {pointer}: {e}") from e
 
 
 def _sweep_versions(fs, jvm, target: str, *, keep: int) -> None:
