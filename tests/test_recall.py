@@ -137,6 +137,21 @@ def test_lsh_pair_recall_on_planted_dups(spark, planted_dir):
     assert recall >= 0.75, f"LSH planted-pair recall: {recall}"  # measured 0.90
 
 
+def test_minhash_lsh_recall_on_planted_dups(spark, planted_dir):
+    """MinHash banding over shingle sets: identical copies share every
+    band (must all surface); 1-2 token edits keep Jaccard high enough
+    that banded retrieval should find most."""
+    sf, _ = planted_dir
+    pairs = _registry()["dedup_minhash_lsh_pairs"].fn(spark, sf).toPandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    identical = [(d, 10000 + d) for i, d in enumerate(DOC_BASES) if i % 3 == 0]
+    edited = [(d, 10000 + d) for i, d in enumerate(DOC_BASES) if i % 3 != 0]
+    missed = [p for p in identical if p not in got]
+    assert not missed, f"identical copies missed by MinHash LSH: {missed}"
+    recall = sum(1 for p in edited if p in got) / len(edited)
+    assert recall >= 0.5, f"MinHash-LSH edited-copy recall: {recall}"
+
+
 def test_simhash_recall_on_planted_dups(spark, planted_dir):
     """Pigeonhole retrieval: identical copies (Hamming 0) must ALL be
     found — that's the d+1-segment guarantee, not a probability — and
