@@ -52,6 +52,11 @@ def events_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(sdf.dtypes)["ts"] == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(sdf.dtypes)["ts"] == "timestamp_ntz":
+        # tz-less parquet infers as TIMESTAMP_NTZ, which withWatermark
+        # rejects; cast to the session-zone type. Wall-clock values are
+        # preserved, so downstream windows/oracles see identical buckets.
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 
@@ -251,7 +256,10 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
-        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias("dt_s"),
+        F.expr(
+            "(unix_micros(cast(p_ts as timestamp))"
+            " - unix_micros(cast(c_ts as timestamp))) div 1000000"
+        ).alias("dt_s"),
     )
     return run_to_memory(joined, output_mode="append", prefix="ssjoin")
 
