@@ -62,3 +62,38 @@ def test_resize_rewrites_header(maker):
     # no upscale: already-small images pass through untouched
     small = maker(100, 50)
     assert resize_image(small, 128) is small
+
+
+def test_video_container_roundtrip_and_corruption():
+    """The UFV1 container decodes to exactly the frames written, and every
+    corruption class (bad magic, truncation, trailing bytes, bit-flipped
+    frame) raises instead of returning wrong data."""
+    import pytest
+
+    from ufload_spark.operators.multimodal import (
+        _frame_dims,
+        decode_image,
+        iter_video_frames,
+        make_video,
+    )
+
+    doc_id = 42
+    video = make_video(doc_id)
+    frames = list(iter_video_frames(video))
+    assert len(frames) == doc_id % 97 + 1
+    for idx, frame_bytes in frames:
+        fmt, w, h = decode_image(frame_bytes)
+        assert fmt == "png" and (w, h) == _frame_dims(doc_id, idx)
+
+    with pytest.raises(ValueError):
+        list(iter_video_frames(b"JUNK" + video[4:]))
+    with pytest.raises(ValueError):
+        list(iter_video_frames(video[:-3]))  # truncated last frame
+    with pytest.raises(ValueError):
+        list(iter_video_frames(video + b"\x00"))  # trailing garbage
+    # flip a byte inside the first frame's IHDR data: CRC check must fire
+    corrupt = bytearray(video)
+    corrupt[8 + 4 + 8 + 8] ^= 0xFF
+    first = next(iter(iter_video_frames(bytes(corrupt))))[1]
+    with pytest.raises(ValueError):
+        decode_image(first)

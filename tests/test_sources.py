@@ -394,3 +394,63 @@ def test_zip_corruption_flagged(spark, tmp_path):
     # the reference requires exactly one member (cloud.py:221-228)
     assert not rows["multi.zip"]["ok"] and rows["multi.zip"]["n_members"] == 2
     assert not rows["corrupt.zip"]["ok"]
+
+
+def test_normalize_ts_dtype_matrix(spark, tmp_path):
+    """Every ts encoding a driver fixture refresh has ever shipped — bigint
+    nanos, TIMESTAMP, TIMESTAMP_NTZ — must normalize to the same TIMESTAMP
+    instants through the one shared helper (sources.tables.normalize_ts),
+    so the next refresh can't silently break product or tests again."""
+    from pyspark.sql import functions as F
+
+    from ufload_spark.sources.tables import normalize_ts
+
+    ns = [1_700_000_000_000_000_000, 1_700_000_123_456_789_000]
+    base = spark.createDataFrame([(v,) for v in ns], "ts bigint")
+    as_ts = base.select(F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
+    as_ntz = as_ts.select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+
+    want = [r["ts"] for r in as_ts.orderBy("ts").collect()]
+    for variant in (base, as_ts, as_ntz):
+        out = normalize_ts(variant)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        assert [r["ts"] for r in out.orderBy("ts").collect()] == want
+    # a frame without the column passes through untouched
+    no_ts = spark.createDataFrame([(1,)], "x int")
+    assert normalize_ts(no_ts) is no_ts
+
+
+def test_version_history_and_time_travel(spark, tmp_path):
+    """Pointer-publish three versions with keep_versions=2: history lists
+    current-first, read_version(n) walks back commit by commit, and the
+    retention sweep bounds how far back travel can go."""
+    from pyspark.sql import functions as F
+
+    from ufload_spark.sources.loader import (
+        publish_versioned,
+        read_current,
+        read_version,
+        version_history,
+    )
+
+    region = table(spark, SF_DIR, "region")
+    target = str(tmp_path / "r")
+    for n in (5, 3, 2):
+        publish_versioned(spark, region.limit(n), target, keep_versions=2)
+
+    hist = version_history(spark, target)
+    assert len(hist) == 3
+    assert hist[0]["is_current"] and not any(h["is_current"] for h in hist[1:])
+    assert read_current(spark, target).count() == 2
+    assert read_version(spark, target, 0).count() == 2
+    assert read_version(spark, target, 1).count() == 3
+    assert read_version(spark, target, 2).count() == 5
+    with pytest.raises(IndexError):
+        read_version(spark, target, 3)
+
+    # tighter retention on the next publish sweeps the deep history
+    publish_versioned(spark, region.limit(4), target, keep_versions=1)
+    hist = version_history(spark, target)
+    assert len(hist) == 2
+    assert read_version(spark, target, 0).count() == 4
+    assert read_version(spark, target, 1).count() == 2

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
+from ufload_spark.sources.tables import normalize_ts
 from ufload_spark.streaming.jobs import events_readstream, run_to_memory
 
 
@@ -23,9 +24,7 @@ def test_append_mode_watermark_holds_back_open_windows(spark):
     )
     sink = run_to_memory(agg, output_mode="append", prefix="late")
 
-    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    if dict(batch.dtypes)["ts"] == "bigint":
-        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = normalize_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     max_ts = batch.agg(F.max("ts")).first()[0]
     emitted = sink.agg(F.max("window_end")).first()[0]
 
@@ -65,9 +64,7 @@ def test_interval_join_invariant_under_micro_batching(spark, tmp_path):
     a time (maxFilesPerTrigger) so the stream-stream interval join really
     runs across ~4 micro-batches with state carried between them — the
     matched pairs must equal the batch inequality join exactly."""
-    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    if dict(batch.dtypes)["ts"] == "bigint":
-        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = normalize_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     src_dir = str(tmp_path / "events_split")
     batch.repartition(8).write.parquet(src_dir)
 
@@ -138,9 +135,7 @@ def test_upsert_publish_invariant_under_micro_batching(spark, tmp_path):
     from ufload_spark.sources.loader import _fs, stage_and_publish
     from ufload_spark.streaming.notify import run_with_notify
 
-    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    if dict(batch.dtypes)["ts"] == "bigint":
-        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = normalize_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     src_dir = str(tmp_path / "events_split")
     batch.repartition(8).write.parquet(src_dir)
     target = str(tmp_path / "published")

@@ -375,11 +375,11 @@ def dedup_minhash_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     incremental design depends on."""
     import os
 
-    from ufload_spark.sources.loader import _scratch, stage_and_publish
+    from ufload_spark.sources.loader import _scratch_unique, stage_and_publish
 
     sigs = _minhash_sigs(spark, sf_dir)
     existing = sigs.where(F.col("doc_id") % 4 != 0)
-    target = _scratch(
+    target = _scratch_unique(
         f"minhash_sigs_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
     )
     stage_and_publish(spark, existing, target)

@@ -12,8 +12,11 @@ an exact DuckDB oracle. Pixel-level resampling (the one step that genuinely
 needs an image library) is documented at :func:`resize_image`; everything
 else — schema, partitioning, Arrow batch shape, the parse itself — is real.
 
-Video frame sampling stays a deterministic fake (no codecs in the
-container); its row-expanding mapInPandas shape is the point being tested.
+Video is a stdlib-decodable container (``UFV1``: length-prefixed real PNG
+frames) because the sandbox ships no codecs: the frame sampler genuinely
+walks the length index, slices real frame bytes and CRC-decodes them — only
+the codec itself (:func:`iter_video_frames`) is the swap-in point for
+pyav/ffmpeg.
 """
 
 from __future__ import annotations
@@ -259,29 +262,108 @@ def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FRAME_STEP = 10  # sample every k-th frame
 
-FRAMES_SCHEMA = "doc_id long, n_frames int, frame_idx int"
+# --- video container: magic + frame count + length-prefixed PNG frames ----
+#
+# The sandbox ships no video codecs, so the *codec* is a stdlib-decodable
+# container of real PNG frames ("UFV1": magic, uint32 frame count, then each
+# frame as uint32 length + PNG bytes). Everything downstream of the codec
+# boundary is the real pipeline: the sampler walks the length index, slices
+# actual frame bytes out of the binary column, and runs the same
+# CRC-verifying PNG parser the image path uses — frame geometry in the
+# output comes from DECODED BYTES, not from repeating the synthesizer's
+# arithmetic. Swapping in a real codec (pyav/ffmpeg) replaces only
+# iter_video_frames.
+
+VIDEO_MAGIC = b"UFV1"
 
 
-def _fake_frame_sample_batches(
+def _frame_dims(doc_id: int, frame_idx: int) -> tuple[int, int]:
+    """Per-frame geometry: varies across BOTH doc and frame index so a
+    sampler that decodes the wrong frame's bytes can't accidentally match."""
+    return (
+        (doc_id + frame_idx) % W_MOD + W_OFF,
+        (doc_id * 3 + frame_idx) % H_MOD + H_OFF,
+    )
+
+
+def make_video(doc_id: int) -> bytes:
+    """Deterministic per-doc video payload: n_frames real PNG frames,
+    length-prefixed behind a magic + count header."""
+    n_frames = doc_id % 97 + 1
+    parts = [VIDEO_MAGIC, struct.pack(">I", n_frames)]
+    for idx in range(n_frames):
+        png = make_png(*_frame_dims(doc_id, idx))
+        parts.append(struct.pack(">I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def iter_video_frames(content: bytes) -> Iterator[tuple[int, bytes]]:
+    """Walk a UFV1 container, yielding (frame_idx, frame_bytes). Raises
+    ValueError on a bad magic, truncated frame, or trailing garbage — the
+    corrupt-row-flag posture, like :func:`decode_image`."""
+    if content[:4] != VIDEO_MAGIC:
+        raise ValueError("not a UFV1 video container")
+    (n_frames,) = struct.unpack(">I", content[4:8])
+    pos = 8
+    for idx in range(n_frames):
+        if pos + 4 > len(content):
+            raise ValueError(f"truncated at frame {idx}")
+        (ln,) = struct.unpack(">I", content[pos : pos + 4])
+        pos += 4
+        if pos + ln > len(content):
+            raise ValueError(f"truncated frame {idx} body")
+        yield idx, content[pos : pos + ln]
+        pos += ln
+    if pos != len(content):
+        raise ValueError("trailing bytes after last frame")
+
+
+def _synthesize_video_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """Deterministic fake video sampler (no codecs in this container):
-    pretend n_frames from the id, emit every FRAME_STEP-th frame index — a
-    row-expanding map (1 video → many frames), the shape real frame
-    extraction has."""
     for pdf in batches:
-        out_doc, out_n, out_idx = [], [], []
-        for doc_id in pdf["doc_id"]:
-            n_frames = int(doc_id) % 97 + 1
-            for idx in range(0, n_frames, FRAME_STEP):
-                out_doc.append(doc_id)
-                out_n.append(n_frames)
-                out_idx.append(idx)
         yield pd.DataFrame(
             {
-                "doc_id": pd.Series(out_doc, dtype="int64"),
-                "n_frames": pd.Series(out_n, dtype="int32"),
-                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(lambda d: make_video(int(d))),
+            }
+        )
+
+
+FRAMES_SCHEMA = (
+    "doc_id long, n_frames int, frame_idx int, frame_width int, frame_height int"
+)
+
+
+def _frame_sample_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Row-expanding sampler: every FRAME_STEP-th frame's REAL bytes are
+    sliced out of the container and decoded (PNG IHDR + CRC check). One
+    video row fans out to k frame rows; memory stays bounded by one Arrow
+    batch of containers per task."""
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in
+                                ("doc_id", "n_frames", "frame_idx", "w", "h")}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            frames = list(iter_video_frames(bytes(content)))
+            for idx, frame_bytes in frames:
+                if idx % FRAME_STEP:
+                    continue
+                _, w, h = decode_image(frame_bytes)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(frames))
+                out["frame_idx"].append(idx)
+                out["w"].append(w)
+                out["h"].append(h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "frame_width": pd.Series(out["w"], dtype="int32"),
+                "frame_height": pd.Series(out["h"], dtype="int32"),
             }
         )
 
@@ -289,17 +371,30 @@ def _fake_frame_sample_batches(
 @register(
     "multimodal_frame_sample",
     f"""
-WITH vids AS (SELECT doc_id, doc_id % 97 + 1 AS n_frames FROM documents)
-SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
-       CAST(unnest(range(0, n_frames, {FRAME_STEP})) AS INT) AS frame_idx
-FROM vids
+WITH vids AS (SELECT doc_id, doc_id % 97 + 1 AS n_frames FROM documents),
+frames AS (
+  SELECT doc_id, n_frames,
+         unnest(range(0, n_frames, {FRAME_STEP})) AS frame_idx
+  FROM vids
+)
+SELECT doc_id, CAST(n_frames AS INT) AS n_frames, CAST(frame_idx AS INT) AS frame_idx,
+       CAST((doc_id + frame_idx) % {W_MOD} + {W_OFF} AS INT) AS frame_width,
+       CAST((doc_id * 3 + frame_idx) % {H_MOD} + {H_OFF} AS INT) AS frame_height
+FROM frames
 """,
-    doc="video frame sampling plumbing (decode faked — no codecs): "
-    "1 video → k frame rows",
+    doc="video frame sampling over a length-prefixed PNG container: sampled "
+    "frames' bytes really sliced + CRC-decoded; 1 video → k frame rows",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling shape: a row-EXPANDING mapInPandas (one binary video
-    row fans out to sampled-frame rows). Output stays Arrow-batched and
-    partition-local; a real extractor adds the frame bytes per row."""
+    """Frame-sampling pipeline: binary video column → row-EXPANDING
+    mapInPandas that walks the container's length index, slices each sampled
+    frame's actual bytes, and decodes them with the CRC-verifying PNG
+    parser. The oracle predicts the per-frame geometry from the
+    synthesizer's arithmetic, so a sampler that mis-seeks, off-by-ones the
+    length walk, or decodes the wrong frame hash-fails. Narrow map — no
+    shuffle; a real codec swaps in at :func:`iter_video_frames` only."""
     d = table(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(_fake_frame_sample_batches, schema=FRAMES_SCHEMA)
+    videos = d.mapInPandas(
+        _synthesize_video_batches, schema="doc_id long, content binary"
+    )
+    return videos.mapInPandas(_frame_sample_batches, schema=FRAMES_SCHEMA)

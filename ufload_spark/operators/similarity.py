@@ -479,9 +479,14 @@ def kmeans_centroids(
     no MLlib, no RDDs, no Python rows. Returns ``(cid int, ce
     array<double>)``.
 
-    - **init**: the first ``k`` vectors by ``vec_id`` — a deterministic
-      sample (rerun-stable, oracle-expressible; swap for a seeded hash
-      sample at scale).
+    - **init**: the ``k`` vectors with the smallest ``md5(vec_id)`` — a
+      deterministic *hash-ordered* sample: rerun-stable and
+      oracle-expressible like an id-prefix sample, but uncorrelated with
+      insertion order (ids are usually assigned in time/source order, so
+      the first k ids cluster in one region of the distribution; hash
+      order is as good as uniform). Planned as TakeOrderedAndProject — a
+      distributed top-k, no global sort, no single-partition window over
+      the corpus.
     - **assign**: broadcast the k×DIM centroid table against the corpus
       scan; per-vector argmin of squared L2 (window over ``vec_id`` — one
       evenly-keyed shuffle). The fold runs JVM-side via zip_with/aggregate.
@@ -500,10 +505,20 @@ def kmeans_centroids(
     between iterations past ~10. The plan per iteration is
     broadcast-join → window argmin → explode+agg: no driver-side state.
     """
-    cent = emb.where(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cid"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+    seeds = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
     )
+    # cid = hash-order rank of the seed; the window runs over k rows only
+    cent = seeds.withColumn(
+        "cid",
+        (F.row_number().over(Window.orderBy("h", "vec_id")) - 1).cast("int"),
+    ).select("cid", "ce")
     w = Window.partitionBy("vec_id").orderBy("d", "cid")
     for _ in range(iters):
         asn = (
@@ -546,9 +561,15 @@ def _kmeans_ctes(k: int = N_CENTROIDS, iters: int = KMEANS_ITERS) -> str:
     Ends by defining ``centf`` = the trained centroids."""
     ctes = [
         f"idx AS (SELECT unnest(range(1, {DIM + 1})) AS i)",
-        f"""cent0 AS (
-  SELECT CAST(vec_id AS INT) AS cid, x.i, CAST(embedding[x.i] AS DOUBLE) AS ci
-  FROM embeddings, idx x WHERE vec_id < {k})""",
+        f"""seeds AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})""",
+        """cent0 AS (
+  SELECT CAST(s.cid AS INT) AS cid, x.i, CAST(e.embedding[x.i] AS DOUBLE) AS ci
+  FROM seeds s JOIN embeddings e USING (vec_id), idx x)""",
     ]
     for t in range(1, iters + 1):
         p = t - 1

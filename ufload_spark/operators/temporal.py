@@ -143,13 +143,12 @@ def events_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (user_id, bucket), and the exact |dt| ≤ band predicate filters the
     band edges. Each qualifying pair hits exactly one bucket key — no
     dedup. Shuffle volume is 3× the input, never the pair product."""
-    # cast: parquet timestamp[us] without tz infers as TIMESTAMP_NTZ, which
-    # unix_micros rejects; the cast is value-safe here because only epoch
-    # *differences* (dt_us) reach the output.
+    # ts arrives as TIMESTAMP — sources.tables.normalize_ts converts the
+    # fixture's encoding (bigint ns / timestamp_ntz) at the scan, centrally
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.unix_micros(F.col("ts")).alias("us"),
     )
     band_us = BAND_S * 1_000_000
     bucket = F.floor(F.col("us") / band_us)

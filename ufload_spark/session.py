@@ -66,6 +66,15 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # conf locked by the host — keep going
             pass
+    # The NTZ→TIMESTAMP normalization in sources.tables is only value-safe
+    # under a UTC session zone; if the host locked the conf to something
+    # else, every epoch extraction would silently shift. Fail loudly instead.
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"spark.sql.session.timeZone is locked to {tz!r}; the engine "
+            "requires UTC for timestamp_ntz normalization to be value-exact"
+        )
     spark._ufload_spark_tuned = True
     return spark
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ufload_spark.plans.registry import register
-from ufload_spark.sources.loader import _scratch
+from ufload_spark.sources.loader import _scratch_unique
 from ufload_spark.sources.tables import table
 
 _ORDERS_AGG_SQL = """
@@ -69,7 +69,9 @@ def _agg(df: DataFrame) -> DataFrame:
 def _roundtrip(
     spark: SparkSession, sf_dir: str, fmt: str, options: dict | None = None
 ) -> DataFrame:
-    dest = _scratch(
+    # unique per-invocation dest: these queries write-then-lazily-read, so a
+    # shared path would let a driver retry observe a mid-rewrite directory
+    dest = _scratch_unique(
         f"orders_{fmt}_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
     )
     w = _orders_slice(spark, sf_dir).write.mode("overwrite").format(fmt)
@@ -128,7 +130,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderstatus, count(*) AS n_orders,
        sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n_with_priority,
-       round(sum(o_totalprice), 2) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY o_orderstatus
 """,
     doc="schema evolution: old-schema and new-schema parquet files read as "
@@ -151,7 +153,10 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
-    dest = _scratch(
+    # unique per-invocation dest (r3 driver hash-fail post-mortem): the
+    # overwrite-then-append below is observably non-atomic, so the dir must
+    # belong to THIS invocation alone
+    dest = _scratch_unique(
         f"orders_evolved_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
     )
     old = base.where(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
@@ -162,5 +167,9 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         F.count("o_orderpriority").alias("n_with_priority"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        # decimal accumulate → double: sum is exact whatever the partition /
+        # reduction order; round(sum(double),2) is not, in principle
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
     )

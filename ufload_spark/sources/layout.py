@@ -30,18 +30,31 @@ from ufload_spark.sources.tables import table
 N_BUCKETS = 8
 
 
-def _reset_table(spark: SparkSession, name: str) -> None:
-    """Drop a managed table AND its leftover warehouse directory. A prior
-    session's crash (or just a new session over an old warehouse dir)
-    leaves the location on disk without a catalog entry, which makes
-    ``saveAsTable`` fail with LOCATION_ALREADY_EXISTS."""
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
+def _unique_table(spark: SparkSession, prefix: str, *, max_age_s: float = 3600) -> str:
+    """Per-invocation managed-table name ``<prefix>_<ms>_<rand>``, with a
+    sweep of same-prefix leftovers older than ``max_age_s`` (dropped from
+    the catalog if registered, and their warehouse dirs deleted — a prior
+    session's crash leaves the dir without a catalog entry, which makes
+    ``saveAsTable`` fail with LOCATION_ALREADY_EXISTS). Unique names mean a
+    driver retry can never drop a table a concurrent invocation's lazy
+    result still reads."""
+    import time
+    import uuid
+
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{name}")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jpath):
-        fs.delete(jpath, True)
+    jwh = jvm.org.apache.hadoop.fs.Path(warehouse)
+    fs = jwh.getFileSystem(spark._jsc.hadoopConfiguration())
+    now_ms = time.time() * 1000
+    if fs.exists(jwh):
+        for st in fs.listStatus(jwh):
+            name = st.getPath().getName()
+            if name.startswith(prefix + "_") and (
+                now_ms - st.getModificationTime() >= max_age_s * 1000
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                fs.delete(st.getPath(), True)
+    return f"{prefix}_{int(now_ms):x}_{uuid.uuid4().hex[:8]}"
 
 
 @register(
@@ -66,15 +79,14 @@ def layout_bucketed_orderkey_join(spark: SparkSession, sf_dir: str) -> DataFrame
     the same rollup from the raw parquet, proving the bucketed round-trip
     changed the layout, not the data."""
     suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    li_t, o_t = f"li_bucketed_{suffix}", f"o_bucketed_{suffix}"
+    li_t = _unique_table(spark, f"li_bucketed_{suffix}")
+    o_t = _unique_table(spark, f"o_bucketed_{suffix}")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority"
     )
-    _reset_table(spark, li_t)
-    _reset_table(spark, o_t)
     li.write.bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey").mode(
         "overwrite"
     ).saveAsTable(li_t)
@@ -113,9 +125,9 @@ def layout_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     files (pinned by ``test_partitioned_write_prunes``). The layout twin of
     predicate pushdown: pushdown skips row groups, partitioning skips
     whole files. Oracle reads the raw parquet."""
-    from ufload_spark.sources.loader import _scratch
+    from ufload_spark.sources.loader import _scratch_unique
 
-    dest = _scratch(
+    dest = _scratch_unique(
         f"events_by_type_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
     )
     ev = table(spark, sf_dir, "events")

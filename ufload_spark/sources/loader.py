@@ -39,6 +39,7 @@ reload when the source size is unchanged. :func:`should_reload` /
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 
@@ -282,15 +283,12 @@ def _read_pointer(fs, jvm, target: str) -> str | None:
         return None
     stream = fs.open(jpointer)
     try:
-        data = bytearray()
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            data.append(b)
-        return data.decode("utf-8").strip()
+        # one py4j round trip for the whole file (commons-io ships with
+        # Spark), not one per byte
+        data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
+    return data.strip()
 
 
 def read_current(spark: SparkSession, target: str) -> DataFrame:
@@ -300,6 +298,48 @@ def read_current(spark: SparkSession, target: str) -> DataFrame:
     if name is None:
         raise FileNotFoundError(f"no committed version for {target}")
     return spark.read.parquet(os.path.join(os.path.dirname(target) or ".", name))
+
+
+def version_history(spark: SparkSession, target: str) -> list[dict]:
+    """List the retained versions of a pointer-published ``target``, newest
+    first: ``[{"name", "mtime_ms", "is_current"}, ...]``. The current
+    version (whatever the pointer names) is always first; older retained
+    versions follow in modification-time order — the same ordering the
+    retention sweep uses, so ``version_history()[n]`` is exactly what
+    :func:`read_version` (``n``) reads. The Delta/Iceberg ``DESCRIBE
+    HISTORY`` analogue for this plain-parquet publish path."""
+    fs, _, jvm = _fs(spark, target)
+    current = _read_pointer(fs, jvm, target)
+    if current is None:
+        raise FileNotFoundError(f"no committed version for {target}")
+    rows = []
+    for st in _glob(fs, jvm, f"{target}.v.*"):
+        name = st.getPath().getName()
+        rows.append(
+            {
+                "name": name,
+                "mtime_ms": st.getModificationTime(),
+                "is_current": name == current,
+            }
+        )
+    # current first, then the rest newest-first — pointer beats mtime
+    # (a slow writer can give an older version a younger mtime)
+    rows.sort(key=lambda r: (not r["is_current"], -r["mtime_ms"]))
+    return rows
+
+
+def read_version(spark: SparkSession, target: str, n: int = 0) -> DataFrame:
+    """Time travel: read the version ``n`` commits before current (``n=0``
+    is :func:`read_current`). Raises ``IndexError`` when ``n`` exceeds the
+    retained history (``keep_versions`` at publish time bounds it)."""
+    history = version_history(spark, target)
+    if n >= len(history):
+        raise IndexError(
+            f"{target} retains {len(history)} versions; cannot travel back {n}"
+        )
+    return spark.read.parquet(
+        os.path.join(os.path.dirname(target) or ".", history[n]["name"])
+    )
 
 
 def should_reload(spark: SparkSession, memo_path: str, current_len: int) -> bool:
@@ -326,6 +366,31 @@ def _scratch(name: str) -> str:
     return os.path.join(base, name)
 
 
+def _scratch_unique(name: str, *, max_age_s: float = 3600) -> str:
+    """Per-invocation scratch path ``<base>/<name>.<ms>.<rand>``.
+
+    Registered queries that WRITE before they read must never share a path
+    across invocations: the driver may retry or run a query concurrently
+    with its oracle pass, and a fixed path lets one invocation observe
+    another's mid-rewrite directory (overwrite deletes, append adds —
+    exactly the ``source_schema_evolution`` r3 hash-fail). A unique suffix
+    makes every invocation's write-then-read self-contained; same-name
+    leftovers older than ``max_age_s`` are swept here so debris stays
+    bounded without ever racing a live invocation."""
+    base = _scratch("")
+    now = time.time()
+    prefix = f"{name}."
+    for entry in os.listdir(base):
+        if entry.startswith(prefix):
+            p = os.path.join(base, entry)
+            try:
+                if now - os.path.getmtime(p) >= max_age_s:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    return _scratch(f"{name}.{int(now * 1000):x}.{uuid.uuid4().hex[:8]}")
+
+
 @register(
     "loader_staging_publish",
     """
@@ -342,7 +407,9 @@ def loader_staging_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     into place, then aggregates FROM THE PUBLISHED COPY — so the oracle
     checks the data actually made it through the write path byte-correct."""
     src = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
-    target = _scratch(f"orders_published_{os.path.basename(sf_dir.rstrip('/'))}")
+    target = _scratch_unique(
+        f"orders_published_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     stage_and_publish(spark, src, target)
     return (
         spark.read.parquet(target)
@@ -367,10 +434,43 @@ def loader_pointer_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Publishes ``orders`` via :func:`publish_versioned` and aggregates from
     :func:`read_current` — the crash-window-free publish path."""
     src = table(spark, sf_dir, "orders")
-    target = _scratch(f"orders_versioned_{os.path.basename(sf_dir.rstrip('/'))}")
+    target = _scratch_unique(
+        f"orders_versioned_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
     publish_versioned(spark, src, target)
     return (
         read_current(spark, target)
         .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "loader_time_travel",
+    """
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+""",
+    doc="OP-SNK-1 (time travel): two pointer-publishes, then read_version(1) "
+    "returns the first snapshot intact — the current pointer names the second",
+)
+def loader_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version time travel over the pointer-publish path: publish all of
+    ``orders`` (v1), then a filtered half (v2, now current), then read ONE
+    COMMIT BACK. The oracle aggregates the full table — matching proves the
+    older immutable version survived the second publish untouched, i.e. the
+    retention story (`keep_versions`) actually yields usable history, not
+    just undeleted bytes. ``read_current`` would see the filtered v2."""
+    src = table(spark, sf_dir, "orders")
+    target = _scratch_unique(
+        f"orders_history_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    publish_versioned(spark, src, target, keep_versions=2)
+    publish_versioned(
+        spark, src.where(F.col("o_totalprice") > 100000), target, keep_versions=2
+    )
+    return (
+        read_version(spark, target, 1)
+        .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"))
     )

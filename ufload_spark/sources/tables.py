@@ -36,6 +36,39 @@ TABLES = (
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zone TIMESTAMP, whatever
+    encoding the fixture generation happened to use. Three dtypes have been
+    observed across driver fixture refreshes:
+
+    - ``bigint``: parquet TIMESTAMP(NANOS) read as long (nanosAsLong conf).
+      Integer-div to µs, not ``/``: ns epochs exceed double precision
+      (2^53), and DuckDB truncates ns→µs the same way.
+    - ``timestamp_ntz``: tz-less parquet µs timestamps. ``withWatermark``
+      and ``unix_micros`` reject NTZ, so cast to TIMESTAMP. Value-safe
+      because the session timezone is pinned to UTC (:func:`tune` raises if
+      the host locks it to anything else) — wall-clock values map to the
+      same instants DuckDB/pandas see.
+    - ``timestamp``: already what every consumer wants; no-op.
+
+    Every fixture read — batch :func:`table`, streaming
+    ``events_readstream``, and tests building their own streams — routes
+    through this ONE function, so a future driver-side fixture refresh
+    changing the encoding again is a one-line fix here, not a hunt.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Column pruning + predicate pushdown are left
     to Catalyst — callers select/filter on the returned DataFrame."""
@@ -48,15 +81,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) → read as long (nanosAsLong) and
-        # convert; fixture nanos are whole microseconds so this is lossless.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer div, not `/`: ns since epoch exceeds double precision
-            # (2^53), and DuckDB truncates ns→us the same way
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_ts(df)
     _TABLE_CACHE[key] = df
     return df
 

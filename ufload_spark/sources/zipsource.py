@@ -105,26 +105,39 @@ def zip_extract(spark: SparkSession, path_glob: str) -> DataFrame:
 
 def ensure_fixture_zips(sf_dir: str) -> str:
     """Build deterministic single-member ZIPs from ``documents`` (doc_id <
-    N_FIXTURE_ZIPS) under the repo scratch dir; idempotent per sf."""
+    N_FIXTURE_ZIPS) under the repo scratch dir; idempotent per sf.
+
+    Publish is build-into-tmp → atomic ``os.rename``: a concurrent or
+    retried invocation either sees the complete published dir or builds its
+    own tmp copy — never a half-written archive (the same no-observable-
+    mid-write rule every registered query's scratch path follows)."""
+    import shutil
+    import uuid
+
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
     out = os.path.join(
         repo_root, ".scratch", f"zips_{os.path.basename(sf_dir.rstrip('/'))}"
     )
-    done = os.path.join(out, ".done")
-    if os.path.exists(done):
+    if os.path.exists(os.path.join(out, ".done")):
         return out
-    os.makedirs(out, exist_ok=True)
+    tmp = f"{out}.tmp.{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
     docs = pd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     docs = docs[docs["doc_id"] < N_FIXTURE_ZIPS].sort_values("doc_id")
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
-        zpath = os.path.join(out, f"doc_{doc_id}.zip")
+        zpath = os.path.join(tmp, f"doc_{doc_id}.zip")
         with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
             info = zipfile.ZipInfo(f"doc_{doc_id}.txt", date_time=_FIXED_DATE)
             z.writestr(info, (text or "").encode("utf-8"))
-    with open(done, "w") as f:
+    with open(os.path.join(tmp, ".done"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # another invocation published first — its copy is identical
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

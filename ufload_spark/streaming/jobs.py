@@ -31,6 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ufload_spark.plans.registry import register
 from ufload_spark.session import tune
+from ufload_spark.sources.tables import normalize_ts
 
 _SINK_SEQ = itertools.count()
 
@@ -50,14 +51,7 @@ def events_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = spark.readStream.schema(raw_schema).parquet(
         f"{sf_dir}/events.[p]arquet"
     )
-    if dict(sdf.dtypes)["ts"] == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif dict(sdf.dtypes)["ts"] == "timestamp_ntz":
-        # tz-less parquet infers as TIMESTAMP_NTZ, which withWatermark
-        # rejects; cast to the session-zone type. Wall-clock values are
-        # preserved, so downstream windows/oracles see identical buckets.
-        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
-    return sdf
+    return normalize_ts(sdf)
 
 
 def run_to_memory(
@@ -256,10 +250,11 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
-        F.expr(
-            "(unix_micros(cast(p_ts as timestamp))"
-            " - unix_micros(cast(c_ts as timestamp))) div 1000000"
-        ).alias("dt_s"),
+        # p_ts/c_ts are TIMESTAMP here — events_readstream normalizes the
+        # source before the watermark — so unix_micros applies directly
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000").alias(
+            "dt_s"
+        ),
     )
     return run_to_memory(joined, output_mode="append", prefix="ssjoin")
 
@@ -364,17 +359,15 @@ def streaming_upsert_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tempfile
 
     from ufload_spark.operators.archive import merge_upsert
-    from ufload_spark.sources.loader import _fs, _scratch, stage_and_publish
+    from ufload_spark.sources.loader import _fs, _scratch_unique, stage_and_publish
     from ufload_spark.streaming.notify import run_with_notify
 
     sdf = events_readstream(spark, sf_dir).select("event_id", "event_type", "value")
-    target = _scratch(
+    # unique target per invocation: reruns start from batch zero, and no
+    # concurrent/retried invocation can observe this one's target mid-merge
+    target = _scratch_unique(
         f"events_upserted_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
     )
-    # fresh target per invocation: reruns must start from batch zero
-    fs, jtarget, _ = _fs(spark, target)
-    if fs.exists(jtarget):
-        fs.delete(jtarget, True)
 
     def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
