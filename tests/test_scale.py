@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_MID
 from ufload_spark.sources.tables import table
 
 
@@ -321,3 +321,91 @@ def test_lsh_self_join_reuses_one_exchange(spark):
     final = plan.split("+- == Initial Plan ==")[0]
     assert "ReusedExchange" in final
     assert final.count("FileScan") == 1
+
+
+def test_minhash_candidates_subquadratic(spark):
+    """The LSH design claim, measured: growing documents 10x (sf0.01 ->
+    sf0.1) must grow band-bucket candidate pairs FAR slower than the 100x
+    of an all-pairs (quadratic) scheme -- content-hashed band keys draw
+    from a 2^64 space, so bucket collisions track true near-dup density,
+    not corpus size. Measured in r4: 129 -> 3,616 (28x for 10x docs).
+    The hyperplane-LSH embedding path is deliberately NOT pinned this way:
+    its bucket capacity is fixed at 2^r per band, so its candidate volume
+    is ~n^2/B by design and r must grow with the corpus (SCALING.md)."""
+    from ufload_spark.operators.dedup import N_BANDS, _minhash_sigs
+
+    def bucket_candidates(sf_dir: str) -> tuple[int, int]:
+        sigs = _minhash_sigs(spark, sf_dir)
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.col(f"m{2*b}").alias("k1"),
+                    F.col(f"m{2*b+1}").alias("k2"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+        n_docs = sigs.count()
+        cand = (
+            sigs.select("doc_id", F.explode(bands).alias("bk"))
+            .groupBy("bk.band", "bk.k1", "bk.k2")
+            .agg(F.count("*").alias("c"))
+            .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
+            .first()["pairs"]
+        )
+        return n_docs, int(cand)
+
+    n_small, cand_small = bucket_candidates(SF_DIR_MID)
+    n_big, cand_big = bucket_candidates("/root/testdata/sf0.1")
+    assert n_big >= 2 * n_small  # the fixtures really scale now
+    growth = cand_big / max(cand_small, 1)
+    quadratic = (n_big / n_small) ** 2
+    # well under quadratic, with headroom against fixture refreshes
+    assert growth <= 0.6 * quadratic, (
+        f"candidate growth {growth:.1f}x vs quadratic {quadratic:.1f}x"
+    )
+
+
+def test_scaled_fixture_preserves_workload_character(spark, tmp_path):
+    """The sf1 bench generator must scale row counts without changing what
+    the queries measure: join integrity intact (no orphan fact rows),
+    no cross-copy shingle collisions (near-dup density per doc stays the
+    fixture's), and embedding sign-flip copies keep norms while
+    decorrelating across copies."""
+    import math
+
+    from ufload_spark.sources.scaleup import STRIDE, ensure_scaled_fixture
+
+    dest = str(tmp_path / "sf_scaled")
+    ensure_scaled_fixture(spark, SF_DIR, dest, factor=3)
+
+    li = spark.read.parquet(f"{dest}/lineitem.parquet")
+    o = spark.read.parquet(f"{dest}/orders.parquet")
+    src_li_n = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    assert li.count() == 3 * src_li_n
+    assert li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").count() == 0
+
+    d = spark.read.parquet(f"{dest}/documents.parquet")
+    tok = d.select(
+        F.explode(F.split("text", r"\s+")).alias("t"),
+        (F.col("doc_id") / STRIDE).cast("int").alias("copy"),
+    ).where(F.col("t") != "")
+    cross = (
+        tok.groupBy("t")
+        .agg(F.count_distinct("copy").alias("nc"))
+        .where(F.col("nc") > 1)
+        .count()
+    )
+    assert cross == 0
+
+    e = spark.read.parquet(f"{dest}/embeddings.parquet")
+    rows = {
+        r["vec_id"]: list(r["embedding"])
+        for r in e.where(F.col("vec_id").isin(0, STRIDE)).collect()
+    }
+    v0, v1 = rows[0], rows[STRIDE]
+    n0, n1 = sum(a * a for a in v0), sum(b * b for b in v1)
+    assert abs(n0 - n1) < 1e-6  # diagonal +-1 is orthogonal: norms exact
+    cos = sum(a * b for a, b in zip(v0, v1)) / math.sqrt(n0 * n1)
+    assert abs(cos) < 0.9  # decorrelated, not a twin

@@ -381,7 +381,8 @@ def _scratch_unique(name: str, *, max_age_s: float = 3600) -> str:
     now = time.time()
     prefix = f"{name}."
     for entry in os.listdir(base):
-        if entry.startswith(prefix):
+        # exact match = debris from the pre-r4 fixed-path scheme
+        if entry == name or entry.startswith(prefix):
             p = os.path.join(base, entry)
             try:
                 if now - os.path.getmtime(p) >= max_age_s:
