@@ -43,6 +43,12 @@ HEADLINE = [
     "text_quality_score",          # text scoring map
     "corpus_pii_scrub",            # regex redaction map (r2)
     "events_retention_cohorts",    # cohort rollup (r2)
+    # r4 additions — read-only queries from the newer families; appended so
+    # every pre-r4 entry stays comparable round-over-round
+    "similarity_ivf_topk",         # trained k-means quantizer + cell probe (r3)
+    "corpus_contamination_overlap",  # broadcast-hinted shingle audit (r3)
+    "events_range_join_pairs",     # banded bucket range join
+    "text_repetition_ratio",       # dup-n-gram quality signal (r3)
 ]
 
 

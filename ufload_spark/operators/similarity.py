@@ -449,6 +449,12 @@ def similarity_topk_cosine_pandas(spark: SparkSession, sf_dir: str) -> DataFrame
 N_CENTROIDS = 8
 N_PROBE = 2
 KMEANS_ITERS = 3
+#: the quantizer trains on a 1/TRAIN_SAMPLE_MOD content-addressed sample
+#: (md5 bucket of vec_id): k-means needs representativeness, not the
+#: corpus — at 100 TB training over every vector is pure waste, and the
+#: sample predicate is closed-form on both engines so the oracle stays
+#: bit-exact. Assignment still covers the FULL corpus.
+TRAIN_SAMPLE_MOD = 4
 IVF_Q_LO, IVF_Q_HI = 8, 13  # query vectors: vec_id in [8, 13)
 _R = 6  # shared rounding (decimals) that makes Spark and DuckDB float
 #        reductions comparable: both engines round every centroid
@@ -470,6 +476,19 @@ def sqdist(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def train_sample(emb: DataFrame, mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
+    """Deterministic content-addressed training sample: keep vectors whose
+    md5(vec_id) bucket ≡ 0 (mod ``mod``) — rerun-stable, engine-portable
+    (the DuckDB twin is ``('0x'||substr(md5(...),1,4))::INT % mod``), and
+    uncorrelated with id assignment order."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % mod
+    )
+    return emb.where(bucket == 0)
 
 
 def kmeans_centroids(
@@ -500,10 +519,12 @@ def kmeans_centroids(
     bit-identical centroids — float reduction order differs between
     engines, rounding absorbs it.
 
-    At 100 TB: train on a sample (k-means needs representativeness, not
-    the corpus); ``iters`` chained plans deepen lineage, so checkpoint
-    between iterations past ~10. The plan per iteration is
-    broadcast-join → window argmin → explode+agg: no driver-side state.
+    Callers pass the TRAINING SET — the registered IVF query hands in
+    :func:`train_sample` (a content-addressed 1/4 sample), the 100 TB
+    posture made real: k-means needs representativeness, not the corpus.
+    ``iters`` chained plans deepen lineage, so checkpoint between
+    iterations past ~10. The plan per iteration is broadcast-join →
+    window argmin → explode+agg: no driver-side state.
     """
     seeds = (
         emb.select(
@@ -561,22 +582,26 @@ def _kmeans_ctes(k: int = N_CENTROIDS, iters: int = KMEANS_ITERS) -> str:
     Ends by defining ``centf`` = the trained centroids."""
     ctes = [
         f"idx AS (SELECT unnest(range(1, {DIM + 1})) AS i)",
+        f"""train AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INT
+          % {TRAIN_SAMPLE_MOD} = 0)""",
         f"""seeds AS (
   SELECT vec_id,
          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cid
-  FROM embeddings
+  FROM train
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})""",
         """cent0 AS (
   SELECT CAST(s.cid AS INT) AS cid, x.i, CAST(e.embedding[x.i] AS DOUBLE) AS ci
-  FROM seeds s JOIN embeddings e USING (vec_id), idx x)""",
+  FROM seeds s JOIN train e USING (vec_id), idx x)""",
     ]
     for t in range(1, iters + 1):
         p = t - 1
         ctes.append(f"""d{t} AS (
   SELECT e.vec_id, c.cid,
          round(sum(pow(CAST(e.embedding[c.i] AS DOUBLE) - c.ci, 2)), {_R}) AS d
-  FROM embeddings e JOIN cent{p} c ON true GROUP BY e.vec_id, c.cid)""")
+  FROM train e JOIN cent{p} c ON true GROUP BY e.vec_id, c.cid)""")
         ctes.append(f"""a{t} AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
@@ -584,7 +609,7 @@ def _kmeans_ctes(k: int = N_CENTROIDS, iters: int = KMEANS_ITERS) -> str:
   ) WHERE rn = 1)""")
         ctes.append(f"""m{t} AS (
   SELECT a.cell AS cid, x.i, round(avg(CAST(e.embedding[x.i] AS DOUBLE)), {_R}) AS mi
-  FROM a{t} a JOIN embeddings e ON e.vec_id = a.vec_id, idx x GROUP BY 1, 2)""")
+  FROM a{t} a JOIN train e ON e.vec_id = a.vec_id, idx x GROUP BY 1, 2)""")
         ctes.append(f"""cent{t} AS (
   SELECT p.cid, p.i, coalesce(m.mi, p.ci) AS ci
   FROM cent{p} p LEFT JOIN m{t} m ON m.cid = p.cid AND m.i = p.i)""")
@@ -661,7 +686,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Probed queries (a handful of rows) broadcast into the assignment scan, so
     the big side never shuffles on the skewed cell key."""
     e = table(spark, sf_dir, "embeddings")
-    cent = kmeans_centroids(e)
+    cent = kmeans_centroids(train_sample(e))
     cand = e.where(F.col("vec_id") >= IVF_Q_HI)
     q = e.where(
         (F.col("vec_id") >= IVF_Q_LO) & (F.col("vec_id") < IVF_Q_HI)
