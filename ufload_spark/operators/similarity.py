@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ufload_spark.plans.registry import register
+from ufload_spark.session import tune
 from ufload_spark.sources.tables import table
 
 DIM = 64
@@ -149,62 +150,66 @@ planes AS (
 """
 
 
+def _plane_matrix():
+    """The DIM×N_PLANES ±1 hyperplane matrix, derived from md5(``j_i``)
+    parity — byte-identical to the oracle's ``planes`` CTE arithmetic."""
+    import hashlib
+
+    import numpy as np
+
+    S = np.empty((DIM, N_PLANES), dtype=np.float64)
+    for j in range(N_PLANES):
+        for i in range(1, DIM + 1):
+            parity = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:2], 16) % 2
+            S[i - 1, j] = parity * 2 - 1
+    return S
+
+
+def _sig_batches(batches):
+    import numpy as np
+
+    S = _plane_matrix()
+    bit_weights = 1 << np.arange(PLANES_PER_BAND, dtype=np.int64)
+    for pdf in batches:
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        bits = (X @ S) > 0  # n × N_PLANES sign bits, one BLAS matmul
+        sigs = np.column_stack(
+            [
+                bits[:, b * PLANES_PER_BAND : (b + 1) * PLANES_PER_BAND] @ bit_weights
+                for b in range(N_BANDS)
+            ]
+        )  # n × N_BANDS packed band signatures
+        n = len(pdf)
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy().repeat(N_BANDS),
+                "band": np.tile(np.arange(N_BANDS, dtype=np.int32), n),
+                "sig": sigs.reshape(-1),
+            }
+        )
+
+
 def _lsh_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded signatures per vector: one row per (vec_id, band), where bit
     (j % r) of ``sig`` is sign(v · h_j) for plane j in the band's range;
-    h_j is a ±1 hyperplane derived from md5(j_i) parity (identical in the
-    oracle). One explode + two codegen hash-aggs — no Python."""
+    h_j is a ±1 hyperplane from md5(``j_i``) parity (identical in the
+    oracle's ``planes`` CTE).
+
+    Arrow-batched matmul (r4): the signature math is a dense n×DIM @
+    DIM×N_PLANES product — 92M multiply-adds at 20k vectors. The previous
+    codegen form (posexplode → broadcast plane join → two hash-aggs) was
+    JVM-pure but materialized every (element, plane) product as a row:
+    ~10 s at the synthesized sf1 vs ~1 s for this narrow ``mapInPandas``
+    map, where one Arrow batch of float32 vectors crosses to numpy and
+    BLAS does the flops. No shuffle, no join; scales as a pure map. This
+    is the documented exception to fight-for-codegen: O(corpus) paths
+    whose per-row arithmetic is a matrix product belong on the BLAS tier
+    (same call SCALING.md records for pair-cosine economics)."""
+    tune(spark)
     e = table(spark, sf_dir, "embeddings")
-    planes = (
-        spark.range(0, N_PLANES)
-        .select(F.col("id").cast("int").alias("j"))
-        .crossJoin(spark.range(1, DIM + 1).select(F.col("id").cast("int").alias("i")))
-        .select(
-            "j",
-            "i",
-            (
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.col("j").cast("string"),
-                                    F.lit("_"),
-                                    F.col("i").cast("string"),
-                                )
-                            ),
-                            1,
-                            2,
-                        ),
-                        16,
-                        10,
-                    ).cast("int")
-                    % 2
-                )
-                * 2
-                - 1
-            ).alias("s"),
-        )
+    return e.select("vec_id", "embedding").mapInPandas(
+        _sig_batches, schema="vec_id long, band int, sig long"
     )
-    expl = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "xf")
-    ).select(
-        "vec_id", (F.col("pos") + 1).alias("i"), F.col("xf").cast("double").alias("x")
-    )
-    dots = (
-        expl.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("x") * F.col("s")).alias("d"))
-    )
-    sig = F.sum(
-        F.when(
-            F.col("d") > 0,
-            F.expr(f"shiftleft(1, j % {PLANES_PER_BAND})"),
-        ).otherwise(F.lit(0))
-    )
-    return dots.groupBy(
-        "vec_id", F.expr(f"CAST(j div {PLANES_PER_BAND} AS INT)").alias("band")
-    ).agg(sig.cast("bigint").alias("sig"))
 
 
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
