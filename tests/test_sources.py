@@ -454,3 +454,19 @@ def test_version_history_and_time_travel(spark, tmp_path):
     assert len(hist) == 2
     assert read_version(spark, target, 0).count() == 4
     assert read_version(spark, target, 1).count() == 2
+
+
+def test_schema_evolution_safe_under_interleaved_invocations(spark):
+    """The r3 driver hash-fail mechanism, pinned: invocation A returns a
+    LAZY frame over its scratch dir; invocation B then runs the same query.
+    Under the old fixed shared path, B's overwrite deleted files A's frame
+    still referenced; with per-invocation unique paths both frames must
+    evaluate complete and oracle-exact in either order."""
+    from tests.oracle import compare
+    from ufload_spark.plans.registry import load_all
+
+    q = load_all()["source_schema_evolution"]
+    df_a = q.fn(spark, SF_DIR)  # writes dir A, returns lazy reader over A
+    df_b = q.fn(spark, SF_DIR)  # writes dir B — must not disturb A
+    compare(df_a, q.oracle, SF_DIR)
+    compare(df_b, q.oracle, SF_DIR)

@@ -357,13 +357,17 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape): a small query batch computes its band signatures and probes
     the corpus signature table — at scale, a PERSISTED table maintained by
     the loader, so queries never re-hash the corpus (see
-    ``dedup_minhash_persist_roundtrip`` for that loop executed). Here both
-    sides derive from one signature frame, so the split lives in the JOIN
-    CONDITION (not pre-filters, which would make the children differ) and
-    the ``shuffle_hash`` hint gives identical exchanges — AQE ReuseExchange
-    computes the signature pipeline ONCE. Candidates (band collisions) are
-    the only rows rescored exactly, and the final top-k windows by qid —
-    an evenly-keyed small shuffle."""
+    ``dedup_minhash_persist_roundtrip`` for that loop executed). Both
+    sides derive from one signature frame with the query/corpus split in
+    the JOIN CONDITION. Since r4 the signature stage is an Arrow matmul
+    map (``_lsh_band_sigs``): Catalyst does not canonicalize Python-eval
+    subtrees as equal, so each join side evaluates the map itself — an
+    accepted 2× of a cheap narrow scan (the pre-r4 codegen pipeline
+    needed AQE ReuseExchange precisely because its signature stage cost
+    ~10 s at sf1; the matmul costs ~0.2 s). The persisted-table form
+    removes even that at production scale. Candidates (band collisions)
+    are the only rows rescored exactly, and the final top-k windows by
+    qid — an evenly-keyed small shuffle."""
     sigs = _lsh_band_sigs(spark, sf_dir).hint("shuffle_hash")
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
