@@ -100,12 +100,14 @@ def main() -> None:
         "sf": sf,
     }
 
-    # One additional pass at sf1 (10× the stock sf0.1 fixtures, synthesized
+    # Additional passes at sf1 (10× the stock sf0.1 fixtures, synthesized
     # once into .scratch/sf1 by sources/scaleup.py with workload-preserving
     # key shifts): sub-second sf0.1 queries can't expose driver-side
-    # bottlenecks; this datapoint can. Single measured pass (the sf0.1 loop
-    # above already warmed the JIT at real plan shapes); disable with
-    # SPARK_GRAFT_SF1=0.
+    # bottlenecks; this datapoint can. Two passes, per-query MIN: AQE picks
+    # different physical plans at sf1 than at sf0.1, so the first sf1 pass
+    # is largely Janino compilation of new plan shapes (measured: SimHash
+    # 12.2 s cold vs 2.9 s steady) — the min is the steady-state number the
+    # sf0.1 medians also report. Disable with SPARK_GRAFT_SF1=0.
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         from ufload_spark.sources.scaleup import ensure_scaled_fixture
 
@@ -115,13 +117,15 @@ def main() -> None:
         t0 = time.perf_counter()
         ensure_scaled_fixture(spark, "/root/testdata/sf0.1", sf1_dir, factor=10)
         gen_sec = round(time.perf_counter() - t0, 3)
-        sf1_timings: dict[str, float] = {}
-        for name in HEADLINE:
-            t0 = time.perf_counter()
-            registry[name].fn(spark, sf1_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+        sf1_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+        for _ in range(2):
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                registry[name].fn(spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sf1_runs[name].append(time.perf_counter() - t0)
+        sf1_timings = {name: round(min(ts), 3) for name, ts in sf1_runs.items()}
         result["sf1_queries"] = sf1_timings
         result["sf1_wall_sec"] = round(sum(sf1_timings.values()), 3)
         result["sf1_gen_sec"] = gen_sec
