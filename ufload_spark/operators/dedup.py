@@ -695,3 +695,79 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.05)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def _keep_best_oracle() -> str:
+    from ufload_spark.operators.textops import _TOKENS_SQL
+
+    return (
+        _PAIRS_FOR_CLUSTERS_SQL.replace("WITH tokens", "WITH RECURSIVE tokens", 1)
+        + f"""
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+), comp AS (
+  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+), tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents
+), members AS (
+  SELECT c.doc_id, c.cluster_id, t.n_tokens
+  FROM comp c JOIN tok t USING (doc_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM members
+)
+SELECT r.cluster_id, s.n_members, r.doc_id AS kept_doc_id,
+       r.n_tokens AS kept_tokens
+FROM ranked r
+JOIN (SELECT cluster_id, count(*) AS n_members FROM members GROUP BY cluster_id) s
+  USING (cluster_id)
+WHERE r.rn = 1
+"""
+    )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    _keep_best_oracle(),
+    doc="quality-aware cluster dedup: one survivor per near-dup cluster, "
+    "picked by token count (ties → lowest id); oracle extends the "
+    "recursive-CTE components fixpoint",
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision step clustering exists for: ONE survivor per near-dup
+    cluster, chosen by quality (here: token count, ties to the lowest
+    doc_id) — real curation keeps the best copy, not an arbitrary one
+    (plain per-pair dedup keeps whichever side of each pair sorted first,
+    which can drop the longest copy of a triplicate).
+
+    Plan: components labels join token counts (one shuffle on doc_id), a
+    row_number window per cluster_id picks the survivor, and a count
+    aggregate rides the same cluster partitioning. Cluster cardinality is
+    tiny (near-dup micro-clusters), so the window state is bounded."""
+    from ufload_spark.operators.textops import token_count
+    from ufload_spark.sources.tables import table as _table
+
+    comp = dedup_connected_components(spark, sf_dir)
+    toks = _table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    m = comp.join(toks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), "doc_id")
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    kept = ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_tokens").alias("kept_tokens"),
+    )
+    sizes = m.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return kept.join(sizes, "cluster_id").select(
+        "cluster_id", "n_members", "kept_doc_id", "kept_tokens"
+    )

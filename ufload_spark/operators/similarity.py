@@ -794,3 +794,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_b").alias("dropped_vec_id"))
         .distinct()
     )
+
+
+@register(
+    "similarity_lsh_incremental",
+    f"""
+WITH {_PLANES_SQL}
+, batch AS (SELECT DISTINCT vec_id FROM sigs WHERE vec_id % 4 = 0)
+SELECT vec_id FROM batch v
+WHERE NOT EXISTS (
+  SELECT 1 FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.vec_id = v.vec_id AND b.vec_id % 4 <> 0
+)
+""",
+    doc="incremental embedding ANN: corpus band signatures persisted via "
+    "the staged loader; a new batch's signatures semi-join them and only "
+    "collision-free vectors emerge as novel",
+)
+def similarity_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-signature loop the lookup queries document as the
+    100 TB shape, actually executed for embeddings (the text twin is
+    ``dedup_minhash_incremental``): 3/4 of the corpus's band signatures
+    are published through stage→audit→atomic-publish, read back from
+    parquet, and the remaining 1/4 ("the new batch") computes only ITS
+    signatures (the Arrow matmul map over the batch — the corpus is never
+    re-hashed) and anti-joins the persisted table on (band, sig). The
+    result is the batch vectors with no banded near-dup in the corpus —
+    what an ingest pipeline would admit as novel. Oracle recomputes both
+    sides declaratively; hash-matching proves the parquet round-trip of
+    signature data is lossless."""
+    from ufload_spark.sources.loader import _scratch_unique, stage_and_publish
+
+    import os as _os
+
+    sigs = _lsh_band_sigs(spark, sf_dir)
+    existing = sigs.where(F.col("vec_id") % 4 != 0)
+    target = _scratch_unique(
+        f"lsh_sigs_{_os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    stage_and_publish(spark, existing, target)
+    persisted = spark.read.parquet(target)
+
+    batch = sigs.where(F.col("vec_id") % 4 == 0)
+    collided = (
+        batch.join(persisted, ["band", "sig"], "left_semi")
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        batch.select("vec_id").distinct().join(collided, "vec_id", "left_anti")
+    )
