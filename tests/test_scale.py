@@ -409,3 +409,19 @@ def test_scaled_fixture_preserves_workload_character(spark, tmp_path):
     assert abs(n0 - n1) < 1e-6  # diagonal +-1 is orthogonal: norms exact
     cos = sum(a * b for a, b in zip(v0, v1)) / math.sqrt(n0 * n1)
     assert abs(cos) < 0.9  # decorrelated, not a twin
+
+
+def test_lsh_incremental_never_rehashes_corpus(spark):
+    """similarity_lsh_incremental's scale claim, pinned in the plan: after
+    the corpus signatures publish, the admission query computes signatures
+    for the NEW BATCH only — exactly one Python signature map in the final
+    plan; the corpus side is a plain parquet FileScan of the published
+    table."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["similarity_lsh_incremental"].fn(spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1
+    assert "FileScan parquet" in final

@@ -470,3 +470,37 @@ def test_schema_evolution_safe_under_interleaved_invocations(spark):
     df_b = q.fn(spark, SF_DIR)  # writes dir B — must not disturb A
     compare(df_a, q.oracle, SF_DIR)
     compare(df_b, q.oracle, SF_DIR)
+
+
+def test_scratch_unique_sweeps_only_stale(tmp_path, monkeypatch):
+    """_scratch_unique must sweep same-name debris older than max_age_s
+    (including pre-r4 fixed-name dirs) while never touching fresh dirs —
+    age is the only signal separating crash debris from live concurrent
+    invocations."""
+    import os
+    import time as _time
+
+    from ufload_spark.sources import loader
+
+    base = tmp_path / "scratch"
+    base.mkdir()
+    monkeypatch.setattr(
+        loader, "_scratch", lambda name: str(base / name) if name else str(base)
+    )
+
+    old_fixed = base / "roundtrip"           # pre-r4 fixed-path debris
+    old_suffixed = base / "roundtrip.aa.bb"  # crashed unique-path run
+    fresh = base / "roundtrip.cc.dd"         # live concurrent invocation
+    unrelated = base / "other.ee.ff"         # different query's dir
+    for d in (old_fixed, old_suffixed, fresh, unrelated):
+        d.mkdir()
+    stale = _time.time() - 7200
+    os.utime(old_fixed, (stale, stale))
+    os.utime(old_suffixed, (stale, stale))
+    os.utime(unrelated, (stale, stale))
+
+    p = loader._scratch_unique("roundtrip", max_age_s=3600)
+    assert os.path.basename(p).startswith("roundtrip.")
+    assert not old_fixed.exists() and not old_suffixed.exists()
+    assert fresh.exists()      # young: maybe a live run — untouched
+    assert unrelated.exists()  # other query's path — never touched

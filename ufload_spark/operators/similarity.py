@@ -841,6 +841,12 @@ def similarity_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .distinct()
     )
-    return (
-        batch.select("vec_id").distinct().join(collided, "vec_id", "left_anti")
+    # universe of batch ids from the plain embeddings scan, NOT from the
+    # signature frame — the signature map evaluates exactly once (the
+    # collided side); pinned by test_lsh_incremental_never_rehashes_corpus
+    universe = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 4 == 0)
+        .select("vec_id")
     )
+    return universe.join(collided, "vec_id", "left_anti")
