@@ -25,6 +25,38 @@ def test_unverified_queries_ordered_first():
             assert not seen_verified, f"unverified {n!r} after verified entries"
 
 
+def test_hash_failed_row_counts_as_unverified(tmp_path):
+    """A driver artifact row with rows+schema green but hash_match false is NOT
+    verified — the value hash is part of the correctness gate, and omitting it
+    from this predicate is exactly what kept source_schema_evolution (r3: hash
+    fail) sorted last and never re-sampled."""
+    import json
+
+    artifact = {
+        "hash_failed": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": False,
+            "err": None,
+        },
+        "fully_green": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": None,
+        },
+        "errored": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "err": "boom",
+        },
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(artifact))
+    verified = _driver_verified_names(repo_root=str(tmp_path))
+    assert verified == {"fully_green"}
+
+
 def test_registry_names_unique_and_nonempty():
     reg = load_all()
     assert len(reg) >= 110

@@ -44,20 +44,24 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
     return wrap
 
 
-def _driver_verified_names() -> set[str]:
+def _driver_verified_names(repo_root: str | None = None) -> set[str]:
     """Names already green in a driver-side CORRECTNESS_r*.json artifact.
 
     The verification driver samples at most ~50 registry entries per round, in
     iteration order. To converge on full driver-side coverage we order the
     registry so never-yet-verified queries come first; this reads the
-    accumulated round artifacts to know which ones those are. Missing or
-    malformed artifacts degrade gracefully to plain registration order.
+    accumulated round artifacts to know which ones those are. "Verified" means
+    a fully green row — rows, schema, AND value hash all matching with no
+    error; a hash-mismatched row is an unverified query that must re-sort to
+    the front of the sample. Missing or malformed artifacts degrade gracefully
+    to plain registration order.
     """
     import glob
     import json
     import os
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     verified: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         try:
@@ -70,6 +74,7 @@ def _driver_verified_names() -> set[str]:
                 isinstance(row, dict)
                 and row.get("rows_match")
                 and row.get("schema_match")
+                and row.get("hash_match")
                 and row.get("err") is None
             ):
                 verified.add(name)
