@@ -425,3 +425,18 @@ def test_lsh_incremental_never_rehashes_corpus(spark):
     final = plan.split("+- == Initial Plan ==")[0]
     assert final.count("MapInPandas") == 1
     assert "FileScan parquet" in final
+
+
+def test_ivf_incremental_plan_has_no_kmeans(spark):
+    """similarity_ivf_incremental's lifecycle claim, pinned in the plan: the
+    index (centroids + inverted lists) is built and published BEFORE the
+    returned plan exists, so the query plan reads the persisted index parquet
+    and contains zero Lloyd iterations — no posexplode (the k-means update
+    step's signature shape), and both index tables appear as file scans."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["similarity_ivf_incremental"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "posexplode" not in plan
+    assert "ivf_centroids" in plan
+    assert "ivf_invlists" in plan

@@ -850,3 +850,87 @@ def similarity_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     return universe.join(collided, "vec_id", "left_anti")
+
+
+@register(
+    "similarity_ivf_incremental",
+    _IVF_ORACLE_SQL,
+    doc="IVF with a PERSISTED index: centroids + inverted lists trained and "
+    "published once via the staged loader; the query plan only reads the "
+    "index parquet and probes — no k-means iterations in the query path",
+)
+def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-build/query split that ``similarity_ivf_topk`` documents as
+    the real 100 TB lifecycle, actually executed: k-means training and corpus
+    cell assignment run ONCE here and publish through stage→audit→atomic-
+    publish — a ``(cid, ce)`` centroid table plus ``(cell, vec_id)`` inverted
+    lists, the classic IVF index shape (ids only; rescoring joins the corpus
+    by vec_id so the index stays tiny relative to the vectors). The RETURNED
+    plan reads the persisted index from parquet and contains no Lloyd
+    iterations — pinned by ``test_ivf_incremental_plan_has_no_kmeans``. The
+    oracle recomputes the whole pipeline declaratively, so hash-matching
+    also proves the parquet round-trip of the trained index is lossless.
+    Reference analog: the skip-if-unchanged download memo (ufload
+    db.py:695-711) — expensive artifact built once, consulted by every later
+    run instead of rebuilt."""
+    import os as _os
+
+    from ufload_spark.sources.loader import _scratch_unique, stage_and_publish
+
+    e = table(spark, sf_dir, "embeddings")
+    sfx = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+    def d2(a: str) -> Column:
+        return F.round(
+            sqdist(F.transform(a, lambda x: x.cast("double")), F.col("ce")), _R
+        )
+
+    # ---- build phase: executes eagerly here; absent from the returned plan
+    cent = kmeans_centroids(train_sample(e))
+    w_vec = Window.partitionBy("vec_id").orderBy("d", "cid")
+    inv = (
+        e.where(F.col("vec_id") >= IVF_Q_HI)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", d2("embedding").alias("d"))
+        .withColumn("rn", F.row_number().over(w_vec))
+        .where(F.col("rn") == 1)
+        .select(F.col("cid").alias("cell"), "vec_id")
+    )
+    cent_path = _scratch_unique(f"ivf_centroids_{sfx}")
+    inv_path = _scratch_unique(f"ivf_invlists_{sfx}")
+    stage_and_publish(spark, cent, cent_path)
+    stage_and_publish(spark, inv, inv_path)
+
+    # ---- query phase: persisted index + corpus scan only ----
+    pcent = spark.read.parquet(cent_path)
+    pinv = spark.read.parquet(inv_path)
+    q = e.where(
+        (F.col("vec_id") >= IVF_Q_LO) & (F.col("vec_id") < IVF_Q_HI)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    w_q = Window.partitionBy("qid").orderBy("d", "cid")
+    probe = (
+        q.crossJoin(F.broadcast(pcent))
+        .select("qid", "qe", "cid", d2("qe").alias("d"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= N_PROBE)
+        .select("qid", "qe", F.col("cid").alias("cell"))
+    )
+    scored = (
+        pinv.join(F.broadcast(probe), "cell")
+        .join(e.select("vec_id", F.col("embedding").alias("cand_emb")), "vec_id")
+        .select(
+            "qid",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                dot(F.col("qe"), F.col("cand_emb"))
+                / (F.sqrt(sqnorm(F.col("qe"))) * F.sqrt(sqnorm(F.col("cand_emb")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_topk = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_topk))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", "cand_id", "cosine", "rnk")
+    )
