@@ -427,6 +427,21 @@ def test_lsh_incremental_never_rehashes_corpus(spark):
     assert "FileScan parquet" in final
 
 
+def test_lsh_pair_and_topk_single_signature_eval(spark):
+    """The r5 close of the r4 trade-off: the hyperplane-LSH pair and top-k
+    queries evaluate the signature matmul ONCE (during the persisted-table
+    publish) — the returned self-join plan carries zero Python evaluation
+    and scans the persisted signature parquet instead."""
+    from ufload_spark.plans.registry import load_all
+
+    reg = load_all()
+    for name in ("similarity_lsh_ann_pairs", "similarity_lsh_topk"):
+        df = reg[name].fn(spark, SF_DIR)
+        plan = _plan(df)
+        assert "MapInPandas" not in plan, name
+        assert "lsh_selfsigs" in plan, name
+
+
 def test_ivf_incremental_plan_has_no_kmeans(spark):
     """similarity_ivf_incremental's lifecycle claim, pinned in the plan: the
     index (centroids + inverted lists) is built and published BEFORE the
