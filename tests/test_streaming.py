@@ -171,3 +171,83 @@ def test_upsert_publish_invariant_under_micro_batching(spark, tmp_path):
     g = got.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
     w = batch.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
     assert g == w
+
+
+def test_upsert_publish_recovers_from_checkpoint(spark, tmp_path):
+    """Kill the MERGE-publish stream mid-run and restart it from its
+    checkpoint: the restarted query must resume at the failed epoch (not
+    reprocess committed ones, not skip uncommitted ones) and the final
+    published table must be EXACTLY the batch result — exactly-once sink
+    contents.
+
+    The injected crash targets the worst window: the callback publishes the
+    batch and THEN dies, so the sink mutation landed but the checkpoint
+    offset commit never happened. On restart Spark replays that epoch's
+    data; the by-key MERGE makes the replay idempotent, which is precisely
+    the sink-side contract ("idempotent by (epoch/key)") Structured
+    Streaming requires from foreachBatch for exactly-once. This is the
+    Spark mapping of the reference's restart-resilience posture — retried
+    downloads (webdav.py:111-133) and resumable poll loops
+    (cli/main.py:641-663) — applied to the engine's own recovery story."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ufload_spark.operators.archive import merge_upsert
+    from ufload_spark.sources.loader import _fs, stage_and_publish
+    from ufload_spark.streaming.notify import run_with_notify
+
+    batch = normalize_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    src_dir = str(tmp_path / "events_split")
+    batch.repartition(8).write.parquet(src_dir)
+    target = str(tmp_path / "published")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+            .select("event_id", "event_type", "value")
+        )
+
+    def make_upsert(seen: list, crash_at: int | None):
+        def upsert(b, epoch_id):
+            if b.isEmpty():
+                return
+            seen.append(epoch_id)
+            s = b.sparkSession
+            fs, jt, _ = _fs(s, target)
+            existing = (
+                s.read.parquet(target) if fs.exists(jt)
+                else s.createDataFrame([], b.schema)
+            )
+            stage_and_publish(
+                s,
+                merge_upsert(existing, b, ["event_id"], on_duplicate="raise"),
+                target,
+            )
+            # crash AFTER the publish, BEFORE the epoch offset commits —
+            # the batch landed in the sink but the checkpoint doesn't know
+            if crash_at is not None and epoch_id >= crash_at:
+                raise RuntimeError("injected crash after publish")
+
+        return upsert
+
+    first_epochs: list[int] = []
+    try:
+        run_with_notify(stream(), make_upsert(first_epochs, crash_at=2), checkpoint_dir=ckpt)
+        raise AssertionError("first run should have died on the injected crash")
+    except StreamingQueryException:
+        pass
+    assert first_epochs == [0, 1, 2]  # epochs 0-1 committed; 2 published-but-uncommitted
+
+    second_epochs: list[int] = []
+    run_with_notify(stream(), make_upsert(second_epochs, crash_at=None), checkpoint_dir=ckpt)
+    # resumed at the failed epoch: committed epochs were NOT reprocessed
+    assert second_epochs and min(second_epochs) == 2
+
+    got = spark.read.parquet(target)
+    assert got.count() == batch.count()  # epoch-2 replay deduped by the MERGE
+    assert got.select("event_id").distinct().count() == batch.count()
+    g = got.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
+    w = batch.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
+    assert g == w
