@@ -97,3 +97,44 @@ def test_video_container_roundtrip_and_corruption():
     first = next(iter(iter_video_frames(bytes(corrupt))))[1]
     with pytest.raises(ValueError):
         decode_image(first)
+
+
+def test_wav_roundtrip_and_corruption():
+    """decode_wav recovers exactly the synthesized parameters (including the
+    sample count from the data chunk's byte length, behind an odd-sized JUNK
+    chunk that forces the pad-rule walk), and every corruption class — bad
+    magic, wrong RIFF size, truncated chunk, inconsistent fmt, ragged data —
+    raises instead of returning wrong metadata."""
+    import struct
+
+    import pytest
+
+    from ufload_spark.operators.multimodal import (
+        WAV_BITS,
+        WAV_RATES,
+        decode_wav,
+        make_wav,
+    )
+
+    for doc_id in (0, 1, 2, 3, 41, 999, 1234):
+        wav = make_wav(doc_id)
+        channels, rate, bits, n_samples = decode_wav(wav)
+        assert channels == doc_id % 2 + 1
+        assert rate == WAV_RATES[doc_id % 4]
+        assert bits == WAV_BITS
+        assert n_samples == doc_id % 1000 + 100
+
+    wav = make_wav(41)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + wav[4:])  # bad magic
+    with pytest.raises(ValueError):
+        decode_wav(wav + b"\x00")  # RIFF size no longer matches
+    with pytest.raises(ValueError):
+        decode_wav(wav[:-5])  # truncated data chunk
+    # corrupt the fmt chunk's block_align: cross-check must fire
+    fmt_off = wav.index(b"fmt ") + 8
+    bad = bytearray(wav)
+    ba_off = fmt_off + 12  # block_align field within fmt struct
+    bad[ba_off : ba_off + 2] = struct.pack("<H", 7)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))

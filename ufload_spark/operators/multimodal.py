@@ -17,6 +17,11 @@ frames) because the sandbox ships no codecs: the frame sampler genuinely
 walks the length index, slices real frame bytes and CRC-decodes them — only
 the codec itself (:func:`iter_video_frames`) is the swap-in point for
 pyav/ffmpeg.
+
+Audio is real RIFF/WAV (:func:`decode_wav`): a stdlib chunk walk with the
+word-alignment pad rule and fmt/data size invariants enforced — channels,
+sample rate and sample count come from the bytes. Compressed codecs swap in
+at the same boundary.
 """
 
 from __future__ import annotations
@@ -398,3 +403,166 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synthesize_video_batches, schema="doc_id long, content binary"
     )
     return videos.mapInPandas(_frame_sample_batches, schema=FRAMES_SCHEMA)
+
+
+# --- audio: RIFF/WAV chunk walk -------------------------------------------
+#
+# The audio twin of the PNG/JPEG parsers: WAV is the one mainstream audio
+# container that is pure stdlib to parse (RIFF chunk walk, little-endian
+# fmt struct), so the decode here is REAL — channels, sample rate, bit
+# depth and sample count all come from the bytes, with the RIFF size
+# invariants and the word-alignment pad rule enforced. Compressed codecs
+# (mp3/aac/flac) swap in at :func:`decode_wav` exactly like pyav does at
+# :func:`iter_video_frames`.
+
+WAV_RATES = (8000, 16000, 22050, 44100)
+WAV_BITS = 16
+DURATION_BUCKET_MS = 20
+
+
+def _riff_chunk(cid: bytes, data: bytes) -> bytes:
+    """A RIFF sub-chunk: id + little-endian size + body + pad byte when the
+    body is odd-sized (the RIFF word-alignment rule — the size field still
+    records the unpadded length)."""
+    pad = b"\x00" if len(data) % 2 else b""
+    return cid + struct.pack("<I", len(data)) + data + pad
+
+
+def make_wav(doc_id: int) -> bytes:
+    """Deterministic per-doc WAV: PCM, channels/rate/sample-count derived
+    from the id (the oracle repeats the arithmetic). An odd-sized JUNK
+    chunk sits before fmt so a parser that assumes fixed offsets — or
+    forgets the pad byte — cannot decode it."""
+    channels = doc_id % 2 + 1
+    rate = WAV_RATES[doc_id % 4]
+    n_samples = doc_id % 1000 + 100
+    block_align = channels * WAV_BITS // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, WAV_BITS
+    )
+    data = bytes(n_samples * block_align)
+    chunks = (
+        _riff_chunk(b"JUNK", b"ufload-spark-audio-fixture!")  # 27 bytes: odd
+        + _riff_chunk(b"fmt ", fmt)
+        + _riff_chunk(b"data", data)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(content: bytes) -> tuple[int, int, int, int]:
+    """Parse real WAV bytes → (channels, sample_rate, bits, n_samples).
+    Pure stdlib: RIFF magic + size invariant, chunk walk honoring the
+    word-alignment pad, fmt struct fields cross-checked (byte rate, block
+    align), sample count from the data chunk's byte length. Raises
+    ValueError on malformed bytes — the corrupt-row-flag posture shared
+    with :func:`decode_image`."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_size,) = struct.unpack("<I", content[4:8])
+    if riff_size != len(content) - 8:
+        raise ValueError("RIFF size field disagrees with payload length")
+    pos = 12
+    fmt_fields: tuple[int, int, int, int, int, int] | None = None
+    data_len: int | None = None
+    while pos < len(content):
+        if pos + 8 > len(content):
+            raise ValueError(f"truncated chunk header at {pos}")
+        cid = content[pos : pos + 4]
+        (ln,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError(f"truncated {cid!r} chunk body")
+        if cid == b"fmt ":
+            if ln < 16:
+                raise ValueError("fmt chunk too short")
+            fmt_fields = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_len = ln
+        pos += 8 + ln + (ln % 2)  # odd-sized chunks carry a pad byte
+    if fmt_fields is None or data_len is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, rate, byte_rate, block_align, bits = fmt_fields
+    if audio_format != 1:
+        raise ValueError(f"not PCM (format {audio_format})")
+    if block_align != channels * bits // 8 or byte_rate != rate * block_align:
+        raise ValueError("inconsistent fmt fields")
+    if data_len % block_align:
+        raise ValueError("data chunk not a whole number of sample frames")
+    return channels, rate, bits, data_len // block_align
+
+
+def _synthesize_audio_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(lambda d: make_wav(int(d))),
+            }
+        )
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, channels int, sample_rate int, n_samples int, "
+    "duration_ms long, duration_bucket int"
+)
+
+
+def _audio_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        decoded = pdf["content"].map(lambda c: decode_wav(bytes(c)))
+        n_samples = decoded.map(lambda t: t[3])
+        rate = decoded.map(lambda t: t[1])
+        # integer ms so both engines land on the identical value
+        duration_ms = (n_samples * 1000 // rate).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "channels": decoded.map(lambda t: t[0]).astype("int32"),
+                "sample_rate": rate.astype("int32"),
+                "n_samples": n_samples.astype("int32"),
+                "duration_ms": duration_ms,
+                "duration_bucket": (duration_ms // DURATION_BUCKET_MS).astype(
+                    "int32"
+                ),
+            }
+        )
+
+
+@register(
+    "multimodal_audio_meta",
+    f"""
+WITH a AS (
+  SELECT doc_id,
+         doc_id % 2 + 1 AS channels,
+         CASE doc_id % 4 WHEN 0 THEN {WAV_RATES[0]} WHEN 1 THEN {WAV_RATES[1]}
+              WHEN 2 THEN {WAV_RATES[2]} ELSE {WAV_RATES[3]} END AS rate,
+         doc_id % 1000 + 100 AS n_samples
+  FROM documents
+)
+SELECT doc_id,
+       CAST(channels AS INT) AS channels,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(n_samples AS INT) AS n_samples,
+       CAST(n_samples * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(n_samples * 1000 // rate // {DURATION_BUCKET_MS} AS INT)
+         AS duration_bucket
+FROM a
+""",
+    doc="real stdlib RIFF/WAV decode (chunk walk, fmt struct, pad rule) via "
+    "Arrow mapInPandas, with integer-ms duration bucketing",
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio modality, completing the image/video set: binary WAV column
+    in, typed metadata + duration bucket out, via Arrow-batched
+    ``mapInPandas``. The decode genuinely walks RIFF chunks (pad rule, size
+    invariants, fmt cross-checks) and derives the sample count from the data
+    chunk's byte length; the oracle independently predicts every field from
+    the synthesizer's arithmetic, so a parser bug hash-mismatches. Narrow
+    map — scales linearly, no shuffle."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    audio = d.mapInPandas(
+        _synthesize_audio_batches, schema="doc_id long, content binary"
+    )
+    return audio.mapInPandas(_audio_meta_batches, schema=AUDIO_SCHEMA)
