@@ -46,6 +46,7 @@ def test_no_row_udf_registration_anywhere():
 _ALLOWED_COLLECT = {
     "dedup.py": 1,  # connected-components convergence check (scalar count)
     "analytics.py": 1,  # GroupedData.pivot().count() — a lazy aggregate
+    "similarity.py": 1,  # lsh_r: memoized parquet-footer corpus count → r knob
 }
 
 

@@ -455,3 +455,30 @@ def test_ivf_incremental_plan_has_no_kmeans(spark):
     assert "posexplode" not in plan
     assert "ivf_centroids" in plan
     assert "ivf_invlists" in plan
+
+
+def test_lsh_r_derived_from_corpus_count(spark):
+    """r is a scaling input, not a constant: the formula floors at R_MIN on
+    fixture-sized corpora (so existing oracles are unchanged) and grows with
+    log2(n) past 2^R_MIN vectors, and the Spark-side derivation agrees with
+    the oracle's SQL formula on the real fixture."""
+    import duckdb
+
+    from ufload_spark.operators.similarity import R_MIN, _r_for_count, lsh_r
+
+    assert _r_for_count(2_000) == R_MIN
+    assert _r_for_count(1 << R_MIN) == R_MIN
+    assert _r_for_count((1 << R_MIN) + 1) == R_MIN + 1
+    assert _r_for_count(20_000) == 15
+    assert _r_for_count(100_000_000) == 27  # ~100 TB of 1 KB docs
+
+    spark_r = lsh_r(spark, SF_DIR)
+    con = duckdb.connect()
+    try:
+        (duck_r,) = con.execute(
+            f"SELECT greatest({R_MIN}, CAST(ceil(log2(count(*))) AS INT)) "
+            f"FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+        ).fetchone()
+    finally:
+        con.close()
+    assert spark_r == duck_r

@@ -4,13 +4,14 @@
   broadcast; candidates never shuffle. O(Q×N) — fine for small Q, the
   benchmark shape for "embed a batch, look up neighbors".
 - Random-hyperplane LSH: the scale path, **banded**. Each vector gets
-  N_BANDS signatures of PLANES_PER_BAND sign bits each from sign(v·h_j)
+  N_BANDS signatures of r sign bits each from sign(v·h_j)
   against deterministic md5-derived hyperplanes; ANN candidates are pairs
   sharing ANY band's signature (union of per-band equi-joins, deduped —
   the same amplification shape as MinHash-LSH in dedup.py). Bucket
-  cardinality per band is 2^PLANES_PER_BAND, so bucket population SHRINKS
-  as planes are added: scale r with log2(corpus) to bound within-bucket
-  pairing, and restore recall by adding bands. A single fixed-width
+  cardinality per band is 2^r, so bucket population SHRINKS
+  as planes are added: r scales with log2(corpus) — derived from a corpus
+  count at plan-build time (:func:`lsh_r`), identically in the oracle —
+  and recall is restored by adding bands. A single fixed-width
   signature (the r1 design) capped at 2^8 buckets — within-bucket work
   grew as (N/256)², a scale-killer this banding removes. An IVF variant
   (k-means centroids → probe nearest cells) drops in by replacing the
@@ -31,14 +32,41 @@ from ufload_spark.session import tune
 from ufload_spark.sources.tables import table
 
 DIM = 64
-# Banded LSH: N_BANDS independent signatures of PLANES_PER_BAND bits each.
-# 2^12 = 4096 buckets/band at r=12 keeps max bucket share <1% on the
-# fixtures; at larger corpora raise r (buckets grow 2^r) and add bands to
-# keep recall — the knobs are independent, unlike a single wide signature.
+# Banded LSH: N_BANDS independent signatures of r sign bits each. Bucket
+# capacity per band is 2^r, so r is a SCALING INPUT, not a constant
+# (SCALING.md): candidate volume within a band is ~n²/2^r, so r must grow
+# with log2(corpus) to keep within-bucket pairing bounded. Since r5 the
+# code matches the doc — r = max(R_MIN, ceil(log2(n_vectors))) is derived
+# from a cheap corpus count at plan-build time (:func:`lsh_r`), with the
+# oracle computing the identical formula in SQL so both engines stay in
+# lockstep at ANY scale factor. 2^12 = 4096 buckets/band at the R_MIN floor
+# keeps max bucket share <1% on the fixtures; recall is restored by adding
+# bands — the knobs are independent, unlike a single wide signature.
 N_BANDS = 6
-PLANES_PER_BAND = 12
-N_PLANES = N_BANDS * PLANES_PER_BAND
+R_MIN = 12
 TOP_K = 5
+
+#: plan-build-time cache of the derived r per fixture dir (fixtures are
+#: immutable within a session; avoids re-counting on every invocation)
+_R_CACHE: dict[str, int] = {}
+
+
+def _r_for_count(n_vectors: int) -> int:
+    import math
+
+    return max(R_MIN, math.ceil(math.log2(max(n_vectors, 2))))
+
+
+def lsh_r(spark: SparkSession, sf_dir: str) -> int:
+    """The corpus-derived planes-per-band knob: one parquet-footer count of
+    the embeddings table (metadata-only scan), memoized per fixture dir."""
+    import os as _os
+
+    key = _os.path.abspath(sf_dir)
+    if key not in _R_CACHE:
+        n = table(spark, sf_dir, "embeddings").count()
+        _R_CACHE[key] = _r_for_count(n)
+    return _R_CACHE[key]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -125,12 +153,17 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle derives r with the same formula as :func:`lsh_r` — a scalar
+# CTE over the corpus count — so Spark and DuckDB agree at any SF.
 _PLANES_SQL = f"""
-planes AS (
+rknob AS (
+  SELECT greatest({R_MIN}, CAST(ceil(log2(count(*))) AS INT)) AS r
+  FROM embeddings
+), planes AS (
   SELECT j, i,
          ((('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 2))::INT
            % 2) * 2 - 1) AS s
-  FROM (SELECT unnest(range(0, {N_PLANES})) AS j),
+  FROM (SELECT unnest(range(0, (SELECT {N_BANDS} * r FROM rknob))) AS j),
        (SELECT unnest(range(1, {DIM + 1})) AS i)
 ), expl AS (
   SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -139,9 +172,9 @@ planes AS (
   SELECT e.vec_id, p.j, sum(e.x * p.s) AS d
   FROM expl e JOIN planes p ON e.i = p.i GROUP BY 1, 2
 ), sigs AS (
-  SELECT vec_id, CAST(j // {PLANES_PER_BAND} AS INT) AS band,
-         CAST(sum(CASE WHEN d > 0 THEN 1 << (j % {PLANES_PER_BAND}) ELSE 0 END) AS BIGINT) AS sig
-  FROM dots GROUP BY vec_id, j // {PLANES_PER_BAND}
+  SELECT vec_id, CAST(j // (SELECT r FROM rknob) AS INT) AS band,
+         CAST(sum(CASE WHEN d > 0 THEN 1 << (j % (SELECT r FROM rknob)) ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id, j // (SELECT r FROM rknob)
 ), pairs AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM sigs a JOIN sigs b
@@ -150,43 +183,49 @@ planes AS (
 """
 
 
-def _plane_matrix():
-    """The DIM×N_PLANES ±1 hyperplane matrix, derived from md5(``j_i``)
+def _plane_matrix(n_planes: int):
+    """The DIM×n_planes ±1 hyperplane matrix, derived from md5(``j_i``)
     parity — byte-identical to the oracle's ``planes`` CTE arithmetic."""
     import hashlib
 
     import numpy as np
 
-    S = np.empty((DIM, N_PLANES), dtype=np.float64)
-    for j in range(N_PLANES):
+    S = np.empty((DIM, n_planes), dtype=np.float64)
+    for j in range(n_planes):
         for i in range(1, DIM + 1):
             parity = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[:2], 16) % 2
             S[i - 1, j] = parity * 2 - 1
     return S
 
 
-def _sig_batches(batches):
-    import numpy as np
+def _sig_batches_fn(r: int):
+    """Arrow-batch signature generator for a given planes-per-band ``r``
+    (closure so the derived knob serializes to executors as a plain int)."""
 
-    S = _plane_matrix()
-    bit_weights = 1 << np.arange(PLANES_PER_BAND, dtype=np.int64)
-    for pdf in batches:
-        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        bits = (X @ S) > 0  # n × N_PLANES sign bits, one BLAS matmul
-        sigs = np.column_stack(
-            [
-                bits[:, b * PLANES_PER_BAND : (b + 1) * PLANES_PER_BAND] @ bit_weights
-                for b in range(N_BANDS)
-            ]
-        )  # n × N_BANDS packed band signatures
-        n = len(pdf)
-        yield pd.DataFrame(
-            {
-                "vec_id": pdf["vec_id"].to_numpy().repeat(N_BANDS),
-                "band": np.tile(np.arange(N_BANDS, dtype=np.int32), n),
-                "sig": sigs.reshape(-1),
-            }
-        )
+    def _sig_batches(batches):
+        import numpy as np
+
+        S = _plane_matrix(N_BANDS * r)
+        bit_weights = 1 << np.arange(r, dtype=np.int64)
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (X @ S) > 0  # n × n_planes sign bits, one BLAS matmul
+            sigs = np.column_stack(
+                [
+                    bits[:, b * r : (b + 1) * r] @ bit_weights
+                    for b in range(N_BANDS)
+                ]
+            )  # n × N_BANDS packed band signatures
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(N_BANDS),
+                    "band": np.tile(np.arange(N_BANDS, dtype=np.int32), n),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    return _sig_batches
 
 
 def _lsh_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,7 +247,7 @@ def _lsh_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     e = table(spark, sf_dir, "embeddings")
     return e.select("vec_id", "embedding").mapInPandas(
-        _sig_batches, schema="vec_id long, band int, sig long"
+        _sig_batches_fn(lsh_r(spark, sf_dir)), schema="vec_id long, band int, sig long"
     )
 
 
@@ -264,7 +303,7 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity_lsh_buckets",
     f"WITH {_PLANES_SQL} SELECT band, sig, count(*) AS n_vecs FROM sigs GROUP BY band, sig",
     doc=f"banded hyperplane-LSH bucket histogram ({N_BANDS} bands × "
-    f"{PLANES_PER_BAND} bits)",
+    f"corpus-derived r ≥ {R_MIN} bits)",
 )
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _lsh_band_sigs(spark, sf_dir)
