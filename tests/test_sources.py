@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import io
 import os
+import time
 import zipfile
 
 import pytest
@@ -454,6 +455,96 @@ def test_version_history_and_time_travel(spark, tmp_path):
     assert len(hist) == 2
     assert read_version(spark, target, 0).count() == 4
     assert read_version(spark, target, 1).count() == 2
+
+
+def test_version_history_orders_by_commit_log_not_mtime(spark, tmp_path):
+    """ADVICE r4: directory mtime is write-completion time, not commit time.
+    Adversarially bump an OLDER version's mtime above every other dir —
+    history positions and read_version(n) must not move, because commit
+    order is recorded durably in the <target>.commits log."""
+    from ufload_spark.sources.loader import (
+        publish_versioned,
+        read_version,
+        version_history,
+    )
+
+    region = table(spark, SF_DIR, "region")
+    target = str(tmp_path / "r")
+    for n in (5, 3, 2):
+        publish_versioned(spark, region.limit(n), target, keep_versions=2)
+
+    oldest = version_history(spark, target)[-1]["name"]
+    future = time.time() + 3600
+    os.utime(str(tmp_path / oldest), (future, future))
+
+    hist = version_history(spark, target)
+    assert hist[-1]["name"] == oldest  # still position 2, despite the mtime
+    assert read_version(spark, target, 1).count() == 3
+    assert read_version(spark, target, 2).count() == 5
+
+
+class _HardCrash(BaseException):
+    """Simulates a process kill: not an Exception, so publish_versioned's
+    cleanup/rollback handlers do NOT run — exactly a crashed publisher."""
+
+
+def test_pointer_publish_hard_crash_windows(spark, tmp_path, monkeypatch):
+    """The two crash windows of publish_versioned, with KILL semantics (no
+    except-block cleanup): (a) dies before the pointer rename → readers see
+    exactly the OLD version and the dead publish's dir is uncommitted
+    debris; (b) dies after the pointer rename but before the commit-log
+    append and retention sweep → readers see exactly the NEW version, and
+    the next commit's self-heal backfills the log so history positions stay
+    'n commits back'. In both windows a reader never sees an absent or
+    half-written table."""
+    from ufload_spark.sources import loader
+
+    region = table(spark, SF_DIR, "region")
+    target = str(tmp_path / "t")
+    loader.publish_versioned(spark, region.limit(5), target, keep_versions=3)
+    assert loader.read_current(spark, target).count() == 5
+
+    # --- window (a): killed between version write and pointer rename ---
+    real_commit = loader._commit_pointer
+    monkeypatch.setattr(
+        loader,
+        "_commit_pointer",
+        lambda *a, **k: (_ for _ in ()).throw(_HardCrash()),
+    )
+    with pytest.raises(_HardCrash):
+        loader.publish_versioned(spark, region.limit(2), target, keep_versions=3)
+    monkeypatch.setattr(loader, "_commit_pointer", real_commit)
+    # reader: exactly the old version; the dead dir is not in history
+    assert loader.read_current(spark, target).count() == 5
+    assert len(loader.version_history(spark, target)) == 1
+    n_dirs = len([p for p in os.listdir(tmp_path) if ".v." in p])
+    assert n_dirs == 2  # committed + uncommitted debris
+
+    # --- window (b): killed after pointer rename, before log + sweep ---
+    real_append = loader._append_commit_log
+    monkeypatch.setattr(
+        loader,
+        "_append_commit_log",
+        lambda *a, **k: (_ for _ in ()).throw(_HardCrash()),
+    )
+    with pytest.raises(_HardCrash):
+        loader.publish_versioned(spark, region.limit(3), target, keep_versions=3)
+    monkeypatch.setattr(loader, "_append_commit_log", real_append)
+    # reader: exactly the new version, even though log+sweep never ran
+    assert loader.read_current(spark, target).count() == 3
+
+    # next publish heals: the unlogged-but-committed version is backfilled
+    # into the log, so history walks back commit by commit with no gap
+    loader.publish_versioned(spark, region.limit(1), target, keep_versions=3)
+    hist = loader.version_history(spark, target)
+    assert [h["is_current"] for h in hist] == [True, False, False]
+    assert loader.read_version(spark, target, 0).count() == 1
+    assert loader.read_version(spark, target, 1).count() == 3
+    assert loader.read_version(spark, target, 2).count() == 5
+    # the sweep (now that one ran) removed window (a)'s uncommitted debris
+    names = {h["name"] for h in hist}
+    dirs = {p for p in os.listdir(tmp_path) if ".v." in p and ".tmp." not in p}
+    assert dirs == names
 
 
 def test_schema_evolution_safe_under_interleaved_invocations(spark):

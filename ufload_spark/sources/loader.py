@@ -230,22 +230,24 @@ def publish_versioned(
     return audited
 
 
-def _commit_pointer(spark: SparkSession, fs, jvm, target: str, version_name: str) -> None:
-    """Atomically point ``<target>.current`` at ``version_name``: write a tmp
-    file, then rename over the pointer with ``Options.Rename.OVERWRITE``
-    (``FileContext.rename`` — the atomic clobbering form; plain
-    ``FileSystem.rename`` refuses an existing destination, and a
-    delete-then-rename would reopen exactly the absence window this publish
-    path exists to close). Readers see either the old pointer or the new
-    one, never neither."""
-    pointer = _pointer_path(target)
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{pointer}.tmp.{uuid.uuid4().hex[:8]}")
+def _commit_log_path(target: str) -> str:
+    return f"{target}.commits"
+
+
+def _atomic_write(spark: SparkSession, fs, jvm, path: str, data: str) -> None:
+    """Write ``data`` to ``path`` atomically: tmp file, then rename over the
+    destination with ``Options.Rename.OVERWRITE`` (``FileContext.rename`` —
+    the atomic clobbering form; plain ``FileSystem.rename`` refuses an
+    existing destination, and a delete-then-rename would reopen an absence
+    window). Readers see either the old contents or the new, never
+    neither."""
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp.{uuid.uuid4().hex[:8]}")
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(version_name.encode("utf-8")))
+        out.write(bytearray(data.encode("utf-8")))
     finally:
         out.close()
-    jpointer = jvm.org.apache.hadoop.fs.Path(pointer)
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
     fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
         spark._jsc.hadoopConfiguration()
     )
@@ -253,23 +255,81 @@ def _commit_pointer(spark: SparkSession, fs, jvm, target: str, version_name: str
     overwrite = spark.sparkContext._gateway.new_array(rename_opt, 1)
     overwrite[0] = rename_opt.OVERWRITE
     try:
-        fc.rename(tmp, jpointer, overwrite)
+        fc.rename(tmp, jpath, overwrite)
     except Exception as e:
         fs.delete(tmp, False)
-        raise AuditError(f"could not commit pointer {pointer}: {e}") from e
+        raise AuditError(f"could not commit {path}: {e}") from e
+
+
+def _read_commit_log(fs, jvm, target: str) -> list[str]:
+    """Committed version names, oldest → newest (empty when no log)."""
+    jlog = jvm.org.apache.hadoop.fs.Path(_commit_log_path(target))
+    if not fs.exists(jlog):
+        return []
+    stream = fs.open(jlog)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return [line.strip() for line in data.splitlines() if line.strip()]
+
+
+def _append_commit_log(
+    spark: SparkSession, fs, jvm, target: str, version_name: str, prev: str | None
+) -> None:
+    """Durably record commit ORDER (ADVICE r4: directory mtime is
+    write-completion time, not commit time — a slow writer can give an older
+    commit a younger mtime, so history positions need their own record).
+    Appends ``version_name`` to ``<target>.commits`` via the same atomic
+    tmp+rename as the pointer. Self-healing: if the pre-commit current is
+    missing from the log tail (its own publish crashed between pointer
+    rename and log append), it is appended first, so one lost append never
+    shifts later history positions. Entries whose version dirs are gone are
+    trimmed, keeping the log bounded by retention."""
+    log = _read_commit_log(fs, jvm, target)
+    if prev is not None and (not log or log[-1] != prev):
+        log.append(prev)
+    log.append(version_name)
+    existing = {st.getPath().getName() for st in _glob(fs, jvm, f"{target}.v.*")}
+    log = [n for n in log if n in existing]
+    _atomic_write(spark, fs, jvm, _commit_log_path(target), "\n".join(log) + "\n")
+
+
+def _commit_pointer(spark: SparkSession, fs, jvm, target: str, version_name: str) -> None:
+    """Atomically point ``<target>.current`` at ``version_name`` (the commit
+    instant), then record the commit in the order log. A crash between the
+    two leaves a committed-but-unlogged version; the next commit's
+    self-heal (:func:`_append_commit_log`) backfills it."""
+    prev = _read_pointer(fs, jvm, target)
+    _atomic_write(spark, fs, jvm, _pointer_path(target), version_name)
+    _append_commit_log(spark, fs, jvm, target, version_name, prev)
 
 
 def _sweep_versions(fs, jvm, target: str, *, keep: int) -> None:
+    """Retain the current version plus the ``keep`` most recent OTHER
+    commits, by commit-log order (mtime only as a fallback for unlogged
+    legacy dirs). Never-committed dirs (a publish that crashed before its
+    pointer rename) rank last, so they are the first debris swept."""
     current = _read_pointer(fs, jvm, target)
+    rank = {n: i for i, n in enumerate(_read_commit_log(fs, jvm, target))}
     versions = sorted(
         _glob(fs, jvm, f"{target}.v.*"),
-        key=lambda st: st.getModificationTime(),
+        key=lambda st: (
+            rank.get(st.getPath().getName(), -1),
+            st.getModificationTime(),
+        ),
         reverse=True,
     )
     survivors = 0
     for st in versions:
         name = st.getPath().getName()
         if name == current:
+            continue
+        if rank and name not in rank:
+            # a log exists, so an unlogged dir is a publish that died before
+            # its pointer rename: unreadable via history, delete outright
+            # rather than letting debris occupy a retention slot
+            fs.delete(st.getPath(), True)
             continue
         if survivors < keep:
             survivors += 1
@@ -304,27 +364,36 @@ def version_history(spark: SparkSession, target: str) -> list[dict]:
     """List the retained versions of a pointer-published ``target``, newest
     first: ``[{"name", "mtime_ms", "is_current"}, ...]``. The current
     version (whatever the pointer names) is always first; older retained
-    versions follow in modification-time order — the same ordering the
-    retention sweep uses, so ``version_history()[n]`` is exactly what
-    :func:`read_version` (``n``) reads. The Delta/Iceberg ``DESCRIBE
-    HISTORY`` analogue for this plain-parquet publish path."""
+    versions follow in COMMIT order from the durable commit log — not
+    directory mtime, which is write-completion time (ADVICE r4: a slow
+    writer can give an older commit a younger mtime), so
+    ``version_history()[n]`` is "n commits back" even under interleaved
+    publishes. The same ordering drives the retention sweep, so history
+    positions and retention agree. Unlogged-but-committed legacy dirs fall
+    back to mtime order after the logged ones. The Delta/Iceberg
+    ``DESCRIBE HISTORY`` analogue for this plain-parquet publish path."""
     fs, _, jvm = _fs(spark, target)
     current = _read_pointer(fs, jvm, target)
     if current is None:
         raise FileNotFoundError(f"no committed version for {target}")
+    rank = {n: i for i, n in enumerate(_read_commit_log(fs, jvm, target))}
     rows = []
     for st in _glob(fs, jvm, f"{target}.v.*"):
         name = st.getPath().getName()
+        if rank and not (name == current or name in rank):
+            continue  # a log exists, so an unlogged dir is uncommitted debris
         rows.append(
             {
                 "name": name,
                 "mtime_ms": st.getModificationTime(),
                 "is_current": name == current,
+                "_order": (rank.get(name, -1), st.getModificationTime()),
             }
         )
-    # current first, then the rest newest-first — pointer beats mtime
-    # (a slow writer can give an older version a younger mtime)
-    rows.sort(key=lambda r: (not r["is_current"], -r["mtime_ms"]))
+    # current first, then the rest newest-commit-first
+    rows.sort(key=lambda r: (not r["is_current"], tuple(-x for x in r["_order"])))
+    for r in rows:
+        del r["_order"]
     return rows
 
 
