@@ -169,7 +169,7 @@ rknob AS (
   SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
   FROM embeddings, (SELECT unnest(range(1, {DIM + 1})) AS i)
 ), dots AS (
-  SELECT e.vec_id, p.j, sum(e.x * p.s) AS d
+  SELECT e.vec_id, p.j, round(sum(e.x * p.s), 9) AS d
   FROM expl e JOIN planes p ON e.i = p.i GROUP BY 1, 2
 ), sigs AS (
   SELECT vec_id, CAST(j // (SELECT r FROM rknob) AS INT) AS band,
@@ -209,7 +209,10 @@ def _sig_batches_fn(r: int):
         bit_weights = 1 << np.arange(r, dtype=np.int64)
         for pdf in batches:
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            bits = (X @ S) > 0  # n × n_planes sign bits, one BLAS matmul
+            # round before the sign test (matching the oracle's dots CTE):
+            # a dot within FP noise of zero must not flip its bit between
+            # engines just because BLAS and DuckDB sum in different orders
+            bits = np.round(X @ S, 9) > 0  # n × n_planes sign bits, one matmul
             sigs = np.column_stack(
                 [
                     bits[:, b * r : (b + 1) * r] @ bit_weights

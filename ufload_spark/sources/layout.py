@@ -37,7 +37,16 @@ def _unique_table(spark: SparkSession, prefix: str, *, max_age_s: float = 3600) 
     session's crash leaves the dir without a catalog entry, which makes
     ``saveAsTable`` fail with LOCATION_ALREADY_EXISTS). Unique names mean a
     driver retry can never drop a table a concurrent invocation's lazy
-    result still reads."""
+    result still reads.
+
+    Scope note (ADVICE r4): age is the only liveness signal, and the sweep
+    both DROPs tables and deletes warehouse dirs — safe for this repo's
+    single-driver harness, where every same-prefix artifact belongs to this
+    process lineage. If multiple Spark sessions ever shared one warehouse,
+    scope the prefix (and the sweep) per session — e.g. include
+    ``spark.sparkContext.applicationId`` in ``prefix`` — so one session can
+    never drop a >1h-old table another session's live DataFrame still
+    reads."""
     import time
     import uuid
 

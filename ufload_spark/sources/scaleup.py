@@ -80,13 +80,19 @@ def _scale_table(spark: SparkSession, src: str, name: str, factor: int) -> DataF
     if name == "documents":
         # per-copy token suffix (identity for copy 0), via split → transform
         # → array_join (regexp_replace can't splice the copy index into its
-        # replacement); n_chars recomputed over the rewritten text
+        # replacement); n_chars recomputed over the rewritten text. Empty
+        # tokens from leading/trailing/repeated whitespace are filtered
+        # before suffixing (ADVICE r4: an empty edge split would gain a
+        # bare '~k' token and break the rename-is-a-bijection-on-shingles
+        # invariant for non-canonical whitespace)
         out = out.withColumn(
             "text",
             F.when(F.col("k") == 0, F.col("text")).otherwise(
                 F.array_join(
                     F.transform(
-                        F.split(F.col("text"), r"\s+"),
+                        F.filter(
+                            F.split(F.col("text"), r"\s+"), lambda t: t != ""
+                        ),
                         lambda t: F.concat(t, F.lit("~"), F.col("k").cast("string")),
                     ),
                     " ",
