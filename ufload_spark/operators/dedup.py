@@ -594,8 +594,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each round is one join + one aggregate, both shuffling on node id (at
     production scale the edges frame would be persisted, and the
     alternating large-star/small-star formulation cuts rounds further on
-    long chains). The per-round convergence check is a scalar count — the
-    one driver-side value an iterative algorithm needs.
+    long chains). The convergence flag is computed row-locally inside the
+    update join and summed — one scalar driver sync per round, the one
+    driver-side value an iterative algorithm needs (r5: the previous
+    labels-vs-labels compare join per round was pure overhead).
 
     DuckDB's oracle is the same fixpoint computed declaratively (recursive
     CTE reachability + min over the reachable set) — quadratic blowup on
@@ -613,6 +615,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         edges.select(F.col("u").alias("n")).distinct().withColumn("m", F.col("n"))
     )
+    prev_cached = None
     try:
         for _ in range(20):  # diameter bound; asserts below if exceeded
             neighbor_min = (
@@ -620,24 +623,27 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("u")
                 .agg(F.min("m").alias("nm"))
             )
+            # the convergence flag rides the update join itself (chg is
+            # computable row-locally from old m vs neighbor min), so each
+            # round is ONE join+agg and ONE driver sync — the r4 shape paid
+            # an extra labels-vs-labels compare join per round, pure
+            # overhead that dominated wall time on micro-cluster graphs
+            nm = F.least(F.col("m"), F.coalesce(F.col("nm"), F.col("m")))
             new_labels = (
                 labels.join(neighbor_min, labels.n == neighbor_min.u, "left")
                 .select(
                     "n",
-                    F.least(
-                        F.col("m"), F.coalesce(F.col("nm"), F.col("m"))
-                    ).alias("m"),
+                    nm.alias("m"),
+                    (nm != F.col("m")).cast("long").alias("chg"),
                 )
-            )
-            new_labels = new_labels.persist()
-            changed = (
-                new_labels.alias("a")
-                .join(labels.alias("b"), "n")
-                .where(F.col("a.m") != F.col("b.m"))
-                .count()
-            )
-            labels.unpersist()  # no-op on the (unpersisted) first frame
-            labels = new_labels
+            ).persist()
+            # sum over an empty label set is NULL, and an empty graph is
+            # already converged
+            changed = new_labels.agg(F.sum("chg").alias("c")).first()["c"] or 0
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = new_labels
+            labels = new_labels.select("n", "m")
             if changed == 0:
                 break
         else:
