@@ -968,7 +968,10 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent_path = _scratch_unique(f"ivf_centroids_{sfx}")
     inv_path = _scratch_unique(f"ivf_invlists_{sfx}")
-    stage_and_publish(spark, cent, cent_path)
+    # centroids are bounded by k (N_CENTROIDS rows) — one file, not one
+    # per shuffle partition; the inverted lists are corpus-sized, so their
+    # layout stays with the upstream partitioning
+    stage_and_publish(spark, cent, cent_path, partitions=1)
     stage_and_publish(spark, inv, inv_path)
 
     # ---- query phase: persisted index + corpus scan only ----
