@@ -607,8 +607,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("est_sim") >= CLUSTER_SIM)
         .select("doc_a", "doc_b")
     )
+    comp = min_label_components(pairs)
+    return comp.select(F.col("n").alias("doc_id"), F.col("m").alias("cluster_id"))
+
+
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair graph: takes a
+    two-column (a, b) pair frame (each pair once, either orientation),
+    returns ``(n, m)`` — node and its component's minimum id. The reusable
+    fixpoint behind both the MinHash (text) and hyperplane-LSH (embedding)
+    cluster dedup operators; the scale posture and oracle mapping are
+    documented at :func:`dedup_connected_components`."""
+    a, b = pairs.columns
     edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        pairs.select(F.col(b).alias(a), F.col(a).alias(b))
     ).toDF("u", "v")
     # cache: every iteration joins the same edge set
     edges = edges.distinct().persist()
@@ -648,7 +660,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
         else:
             raise RuntimeError("label propagation did not converge in 20 rounds")
-        return labels.select(F.col("n").alias("doc_id"), F.col("m").alias("cluster_id"))
+        return labels
     finally:
         edges.unpersist()
 

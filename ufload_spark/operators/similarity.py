@@ -923,6 +923,108 @@ def similarity_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cluster_keep_best",
+    "WITH RECURSIVE "
+    + _PLANES_SQL
+    + f"""
+, pexpl AS (
+  SELECT p.vec_a, p.vec_b,
+         sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS dp,
+         sum(CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)) AS na,
+         sum(CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)) AS nb
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b,
+  (SELECT unnest(range(1, {DIM + 1})) AS i)
+  GROUP BY 1, 2
+), sim AS (
+  SELECT vec_a, vec_b FROM pexpl
+  WHERE dp / (sqrt(na) * sqrt(nb)) >= {DEDUP_COS_THRESHOLD}
+), edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM sim
+  UNION
+  SELECT vec_b, vec_a FROM sim
+), nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+), comp AS (
+  SELECT n AS vec_id, min(m) AS cluster_id FROM reach GROUP BY n
+), nrm AS (
+  SELECT vec_id,
+         round(sqrt(sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))), 6)
+           AS vnorm
+  FROM embeddings, (SELECT unnest(range(1, {DIM + 1})) AS i)
+  GROUP BY vec_id
+), members AS (
+  SELECT c.vec_id, c.cluster_id, n.vnorm FROM comp c JOIN nrm n USING (vec_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY vnorm DESC, vec_id) AS rn
+  FROM members
+)
+SELECT r.cluster_id, s.n_members, r.vec_id AS kept_vec_id, r.vnorm AS kept_norm
+FROM ranked r
+JOIN (SELECT cluster_id, count(*) AS n_members FROM members GROUP BY cluster_id) s
+  USING (cluster_id)
+WHERE r.rn = 1
+""",
+    doc="semantic cluster dedup: LSH candidates → exact-cosine edges → "
+    "connected components → one survivor per cluster by vector norm "
+    "(oracle extends the recursive-CTE fixpoint over the embedding graph)",
+)
+def dedup_embedding_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding twin of ``dedup_cluster_keep_best``, completing the
+    semantic-dedup story: ``dedup_embedding_cosine`` drops the higher id of
+    each confirmed PAIR, which can evict the best copy of a transitive
+    cluster — this operator forms components over the exact-cosine-confirmed
+    edge graph (``min_label_components``, the fixpoint shared with the
+    MinHash path) and keeps the member with the largest L2 norm (ties →
+    lowest vec_id; norm rounded to 6dp on both engines so the survivor
+    choice is reduction-order-independent). Candidate edges are banded-LSH
+    bounded — no all-pairs work — and the keep-best window partitions by
+    cluster_id over micro-clusters, the same bounded-state shape as the
+    text side."""
+    from ufload_spark.operators.dedup import min_label_components
+
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(sqnorm(F.col("emb_a"))) * F.sqrt(sqnorm(F.col("emb_b")))
+    )
+    sim = (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(cos >= DEDUP_COS_THRESHOLD)
+        .select("vec_a", "vec_b")
+    )
+    comp = min_label_components(sim).select(
+        F.col("n").alias("vec_id"), F.col("m").alias("cluster_id")
+    )
+    nrm = e.select(
+        "vec_id", F.round(F.sqrt(sqnorm(F.col("embedding"))), 6).alias("vnorm")
+    )
+    m = comp.join(nrm, "vec_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("vnorm"), "vec_id")
+    kept = (
+        m.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("vec_id").alias("kept_vec_id"),
+            F.col("vnorm").alias("kept_norm"),
+        )
+    )
+    sizes = m.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return kept.join(sizes, "cluster_id").select(
+        "cluster_id", "n_members", "kept_vec_id", "kept_norm"
+    )
+
+
+@register(
     "similarity_ivf_incremental",
     _IVF_ORACLE_SQL,
     doc="IVF with a PERSISTED index: centroids + inverted lists trained and "
