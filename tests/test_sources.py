@@ -533,6 +533,15 @@ def test_pointer_publish_hard_crash_windows(spark, tmp_path, monkeypatch):
     # reader: exactly the new version, even though log+sweep never ran
     assert loader.read_current(spark, target).count() == 3
 
+    # age window (a)'s uncommitted debris past the sweep's 5-minute grace
+    # (fresh unlogged dirs are protected — they may be a live concurrent
+    # publisher's not-yet-committed version)
+    committed = {h["name"] for h in loader.version_history(spark, target)}
+    old = time.time() - 600
+    for p in os.listdir(tmp_path):
+        if ".v." in p and p not in committed:
+            os.utime(str(tmp_path / p), (old, old))
+
     # next publish heals: the unlogged-but-committed version is backfilled
     # into the log, so history walks back commit by commit with no gap
     loader.publish_versioned(spark, region.limit(1), target, keep_versions=3)

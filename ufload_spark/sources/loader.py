@@ -328,8 +328,12 @@ def _sweep_versions(fs, jvm, target: str, *, keep: int) -> None:
         if rank and name not in rank:
             # a log exists, so an unlogged dir is a publish that died before
             # its pointer rename: unreadable via history, delete outright
-            # rather than letting debris occupy a retention slot
-            fs.delete(st.getPath(), True)
+            # rather than letting debris occupy a retention slot. Age-gated
+            # so a CONCURRENT publisher's just-written, not-yet-committed
+            # version is never swept out from under its pointer rename
+            # (same liveness posture as _scratch_unique)
+            if time.time() * 1000 - st.getModificationTime() > 300_000:
+                fs.delete(st.getPath(), True)
             continue
         if survivors < keep:
             survivors += 1
