@@ -330,3 +330,49 @@ def corpus_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.round(F.col("n_overlap") / F.col("n_total"), 6).alias("contamination"),
     )
+
+
+#: shard count for the reproducible training shuffle — a layout knob like a
+#: bucket count: scale with corpus so a shard stays one reader's unit of work
+N_SHUFFLE_SHARDS = 16
+
+
+@register(
+    "corpus_shuffle_shards",
+    f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(hh, 1, 4))::INT % {N_SHUFFLE_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY ('0x' || substr(hh, 1, 4))::INT % {N_SHUFFLE_SHARDS}
+              ORDER BY hh, doc_id) AS BIGINT) AS pos
+FROM h
+""",
+    doc="reproducible training-order shuffle: content-addressed shard + "
+    "within-shard hash order — no global sort, rerun- and engine-stable",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step before training export that the split/sample family
+    implies but didn't have: a GLOBAL document shuffle that is (a)
+    reproducible — order comes from md5(doc_id), so reruns, engines and
+    cluster layouts agree (``rand()`` orderings silently reshuffle on
+    retry), and (b) scalable — there is no global sort: the hash assigns
+    each doc to one of N_SHUFFLE_SHARDS shards (first 16 bits, same
+    '0x'||substr arithmetic the sampling family uses), and position is a
+    row_number window PARTITIONED BY shard — an evenly-hashed shuffle whose
+    per-partition sort is bounded by shard size, exactly the bucketed-sort
+    shape `layout_bucketed_orderkey_join` proves exchange-free. A training
+    reader consumes shard files in pos order and sees a source-interleaved,
+    deterministic stream; re-shuffling between epochs is a salt on the
+    hash, not a new global sort."""
+    d = table(spark, sf_dir, "documents")
+    hh = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.conv(F.substring(hh, 1, 4), 16, 10).cast("int") % N_SHUFFLE_SHARDS)
+    w = Window.partitionBy("shard").orderBy("hh", "doc_id")
+    return (
+        d.select("doc_id", hh.alias("hh"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
