@@ -778,14 +778,19 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count(F.col("text")).alias("n_tokens")
     )
     m = comp.join(toks, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), "doc_id")
-    ranked = m.withColumn("rn", F.row_number().over(w))
-    kept = ranked.where(F.col("rn") == 1).select(
-        "cluster_id",
-        F.col("doc_id").alias("kept_doc_id"),
-        F.col("n_tokens").alias("kept_tokens"),
-    )
-    sizes = m.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
-    return kept.join(sizes, "cluster_id").select(
-        "cluster_id", "n_members", "kept_doc_id", "kept_tokens"
+    # n_members rides the SAME cluster_id window partitioning as the
+    # survivor rank — one exchange, one window stage; the r4 shape computed
+    # it as a separate groupBy and joined it back (second scan + join)
+    wp = Window.partitionBy("cluster_id")
+    w = wp.orderBy(F.desc("n_tokens"), "doc_id")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wp))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_tokens").alias("kept_tokens"),
+        )
     )

@@ -1008,19 +1008,20 @@ def dedup_embedding_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataF
         "vec_id", F.round(F.sqrt(sqnorm(F.col("embedding"))), 6).alias("vnorm")
     )
     m = comp.join(nrm, "vec_id")
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("vnorm"), "vec_id")
-    kept = (
+    # n_members rides the same cluster_id window partitioning as the
+    # survivor rank — one exchange, one window stage (see the text twin)
+    wp = Window.partitionBy("cluster_id")
+    w = wp.orderBy(F.desc("vnorm"), "vec_id")
+    return (
         m.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wp))
         .where(F.col("rn") == 1)
         .select(
             "cluster_id",
+            "n_members",
             F.col("vec_id").alias("kept_vec_id"),
             F.col("vnorm").alias("kept_norm"),
         )
-    )
-    sizes = m.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
-    return kept.join(sizes, "cluster_id").select(
-        "cluster_id", "n_members", "kept_vec_id", "kept_norm"
     )
 
 
