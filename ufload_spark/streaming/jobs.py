@@ -108,6 +108,41 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_windows",
+    """
+WITH expl AS (
+  SELECT e.value,
+         time_bucket(INTERVAL 30 MINUTE, e.ts)
+           - k.k * INTERVAL 30 MINUTE AS window_start
+  FROM events e, (SELECT unnest(range(0, 2)) AS k) k
+)
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM expl GROUP BY window_start
+""",
+    doc="Structured Streaming sliding-window aggregate (1 h window, 30 min "
+    "slide) run to completion — overlapping-window state in the streaming "
+    "engine, complete mode",
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of ``events_sliding_windows`` (same oracle):
+    overlapping windows mean each event updates window_size/slide state
+    rows — the state-store shape that distinguishes sliding from tumbling
+    at scale (state keys ×2 here, watermark evicts each window
+    slide-by-slide). Complete mode makes the final sink equal the batch
+    aggregate under any batching."""
+    sdf = events_readstream(spark, sf_dir).withWatermark("ts", "15 minutes")
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+    return run_to_memory(agg, output_mode="complete", prefix="sliding")
+
+
+@register(
     "streaming_dedup_users_per_type",
     """
 SELECT event_type, count(DISTINCT user_id) AS n_users
