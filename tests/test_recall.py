@@ -165,3 +165,21 @@ def test_simhash_recall_on_planted_dups(spark, planted_dir):
     assert not missed, f"identical copies missed (pigeonhole violated): {missed}"
     recall = sum(1 for p in edited if p in got) / len(edited)
     assert recall >= 0.4, f"SimHash edited-copy recall: {recall}"  # measured ~0.5
+
+
+def test_quantized_topk_fidelity(spark):
+    """int8 scalar quantization must preserve the float ranking almost
+    exactly on the stock fixtures (64-dim, well-spread vectors): rank-1
+    neighbors identical for every query, top-5 overlap >= 0.9 (measured:
+    1.0 and 0.96, deterministic — both queries and data are seed-free)."""
+    r = _registry()
+    fl = r["similarity_topk_cosine"].fn(spark, SF_DIR).toPandas()
+    qt = r["similarity_quantized_topk"].fn(spark, SF_DIR).toPandas()
+    top5_f = {q: set(g.cid) for q, g in fl.groupby("qid")}
+    top5_q = {q: set(g.cid) for q, g in qt.groupby("qid")}
+    assert set(top5_f) == set(top5_q)
+    overlap = sum(len(top5_f[q] & top5_q[q]) for q in top5_f) / (5 * len(top5_f))
+    assert overlap >= 0.9, f"quantized top-5 overlap vs float: {overlap}"
+    r1_f = {q: g.sort_values("rnk").cid.iloc[0] for q, g in fl.groupby("qid")}
+    r1_q = {q: g.sort_values("rnk").cid.iloc[0] for q, g in qt.groupby("qid")}
+    assert r1_f == r1_q, "rank-1 neighbor changed under int8 quantization"

@@ -1110,3 +1110,129 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("qid", "cand_id", "cosine", "rnk")
     )
+
+
+# --- int8 scalar quantization ----------------------------------------------
+
+#: quantization range for symmetric per-vector int8: values map to -127..127
+Q_MAX = 127
+
+
+def _quantized(emb: Column) -> Column:
+    """Symmetric per-vector int8 quantization of a float array.
+
+    ``scale = max|x| / 127``; each component becomes
+    ``clamp(floor(x/scale + 0.5), -127, 127)`` as a long. ``floor(x + 0.5)``
+    (round-half-up) is used instead of ``round`` so Spark and DuckDB make
+    bit-identical decisions (their ``round`` halfway rules differ); an
+    all-zero vector quantizes to all zeros via the NULL-scale guard.
+    """
+    smax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    scale = F.when(smax == 0.0, F.lit(None)).otherwise(smax / F.lit(float(Q_MAX)))
+    return F.transform(
+        emb,
+        lambda x: F.coalesce(
+            F.greatest(
+                F.lit(-Q_MAX).cast("long"),
+                F.least(
+                    F.lit(Q_MAX).cast("long"),
+                    F.floor(x.cast("double") / scale + F.lit(0.5)),
+                ),
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
+_QUANT_SQL = f"""
+SELECT vec_id,
+       list_transform(embedding, x -> CAST(greatest(-{Q_MAX}, least({Q_MAX},
+         floor(CAST(x AS DOUBLE)
+               / nullif(list_max(list_transform(embedding,
+                        y -> abs(CAST(y AS DOUBLE)))) / {Q_MAX}, 0)
+               + 0.5))) AS BIGINT)) AS qv
+FROM embeddings
+"""
+
+
+@register(
+    "similarity_quantized_topk",
+    f"""
+WITH qz AS (
+  SELECT vec_id, list_transform(qv, x -> coalesce(x, 0)) AS qv
+  FROM ({_QUANT_SQL})
+),
+q AS (SELECT vec_id AS qid, qv AS qa FROM qz WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, qv AS qb FROM qz WHERE vec_id >= 5),
+expl AS (
+  SELECT qid, cid,
+         sum(qa[i] * qb[i]) AS dp,
+         sum(qa[i] * qa[i]) AS nq,
+         sum(qb[i] * qb[i]) AS nc
+  FROM q, c, (SELECT unnest(range(1, {DIM + 1})) AS i)
+  GROUP BY qid, cid
+), scored AS (
+  SELECT qid, cid,
+         round(dp / nullif(sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)), 0),
+               6) AS qcosine
+  FROM expl
+)
+SELECT qid, cid, qcosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY qcosine DESC, cid) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+""",
+    doc="int8 scalar-quantized cosine top-k: per-vector symmetric "
+    "quantization, integer dot products, scales cancel",
+)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized brute-force top-k — the memory-side scale lever the
+    float baselines don't have. Each vector is symmetrically quantized to
+    int8 (:func:`_quantized`); because cosine normalizes by both norms, the
+    per-vector scales CANCEL, so scoring is pure integer arithmetic
+    (exact, reduction-order-independent — no FP-noise hash risk) with one
+    sqrt/division at the end.
+
+    100 TB posture: a 64-dim float32 corpus quantized to int8 is 4× smaller
+    in memory and on the wire — the difference between a corpus scan that
+    spills and one that fits executor memory; integer dot products also
+    vectorize wider per SIMD lane. The plan is the same broadcast shape as
+    ``similarity_topk_cosine`` (query side broadcast, candidates never
+    shuffle), so the two queries measure exactly the quantization delta.
+    Quantization itself is a narrow map that composes with the LSH/IVF
+    candidate generators; rank disagreement vs the float baseline is
+    measured and pinned by tests/test_recall.py::test_quantized_topk_fidelity
+    (top-5 overlap 0.96, rank-1 agreement 1.0 on the fixtures).
+
+    Reference analog: none (extension surface — ANN over embeddings).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    qz = e.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
+    q = qz.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qa")
+    )
+    c = qz.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("qb")
+    )
+    idot = lambda a, b: F.aggregate(  # noqa: E731 — integer fold, exact
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, x: s + x
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        F.round(
+            idot(F.col("qa"), F.col("qb"))
+            / (
+                F.sqrt(idot(F.col("qa"), F.col("qa")).cast("double"))
+                * F.sqrt(idot(F.col("qb"), F.col("qb")).cast("double"))
+            ),
+            6,
+        ).alias("qcosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qcosine"), "cid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", "cid", "qcosine", "rnk")
+    )
