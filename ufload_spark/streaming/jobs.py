@@ -427,3 +427,50 @@ def streaming_upsert_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "streaming_session_windows",
+    """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+""",
+    doc="Structured Streaming session windows (30 min inactivity gap) run "
+    "to completion — MERGING session state, complete mode",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of ``events_session_windows`` (same
+    gaps-and-islands oracle): ``session_window`` state rows are not
+    fixed-keyed like tumbling/sliding windows — adjacent sessions MERGE
+    when a late event bridges their gap, the state shape that makes
+    sessionization the hardest windowed aggregate for a streaming engine
+    (state key ranges change as data arrives). Complete mode + AvailableNow
+    makes the final sink equal the batch sessionization under any
+    micro-batching; the watermark bounds how long an open session can wait
+    for a bridging event in a continuous deployment."""
+    sdf = events_readstream(spark, sf_dir).withWatermark("ts", "15 minutes")
+    agg = (
+        sdf.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete", prefix="sessions")
