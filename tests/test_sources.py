@@ -604,3 +604,61 @@ def test_scratch_unique_sweeps_only_stale(tmp_path, monkeypatch):
     assert not old_fixed.exists() and not old_suffixed.exists()
     assert fresh.exists()      # young: maybe a live run — untouched
     assert unrelated.exists()  # other query's path — never touched
+
+
+# --- Python Data Source API (pysource) -------------------------------------
+
+
+def _log_reader(tmp_path, names=("a.log", "b.log", "src0.log")):
+    from ufload_spark.sources.pysource import BackupLogReader
+
+    for n in names:
+        (tmp_path / n).write_text("0\ten\t10\n1\tfr\t20\n")
+    (tmp_path / "ignored.txt").write_text("not a log\n")
+    return BackupLogReader({"path": str(tmp_path)})
+
+
+def test_pysource_partitions_one_per_file(tmp_path):
+    r = _log_reader(tmp_path)
+    parts = r.partitions()
+    assert [os.path.basename(p.path) for p in parts] == [
+        "a.log", "b.log", "src0.log",
+    ]  # sorted, .txt excluded
+
+
+def test_pysource_pushdown_prunes_partitions(tmp_path):
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, StringStartsWith
+
+    r = _log_reader(tmp_path)
+    leftover = list(r.pushFilters([EqualTo(("fname",), "src0.log")]))
+    assert leftover == []  # fully absorbed
+    assert [os.path.basename(p.path) for p in r.partitions()] == ["src0.log"]
+
+    r = _log_reader(tmp_path)
+    assert list(r.pushFilters([In(("fname",), ("a.log", "b.log"))])) == []
+    assert [os.path.basename(p.path) for p in r.partitions()] == ["a.log", "b.log"]
+
+    r = _log_reader(tmp_path)
+    assert list(r.pushFilters([StringStartsWith(("fname",), "src")])) == []
+    assert [os.path.basename(p.path) for p in r.partitions()] == ["src0.log"]
+
+    # unsupported predicates are handed back for Spark to evaluate,
+    # supported ones in the same batch still prune
+    r = _log_reader(tmp_path)
+    unsupported = GreaterThan(("line_no",), 5)
+    leftover = list(r.pushFilters([unsupported, EqualTo(("fname",), "a.log")]))
+    assert leftover == [unsupported]
+    assert [os.path.basename(p.path) for p in r.partitions()] == ["a.log"]
+
+
+def test_pysource_read_emits_arrow_batches(tmp_path):
+    import pyarrow as pa
+
+    r = _log_reader(tmp_path, names=("a.log",))
+    (part,) = r.partitions()
+    batches = list(r.read(part))
+    assert all(isinstance(b, pa.RecordBatch) for b in batches)
+    tbl = pa.Table.from_batches(batches)
+    assert tbl.column("line_no").to_pylist() == [0, 1]
+    assert tbl.column("fname").to_pylist() == ["a.log", "a.log"]
+    assert tbl.column("line").to_pylist() == ["0\ten\t10", "1\tfr\t20"]

@@ -104,7 +104,14 @@ def load_all() -> dict[str, Query]:
         temporal,
         textops,
     )
-    from ufload_spark.sources import catalog, formats, layout, loader, zipsource  # noqa: F401
+    from ufload_spark.sources import (  # noqa: F401
+        catalog,
+        formats,
+        layout,
+        loader,
+        pysource,
+        zipsource,
+    )
     from ufload_spark.streaming import jobs  # noqa: F401
 
     verified = _driver_verified_names()
