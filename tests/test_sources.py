@@ -662,3 +662,25 @@ def test_pysource_read_emits_arrow_batches(tmp_path):
     assert tbl.column("line_no").to_pylist() == [0, 1]
     assert tbl.column("fname").to_pylist() == ["a.log", "a.log"]
     assert tbl.column("line").to_pylist() == ["0\ten\t10", "1\tfr\t20"]
+
+
+def test_pysource_stream_offsets_track_arriving_files(tmp_path):
+    from ufload_spark.sources.pysource import BackupLogStreamReader
+
+    (tmp_path / "a.log").write_text("0\ten\t10\n")
+    (tmp_path / "b.log").write_text("1\tfr\t20\n")
+    r = BackupLogStreamReader({"path": str(tmp_path)})
+    assert r.initialOffset() == {"files": 0}
+    assert r.latestOffset() == {"files": 2}
+    # a new file arrives → next micro-batch covers exactly the suffix
+    (tmp_path / "c.log").write_text("2\tde\t30\n")
+    assert r.latestOffset() == {"files": 3}
+    parts = r.partitions({"files": 2}, {"files": 3})
+    assert [os.path.basename(p.path) for p in parts] == ["c.log"]
+    # replaying a checkpointed range is deterministic
+    import pyarrow as pa
+
+    again = r.partitions({"files": 0, }, {"files": 2})
+    assert [os.path.basename(p.path) for p in again] == ["a.log", "b.log"]
+    tbl = pa.Table.from_batches(list(r.read(again[0])))
+    assert tbl.column("line").to_pylist() == ["0\ten\t10"]

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -124,6 +125,49 @@ class BackupLogReader(DataSourceReader):
                 yield pa.record_batch([names, nos, lines], schema=schema)
 
 
+class BackupLogStreamReader(DataSourceStreamReader):
+    """Offset-managed streaming form of the same source: the offset is the
+    count of (sorted) ``.log`` files already ingested, so each micro-batch
+    is the newly-arrived file suffix — the reference's poll-the-backup-dir
+    loop (cloud.py:137-180) as a Structured Streaming source. Offsets are
+    JSON-serializable dicts checkpointed by the engine; ``partitions``
+    plans one partition per new file (executor-side reads, unlike
+    SimpleDataSourceStreamReader's driver-side path); replaying a
+    checkpointed range re-reads the same files deterministically."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("ufload_logs: 'path' option is required")
+        self.dir = path
+
+    def _files(self) -> list[str]:
+        return sorted(f for f in os.listdir(self.dir) if f.endswith(".log"))
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def latestOffset(self) -> dict:
+        return {"files": len(self._files())}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        files = self._files()
+        return [
+            _FilePartition(os.path.join(self.dir, f))
+            for f in files[start["files"] : end["files"]]
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator[pa.RecordBatch]:
+        # identical per-file Arrow emission as the batch reader
+        yield from BackupLogReader.read(self, partition)  # type: ignore[arg-type]
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable; nothing to release
+
+    def stop(self) -> None:
+        pass
+
+
 class BackupLogDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -134,6 +178,9 @@ class BackupLogDataSource(DataSource):
 
     def reader(self, schema) -> BackupLogReader:
         return BackupLogReader(self.options)
+
+    def streamReader(self, schema) -> BackupLogStreamReader:
+        return BackupLogStreamReader(self.options)
 
 
 def register_source(spark: SparkSession) -> None:
@@ -252,3 +299,34 @@ def pysource_log_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+@register(
+    "pysource_stream_log_scan",
+    """
+SELECT lang, count(*) AS n_lines, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+    doc="Python streaming Data Source: offset-managed file backlog drained "
+    "through Structured Streaming, per-file micro-batch partitions",
+)
+def pysource_stream_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of ``pysource_log_scan`` through the custom
+    source's :class:`BackupLogStreamReader`: the engine checkpoints the
+    file-count offset, plans one executor-side partition per newly-arrived
+    file, and drains the whole backlog (AvailableNow). Complete-mode
+    aggregate equals the batch oracle under any micro-batching — the same
+    invariance contract every streaming twin in streaming/jobs.py pins."""
+    from ufload_spark.streaming.jobs import run_to_memory
+
+    tune(spark)
+    register_source(spark)
+    logs = ensure_fixture_logs(sf_dir)
+    sdf = spark.readStream.format("ufload_logs").option("path", logs).load()
+    t = F.split(F.col("line"), "\t")
+    agg = (
+        sdf.select(t.getItem(1).alias("lang"), t.getItem(2).cast("long").alias("n_chars"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_lines"), F.sum("n_chars").alias("total_chars"))
+    )
+    return run_to_memory(agg, output_mode="complete", prefix="pysrc")
