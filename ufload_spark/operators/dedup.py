@@ -611,13 +611,37 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("n").alias("doc_id"), F.col("m").alias("cluster_id"))
 
 
+#: propagation rounds chained LAZILY into one action per convergence sync.
+#: Local-mode Spark charges ~2 s of fixed scheduling/AQE/broadcast latency
+#: per action regardless of data size — the r4 shape paid it once PER ROUND
+#: (measured: 2-4 s/round on a 3,888-edge graph whose actual join work is
+#: milliseconds). Chaining trades at most CHUNK_ROUNDS-1 no-op rounds
+#: (cheap: they reshuffle only the already-stable label frame) for a
+#: CHUNK_ROUNDS× cut in driver syncs; near-dup micro-cluster graphs
+#: (fixture diameter ≤ 3) converge AND confirm inside the first chunk.
+#: At 100 TB each round is a real label shuffle, so the chunk size is the
+#: overhead-vs-wasted-rounds knob: 4 suits shallow dedup graphs; a
+#: deep-diameter graph would shrink it toward 2 as data cost overtakes
+#: per-sync cost.
+CHUNK_ROUNDS = 4
+MAX_CHUNKS = 8  # 32 rounds total, comfortably above the old 20-round bound
+
+
 def min_label_components(pairs: DataFrame) -> DataFrame:
     """Min-label propagation over an undirected pair graph: takes a
     two-column (a, b) pair frame (each pair once, either orientation),
     returns ``(n, m)`` — node and its component's minimum id. The reusable
     fixpoint behind both the MinHash (text) and hyperplane-LSH (embedding)
     cluster dedup operators; the scale posture and oracle mapping are
-    documented at :func:`dedup_connected_components`."""
+    documented at :func:`dedup_connected_components`.
+
+    Each sync materializes CHUNK_ROUNDS chained rounds in ONE action; the
+    convergence flag (sum of the final round's change bits) rides that same
+    action as an ``Observation`` metric, so a sync costs exactly one job —
+    no separate convergence query. A chunk whose final round changed
+    nothing is a confirmed fixpoint (changes are monotone)."""
+    from pyspark.sql import Observation
+
     a, b = pairs.columns
     edges = pairs.union(
         pairs.select(F.col(b).alias(a), F.col(a).alias(b))
@@ -629,38 +653,41 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
     )
     prev_cached = None
     try:
-        for _ in range(20):  # diameter bound; asserts below if exceeded
-            neighbor_min = (
-                edges.join(labels, edges.v == labels.n)
-                .groupBy("u")
-                .agg(F.min("m").alias("nm"))
-            )
-            # the convergence flag rides the update join itself (chg is
-            # computable row-locally from old m vs neighbor min), so each
-            # round is ONE join+agg and ONE driver sync — the r4 shape paid
-            # an extra labels-vs-labels compare join per round, pure
-            # overhead that dominated wall time on micro-cluster graphs
-            nm = F.least(F.col("m"), F.coalesce(F.col("nm"), F.col("m")))
-            new_labels = (
-                labels.join(neighbor_min, labels.n == neighbor_min.u, "left")
-                .select(
+        for _ in range(MAX_CHUNKS):
+            cur = labels
+            for _ in range(CHUNK_ROUNDS):
+                neighbor_min = (
+                    edges.join(cur, edges.v == cur.n)
+                    .groupBy("u")
+                    .agg(F.min("m").alias("nm"))
+                )
+                nm = F.least(F.col("m"), F.coalesce(F.col("nm"), F.col("m")))
+                cur = cur.join(
+                    neighbor_min, cur.n == neighbor_min.u, "left"
+                ).select(
                     "n",
                     nm.alias("m"),
                     (nm != F.col("m")).cast("long").alias("chg"),
                 )
-            ).persist()
+            obs = Observation()
+            chunk = (
+                cur.observe(obs, F.sum("chg").alias("chg"))
+                .select("n", "m")
+                .persist()
+            )
+            chunk.count()  # materialize; the convergence metric rides this job
             # sum over an empty label set is NULL, and an empty graph is
             # already converged
-            changed = new_labels.agg(F.sum("chg").alias("c")).first()["c"] or 0
+            changed = obs.get["chg"] or 0
             if prev_cached is not None:
                 prev_cached.unpersist()
-            prev_cached = new_labels
-            labels = new_labels.select("n", "m")
+            prev_cached = chunk
+            labels = chunk
             if changed == 0:
-                break
-        else:
-            raise RuntimeError("label propagation did not converge in 20 rounds")
-        return labels
+                return labels
+        raise RuntimeError(
+            f"label propagation did not converge in {CHUNK_ROUNDS * MAX_CHUNKS} rounds"
+        )
     finally:
         edges.unpersist()
 
