@@ -602,12 +602,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's oracle is the same fixpoint computed declaratively (recursive
     CTE reachability + min over the reachable set) — quadratic blowup on
     big graphs but exact on fixtures, and engine-independent."""
-    pairs = (
-        dedup_minhash_lsh_pairs(spark, sf_dir)
+    from ufload_spark.sources.loader import memo_publish
+
+    # the thresholded pair graph is deterministic (seeded MinHash, md5
+    # shingles), so it publishes once per (process, fixture) and every
+    # repeat invocation — including the keep-best queries built on top —
+    # reads the tiny (doc_a, doc_b) parquet instead of re-running the
+    # whole shingle→signature→band pipeline
+    path = memo_publish(
+        spark,
+        "minhash_cluster_pairs",
+        sf_dir,
+        lambda: dedup_minhash_lsh_pairs(spark, sf_dir)
         .where(F.col("est_sim") >= CLUSTER_SIM)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b"),
     )
-    comp = min_label_components(pairs)
+    comp = min_label_components(spark.read.parquet(path))
     return comp.select(F.col("n").alias("doc_id"), F.col("m").alias("cluster_id"))
 
 

@@ -269,41 +269,12 @@ def _persisted_band_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse. This is also the production shape: the persisted signature table
     the incremental-admission queries maintain, built here on first use
     only because registered queries must be self-contained."""
-    target = _memo_publish(
+    from ufload_spark.sources.loader import memo_publish
+
+    target = memo_publish(
         spark, "lsh_selfsigs", sf_dir, lambda: _lsh_band_sigs(spark, sf_dir)
     )
     return spark.read.parquet(target)
-
-
-#: per-process memo of published deterministic artifacts, keyed by
-#: (artifact name, fixture dir) → the unique scratch path this process
-#: published. Signatures and trained IVF indexes are bit-deterministic per
-#: fixture (seeded hyperplanes, rounded sign decisions, content-addressed
-#: k-means sample with hash-ordered init — the oracle hash-match proves it),
-#: so re-building them per invocation was pure waste: repeat invocations in
-#: one process (the bench's three passes, the driver's query-vs-oracle runs)
-#: now re-read the first invocation's publish. Scoped per process and per
-#: unique path, so concurrent PROCESSES never share a path — the
-#: source_schema_evolution r3 race class stays impossible. Same memo
-#: pattern as :data:`_R_CACHE`; the production analog is an index built
-#: once and queried many times (reference db.py:695-711 download memo).
-_PUB_CACHE: dict[tuple[str, str], str] = {}
-
-
-def _memo_publish(spark: SparkSession, name: str, sf_dir: str, build) -> str:
-    import os as _os
-
-    from ufload_spark.sources.loader import _scratch_unique, stage_and_publish
-
-    key = (name, _os.path.abspath(sf_dir))
-    cached = _PUB_CACHE.get(key)
-    if cached is not None and _os.path.exists(_os.path.join(cached, "_SUCCESS")):
-        return cached
-    sfx = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    target = _scratch_unique(f"{name}_{sfx}")
-    stage_and_publish(spark, build(), target)
-    _PUB_CACHE[key] = target
-    return target
 
 
 def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,7 +1063,8 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the trained index is bit-deterministic (content-addressed sample,
     # hash-ordered init), so repeat invocations re-read the published index —
     # the built-once/queried-many lifecycle this query exists to model
-    # (memo rationale at _PUB_CACHE). Both artifacts publish from ONE
+    # (memo rationale at loader._MEMO_PUBLISHED). Both artifacts publish
+    # from ONE
     # training run: the inverted lists must be assignments to exactly the
     # centroid table they ship with.
     key = _os.path.abspath(sf_dir)

@@ -439,6 +439,34 @@ def _scratch(name: str) -> str:
     return os.path.join(base, name)
 
 
+#: per-process memo of published deterministic artifacts, keyed by
+#: (artifact name, fixture dir) → the unique scratch path this process
+#: published. For bit-deterministic builds (seeded signatures, content-
+#: addressed k-means samples, filtered pair graphs — anything whose oracle
+#: hash-match proves reproducibility) a repeat invocation in the same
+#: process re-reads the first publish instead of rebuilding: the
+#: built-once/queried-many lifecycle (reference analog: the download memo,
+#: ufload db.py:695-711). Scoped per process AND per unique path, so
+#: concurrent processes never share a path — the source_schema_evolution
+#: r3 shared-path race class stays impossible.
+_MEMO_PUBLISHED: dict[tuple[str, str], str] = {}
+
+
+def memo_publish(spark: SparkSession, name: str, sf_dir: str, build) -> str:
+    """Publish ``build()`` once per (process, fixture dir) under a unique
+    scratch path via :func:`stage_and_publish`; return the published path.
+    ONLY for deterministic frames — the memo would hide nondeterminism."""
+    key = (name, os.path.abspath(sf_dir))
+    cached = _MEMO_PUBLISHED.get(key)
+    if cached is not None and os.path.exists(os.path.join(cached, "_SUCCESS")):
+        return cached
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    target = _scratch_unique(f"{name}_{sfx}")
+    stage_and_publish(spark, build(), target)
+    _MEMO_PUBLISHED[key] = target
+    return target
+
+
 def _scratch_unique(name: str, *, max_age_s: float = 3600) -> str:
     """Per-invocation scratch path ``<base>/<name>.<ms>.<rand>``.
 
