@@ -103,6 +103,7 @@ def load_all() -> dict[str, Query]:
         tpch_full,
         temporal,
         textops,
+        udtf_queries,
     )
     from ufload_spark.sources import (  # noqa: F401
         catalog,
