@@ -53,6 +53,9 @@ HEADLINE = [
     "similarity_ivf_incremental",  # persisted IVF index: publish + probe (r5)
     "multimodal_audio_meta",       # RIFF/WAV chunk-walk decode map (r5)
     "dedup_cluster_keep_best",     # quality-aware cluster dedup (r4)
+    "corpus_paragraph_dedup",      # sub-document boilerplate removal (r5)
+    "similarity_quantized_topk",   # int8 scalar-quantized ANN (r5)
+    "pysource_log_scan",           # Python Data Source API scan (r5)
 ]
 
 
