@@ -1142,17 +1142,27 @@ def _quantized(emb: Column) -> Column:
     (round-half-up) is used instead of ``round`` so Spark and DuckDB make
     bit-identical decisions (their ``round`` halfway rules differ); an
     all-zero vector quantizes to all zeros via the NULL-scale guard.
+
+    The scale is hoisted OUT of the per-element lambda via
+    ``array_repeat`` + ``zip_with``: an expression referenced inside a
+    higher-order-function lambda is re-evaluated per ELEMENT, so the
+    original ``transform`` form recomputed ``array_max(transform(abs))``
+    64× per row — O(d²) abs evaluations that made quantization 8× the
+    cost of the dot products it feeds (measured: 6.1 s vs 0.8 s for the
+    whole pair stage at sf1). As an argument of ``array_repeat`` the
+    scale is evaluated once per row.
     """
     smax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
     scale = F.when(smax == 0.0, F.lit(None)).otherwise(smax / F.lit(float(Q_MAX)))
-    return F.transform(
+    return F.zip_with(
         emb,
-        lambda x: F.coalesce(
+        F.array_repeat(scale, DIM),
+        lambda x, s: F.coalesce(
             F.greatest(
                 F.lit(-Q_MAX).cast("long"),
                 F.least(
                     F.lit(Q_MAX).cast("long"),
-                    F.floor(x.cast("double") / scale + F.lit(0.5)),
+                    F.floor(x.cast("double") / s + F.lit(0.5)),
                 ),
             ),
             F.lit(0).cast("long"),
