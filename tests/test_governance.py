@@ -44,7 +44,10 @@ def test_no_row_udf_registration_anywhere():
 #: .count() occurrences that are NOT driver-side materializations of a big
 #: frame, each justified where it appears
 _ALLOWED_COLLECT = {
-    "dedup.py": 1,  # connected-components convergence check (scalar count)
+    # connected components: pair-graph size for the tier decision, the
+    # small-tier (union-find) materialization, and the per-chunk
+    # convergence sync — each a scalar the iterative contract needs
+    "dedup.py": 3,
     "analytics.py": 1,  # GroupedData.pivot().count() — a lazy aggregate
     "similarity.py": 1,  # lsh_r: memoized parquet-footer corpus count → r knob
 }

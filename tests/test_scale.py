@@ -482,3 +482,28 @@ def test_lsh_r_derived_from_corpus_count(spark):
     finally:
         con.close()
     assert spark_r == duck_r
+
+
+def test_components_tiers_agree(spark):
+    """The size-capped union-find tier and the distributed min-label
+    fixpoint must produce identical (node, component-min) labelings.
+    The fixtures always take the small tier (near-dup graphs are sparse
+    by construction), so this forces threshold=0 to keep the distributed
+    path exercised — including a multi-chunk convergence on a long chain
+    whose diameter exceeds one CHUNK_ROUNDS chunk."""
+    from ufload_spark.operators.dedup import min_label_components
+
+    # a 12-node chain (diameter 11 > CHUNK_ROUNDS) plus two triangles
+    chain = [(i, i + 1) for i in range(100, 111)]
+    tris = [(1, 2), (2, 3), (3, 1), (7, 9), (9, 8)]
+    pairs = spark.createDataFrame(chain + tris, "a long, b long")
+    small = {
+        (r.n, r.m) for r in min_label_components(pairs).collect()
+    }
+    dist = {
+        (r.n, r.m)
+        for r in min_label_components(pairs, small_graph_edges=0).collect()
+    }
+    assert small == dist
+    assert {m for _, m in small} == {100, 1, 7}  # component minima
+    assert all(m == 100 for n, m in small if n >= 100)

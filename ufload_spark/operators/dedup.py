@@ -636,32 +636,90 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_ROUNDS = 4
 MAX_CHUNKS = 8  # 32 rounds total, comfortably above the old 20-round bound
 
+#: pair graphs at or below this edge count solve in ONE executor task via
+#: union-find instead of the distributed fixpoint. Near-dup graphs are
+#: SPARSE BY CONSTRUCTION — LSH banding only proposes high-similarity
+#: pairs, so edges ≪ corpus even at 100 TB (sf0.1: 1.9k pairs from 5k
+#: docs; sf1: 20k from 50k). 2M edges ≈ 32 MB — trivial for one task; the
+#: two-tier shape (size-capped local solve, distributed loop above it) is
+#: the same threshold pattern as AQE's broadcast decision, and the
+#: distributed path stays exercised by a forced-threshold test.
+SMALL_GRAPH_EDGES = 2_000_000
 
-def min_label_components(pairs: DataFrame) -> DataFrame:
-    """Min-label propagation over an undirected pair graph: takes a
+
+def _unionfind_batches(batches):
+    """Single-partition union-find over (u, v) pairs → (n, m=component
+    min). Min-rooted union (larger root points at smaller) makes the root
+    of every tree the component minimum — identical output to the
+    min-label fixpoint."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for pdf in batches:
+        for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+            u, v = int(u), int(v)
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+    nodes = sorted(parent)
+    yield pd.DataFrame({"n": nodes, "m": [find(x) for x in nodes]})
+
+
+def min_label_components(
+    pairs: DataFrame, *, small_graph_edges: int = SMALL_GRAPH_EDGES
+) -> DataFrame:
+    """Connected components over an undirected pair graph: takes a
     two-column (a, b) pair frame (each pair once, either orientation),
     returns ``(n, m)`` — node and its component's minimum id. The reusable
     fixpoint behind both the MinHash (text) and hyperplane-LSH (embedding)
     cluster dedup operators; the scale posture and oracle mapping are
     documented at :func:`dedup_connected_components`.
 
-    Each sync materializes CHUNK_ROUNDS chained rounds in ONE action; the
-    convergence flag (sum of the final round's change bits) rides that same
-    action as an ``Observation`` metric, so a sync costs exactly one job —
-    no separate convergence query. A chunk whose final round changed
-    nothing is a confirmed fixpoint (changes are monotone)."""
+    Two tiers, chosen by a measured edge count (the pair frame is cached,
+    so the count materializes work the solver needs anyway):
+
+    - ``≤ small_graph_edges``: one executor task runs union-find over the
+      repartition(1) pair stream (:func:`_unionfind_batches`) — near-dup
+      graphs are sparse by construction, and the distributed loop's
+      per-sync fixed cost (~2 s of local-mode scheduling PER ACTION)
+      dwarfs a 20k-edge solve measured in milliseconds.
+    - above it: chunked min-label propagation. Each sync materializes
+      CHUNK_ROUNDS chained rounds in ONE action; the convergence flag
+      (sum of the final round's change bits) rides that same action as an
+      ``Observation`` metric, so a sync costs exactly one job. A chunk
+      whose final round changed nothing is a confirmed fixpoint (changes
+      are monotone).
+    """
     from pyspark.sql import Observation
 
-    a, b = pairs.columns
-    edges = pairs.union(
-        pairs.select(F.col(b).alias(a), F.col(a).alias(b))
-    ).toDF("u", "v")
-    # cache: every iteration joins the same edge set
+    pr = pairs.toDF("u", "v").persist()
+    n_edges = pr.count()  # materializes the cache; the tier decision input
+    if n_edges <= small_graph_edges:
+        out = (
+            pr.repartition(1)
+            .mapInPandas(_unionfind_batches, schema="n long, m long")
+            .persist()
+        )
+        out.count()  # materialize before the pair cache is dropped
+        pr.unpersist()
+        return out
+
+    edges = pr.union(pr.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # cache: every iteration joins the same edge set (pr stays cached
+    # beneath it only until edges materializes in the first sync)
     edges = edges.distinct().persist()
     labels = (
         edges.select(F.col("u").alias("n")).distinct().withColumn("m", F.col("n"))
     )
-    prev_cached = None
     try:
         for _ in range(MAX_CHUNKS):
             cur = labels
@@ -689,10 +747,19 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
             # sum over an empty label set is NULL, and an empty graph is
             # already converged
             changed = obs.get["chg"] or 0
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached = chunk
-            labels = chunk
+            # localCheckpoint TRUNCATES the logical plan at every sync:
+            # each round references `cur` twice (update join + neighbor
+            # min), so the chained tree doubles per round — persist alone
+            # keeps the full logical history and the tree grows 2^rounds
+            # across chunks (driver OOM in plan canonicalization on deep
+            # graphs, found by the forced-threshold chain test). The
+            # eager checkpoint reads the just-cached partitions, so it
+            # costs one cheap local job; the metric must ride the SQL
+            # count above — checkpoint materialization bypasses the
+            # observation listener (measured: lazy-checkpoint metrics
+            # silently read 0 and convergence fired 8 rounds early).
+            labels = chunk.localCheckpoint(eager=True)
+            chunk.unpersist()
             if changed == 0:
                 return labels
         raise RuntimeError(
@@ -700,6 +767,7 @@ def min_label_components(pairs: DataFrame) -> DataFrame:
         )
     finally:
         edges.unpersist()
+        pr.unpersist()
 
 
 @register(
