@@ -507,3 +507,36 @@ def test_components_tiers_agree(spark):
     assert small == dist
     assert {m for _, m in small} == {100, 1, 7}  # component minima
     assert all(m == 100 for n, m in small if n >= 100)
+
+
+def test_bloom_prefilter_plan(spark):
+    """Under the scoped confs, Catalyst must inject its runtime Bloom
+    filter into the fingerprint semi-join: bloom_filter_agg on the
+    corpus side, might_contain pushed into the batch scan — and the
+    confs must be restored afterwards (queries share the session)."""
+    from ufload_spark.operators.dedup import (
+        _BLOOM_CONFS,
+        _bloom_dup_candidates,
+        _scoped_confs,
+    )
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with _scoped_confs(spark, _BLOOM_CONFS):
+        plan = (
+            _bloom_dup_candidates(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    # outside the scope the tiny fixture side broadcasts and no bloom is
+    # injected — the confs are what pin the at-scale shape
+    plan2 = (
+        _bloom_dup_candidates(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "might_contain" not in plan2

@@ -899,3 +899,94 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").alias("kept_tokens"),
         )
     )
+
+
+# --- Bloom-prefiltered incremental duplicate detection ----------------------
+
+#: confs that make Catalyst inject its runtime Bloom filter on the batch
+#: side of the fingerprint join at FIXTURE scale. At 100 TB they describe
+#: reality (a corpus-wide fingerprint table is far beyond any broadcast
+#: threshold, and the bloom thresholds default on); at fixture scale the
+#: tiny fingerprint side would broadcast and the bloom would be skipped as
+#: pointless, so the query pins the at-scale plan shape explicitly.
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+class _scoped_confs:
+    """Set SQL confs for a block and restore their previous values —
+    registered queries share one session, so nothing may leak."""
+
+    def __init__(self, spark: SparkSession, confs: dict):
+        self.spark, self.confs = spark, confs
+
+    def __enter__(self):
+        self.saved = {
+            k: self.spark.conf.get(k, None) for k in self.confs
+        }
+        for k, v in self.confs.items():
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+def _bloom_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch rows whose fingerprint already exists in the corpus — the
+    LEFT SEMI join Catalyst decorates with a runtime Bloom filter under
+    :data:`_BLOOM_CONFS` (plan-pinned by
+    tests/test_scale.py::test_bloom_prefilter_plan)."""
+    d = table(spark, sf_dir, "documents")
+    existing = (
+        d.where(F.col("doc_id") % 3 == 0).select(F.md5("text").alias("fp")).distinct()
+    )
+    batch = d.where(F.col("doc_id") % 2 == 0).select("doc_id", F.md5("text").alias("fp"))
+    return batch.join(existing, "fp", "left_semi")
+
+
+@register(
+    "dedup_bloom_prefilter",
+    """
+SELECT b.doc_id, md5(b.text) AS fp
+FROM documents b
+WHERE b.doc_id % 2 = 0
+  AND md5(b.text) IN (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)
+""",
+    doc="incremental duplicate detection with Catalyst's runtime Bloom "
+    "filter: the batch scan drops non-members before the fingerprint "
+    "shuffle; exact semi-join confirms",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-prefiltered incremental dedup — the shape that matters when
+    a NEW BATCH meets a corpus-scale fingerprint table neither side of
+    which can broadcast. Catalyst's runtime Bloom filter
+    (``bloom_filter_agg`` on the fingerprint side, ``might_contain``
+    pushed into the batch scan) drops definite-non-duplicates BEFORE the
+    shuffle, so the exchange carries only maybe-hits; the semi-join then
+    confirms exactly — Bloom false positives cost a shuffled row, never a
+    wrong answer. This is the engine-native form of the broadcast-a-
+    summary trick (reference analog: the checksum probe before patch
+    registration, db.py:658-672) and composes with the persisted
+    fingerprint tables the incremental MinHash/LSH queries maintain.
+
+    The confs that pin the at-scale plan shape are scoped to THIS
+    query's execution and restored after (lazy plans re-optimize at
+    execution time, so the result is published under the scoped confs
+    via the staged loader and re-read — the same write-then-read pattern
+    as the format round-trip queries)."""
+    from ufload_spark.sources.loader import _scratch_unique, stage_and_publish
+    import os as _os
+
+    sfx = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    with _scoped_confs(spark, _BLOOM_CONFS):
+        target = _scratch_unique(f"bloom_prefilter_{sfx}")
+        stage_and_publish(spark, _bloom_dup_candidates(spark, sf_dir), target)
+    return spark.read.parquet(target)
