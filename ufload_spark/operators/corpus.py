@@ -469,3 +469,62 @@ def corpus_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(kept, lambda s: s["para"]), " ")
         ).alias("clean_hash"),
     )
+
+
+# --- dataset card ----------------------------------------------------------
+
+
+@register(
+    "corpus_dataset_card",
+    f"""
+WITH per_doc AS (
+  SELECT CASE WHEN {_BUCKET_SQL} < {VAL_PCT} THEN 'val' ELSE 'train' END AS split,
+         lang, source, {_TOKENS_SQL} AS n_toks
+  FROM documents
+), cells AS (
+  SELECT split, lang,
+         count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         round(avg(n_toks), 4) AS avg_tokens,
+         max(n_toks) AS max_tokens,
+         count(DISTINCT source) AS n_sources
+  FROM per_doc GROUP BY 1, 2
+)
+SELECT split, lang, n_docs, n_tokens, avg_tokens, max_tokens, n_sources,
+       round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share
+FROM cells
+""",
+    doc="dataset card: per-(split, lang) doc/token stats + corpus token "
+    "share — the manifest a training-data release publishes",
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release manifest every curated corpus ships with: per
+    (split, lang) cell — document and token counts, token-length moments,
+    source breadth, and each cell's share of total training tokens (the
+    number data-mixture decisions key on). One hash aggregate over the
+    content-addressed split assignment; the share denominator is a
+    single-row total broadcast back (same shape as
+    ``corpus_language_rebalance``) — output cardinality is
+    splits × languages, so everything after the aggregate is trivially
+    bounded at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    toks = token_count(F.col("text"))
+    split = F.when(_bucket() < VAL_PCT, "val").otherwise("train")
+    cells = d.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+        F.max(toks).alias("max_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    tot = cells.agg(F.sum("n_tokens").alias("tot_tokens"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "split",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "avg_tokens",
+        "max_tokens",
+        "n_sources",
+        F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("token_share"),
+    )
