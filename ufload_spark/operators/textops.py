@@ -336,3 +336,57 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.count_distinct("shingle") / F.count("*"), 6
         ).alias("repetition_ratio"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(c) AS t FROM freq
+)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln(c / t)), 4) AS avg_neg_logprob
+FROM toks JOIN freq USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+""",
+    doc="unigram-LM quality score: corpus-trained token logprobs, per-doc "
+    "mean negative logprob (KenLM-style perplexity-filter proxy)",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring — the filter tier between cheap
+    surface heuristics (``text_quality_score``) and a real LM: train a
+    unigram model ON the corpus itself (one aggregate), then score every
+    document by its tokens' mean negative log-probability. Documents full
+    of corpus-typical tokens score low; glossolalia and boilerplate-rare
+    junk score high — the same decision KenLM-filter pipelines make, with
+    the model-train + score phases as two aggregates in one plan.
+
+    Scale shape: one shuffle on token for the frequency table; the model
+    is VOCABULARY-sized (sub-linear in corpus bytes, Heaps' law), so the
+    scoring join broadcasts it — the token stream re-aggregates by doc_id
+    without ever shuffling on the unbounded token key a second time. The
+    scalar total rides a one-row broadcast like the dataset-card
+    denominator."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
