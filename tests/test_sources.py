@@ -684,3 +684,26 @@ def test_pysource_stream_offsets_track_arriving_files(tmp_path):
     assert [os.path.basename(p.path) for p in again] == ["a.log", "b.log"]
     tbl = pa.Table.from_batches(list(r.read(again[0])))
     assert tbl.column("line").to_pylist() == ["0\ten\t10"]
+
+
+def test_memo_publish_builds_once_per_process(spark, tmp_path):
+    from ufload_spark.sources import loader
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return table(spark, SF_DIR, "region").limit(3)
+
+    p1 = loader.memo_publish(spark, "memotest", SF_DIR, build)
+    p2 = loader.memo_publish(spark, "memotest", SF_DIR, build)
+    assert p1 == p2 and calls["n"] == 1
+    assert spark.read.parquet(p1).count() == 3
+    # a vanished publish (swept scratch) forces a rebuild at a NEW path
+    import shutil
+
+    shutil.rmtree(p1)
+    p3 = loader.memo_publish(spark, "memotest", SF_DIR, build)
+    assert p3 != p1 and calls["n"] == 2
+    # different fixture dir => separate artifact
+    loader._MEMO_PUBLISHED.pop(("memotest", __import__("os").path.abspath(SF_DIR)))
