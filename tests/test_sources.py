@@ -707,3 +707,47 @@ def test_memo_publish_builds_once_per_process(spark, tmp_path):
     assert p3 != p1 and calls["n"] == 2
     # different fixture dir => separate artifact
     loader._MEMO_PUBLISHED.pop(("memotest", __import__("os").path.abspath(SF_DIR)))
+
+
+def test_pysource_stream_resumes_from_checkpoint(spark, tmp_path):
+    """The offset-managed Python streaming source must RESUME from its
+    checkpointed file-count offset, not the initial one: after a restart
+    with new files in the backlog, only the delta is read — the
+    incremental contract the reference's poll-the-backup-dir loop needs
+    (and exactly-once into the sink: no old file is re-emitted)."""
+    from ufload_spark.sources.pysource import register_source
+
+    register_source(spark)
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "a.log").write_text("0\ten\t10\n")
+    (logs / "b.log").write_text("1\tfr\t20\n")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        sdf = (
+            spark.readStream.format("ufload_logs")
+            .option("path", str(logs))
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = {r.line for r in spark.read.parquet(out).collect()}
+    assert first == {"0\ten\t10", "1\tfr\t20"}
+    # two new files arrive; restart from the same checkpoint
+    (logs / "c.log").write_text("2\tde\t30\n")
+    (logs / "d.log").write_text("3\tzh\t40\n")
+    drain()
+    rows = [r.line for r in spark.read.parquet(out).collect()]
+    assert sorted(rows) == sorted(
+        ["0\ten\t10", "1\tfr\t20", "2\tde\t30", "3\tzh\t40"]
+    ), "restart must append exactly the new files, once each"
