@@ -576,3 +576,61 @@ def loader_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register(
+    "loader_version_diff",
+    """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_totalprice <= 100000) AS n_removed,
+       CAST(0 AS BIGINT) AS n_added
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="OP-SNK-1 (ops surface): key-level diff of two published versions — "
+    "what a publish changed, from retained history alone",
+)
+def loader_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit question every versioned sink gets asked: WHAT CHANGED in
+    the last publish? Publishes all of ``orders`` (v1) then the
+    >100k-price subset (v2, current), and computes the per-status diff via
+    two anti-joins on the primary key between ``read_version(1)`` and
+    ``read_current`` — removed = in-previous-not-in-current, added = the
+    converse. The oracle derives the same counts straight from the fixture
+    predicate (everything ≤ 100k was removed, nothing added), so a
+    hash-match proves retained history supports EXACT change accounting,
+    not just snapshot reads. Anti-joins shuffle on the key once each; at
+    scale both sides are parquet scans of retained versions — no state
+    beyond the versions themselves (reference analog: the archive merge's
+    PK reconciliation, db.py:805-815, applied across time instead of
+    across databases)."""
+    src = table(spark, sf_dir, "orders")
+    target = _scratch_unique(
+        f"orders_diffhist_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    publish_versioned(spark, src, target, keep_versions=2)
+    publish_versioned(
+        spark, src.where(F.col("o_totalprice") > 100000), target, keep_versions=2
+    )
+    prev = read_version(spark, target, 1).select("o_orderkey", "o_orderstatus")
+    cur = read_current(spark, target).select("o_orderkey", "o_orderstatus")
+    removed = (
+        prev.join(cur.select("o_orderkey"), "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_removed"))
+    )
+    added = (
+        cur.join(prev.select("o_orderkey"), "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_added"))
+    )
+    statuses = prev.select("o_orderstatus").union(cur.select("o_orderstatus")).distinct()
+    return (
+        statuses.join(removed, "o_orderstatus", "left")
+        .join(added, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("n_added", F.lit(0)).alias("n_added"),
+        )
+    )
