@@ -56,6 +56,9 @@ HEADLINE = [
     "corpus_paragraph_dedup",      # sub-document boilerplate removal (r5)
     "similarity_quantized_topk",   # int8 scalar-quantized ANN (r5)
     "pysource_log_scan",           # Python Data Source API scan (r5)
+    "dedup_bloom_prefilter",       # runtime-Bloom prefiltered dedup (r5)
+    "corpus_dataset_card",         # release manifest aggregate (r5)
+    "text_unigram_logprob",        # unigram-LM quality scorer (r5)
 ]
 
 
