@@ -84,3 +84,104 @@ def udtf_upgrade_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view}, LATERAL ufload_upgrade_steps(cur, tgt) AS s
         """
     )
+
+
+class ParseTsv:
+    """Polymorphic UDTF: parse a tab-separated line into TYPED columns whose
+    schema comes from a constant DDL string at PLAN time (``analyze``) — the
+    record-parsing shape of the reference's fixup specs (OP-FN-9,
+    delive create-users record parsing, reference delive.sql analog) as a
+    dynamic-schema table function. The engine calls ``analyze`` once during
+    resolution with the foldable spec argument; each ``eval`` converts the
+    split fields to the declared types, with unparseable cells becoming
+    NULL (try_cast semantics, OP-FN-10)."""
+
+    #: self-contained spec parser — the analyze/eval workers have no
+    #: SparkContext, so StructType.fromDDL (which round-trips through the
+    #: JVM parser) is unavailable there
+    @staticmethod
+    def _parse_spec(spec: str):
+        from pyspark.sql.types import DoubleType, LongType, StringType
+
+        types = {
+            "long": LongType(),
+            "bigint": LongType(),
+            "string": StringType(),
+            "double": DoubleType(),
+        }
+        out = []
+        for part in spec.split(","):
+            name, typ = part.strip().rsplit(" ", 1)
+            out.append((name.strip(), types[typ.strip().lower()]))
+        return out
+
+    @staticmethod
+    def analyze(line, spec):
+        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        fields = ParseTsv._parse_spec(spec.value)
+        return AnalyzeResult(
+            schema=StructType([StructField(n, t) for n, t in fields])
+        )
+
+    def eval(self, line: str, spec: str):
+        from pyspark.sql.types import DoubleType, LongType
+
+        if not hasattr(self, "_fields"):
+            self._fields = self._parse_spec(spec)
+        parts = (line or "").split("\t")
+        row = []
+        for i, (_, typ) in enumerate(self._fields):
+            raw = parts[i] if i < len(parts) else None
+            if raw is None:
+                row.append(None)
+            elif isinstance(typ, (LongType, DoubleType)):
+                try:
+                    row.append(
+                        int(raw) if isinstance(typ, LongType) else float(raw)
+                    )
+                except ValueError:
+                    row.append(None)
+            else:
+                row.append(raw)
+        yield tuple(row)
+
+
+@register(
+    "udtf_log_parse",
+    """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM documents GROUP BY lang
+""",
+    doc="polymorphic Python UDTF (analyze-time schema from a DDL literal) "
+    "typing the custom source's log lines in a LATERAL join",
+)
+def udtf_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the two Spark-4 Python extension APIs: the custom data
+    source scans the log backlog (one Arrow hop), and the polymorphic
+    :class:`ParseTsv` UDTF types each line against a DDL spec resolved at
+    plan time — so the downstream aggregate is over real typed columns,
+    not string slices. The oracle recomputes from ``documents``, proving
+    source + dynamic-schema parse round-tripped every value."""
+    from ufload_spark.sources.pysource import ensure_fixture_logs, register_source
+
+    register_source(spark)
+    logs = ensure_fixture_logs(sf_dir)
+    spark.udtf.register("ufload_parse_tsv", F.udtf(ParseTsv))
+    lines = spark.read.format("ufload_logs").option("path", logs).load()
+    view = f"ufload_lines_{__import__('os').getpid()}"
+    lines.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT p.lang, count(*) AS n_docs,
+               sum(p.n_chars) AS total_chars,
+               min(p.doc_id) AS min_doc_id
+        FROM {view},
+             LATERAL ufload_parse_tsv(
+               line, 'doc_id long, lang string, n_chars long') AS p
+        GROUP BY p.lang
+        """
+    )
