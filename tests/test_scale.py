@@ -540,3 +540,18 @@ def test_bloom_prefilter_plan(spark):
         .toString()
     )
     assert "might_contain" not in plan2
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD2 windows (change detection + interval close) must ride ONE
+    user_id exchange — a second shuffle between consecutive same-key
+    windows would double the op's cost at scale."""
+    from ufload_spark.operators.temporal import events_scd2_user_state
+
+    plan = (
+        events_scd2_user_state(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1

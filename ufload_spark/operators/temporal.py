@@ -170,3 +170,56 @@ def events_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("event_a") < F.col("event_b")) & (F.abs(dt) <= band_us))
         .select("user_id", "event_a", "event_b", dt.alias("dt_us"))
     )
+
+@register(
+    "events_scd2_user_state",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="SCD type-2 dimension build: change-compressed per-user state "
+    "history with [valid_from, valid_to) intervals and a current flag",
+)
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-to-warehouse op: collapse each user's event stream into a
+    type-2 slowly-changing dimension — consecutive repeats of the same
+    state are COMPRESSED away (gaps-and-islands via ``lag``), each
+    surviving change opens a validity interval closed by the next change
+    (``lead``), and the open interval is flagged current. Both windows
+    ride ONE user_id exchange (same partitioning, consecutive window
+    stages — no second shuffle), and ordering ties on ts break by
+    event_id so the history is deterministic under parallelism on both
+    engines. At 100 TB this is the shape dimension builds must have:
+    state per user bounded by CHANGES, not events.
+
+    Reference analog: none (extension surface — event analytics family).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    valid_to = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
