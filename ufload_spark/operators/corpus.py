@@ -528,3 +528,42 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("token_share"),
     )
+
+
+# --- per-group reservoir ----------------------------------------------------
+
+RESERVOIR_K = 5
+
+
+@register(
+    "corpus_reservoir_per_lang",
+    f"""
+SELECT lang, doc_id, rnk FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= {RESERVOIR_K}
+""",
+    doc=f"deterministic {RESERVOIR_K}-doc 'reservoir' per language: "
+    "content-addressed rank, rerun-stable",
+)
+def corpus_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample — the eval/eyeball subset drawn per
+    language. Classic reservoir sampling is sequential state; the
+    distributed, rerun-stable equivalent ranks by a content-addressed key
+    (md5 of the id) and keeps the top K — same sample whatever the
+    partitioning, cluster size, or engine, and it composes with the
+    split/sample machinery (one hash on the same id). Plan is a per-group
+    top-K window: WindowGroupLimit pushes the K cut into the shuffle, so
+    only K rows per group survive the exchange — never a per-group sort
+    of the whole corpus."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= RESERVOIR_K)
+    )

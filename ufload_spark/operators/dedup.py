@@ -990,3 +990,40 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         target = _scratch_unique(f"bloom_prefilter_{sfx}")
         stage_and_publish(spark, _bloom_dup_candidates(spark, sf_dir), target)
     return spark.read.parquet(target)
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    _PAIRS_FOR_CLUSTERS_SQL.replace("WITH tokens", "WITH RECURSIVE tokens", 1)
+    + """
+, edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), nodes AS (SELECT DISTINCT u AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+), comp AS (
+  SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+)
+SELECT n_members, count(*) AS n_clusters FROM (
+  SELECT cluster_id, CAST(count(*) AS INT) AS n_members
+  FROM comp GROUP BY cluster_id
+) GROUP BY n_members
+""",
+    doc="dedup audit metric: distribution of near-dup cluster sizes "
+    "(how much mass transitive clustering actually moves)",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit readout a dedup run reports: how many clusters of each
+    size the pair graph produced — the number that tells you whether
+    near-dedup is removing isolated pairs or collapsing large families
+    (and the denominator for 'docs removed by keep-best'). Rides the
+    memoized component labels; two tiny aggregates above them."""
+    comp = dedup_connected_components(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").cast("int").alias("n_members")
+    )
+    return sizes.groupBy("n_members").agg(F.count("*").alias("n_clusters"))
