@@ -104,25 +104,29 @@ class BackupLogReader(DataSourceReader):
 
     # -- execution -----------------------------------------------------
     def read(self, partition: _FilePartition) -> Iterator[pa.RecordBatch]:
-        fname = os.path.basename(partition.path)
-        schema = pa.schema(
-            [("fname", pa.string()), ("line_no", pa.int64()), ("line", pa.string())]
-        )
-        with open(partition.path, encoding="utf-8") as fh:
-            names: list[str] = []
-            nos: list[int] = []
-            lines: list[str] = []
-            for i, raw in enumerate(fh):
-                names.append(fname)
-                nos.append(i)
-                lines.append(raw.rstrip("\n"))
-                if len(lines) >= BATCH_ROWS:
-                    yield pa.record_batch(
-                        [names, nos, lines], schema=schema
-                    )
-                    names, nos, lines = [], [], []
-            if lines:
+        yield from _read_log_file(partition.path)
+
+
+def _read_log_file(path: str) -> Iterator[pa.RecordBatch]:
+    """Arrow emission for one log file — shared by the batch and streaming
+    readers (a file reads identically whichever engine asked)."""
+    fname = os.path.basename(path)
+    schema = pa.schema(
+        [("fname", pa.string()), ("line_no", pa.int64()), ("line", pa.string())]
+    )
+    with open(path, encoding="utf-8") as fh:
+        names: list[str] = []
+        nos: list[int] = []
+        lines: list[str] = []
+        for i, raw in enumerate(fh):
+            names.append(fname)
+            nos.append(i)
+            lines.append(raw.rstrip("\n"))
+            if len(lines) >= BATCH_ROWS:
                 yield pa.record_batch([names, nos, lines], schema=schema)
+                names, nos, lines = [], [], []
+        if lines:
+            yield pa.record_batch([names, nos, lines], schema=schema)
 
 
 class BackupLogStreamReader(DataSourceStreamReader):
@@ -158,8 +162,7 @@ class BackupLogStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _FilePartition) -> Iterator[pa.RecordBatch]:
-        # identical per-file Arrow emission as the batch reader
-        yield from BackupLogReader.read(self, partition)  # type: ignore[arg-type]
+        yield from _read_log_file(partition.path)
 
     def commit(self, end: dict) -> None:
         pass  # files are immutable; nothing to release
