@@ -12,7 +12,7 @@ aggregation semantics, so the DuckDB oracles below validate both.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ufload_spark.plans.registry import register
@@ -499,5 +499,52 @@ def events_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "hour",
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+Z_THRESHOLD = 2.5
+
+
+@register(
+    "events_value_anomalies",
+    f"""
+WITH stats AS (
+  SELECT event_id, user_id, value,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sigma
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT user_id, event_id,
+       round(value, 4) AS value,
+       round((value - mu) / sigma, 4) AS z
+FROM stats
+WHERE sigma IS NOT NULL AND sigma > 0
+  AND abs((value - mu) / sigma) > {Z_THRESHOLD}
+""",
+    doc=f"per-user z-score outliers (|z| > {Z_THRESHOLD}): windowed "
+    "mean/stddev, flagged events — the metering-anomaly audit",
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly surface: events whose value sits more than
+    Z_THRESHOLD sample standard deviations from their user's mean — the
+    audit a metering/billing pipeline runs over usage streams (reference
+    analog: the restore-size sanity checks around db.py:695-711, as a
+    population statistic instead of a fixed memo). Single-event users
+    (undefined sigma) are excluded. ONE user_id exchange: mean and stddev
+    ride the same unbounded window partition, the flag is a row-local
+    predicate — no join-back of a separate aggregate."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.select("user_id", "event_id", "value", z.alias("z"))
+        .where(F.col("z").isNotNull() & (F.abs("z") > Z_THRESHOLD))
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.round("z", 4).alias("z"),
         )
     )
