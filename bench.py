@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_bloom_prefilter",       # runtime-Bloom prefiltered dedup (r5)
     "corpus_dataset_card",         # release manifest aggregate (r5)
     "text_unigram_logprob",        # unigram-LM quality scorer (r5)
+    "events_hier_rollup",          # continuous-aggregate cascade (r5)
 ]
 
 

@@ -555,3 +555,25 @@ def test_scd2_single_exchange(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hier_rollup_cascade_reuses_finer_grains(spark):
+    """The continuous-aggregate cascade claim, pinned: under the 3-grain
+    union, the minute-level shuffle must materialize ONCE and the hour/day
+    branches must hang off ReusedExchange stages — raw events are scanned
+    and shuffled a single time no matter how many grains the rollup
+    presents. Without stage reuse the plan would re-run the raw aggregation
+    per grain, turning a 1440x read reduction into a 3x read blow-up."""
+    from ufload_spark.operators.temporal import events_hier_rollup
+
+    df = events_hier_rollup(spark, SF_DIR)
+    df.collect()  # materialize so AQE finalizes every query stage
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    # hour branch reuses the minute exchange; day branch reuses hour's
+    assert final.count("ReusedExchange") >= 2
+    # exactly one events scan materializes across all three grains
+    stage_scans = final.count("ShuffleQueryStage")
+    reused = final.count("ReusedExchange")
+    assert stage_scans - reused == 3  # minute, hour, day — each once
