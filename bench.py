@@ -60,6 +60,7 @@ HEADLINE = [
     "corpus_dataset_card",         # release manifest aggregate (r5)
     "text_unigram_logprob",        # unigram-LM quality scorer (r5)
     "events_hier_rollup",          # continuous-aggregate cascade (r5)
+    "corpus_importance_weights",   # DSIR hashed-feature selection (r5)
 ]
 
 

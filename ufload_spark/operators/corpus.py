@@ -567,3 +567,115 @@ def corpus_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= RESERVOIR_K)
     )
+
+
+#: DSIR hashed-feature space: fixed bucket count — the model stays this size
+#: no matter how large the corpus vocabulary grows (the point of hashing)
+DSIR_BUCKETS = 256
+#: target distribution: the language whose token statistics raw docs are
+#: scored against (DSIR's canonical language/domain-targeted selection)
+DSIR_TARGET_LANG = "en"
+
+_DSIR_BUCKET_SQL = f"('0x' || substr(md5(tok), 1, 4))::INT % {DSIR_BUCKETS}"
+
+
+@register(
+    "corpus_importance_weights",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), feats AS (
+  SELECT doc_id, {_DSIR_BUCKET_SQL} AS bucket,
+         lang = '{DSIR_TARGET_LANG}' AS is_target
+  FROM toks
+), model AS (
+  SELECT bucket, count(*) AS c_raw,
+         count(*) FILTER (WHERE is_target) AS c_tgt
+  FROM feats GROUP BY bucket
+), totals AS (
+  SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM model
+), scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(avg(ln((c_tgt + 1) / (t_tgt + {DSIR_BUCKETS}.0))
+                 - ln((c_raw + 1) / (t_raw + {DSIR_BUCKETS}.0))), 4) + 0.0
+           AS avg_log_ratio
+  FROM feats JOIN model USING (bucket) CROSS JOIN totals
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, avg_log_ratio, avg_log_ratio > 0.0 AS selected
+FROM scored
+""",
+    doc="DSIR-style importance weights: hashed-unigram bag-of-words models "
+    f"of the target ({DSIR_TARGET_LANG}) vs raw distribution, per-doc mean "
+    "log-likelihood ratio + selection flag",
+)
+def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection via importance resampling (DSIR, Xie et al. 2023,
+    public): score every raw document by how much more likely its tokens
+    are under a TARGET distribution than under the raw-corpus
+    distribution, using hashed n-gram bag-of-words models — here hashed
+    unigrams into a fixed {256}-bucket space, target = the '{en}'-language
+    slice. Per-bucket probabilities are add-one smoothed; a doc's weight
+    is the mean per-token log-likelihood ratio, and ``selected`` marks
+    docs that look more target-like than raw-like (the resampling keep
+    set). The selection flag derives from the ROUNDED score so both
+    engines compare identical values, and ``+ 0.0`` normalizes IEEE
+    negative zero (DuckDB's round keeps the sign of a tiny negative mean,
+    Spark's BigDecimal round does not).
+
+    Scale shape: hashing caps the model at DSIR_BUCKETS rows no matter
+    the vocabulary — unlike ``text_unigram_logprob``'s vocabulary-sized
+    table, this is the variant that stays broadcastable at any corpus
+    size (that is DSIR's design point). One shuffle aggregates both the
+    raw and target bucket counts in a single pass (conditional count);
+    the scoring join broadcasts the 256-row model + 1-row totals back
+    onto the token stream, which then re-aggregates by doc_id only.
+    Bucket assignment uses the engine-parity md5-prefix idiom, so Spark
+    and DuckDB hash features identically.
+
+    Reference analog: none (extension surface — corpus-prep family).
+    """
+    d = table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10)
+            .cast("int") % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    model = feats.groupBy("bucket").agg(
+        F.count("*").alias("c_raw"),
+        F.count_if("is_target").alias("c_tgt"),
+    )
+    totals = model.agg(
+        F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
+    )
+    b = float(DSIR_BUCKETS)
+    scored = (
+        feats.join(F.broadcast(model), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log((F.col("c_tgt") + 1) / (F.col("t_tgt") + b))
+                    - F.log((F.col("c_raw") + 1) / (F.col("t_raw") + b))
+                ),
+                4,
+            ).alias("avg_log_ratio"),  # + 0.0 below kills IEEE -0.0
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("avg_log_ratio") + 0.0).alias("avg_log_ratio"),
+        (F.col("avg_log_ratio") > 0.0).alias("selected"),
+    )
