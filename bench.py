@@ -61,6 +61,7 @@ HEADLINE = [
     "text_unigram_logprob",        # unigram-LM quality scorer (r5)
     "events_hier_rollup",          # continuous-aggregate cascade (r5)
     "corpus_importance_weights",   # DSIR hashed-feature selection (r5)
+    "dedup_containment",           # prefix-filtered containment join (r5)
 ]
 
 

@@ -1027,3 +1027,93 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_members")
     )
     return sizes.groupBy("n_members").agg(F.count("*").alias("n_clusters"))
+
+
+#: containment threshold: C(A,B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+CONTAINMENT_T = 0.5
+
+
+@register(
+    "dedup_containment",
+    SHINGLES_CTE
+    + f"""
+, sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(CAST(n AS DOUBLE) / sa.sz, 4) AS containment
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+WHERE CAST(n AS DOUBLE) / sa.sz >= {CONTAINMENT_T}
+""",
+    doc="asymmetric n-gram containment pairs (doc_a's shingles covered by "
+    "doc_b) via rarest-first prefix filtering — catches subset/quote "
+    "duplication that symmetric Jaccard under-scores",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join: emit directed pairs where at least
+    ``CONTAINMENT_T`` of doc_a's shingle set appears in doc_b. Jaccard
+    punishes size mismatch (a doc fully quoted inside a 10× larger one has
+    J ≈ 0.1 but containment 1.0), so this is the operator that catches
+    subset duplication — trained-on-quotes leakage, boilerplate wrappers,
+    versioned supersets.
+
+    Candidate generation is PREFIX FILTERING (set-similarity-join
+    literature, e.g. Chaudhuri et al. 2006 / Xiao et al. PPJoin, public):
+    order each doc's shingles rarest-first by global document frequency;
+    if none of doc_a's first ``sz - ceil(t*sz) + 1`` shingles occurs in
+    doc_b, then |A∩B| < t·|A| and the pair cannot qualify — so the join
+    only probes those prefix shingles against the corpus index, never
+    all-pairs, and prefix members are by construction the LOW-df shingles,
+    which bounds equi-join fan-out (the skew-safe end of the frequency
+    distribution). Candidates are then verified with an exact
+    intersection count restricted to candidate pairs. The oracle is the
+    brute-force shared-shingle join — exactly the quadratic work the
+    prefix filter avoids at scale.
+
+    Plan: one doc_id exchange feeds shingling + sizes; one shingle
+    exchange feeds the document-frequency count and the prefix probe; the
+    verify join touches only candidate pairs.
+
+    Reference analog: none (extension surface — dedup family).
+    """
+    sh = shingles(spark, sf_dir)  # distinct (doc_id, shingle)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+    )
+    # prefix = rarest (sz - ceil(t*sz) + 1) shingles; skipping past it
+    # forfeits too many of A's shingles to ever reach t coverage
+    prefix = ranked.where(
+        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(CONTAINMENT_T) * F.col("sz")) + 1
+    ).select(F.col("doc_id").alias("doc_a"), "shingle")
+    cand = (
+        prefix.join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh"))
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh"])  # equi-join: A-shingles present in B
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n"))
+    )
+    c = F.col("n").cast("double") / F.col("sz")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .where(c >= CONTAINMENT_T)
+        .select("doc_a", "doc_b", F.round(c, 4).alias("containment"))
+    )
