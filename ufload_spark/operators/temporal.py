@@ -322,3 +322,64 @@ def events_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(present(hourly, "hour"))
         .unionAll(present(daily, "day"))
     )
+
+
+@register(
+    "events_distinct_rollup_sketch",
+    # sketch estimates are engine-specific; the checkable contract per day:
+    # the merged-from-hours estimate must (a) equal the sketch built
+    # directly on the day's raw rows (HLL union is lossless at equal lgK)
+    # and (b) land within the sketch's error bound of the exact count
+    """
+SELECT date_trunc('day', ts) AS day,
+       count(DISTINCT date_trunc('hour', ts)) AS n_hours,
+       true AS merge_consistent,
+       true AS within_bound
+FROM events GROUP BY 1
+""",
+    doc="mergeable-sketch rollup: per-hour HLL user sketches unioned into "
+    "per-day distinct estimates — checked for union losslessness vs the "
+    "directly-built day sketch and for the HLL accuracy bound vs exact",
+)
+def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct-count companion to ``events_hier_rollup``: COUNT and
+    SUM partials re-aggregate trivially, but DISTINCT does not — the only
+    scale-correct way to roll distinct users from hour to day is a
+    mergeable sketch. Per hour, an HLL sketch of user_id
+    (``hll_sketch_agg``); per day, the hour sketches are UNIONED
+    (``hll_union_agg``) and estimated — raw rows are never re-scanned at
+    the coarser grain, and a pre-aggregated sketch table would serve any
+    ad-hoc date range the same way.
+
+    Two contracts are checked in-query (the estimates themselves are
+    engine-specific, so the oracle pins the flags): (a) union
+    losslessness — the merged-from-hours estimate must EQUAL the estimate
+    of a sketch built directly on the day's raw rows, since HLL register
+    merge at equal lgConfigK is exact (this is what makes sketch rollups
+    sound — no drift however many levels you cascade); (b) the accuracy
+    bound — the estimate lands within 3× the default rsd of the exact
+    count (exact is verification cost only, not the scale path).
+
+    Reference analog: none (extension surface — sketch family).
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = hourly.groupBy(F.date_trunc("day", F.col("hour")).alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+        F.count("*").alias("n_hours"),
+    )
+    direct = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    err = F.abs(F.col("est_merged") - F.col("exact")) / F.col("exact")
+    return merged.join(direct, "day").select(
+        "day",
+        "n_hours",
+        (F.col("est_merged") == F.col("est_direct")).alias("merge_consistent"),
+        # default lgConfigK=12 → rsd ~1.6%; 3x margin mirrors
+        # approx_distinct_parts' contract envelope
+        (err <= 0.05).alias("within_bound"),
+    )
