@@ -63,6 +63,7 @@ HEADLINE = [
     "corpus_importance_weights",   # DSIR hashed-feature selection (r5)
     "dedup_containment",           # prefix-filtered containment join (r5)
     "similarity_pq_topk",          # product-quantization ADC ANN (r5)
+    "similarity_pq_incremental",   # persisted PQ index: codes-only probe (r5)
 ]
 
 

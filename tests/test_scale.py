@@ -620,3 +620,19 @@ def test_containment_prefix_filter_prunes_candidates(spark):
         .count()
     )
     assert n_cand <= n_brute / 4, (n_cand, n_brute)
+
+
+def test_pq_incremental_plan_reads_codes_only(spark):
+    """similarity_pq_incremental's lifecycle claim, pinned in the plan: the
+    codebooks and corpus codes are built and published BEFORE the returned
+    plan exists, so the query plan contains no Lloyd iterations (no
+    posexplode) and reads both index artifacts from parquet. Stronger than
+    IVF: the candidate side is the 8-byte code table — the float
+    embeddings appear only on the broadcast QUERY side of the plan."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["similarity_pq_incremental"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "posexplode" not in plan
+    assert "pq_codebooks" in plan
+    assert "pq_codes" in plan
