@@ -548,3 +548,59 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("z", 4).alias("z"),
         )
     )
+
+
+@register(
+    "events_type_transitions",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 4)
+         AS p
+FROM pairs
+""",
+    doc="event-type Markov transition matrix: per-user ordered bigrams of "
+    "event_type, counted and row-normalized into transition probabilities",
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams: each
+    user's events are ordered (ties broken by event_id so both engines
+    sequence identically), consecutive event-type bigrams are counted
+    corpus-wide, and each row is normalized by its source state's total —
+    the behavioral-model summary funnels and anomaly scores build on.
+
+    Scale shape: the lag rides ONE user_id exchange (the same partition
+    key every per-user window in the family uses); the bigram count then
+    reduces to |types|² rows, so the normalizing window runs over a
+    micro-frame. Per-user state never materializes beyond the lag buffer.
+
+    Reference analog: none (extension surface — event analytics family).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 4).alias("p"),
+    )

@@ -9,7 +9,7 @@ aggregates).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ufload_spark.plans.registry import register
@@ -389,4 +389,76 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_neg_logprob"
             ),
         )
+    )
+
+
+TFIDF_TOP = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= {TFIDF_TOP}
+""",
+    doc="TF-IDF top terms per document: corpus document frequencies, "
+    "smoothed idf, per-doc top-3 by score — the keyword-extraction tier "
+    "of the text family",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF keyword extraction as one plan: term frequencies per
+    doc, document frequencies over the corpus, smoothed
+    ``idf = ln((N+1)/(df+1)) + 1`` (sklearn's formulation, public), top
+    ``TFIDF_TOP`` terms per doc by rounded score with a lexicographic
+    tie-break so ranking is deterministic on both engines.
+
+    Scale shape: one token shuffle builds the per-doc TF table; DF is a
+    vocabulary-sized aggregate of TF (sub-linear in corpus bytes, Heaps'
+    law) and broadcasts back onto it, as does the one-row corpus count —
+    the TF stream re-aggregates per doc_id only, the same broadcast-model
+    shape as ``text_unigram_logprob``. The per-doc top-k is a
+    WindowGroupLimit: only TFIDF_TOP rows per doc survive the window."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TFIDF_TOP)
+        .select("doc_id", "term", "tfidf", "rnk")
     )
