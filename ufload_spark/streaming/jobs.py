@@ -474,3 +474,56 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, output_mode="complete", prefix="sessions")
+
+
+@register(
+    "streaming_hier_rollup",
+    """
+WITH wm AS (SELECT max(ts) - INTERVAL 15 MINUTE AS w FROM events)
+SELECT * FROM (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS total_value
+  FROM events GROUP BY 1, 2
+) WHERE window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+""",
+    doc="chained stateful streaming rollup: minute window agg feeding an "
+    "hour window agg in ONE streaming query (multiple stateful operators, "
+    "append mode) — the streaming twin of events_hier_rollup's cascade",
+)
+def streaming_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate cascade running INSIDE the streaming
+    engine: a 1-minute windowed aggregation whose partials feed a 1-hour
+    windowed aggregation in the same query — Spark's multiple-stateful-
+    operator support (3.4+, public), where ``F.window`` over the upstream
+    WINDOW COLUMN chains the second state store off the first's output
+    watermark. Measures are integer cents like the batch cascade, so the
+    two-level re-aggregation is exact under any micro-batching.
+
+    Chaining requires APPEND mode: a window only emits once the watermark
+    passes its end, so the final sink holds every hour window except the
+    trailing unfinalized one still in state. That emission rule is part
+    of the operator's semantics, and the oracle states it literally —
+    hour windows whose end ≤ max(ts) − the 15-minute watermark delay.
+    At 100 TB both state stores shuffle once on their window key and
+    evict by watermark: state is bounded by ACTIVE windows per level,
+    exactly like the batch cascade's partials, plus replay-safe recovery
+    from the checkpoint.
+    """
+    sdf = events_readstream(spark, sf_dir).withWatermark("ts", "15 minutes")
+    cents = F.round(F.col("value") * 100).cast("long")
+    minute = sdf.groupBy(F.window("ts", "1 minute").alias("w1"), "event_type").agg(
+        F.count("*").alias("n"), F.sum(cents).alias("c")
+    )
+    hourly = (
+        minute.groupBy(F.window(F.col("w1"), "1 hour").alias("w2"), "event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("c").alias("sum_cents"))
+        .select(
+            F.col("w2.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            (F.col("sum_cents").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+    return run_to_memory(hourly, output_mode="append", prefix="hier_rollup")
