@@ -223,3 +223,21 @@ def test_quantized_cosine_error_bound(va, vb):
     # the cosine error is bounded by ~2 * sqrt(d) * (0.5/127) / (norm in
     # steps) — loose practical bound 0.08 for d=64 (measured max ~0.02)
     assert abs(qcos - cos) <= 0.08, (cos, qcos)
+
+
+def test_mixture_schedule_is_proportional_in_every_shard(spark):
+    """The stride-schedule guarantee, measured: each shard is a consecutive
+    1/64 key-range segment of the training order, and a source pacing at
+    stride 1/n_s puts floor-or-ceil of n_s/64 docs in every segment — so
+    the deviation from exact proportionality is < 1 doc per source per
+    shard, in EVERY shard (a uniform shuffle only promises this in
+    expectation). Deterministic: ranks are content-addressed."""
+    from tests.conftest import SF_DIR
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["corpus_mixture_schedule"].fn(spark, SF_DIR).toPandas()
+    piv = df.pivot_table(
+        index="shard", columns="source", values="doc_id", aggfunc="count"
+    ).fillna(0)
+    share = df.groupby("source").doc_id.count() / 64.0
+    assert (piv - share).abs().max().max() < 1.0

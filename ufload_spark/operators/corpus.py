@@ -679,3 +679,76 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("avg_log_ratio") + 0.0).alias("avg_log_ratio"),
         (F.col("avg_log_ratio") > 0.0).alias("selected"),
     )
+
+
+#: mixture schedule shards: the training order is materialized as 64
+#: independently-sortable shards, never one global sequence
+MIX_SHARDS = 64
+
+
+@register(
+    "corpus_mixture_schedule",
+    f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS k,
+         count(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source,
+         (k - 0.5) / n_s AS skey
+  FROM ranked
+)
+SELECT doc_id, source,
+       CAST(floor(skey * {MIX_SHARDS}) AS INT) AS shard,
+       row_number() OVER (PARTITION BY CAST(floor(skey * {MIX_SHARDS}) AS INT)
+                          ORDER BY skey, source, doc_id) AS pos_in_shard,
+       round(skey, 6) AS schedule_key
+FROM keyed
+""",
+    doc="deterministic proportional source interleave: each source's docs "
+    "pace through (0,1) at stride 1/n_s, the merged order is the training "
+    "mixture schedule, materialized as independently-sortable shards",
+)
+def corpus_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order mixture scheduling: every source s paces its docs
+    through (0,1) at positions (k − ½)/n_s (k = content-addressed rank by
+    md5(doc_id), rerun-stable like the split/sample family), and the
+    merged ascending-key order interleaves sources PROPORTIONALLY in
+    every prefix — the low-discrepancy stride schedule mixture-weighted
+    training loaders use, rather than trusting a uniform shuffle to
+    average out. The schedule key is exact integer arithmetic divided
+    once, so both engines compute bit-identical doubles.
+
+    Scale shape: no global sequence is ever materialized — the schedule
+    lands in MIX_SHARDS shard files (shard = ⌊key·64⌋, an equal KEY-RANGE
+    cut, so shards are consecutive schedule segments), each positioned by
+    a per-shard window; readers consume shards in shard order like
+    ``corpus_shuffle_shards``. Two exchanges: one on source for the
+    pacing rank, one on shard for the final position.
+
+    Reference analog: none (extension surface — corpus-prep family).
+    """
+    d = table(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    keyed = d.select("doc_id", "source").select(
+        "doc_id",
+        "source",
+        (
+            (F.row_number().over(w_src) - 0.5)
+            / F.count("*").over(Window.partitionBy("source"))
+        ).alias("skey"),
+    )
+    shard = F.floor(F.col("skey") * MIX_SHARDS).cast("int")
+    w_shard = Window.partitionBy(shard).orderBy("skey", "source", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "source",
+        shard.alias("shard"),
+        F.row_number().over(w_shard).alias("pos_in_shard"),
+        F.round("skey", 6).alias("schedule_key"),
+    )
