@@ -285,3 +285,62 @@ def file_to_db_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     per candidate at cli/main.py:334)."""
     b = backups(spark, sf_dir)
     return b.select("name", file_to_db(F.col("name"), "pfx").alias("db_name"))
+
+
+#: compaction bin target: close a bin once 256 MiB of payload has started
+COMPACT_TARGET = 256 * 1024 * 1024
+
+
+@register(
+    "layout_compaction_plan",
+    BACKUPS_CTE
+    + f"""
+, seq AS (
+  SELECT instance, size_bytes,
+         sum(size_bytes) OVER (PARTITION BY instance ORDER BY mtime, name
+                               ROWS UNBOUNDED PRECEDING) - size_bytes
+           AS prefix_excl
+  FROM backups
+)
+SELECT instance, CAST(prefix_excl // {COMPACT_TARGET} AS BIGINT) AS bin_id,
+       count(*) AS n_files, sum(size_bytes) AS bin_bytes
+FROM seq GROUP BY 1, 2
+""",
+    doc="small-file compaction planner: per-instance mtime-ordered greedy "
+    "bin-packing of payload bytes into 256 MiB target bins — pure integer "
+    "window arithmetic, one instance exchange",
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files answer for an object-store layout: plan which files
+    compact together by packing each instance's mtime-ordered stream into
+    target-sized bins — a file joins the bin its EXCLUSIVE byte prefix
+    falls in (floor(prefix/target)), the streaming form of greedy
+    first-fit (bins may overflow by at most one file, never undershoot a
+    closed bin). The plan is the input a compaction job would execute:
+    each multi-file bin becomes one rewrite.
+
+    Everything is exact BIGINT arithmetic — no floats anywhere — and the
+    running prefix plus the bin aggregate ride ONE instance exchange
+    (same partition key, window then group). At 100 TB this is the
+    metadata-only pass that keeps a continuously-ingesting table from
+    degenerating into millions of tiny objects; the reference's analog
+    concern is its chunked-upload sizing (webdav.py upload loop).
+    """
+    b = backups(spark, sf_dir)
+    w = Window.partitionBy("instance").orderBy("mtime", "name").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = b.select(
+        "instance",
+        "size_bytes",
+        (F.sum("size_bytes").over(w) - F.col("size_bytes")).alias("prefix_excl"),
+    )
+    return (
+        seq.select(
+            "instance",
+            F.expr(f"prefix_excl div {COMPACT_TARGET}").alias("bin_id"),
+            "size_bytes",
+        )
+        .groupBy("instance", "bin_id")
+        .agg(F.count("*").alias("n_files"), F.sum("size_bytes").alias("bin_bytes"))
+    )
