@@ -138,3 +138,31 @@ def test_wav_roundtrip_and_corruption():
     bad[ba_off : ba_off + 2] = struct.pack("<H", 7)
     with pytest.raises(ValueError):
         decode_wav(bytes(bad))
+
+
+def test_pixel_png_roundtrip_and_corruption():
+    """The pixel-level decoder really decodes: a rendered PNG's grid
+    round-trips the generator formula exactly, and corrupting one IDAT
+    byte is caught by the chunk CRC check (not silently mis-hashed)."""
+    import pytest
+
+    from ufload_spark.operators.multimodal import (
+        AH_H,
+        AH_W,
+        ahash_bits,
+        decode_png_pixels,
+        make_pixel_png,
+    )
+
+    png = make_pixel_png(7)
+    grid = decode_png_pixels(png)
+    assert len(grid) == AH_H and len(grid[0]) == AH_W
+    for y in range(AH_H):
+        for x in range(AH_W):
+            assert grid[y][x] == (7 * x + 13 * y + 31 * 7) % 256
+    assert len(ahash_bits(grid)) == 64
+    # flip a byte inside the IDAT payload → CRC must catch it
+    idat_at = png.index(b"IDAT") + 6
+    corrupt = png[:idat_at] + bytes([png[idat_at] ^ 0xFF]) + png[idat_at + 1 :]
+    with pytest.raises(ValueError):
+        decode_png_pixels(corrupt)

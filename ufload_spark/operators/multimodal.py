@@ -31,7 +31,8 @@ import zlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from ufload_spark.plans.registry import register
 from ufload_spark.sources.tables import table
@@ -566,3 +567,183 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synthesize_audio_batches, schema="doc_id long, content binary"
     )
     return audio.mapInPandas(_audio_meta_batches, schema=AUDIO_SCHEMA)
+
+
+# --- pixel-level PNG decode + perceptual average-hash ----------------------
+
+#: aHash geometry: 16×16 RGB images, 2×2 blocks → the classic 8×8 = 64-bit
+#: average hash; docs sharing ``doc_id % AH_PATTERN_MOD`` render identical
+#: pixel content, planting exact-duplicate groups to find
+AH_W = AH_H = 16
+AH_BLOCK = 2
+AH_PATTERN_MOD = 50
+
+
+def make_pixel_png(base: int) -> bytes:
+    """A REAL renderable PNG — 8-bit RGB, filter-0 scanlines, zlib IDAT —
+    of the deterministic gradient ``v(x, y) = (7x + 13y + 31·base) % 256``
+    on all three channels. Unlike the header-only fixtures above, this
+    carries actual pixel data, so decoding requires the full IDAT path."""
+    rows = bytearray()
+    for y in range(AH_H):
+        rows.append(0)  # filter type 0 (None) per scanline
+        for x in range(AH_W):
+            v = (7 * x + 13 * y + 31 * base) % 256
+            rows += bytes((v, v, v))
+    ihdr = struct.pack(">IIBBBBB", AH_W, AH_H, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(content: bytes) -> list[list[int]]:
+    """Full stdlib PNG pixel decode: chunk walk with CRC verification,
+    IDAT concatenation, zlib inflate, scanline unfiltering (filter 0; the
+    other filter types are the documented codec swap-in point), returning
+    the grayscale grid (R channel — the fixture writes equal channels).
+    Raises ValueError on any structural violation, the corrupt-row
+    posture shared by every decoder in this module."""
+    if content[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack(">I4s", content[pos : pos + 8])
+        data = content[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", content[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    w, h, depth, color, _, _, interlace = ihdr
+    if (depth, color, interlace) != (8, 2, 0):
+        raise ValueError(f"unsupported PNG format {(depth, color, interlace)}")
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + 3 * w
+    if len(raw) != h * stride:
+        raise ValueError("scanline payload size mismatch")
+    grid = []
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        if row[0] != 0:
+            raise ValueError(f"unsupported scanline filter {row[0]}")
+        grid.append([row[1 + 3 * x] for x in range(w)])
+    return grid
+
+
+def ahash_bits(grid: list[list[int]]) -> str:
+    """64-char bit string: block means (2×2) vs the global mean, row-major.
+    All means are exact dyadic rationals of small ints, so the >= decisions
+    are float-exact on any engine."""
+    h, w = len(grid), len(grid[0])
+    gm = sum(sum(r) for r in grid) / (w * h)
+    bits = []
+    for by in range(h // AH_BLOCK):
+        for bx in range(w // AH_BLOCK):
+            bm = (
+                sum(
+                    grid[by * AH_BLOCK + dy][bx * AH_BLOCK + dx]
+                    for dy in range(AH_BLOCK)
+                    for dx in range(AH_BLOCK)
+                )
+                / (AH_BLOCK * AH_BLOCK)
+            )
+            bits.append("1" if bm >= gm else "0")
+    return "".join(bits)
+
+
+def _synthesize_pixel_png_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(
+                    lambda d: make_pixel_png(int(d) % AH_PATTERN_MOD)
+                ),
+            }
+        )
+
+
+def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "ahash": pdf["content"].map(
+                    lambda c: ahash_bits(decode_png_pixels(bytes(c)))
+                ),
+            }
+        )
+
+
+@register(
+    "multimodal_image_ahash",
+    f"""
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y,
+         (7 * x.x + 13 * y.y + 31 * (d.doc_id % {AH_PATTERN_MOD})) % 256 AS v
+  FROM documents d,
+       (SELECT unnest(range(0, {AH_W})) AS x) x,
+       (SELECT unnest(range(0, {AH_H})) AS y) y
+), blocks AS (
+  SELECT doc_id, x // {AH_BLOCK} AS bx, y // {AH_BLOCK} AS by, avg(v) AS bm
+  FROM px GROUP BY 1, 2, 3
+), g AS (
+  SELECT doc_id, avg(v) AS gm FROM px GROUP BY 1
+), bits AS (
+  SELECT b.doc_id,
+         string_agg(CASE WHEN b.bm >= g.gm THEN '1' ELSE '0' END, ''
+                    ORDER BY b.by, b.bx) AS ahash
+  FROM blocks b JOIN g USING (doc_id) GROUP BY b.doc_id
+)
+SELECT doc_id, ahash, count(*) OVER (PARTITION BY ahash) AS n_dupes
+FROM bits
+""",
+    doc="perceptual image dedup: REAL pixel-level PNG decode (zlib inflate "
+    "+ scanline unfilter) → 8×8 average-hash → exact-hash dup groups; the "
+    "oracle predicts every bit closed-form from the render arithmetic",
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup for the multimodal family: every doc renders a REAL
+    PNG (IDAT pixel payload, not just headers), an Arrow-batched
+    ``mapInPandas`` decodes it back through the honest path — chunk CRC
+    walk, zlib inflate, scanline unfilter — and computes the classic
+    average hash (block mean ≥ global mean, 64 bits); identical hashes
+    then form duplicate groups (the fixture plants them: docs sharing
+    ``doc_id % {AH_PATTERN_MOD}`` render the same image). The oracle
+    re-derives every pixel, block mean and hash bit CLOSED-FORM from the
+    render arithmetic — a decoder bug anywhere in the inflate/unfilter/
+    hash path flips bits and hash-mismatches.
+
+    Scale shape: decode + hash is a narrow per-row map (linear in image
+    bytes, no shuffle); the only exchange groups 64-bit hashes for the
+    dup count — the same one-shuffle-on-fingerprint posture as
+    ``dedup_exact``. Near-dup retrieval at Hamming distance would bolt on
+    the SimHash pigeonhole machinery (dedup.py) over these same bits.
+
+    Reference analog: none (extension surface — multimodal family).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    png = d.mapInPandas(
+        _synthesize_pixel_png_batches, schema="doc_id long, content binary"
+    )
+    hashed = png.mapInPandas(_ahash_batches, schema="doc_id long, ahash string")
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id", "ahash", F.count("*").over(w).alias("n_dupes")
+    )
