@@ -851,3 +851,38 @@ def orders_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         day_no.alias("day_no"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_7d"),
     )
+
+
+@register(
+    "orders_rank_functions",
+    """
+SELECT o_orderkey, o_orderstatus,
+       ntile(4) OVER w AS price_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       dense_rank() OVER w AS drank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="ranking-function surface: ntile / percent_rank / cume_dist / "
+    "dense_rank over one per-status window",
+)
+def orders_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining SQL ranking functions in one pass — quartile bucketing
+    (ntile), relative rank (percent_rank), cumulative distribution
+    (cume_dist) and gap-free ranking (dense_rank) — all over a single
+    per-status window, so the whole quartet costs ONE exchange + one
+    partition-local sort. The order key carries o_orderkey as tiebreak:
+    ntile's bucket boundaries depend on absolute row position, so a
+    nondeterministic order under ties would diverge between engines.
+    Ratios are exact rationals of row counts, rounded identically."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )

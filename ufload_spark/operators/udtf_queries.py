@@ -185,3 +185,88 @@ def udtf_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.lang
         """
     )
+
+
+class UserPath:
+    """Stateful per-partition UDTF: consume ONE user's events in event-time
+    order and emit a single summary row at partition end — the sequential
+    per-entity walk (reference analog: the per-instance polling loops,
+    cli/main.py:640-663) expressed through Spark 4's PARTITION BY table
+    argument, which guarantees each UDTF instance sees exactly one
+    partition's rows in the requested order."""
+
+    def __init__(self) -> None:
+        self.uid = None
+        self.n = 0
+        self.path: list[str] = []
+        self.prev = None
+        self.switches = 0
+
+    def eval(self, row) -> None:
+        self.uid = row["user_id"]
+        self.n += 1
+        et = row["event_type"]
+        if len(self.path) < 5:
+            self.path.append(et)
+        if self.prev is not None and et != self.prev:
+            self.switches += 1
+        self.prev = et
+
+    def terminate(self):
+        if self.uid is not None:
+            yield self.uid, self.n, ">".join(self.path), self.switches
+
+
+@register(
+    "udtf_user_paths",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       count(*) AS n_events,
+       string_agg(CASE WHEN rn <= 5 THEN event_type END, '>' ORDER BY rn)
+         AS path,
+       sum(CASE WHEN prev IS NOT NULL AND prev <> event_type
+                THEN 1 ELSE 0 END) AS n_switches
+FROM ordered GROUP BY user_id
+""",
+    doc="Python UDTF over a PARTITION BY table argument: per-user "
+    "sequential walk (first-5 path + state-switch count) emitted at "
+    "partition end — the stateful per-entity escape hatch",
+)
+def udtf_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third UDTF surface tier: a TABLE argument with PARTITION BY /
+    ORDER BY. The engine shuffles events once on user_id, feeds each
+    user's rows to a fresh :class:`UserPath` instance in (ts, event_id)
+    order, and the instance emits its summary in ``terminate`` — real
+    sequential state (path prefix, previous type, switch counter) that
+    plain aggregates would need collect_list gymnastics for, while the
+    partitioning/ordering contract stays with the engine. The oracle
+    reconstructs the same walk with windows, pinning that the UDTF's
+    per-partition stream really arrives complete and ordered.
+
+    Scale: one exchange on the partition key; per-instance state is O(1).
+    """
+    import os as _os
+
+    udtf_fn = F.udtf(
+        UserPath,
+        returnType="user_id long, n_events long, path string, n_switches long",
+    )
+    spark.udtf.register("ufload_user_path", udtf_fn)
+    ev = table(spark, sf_dir, "events")
+    view = f"ufload_events_{_os.getpid()}"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT p.user_id, p.n_events, p.path, p.n_switches
+        FROM ufload_user_path(
+          TABLE({view}) PARTITION BY user_id ORDER BY (ts, event_id)
+        ) AS p
+        """
+    )
