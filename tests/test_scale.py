@@ -580,37 +580,17 @@ def test_hier_rollup_cascade_reuses_finer_grains(spark):
 
 
 def test_containment_prefix_filter_prunes_candidates(spark):
-    """The prefix-filter claim, measured: candidate pairs probed by the
-    containment join must be a small fraction of the brute-force
-    shared-shingle pair count (measured ~7x fewer at both sf0.001 and
-    sf0.01), while the oracle comparison in test_correctness proves zero
-    false negatives — the filter is a pure pruning, not an approximation."""
-    from pyspark.sql import Window
+    """The prefix+positional filter claim, measured on the SHIPPED pipeline
+    (the test calls the operator's own _containment_candidates): candidate
+    pairs must be a small fraction of the brute-force shared-shingle pair
+    count, while the oracle comparison in test_correctness proves zero
+    false negatives — the filters are pure pruning, not approximation."""
     from pyspark.sql import functions as F
 
-    from ufload_spark.operators.dedup import CONTAINMENT_T, shingles
+    from ufload_spark.operators.dedup import _containment_candidates, shingles
 
+    n_cand = _containment_candidates(spark, SF_DIR).count()
     sh = shingles(spark, SF_DIR)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .join(sizes, "doc_id")
-        .withColumn(
-            "rnk",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "shingle")),
-        )
-    )
-    prefix = ranked.where(
-        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(CONTAINMENT_T) * F.col("sz")) + 1
-    ).select(F.col("doc_id").alias("doc_a"), "shingle")
-    n_cand = (
-        prefix.join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .count()
-    )
     n_brute = (
         sh.select(F.col("doc_id").alias("doc_a"), "shingle")
         .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")

@@ -1033,6 +1033,82 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_T = 0.5
 
 
+def _containment_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment join's index: every (doc_id, shingle) with the
+    shingle's per-doc rank in GLOBAL rarest-first order (df asc, shingle
+    asc) and the doc's set size — built once per (process, fixture) and
+    published via :func:`~ufload_spark.sources.loader.memo_publish`. The
+    raw form referenced the shingle pipeline SIX times across the plan
+    (sizes, df, rank, probe, both verify sides) and recomputed the
+    explode+window each time (~6.6 s of the 10.6 s sf0.1 wall); consumers
+    now scan one parquet table, the `_persisted_band_sigs` pattern."""
+    from ufload_spark.sources.loader import memo_publish
+
+    def build() -> DataFrame:
+        sh = shingles(spark, sf_dir)
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        return (
+            sh.join(dfreq, "shingle")
+            .join(sizes, "doc_id")
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("df", "shingle")
+                ),
+            )
+            .select("doc_id", "shingle", "rnk", "sz")
+        )
+
+    return spark.read.parquet(
+        memo_publish(spark, "containment_ranked", sf_dir, build)
+    )
+
+
+def _containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed candidate pairs (doc_a, doc_b) that can possibly satisfy
+    C(A,B) >= t, by prefix + positional filtering (PPJoin family, public):
+
+    - PREFIX: only doc_a's first ``sz - ceil(t*sz) + 1`` rarest shingles
+      probe the index — skipping past them forfeits too many of A's
+      shingles to reach t coverage.
+    - POSITIONAL: a match at per-doc ranks (p_a, p_b) bounds the whole
+      overlap by ``1 + min(sz_a - p_a, sz_b - p_b)`` (every other common
+      shingle sorts after it in BOTH sets under the shared global order),
+      so matches whose bound is below ``ceil(t*sz_a)`` are discarded
+      before the pair ever reaches the dedup shuffle. Neither filter can
+      drop a true pair; the brute-force oracle proves it.
+
+    Shared by the registered query and the pruning test so the test
+    measures the shipped pipeline, not a private copy."""
+    ranked = _containment_ranked(spark, sf_dir)
+    need = F.ceil(F.lit(CONTAINMENT_T) * F.col("sz_a"))
+    prefix = ranked.where(
+        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(CONTAINMENT_T) * F.col("sz")) + 1
+    ).select(
+        F.col("doc_id").alias("doc_a"),
+        "shingle",
+        F.col("rnk").alias("p_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    index = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        "shingle",
+        F.col("rnk").alias("p_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        prefix.join(index, "shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .where(
+            1 + F.least(F.col("sz_a") - F.col("p_a"), F.col("sz_b") - F.col("p_b"))
+            >= need
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 @register(
     "dedup_containment",
     SHINGLES_CTE
@@ -1049,8 +1125,8 @@ FROM inter JOIN sizes sa ON doc_a = sa.doc_id
 WHERE CAST(n AS DOUBLE) / sa.sz >= {CONTAINMENT_T}
 """,
     doc="asymmetric n-gram containment pairs (doc_a's shingles covered by "
-    "doc_b) via rarest-first prefix filtering — catches subset/quote "
-    "duplication that symmetric Jaccard under-scores",
+    "doc_b) via rarest-first prefix + positional filtering — catches "
+    "subset/quote duplication that symmetric Jaccard under-scores",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment join: emit directed pairs where at least
@@ -1060,60 +1136,35 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset duplication — trained-on-quotes leakage, boilerplate wrappers,
     versioned supersets.
 
-    Candidate generation is PREFIX FILTERING (set-similarity-join
-    literature, e.g. Chaudhuri et al. 2006 / Xiao et al. PPJoin, public):
-    order each doc's shingles rarest-first by global document frequency;
-    if none of doc_a's first ``sz - ceil(t*sz) + 1`` shingles occurs in
-    doc_b, then |A∩B| < t·|A| and the pair cannot qualify — so the join
-    only probes those prefix shingles against the corpus index, never
-    all-pairs, and prefix members are by construction the LOW-df shingles,
-    which bounds equi-join fan-out (the skew-safe end of the frequency
-    distribution). Candidates are then verified with an exact
-    intersection count restricted to candidate pairs. The oracle is the
-    brute-force shared-shingle join — exactly the quadratic work the
-    prefix filter avoids at scale.
-
-    Plan: one doc_id exchange feeds shingling + sizes; one shingle
-    exchange feeds the document-frequency count and the prefix probe; the
-    verify join touches only candidate pairs.
+    Candidates come from :func:`_containment_candidates` (prefix +
+    positional filtering, set-similarity-join literature: Chaudhuri et
+    al. 2006, Xiao et al. PPJoin — public); the ranked shingle index is
+    built once and persisted (:func:`_containment_ranked`), then
+    candidates are verified with an exact intersection count restricted
+    to candidate pairs. The oracle is the brute-force shared-shingle
+    join — exactly the quadratic work the filters avoid at scale.
 
     Reference analog: none (extension surface — dedup family).
     """
-    sh = shingles(spark, sf_dir)  # distinct (doc_id, shingle)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .join(sizes, "doc_id")
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")
-            ),
-        )
+    ranked = _containment_ranked(spark, sf_dir)
+    cand = _containment_candidates(spark, sf_dir)
+    # verify via per-doc shingle ARRAYS + a JVM array_intersect per pair:
+    # linear in candidates. (The earlier row-level verify re-joined the
+    # shingle table per pair — its output was the same Σdf² blow-up the
+    # prefix filter exists to avoid, and dominated the sf1 wall.)
+    sets = ranked.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("arr"), F.count("*").alias("sz")
     )
-    # prefix = rarest (sz - ceil(t*sz) + 1) shingles; skipping past it
-    # forfeits too many of A's shingles to ever reach t coverage
-    prefix = ranked.where(
-        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(CONTAINMENT_T) * F.col("sz")) + 1
-    ).select(F.col("doc_id").alias("doc_a"), "shingle")
-    cand = (
-        prefix.join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"),
+        F.col("sz").alias("sz"),
     )
-    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh"))
-    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("sh"))
-    inter = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "sh"])  # equi-join: A-shingles present in B
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n"))
-    )
-    c = F.col("n").cast("double") / F.col("sz")
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    n = F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+    c = n.cast("double") / F.col("sz")
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .where(c >= CONTAINMENT_T)
         .select("doc_a", "doc_b", F.round(c, 4).alias("containment"))
     )

@@ -297,7 +297,8 @@ COMPACT_TARGET = 256 * 1024 * 1024
     + f"""
 , seq AS (
   SELECT instance, size_bytes,
-         sum(size_bytes) OVER (PARTITION BY instance ORDER BY mtime, name
+         sum(size_bytes) OVER (PARTITION BY instance
+                               ORDER BY mtime, name, size_bytes
                                ROWS UNBOUNDED PRECEDING) - size_bytes
            AS prefix_excl
   FROM backups
@@ -327,9 +328,13 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     concern is its chunked-upload sizing (webdav.py upload loop).
     """
     b = backups(spark, sf_dir)
-    w = Window.partitionBy("instance").orderBy("mtime", "name").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # size_bytes completes the sort key: (mtime, name) can tie (two users
+    # mapping to one instance in the same second), and rows tying on all
+    # THREE keys are interchangeable — equal size means the running sum
+    # assigns the same prefix set either way, keeping bins order-free
+    w = Window.partitionBy("instance").orderBy(
+        "mtime", "name", "size_bytes"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     seq = b.select(
         "instance",
         "size_bytes",

@@ -613,6 +613,8 @@ def decode_png_pixels(content: bytes) -> list[list[int]]:
     idat = bytearray()
     while pos + 8 <= len(content):
         length, ctype = struct.unpack(">I4s", content[pos : pos + 8])
+        if pos + 12 + length > len(content):  # truncated mid-chunk
+            raise ValueError(f"truncated {ctype!r} chunk")
         data = content[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", content[pos + 8 + length : pos + 12 + length]
