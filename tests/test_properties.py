@@ -241,3 +241,29 @@ def test_mixture_schedule_is_proportional_in_every_shard(spark):
     ).fillna(0)
     share = df.groupby("source").doc_id.count() / 64.0
     assert (piv - share).abs().max().max() < 1.0
+
+
+def test_zorder_buckets_are_tiles_in_both_dimensions(spark):
+    """The Z-order data-skipping guarantee, exactly: the bucket is the
+    interleaved TOP-4-bits of each dimension, so every bucket is a 16x16
+    tile — per-bucket (min, max) ranges span <= 15 in BOTH columns. A
+    linear sort on one column would give narrow ranges on that column
+    only, with the other spanning ~the full 0..255 domain (checked on the
+    same data as the contrast)."""
+    from tests.conftest import SF_DIR
+    from ufload_spark.plans.registry import load_all
+
+    z = load_all()["layout_zorder_stats"].fn(spark, SF_DIR).toPandas()
+    assert ((z.x_max - z.x_min) <= 15).all()
+    assert ((z.y_max - z.y_min) <= 15).all()
+    # contrast: bucket linearly by x only (same bucket count) — the
+    # non-leading dimension y degenerates to (near-)full-domain ranges
+    import pandas as pd
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate"])
+    xq = (o.o_custkey % 256).astype("int64")
+    yq = ((o.o_orderdate - pd.Timestamp("1992-01-01")).dt.days % 256)
+    lin = pd.DataFrame({"bucket": xq // 16, "y": yq})
+    lin_ranges = lin.groupby("bucket").y.agg(["min", "max"])
+    assert ((lin_ranges["max"] - lin_ranges["min"]) > 100).mean() > 0.9

@@ -207,3 +207,123 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_packs"),
     )
+
+
+@register(
+    "pipeline_filter_attrition",
+    f"""
+WITH flags AS (
+  SELECT doc_id,
+         ({_TOKENS_SQL} >= {MIN_TOKENS}) AS f_tok,
+         (coalesce({_PUNCT_RATIO_SQL}, 1.0) < {MAX_PUNCT_RATIO}) AS f_punct,
+         (coalesce({_TRIGRAM_DENSITY_SQL}, 0.0) > {MIN_TRIGRAM_DENSITY})
+           AS f_tri,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), kept AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM flags WHERE f_tok AND f_punct AND f_tri
+), near_dropped AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM ({{lsh}}) WHERE est_sim >= {NEAR_DUP_SIM}
+), agg AS (
+  SELECT
+    (SELECT count(*) FROM flags) AS n_input,
+    (SELECT count(*) FROM flags WHERE f_tok) AS s1,
+    (SELECT count(*) FROM flags WHERE f_tok AND f_punct) AS s2,
+    (SELECT count(*) FROM flags WHERE f_tok AND f_punct AND f_tri) AS s3,
+    (SELECT count(*) FROM kept WHERE rn = 1) AS s4,
+    (SELECT count(*) FROM kept k WHERE rn = 1 AND NOT EXISTS
+       (SELECT 1 FROM near_dropped x WHERE x.doc_id = k.doc_id)) AS s5
+)
+SELECT CAST(stage_no AS INT) AS stage_no, stage,
+       CAST(survivors AS BIGINT) AS survivors,
+       CAST(dropped AS BIGINT) AS dropped
+FROM (
+  SELECT 1 AS stage_no, 'input' AS stage, n_input AS survivors, 0 AS dropped
+  FROM agg
+  UNION ALL SELECT 2, 'min_tokens', s1, n_input - s1 FROM agg
+  UNION ALL SELECT 3, 'punct_ratio', s2, s1 - s2 FROM agg
+  UNION ALL SELECT 4, 'trigram_density', s3, s2 - s3 FROM agg
+  UNION ALL SELECT 5, 'exact_dedup', s4, s3 - s4 FROM agg
+  UNION ALL SELECT 6, 'near_dedup', s5, s4 - s5 FROM agg
+)
+""".replace("{lsh}", QUERIES["dedup_minhash_lsh_pairs"].oracle),
+    doc="curation funnel audit: per-stage survivor/drop counts through the "
+    "exact rule chain pipeline_curate_documents applies — the attrition "
+    "report every data-pipeline review starts from",
+)
+def pipeline_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do documents GO? The curation pipeline's rules, re-applied as
+    a cumulative funnel with one row per stage: survivors after the stage
+    and how many that stage dropped. Rule expressions are character-
+    identical to ``pipeline_curate_documents`` (same constants, same
+    fragments), so the final stage's survivor count IS the pipeline's
+    output cardinality — an attrition report that can't drift from the
+    pipeline it audits.
+
+    Plan shape: one scan computes all three quality flags per doc
+    (conditional count_if partials — no per-rule scans); the exact-dup
+    stage is the same fingerprint window; near-dup reuses the LSH pair
+    machinery; the six stage rows unpivot from a single-row aggregate via
+    ``stack``. At 100 TB this is strictly cheaper than the pipeline
+    itself — the audit never materializes a survivor set.
+
+    Reference analog: none (extension surface — pipeline family).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = token_count(F.col("text")).cast("double")
+    punct = (
+        F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+    ).cast("double")
+    punct_ratio = punct / F.nullif(F.length("text").cast("double"), F.lit(0.0))
+    tri_hits = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(f"({_TRIGRAM_RE})"), 0)
+    ).cast("double")
+    tri_density = tri_hits / F.nullif(F.length("text").cast("double"), F.lit(0.0))
+
+    flags = d.select(
+        "doc_id",
+        (toks >= MIN_TOKENS).alias("f_tok"),
+        (F.coalesce(punct_ratio, F.lit(1.0)) < MAX_PUNCT_RATIO).alias("f_punct"),
+        (F.coalesce(tri_density, F.lit(0.0)) > MIN_TRIGRAM_DENSITY).alias("f_tri"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        flags.where(F.col("f_tok") & F.col("f_punct") & F.col("f_tri"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    near_dropped = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .where(F.col("est_sim") >= NEAR_DUP_SIM)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    base = flags.agg(
+        F.count("*").alias("n_input"),
+        F.count_if("f_tok").alias("s1"),
+        F.count_if(F.col("f_tok") & F.col("f_punct")).alias("s2"),
+        F.count_if(F.col("f_tok") & F.col("f_punct") & F.col("f_tri")).alias("s3"),
+    )
+    s4 = kept.agg(F.count("*").alias("s4"))
+    s5 = kept.join(near_dropped, "doc_id", "left_anti").agg(
+        F.count("*").alias("s5")
+    )
+    one = base.crossJoin(s4).crossJoin(s5)
+    return one.select(
+        F.expr(
+            "stack(6,"
+            " 1, 'input',           n_input, cast(0 as bigint),"
+            " 2, 'min_tokens',      s1,      n_input - s1,"
+            " 3, 'punct_ratio',     s2,      s1 - s2,"
+            " 4, 'trigram_density', s3,      s2 - s3,"
+            " 5, 'exact_dedup',     s4,      s3 - s4,"
+            " 6, 'near_dedup',      s5,      s4 - s5"
+            ") AS (stage_no, stage, survivors, dropped)"
+        )
+    )

@@ -148,3 +148,75 @@ def layout_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+#: Z-order: 8 bits per dimension → a 16-bit interleaved key;
+#: the top 8 key bits form the clustering bucket (≈ one file each)
+Z_BITS = 8
+
+
+@register(
+    "layout_zorder_stats",
+    """
+WITH quant AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 256 AS BIGINT) AS xq,
+         CAST(datediff('day', DATE '1992-01-01', o_orderdate) % 256 AS BIGINT)
+           AS yq
+  FROM orders
+), zed AS (
+  SELECT o_orderkey, xq, yq,
+         ((((xq >> 0) & 1) << 0) + (((yq >> 0) & 1) << 1) + (((xq >> 1) & 1) << 2) + (((yq >> 1) & 1) << 3) + (((xq >> 2) & 1) << 4) + (((yq >> 2) & 1) << 5) + (((xq >> 3) & 1) << 6) + (((yq >> 3) & 1) << 7) + (((xq >> 4) & 1) << 8) + (((yq >> 4) & 1) << 9) + (((xq >> 5) & 1) << 10) + (((yq >> 5) & 1) << 11) + (((xq >> 6) & 1) << 12) + (((yq >> 6) & 1) << 13) + (((xq >> 7) & 1) << 14) + (((yq >> 7) & 1) << 15)) AS zval
+  FROM quant
+)
+SELECT CAST(zval >> 8 AS INT) AS bucket,
+       count(*) AS n_rows,
+       min(xq) AS x_min, max(xq) AS x_max,
+       min(yq) AS y_min, max(yq) AS y_max
+FROM zed GROUP BY 1
+""",
+    doc="Z-order clustering index: bit-interleave two quantized dimensions "
+    "into one locality-preserving key, bucket by its high bits, and emit "
+    "per-bucket min/max ranges — the data-skipping statistics a reader "
+    "would prune with",
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering for data skipping (the lakehouse
+    OPTIMIZE ZORDER BY technique, public): quantize two query dimensions
+    (customer key, order date) to Z_BITS bits each, interleave their bits
+    into one z-value — pure integer shifts/masks, bit-identical on both
+    engines — and cluster rows by the z-value's high byte. The emitted
+    per-bucket (min, max) ranges on BOTH source dimensions are exactly
+    the footer statistics a scan would prune with: because the z-curve
+    preserves locality in every interleaved dimension at once, each
+    bucket covers a narrow range of BOTH columns, so predicates on either
+    dimension skip most buckets — where linear sorting gives skipping on
+    the leading column only (pinned by the range-volume test).
+
+    Plan: one scan, integer map, one hash aggregate on the bucket. At
+    100 TB the same z-value is the repartitionByRange / sortWithinPartitions
+    key that lays the files out; this query is the planner + audit of
+    that layout.
+
+    Reference analog: none (extension surface — storage-layout family).
+    """
+    o = table(spark, sf_dir, "orders")
+    quant = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("xq"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 256)
+        .cast("long")
+        .alias("yq"),
+    )
+    zval = F.expr("(((xq >> 0) & 1) << 0) + (((yq >> 0) & 1) << 1) + (((xq >> 1) & 1) << 2) + (((yq >> 1) & 1) << 3) + (((xq >> 2) & 1) << 4) + (((yq >> 2) & 1) << 5) + (((xq >> 3) & 1) << 6) + (((yq >> 3) & 1) << 7) + (((xq >> 4) & 1) << 8) + (((yq >> 4) & 1) << 9) + (((xq >> 5) & 1) << 10) + (((yq >> 5) & 1) << 11) + (((xq >> 6) & 1) << 12) + (((yq >> 6) & 1) << 13) + (((xq >> 7) & 1) << 14) + (((yq >> 7) & 1) << 15)")
+    return (
+        quant.select("o_orderkey", "xq", "yq", zval.alias("zval"))
+        .groupBy(F.expr("CAST(zval >> 8 AS INT)").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("xq").alias("x_min"),
+            F.max("xq").alias("x_max"),
+            F.min("yq").alias("y_min"),
+            F.max("yq").alias("y_max"),
+        )
+    )
