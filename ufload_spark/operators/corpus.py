@@ -752,3 +752,101 @@ def corpus_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_shard).alias("pos_in_shard"),
         F.round("skey", 6).alias("schedule_key"),
     )
+
+
+# --- priority sampling (weighted, deterministic) ---------------------------
+
+#: sample size for the priority sample
+PRIO_K = 64
+#: 2^52 — 13 md5 hex digits, exactly representable in a double
+_PRIO_POW = 4503599627370496.0
+
+
+@register(
+    "corpus_priority_sample",
+    f"""
+WITH pri AS (
+  SELECT doc_id,
+         CAST({_TOKENS_SQL} AS BIGINT) AS tokens,
+         CAST({_TOKENS_SQL} AS DOUBLE) /
+           ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                  AS DOUBLE) + 1.0) / {_PRIO_POW!r}) AS priority
+  FROM documents
+), top AS (
+  SELECT doc_id, tokens, priority,
+         row_number() OVER (ORDER BY priority DESC, doc_id) AS rn,
+         min(priority) OVER () AS tau
+  FROM (SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT {PRIO_K + 1})
+)
+SELECT doc_id, tokens, round(priority, 6) AS priority,
+       round(greatest(CAST(tokens AS DOUBLE), tau), 6) AS est_weight
+FROM top WHERE rn <= {PRIO_K}
+""",
+    doc=f"Duffield-Lund-Thorup priority sampling: weight-proportional "
+    f"{PRIO_K}-doc sample with unbiased subset-sum estimator weights "
+    f"max(w, tau) — priorities w/u from md5-derived uniforms, so the sample "
+    f"is deterministic and IEEE-exact on both engines (division only, no "
+    f"transcendentals)",
+)
+def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement for corpus selection — the
+    priority-sampling scheme (Duffield, Lund & Thorup, JACM 2007): each doc
+    draws priority ``q = w / u`` with weight ``w`` = token count and ``u``
+    uniform in (0,1]; the top-k priorities form the sample and ``tau`` (the
+    (k+1)-th priority) yields the unbiased estimator weight ``max(w, tau)``
+    — ``sum(est_weight)`` over the sample estimates the corpus token total.
+
+    Determinism at 100 TB: ``u`` is content-addressed (13 md5 hex digits of
+    the doc id → an exact 52-bit double), and ``q`` involves only IEEE
+    divisions — bit-identical across engines, runs and cluster sizes; no
+    ``rand()``, no transcendentals whose libm rounding could differ (the
+    Efraimidis-Spirakis form needs ``u^(1/w)`` — same sample, but pow()
+    would make cross-engine hashes fragile).
+
+    Plan shape: one narrow map computes priorities, then
+    ``TakeOrderedAndProject`` takes the global top k+1 (per-partition
+    top-k + driver merge of k+1-row heads — no global sort, no full
+    shuffle); the window that numbers the survivors and extracts tau runs
+    on the (k+1)-row result only.
+    """
+    d = table(spark, sf_dir, "documents")
+    w_tok = token_count(F.col("text"))
+    u_int = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    q = w_tok.cast("double") / ((u_int + F.lit(1.0)) / F.lit(_PRIO_POW))
+    top = (
+        d.select(
+            "doc_id",
+            w_tok.cast("bigint").alias("tokens"),
+            q.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(PRIO_K + 1)
+    )
+    # the frame below is the (k+1)-row limit result — single-partition
+    # windows over it are bounded regardless of corpus size; lit(1) spec
+    # states that intent (and avoids the no-partition warning)
+    w_all = Window.partitionBy(F.lit(1)).orderBy(F.desc("priority"), "doc_id")
+    return (
+        top.select(
+            "doc_id",
+            "tokens",
+            "priority",
+            F.row_number().over(w_all).alias("rn"),
+            F.min("priority").over(
+                Window.partitionBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("tau"),
+        )
+        .filter(F.col("rn") <= PRIO_K)
+        .select(
+            "doc_id",
+            "tokens",
+            F.round("priority", 6).alias("priority"),
+            F.round(
+                F.greatest(F.col("tokens").cast("double"), F.col("tau")), 6
+            ).alias("est_weight"),
+        )
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ufload_spark.plans.registry import register
+from ufload_spark.plans.registry import QUERIES, register
 from ufload_spark.sources.tables import table
 
 K_HASHES = 8
@@ -1168,3 +1168,87 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(c >= CONTAINMENT_T)
         .select("doc_a", "doc_b", F.round(c, 4).alias("containment"))
     )
+
+
+# --- edit-distance confirmation of LSH candidates --------------------------
+
+#: normalized-prefix length compared by the edit-distance confirm stage
+LEV_PREFIX = 80
+#: maximum accepted prefix edit distance (the banded-DP early-exit bound)
+LEV_MAX = 32
+
+
+@register(
+    "dedup_editdist_confirm",
+    None,  # oracle assembled below (reuses the LSH pair oracle verbatim)
+    doc=f"fuzzy-dedup confirm stage: MinHash-LSH candidate pairs verified "
+    f"by bounded edit distance on the {LEV_PREFIX}-char normalized prefix — "
+    f"Spark evaluates the threshold form (banded DP, early exit at "
+    f"{LEV_MAX}), so per-pair cost is O(prefix·{LEV_MAX}) not O(prefix²)",
+)
+def dedup_editdist_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage fuzzy-dedup shape with an EDIT-DISTANCE verifier:
+    MinHash-LSH proposes candidate pairs (banded equi-joins, never
+    all-pairs), then each candidate's normalized text prefix is compared
+    with ``levenshtein(a, b, threshold)`` — Spark's bounded form runs the
+    banded dynamic program and exits early once the distance provably
+    exceeds the bound, returning -1. Character-level confirmation catches
+    what signature agreement only estimates (LSH says "probably similar";
+    the edit distance is a ground metric on the actual bytes).
+
+    Plan shape: candidate generation is the existing LSH plan (one
+    signature evaluation via exchange reuse); the confirm stage is two
+    hash joins fetching the 80-char prefixes (projected BEFORE the join —
+    only (doc_id, prefix) shuffles, never full text) and a JVM-side
+    bounded levenshtein per candidate. Work is bounded by CANDIDATES ×
+    O(prefix·k) — the same verify-bounded-by-candidates discipline the
+    containment join learned (SCALING.md r5 notes).
+    """
+    cands = dedup_minhash_lsh_pairs(spark, sf_dir)
+    prefs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+            1,
+            LEV_PREFIX,
+        ).alias("p"),
+    )
+    a, b = prefs.alias("pa"), prefs.alias("pb")
+    lev = F.levenshtein(F.col("pa.p"), F.col("pb.p"), LEV_MAX)
+    return (
+        cands.join(a, cands.doc_a == F.col("pa.doc_id"))
+        .join(b, cands.doc_b == F.col("pb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_sim",
+            lev.alias("prefix_editdist"),
+        )
+        .where(F.col("prefix_editdist") >= 0)
+    )
+
+
+# oracle: the LSH pair oracle verbatim + the same normalize/prefix/verify —
+# DuckDB computes the full edit distance and filters, which is result-
+# equivalent to Spark's early-exit threshold form on the kept rows
+import dataclasses as _dc
+
+QUERIES["dedup_editdist_confirm"] = _dc.replace(
+    QUERIES["dedup_editdist_confirm"],
+    oracle=f"""
+WITH pairs AS (
+{QUERIES["dedup_minhash_lsh_pairs"].oracle}
+), prefs AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                1, {LEV_PREFIX}) AS p
+  FROM documents
+)
+SELECT c.doc_a, c.doc_b, c.est_sim,
+       CAST(levenshtein(a.p, b.p) AS INT) AS prefix_editdist
+FROM pairs c
+JOIN prefs a ON c.doc_a = a.doc_id
+JOIN prefs b ON c.doc_b = b.doc_id
+WHERE levenshtein(a.p, b.p) <= {LEV_MAX}
+"""
+)

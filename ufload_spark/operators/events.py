@@ -604,3 +604,122 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wt), 4).alias("p"),
     )
+
+
+@register(
+    "events_concurrency_peak",
+    f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_S}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+), sessions AS (
+  SELECT user_id, session_no, min(ts) AS s, max(ts) AS e
+  FROM numbered GROUP BY user_id, session_no
+), seg AS (
+  SELECT CAST(day AS DATE) AS day,
+         greatest(s, CAST(CAST(day AS DATE) AS TIMESTAMP)) AS lo,
+         least(e, CAST(CAST(day AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)) AS hi
+  FROM (SELECT s, e,
+               unnest(generate_series(CAST(s AS DATE), CAST(e AS DATE),
+                                      INTERVAL 1 DAY)) AS day
+        FROM sessions)
+), bounds AS (
+  SELECT day, lo AS t, 1 AS delta FROM seg
+  UNION ALL SELECT day, hi, -1 FROM seg
+), run AS (
+  SELECT day, delta,
+         sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM bounds
+)
+SELECT CAST(day AS TIMESTAMP) AS day, CAST(max(c) AS INT) AS peak_concurrent,
+       CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_active_sessions
+FROM run GROUP BY day
+""",
+    doc="sweep-line peak concurrency: sessionize, split sessions at day "
+    "boundaries, then per-day boundary sweep (+1/-1 running sum) — max "
+    "simultaneous sessions and active-session count per day",
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the classic interval sweep-line,
+    distributed. Sessions come from the same gaps-and-islands chain as
+    ``events_session_windows`` (closed intervals [first event, last
+    event]); each session is split at midnight boundaries (``sequence`` +
+    ``explode`` — a session active across midnight counts toward BOTH
+    days' peaks, clamped to each day), then every day's boundary events
+    (+1 at segment start, -1 at segment end, +1 ordered first at ties so
+    touching sessions count as concurrent) are swept with a running sum
+    whose maximum is that day's peak.
+
+    Scale shape: the sweep's running sum is a window PARTITIONED BY DAY —
+    the global-running-sum trap (one giant partition) is avoided because
+    day boundaries split the timeline into independent sweeps that
+    parallelize across the cluster; at 100 TB you'd split by hour instead
+    (same construction, finer spine). Three shuffles total: sessionize
+    (user_id), boundary sweep (day), final per-day aggregate (map-side
+    combined into the same day partitioning).
+    """
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    run_w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = (
+        ev.select(
+            "user_id",
+            "ts",
+            F.sum(new_session).over(run_w).alias("session_no"),
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    seg = sessions.select(
+        "s",
+        "e",
+        F.explode(F.sequence(F.to_date("s"), F.to_date("e"))).alias("day"),
+    ).select(
+        "day",
+        F.greatest(F.col("s"), F.col("day").cast("timestamp")).alias("lo"),
+        F.least(
+            F.col("e"), F.date_add(F.col("day"), 1).cast("timestamp")
+        ).alias("hi"),
+    )
+    # both boundaries exploded from ONE pass over seg — a union of two
+    # selects would recompute the whole sessionize subtree per branch
+    bounds = seg.select(
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("hi").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("b"),
+    ).select("day", "b.t", "b.delta")
+    sweep = W.partitionBy("day").orderBy(
+        F.col("t"), F.col("delta").desc()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        bounds.select(
+            "day", "delta", F.sum("delta").over(sweep).alias("c")
+        )
+        .groupBy("day")
+        .agg(
+            F.max("c").cast("int").alias("peak_concurrent"),
+            F.count_if(F.col("delta") == 1).alias("n_active_sessions"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "peak_concurrent",
+            "n_active_sessions",
+        )
+    )

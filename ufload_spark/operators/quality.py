@@ -1,0 +1,240 @@
+"""Data-quality governance operators (extension surface): a declarative
+constraint audit and an ANALYZE-style column profile.
+
+A 100 TB training pipeline gates every ingest batch on a constraint suite
+(the public Deequ / Great Expectations pattern) and feeds the optimizer /
+skew planning from per-column statistics (the ANALYZE TABLE pattern). Both
+are implemented here as ONE-SCAN aggregates: every constraint metric (and
+every column's profile) is computed as conditional partials inside a single
+hash aggregate over the fact table, then unpivoted driver-free into one row
+per constraint/column with ``stack``. The only second pass is the
+referential-integrity check — an anti-join against the dimension key set,
+which Spark broadcasts (the dimension is the small side at any scale).
+
+Reference analog: none (the reference trusts its inputs; this is the
+extension mandate's pipeline-governance surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ufload_spark.plans.registry import register
+from ufload_spark.sources.tables import table
+
+#: containment domain for o_orderstatus (the fixture generator's domain)
+_STATUS_DOMAIN = ("O", "F", "P")
+#: freshness floor: the fixture epoch start
+_FRESH_FLOOR = "1992-01-01"
+
+
+@register(
+    "quality_constraint_audit",
+    f"""
+WITH base AS (
+  SELECT count(*) AS n_rows,
+         count(o_custkey) AS n_custkey,
+         count(DISTINCT o_orderkey) AS n_distinct_key,
+         count(*) FILTER (WHERE o_orderstatus IN ('O','F','P')) AS n_in_domain,
+         count(*) FILTER (WHERE o_totalprice > 0) AS n_positive,
+         count(*) FILTER (WHERE o_orderdate >= DATE '{_FRESH_FLOOR}') AS n_fresh
+  FROM orders
+), orph AS (
+  SELECT count(*) AS n_orphans
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT constraint_name, round(metric, 6) AS metric, passed FROM (
+  SELECT 'size_nonempty' AS constraint_name,
+         CAST(n_rows AS DOUBLE) AS metric, n_rows > 0 AS passed
+  FROM base
+  UNION ALL SELECT 'completeness_o_custkey',
+         CAST(n_custkey AS DOUBLE) / n_rows, n_custkey = n_rows FROM base
+  UNION ALL SELECT 'uniqueness_o_orderkey',
+         CAST(n_distinct_key AS DOUBLE) / n_rows, n_distinct_key = n_rows
+  FROM base
+  UNION ALL SELECT 'containment_o_orderstatus',
+         CAST(n_in_domain AS DOUBLE) / n_rows, n_in_domain = n_rows FROM base
+  UNION ALL SELECT 'positivity_o_totalprice',
+         CAST(n_positive AS DOUBLE) / n_rows, n_positive = n_rows FROM base
+  UNION ALL SELECT 'freshness_o_orderdate',
+         CAST(n_fresh AS DOUBLE) / n_rows, n_fresh = n_rows FROM base
+  UNION ALL SELECT 'referential_o_custkey',
+         CAST(n_orphans AS DOUBLE), n_orphans = 0 FROM orph
+)
+""",
+    doc="Deequ-style declarative constraint suite over orders: completeness, "
+    "uniqueness, domain containment, positivity, freshness and referential "
+    "integrity — six metrics from ONE scan (conditional partials in a single "
+    "aggregate) plus one broadcast anti-join for the foreign key",
+)
+def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-gate constraint report: one row per declared constraint
+    with its measured metric and pass flag.
+
+    Plan shape: a single hash aggregate over ``orders`` computes every
+    in-table metric as conditional partials (``count_if`` — map-side
+    combined, so the fact table is scanned ONCE no matter how many
+    constraints are declared); the referential check is a ``left_anti``
+    against the ``customer`` key set, broadcast because the dimension's
+    keys are the small side at any fact-table scale. The two single-row
+    aggregates cross-join trivially and ``stack`` unpivots them into the
+    report — no shuffle besides the two aggregates themselves.
+
+    At 100 TB this is the exact shape you want: constraint count does not
+    multiply scan count, and adding a constraint is adding one partial to
+    an aggregate that already exists.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    base = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.count_distinct("o_orderkey").alias("n_distinct_key"),
+        F.count_if(F.col("o_orderstatus").isin(*_STATUS_DOMAIN)).alias(
+            "n_in_domain"
+        ),
+        F.count_if(F.col("o_totalprice") > 0).alias("n_positive"),
+        F.count_if(F.col("o_orderdate") >= F.lit(_FRESH_FLOOR).cast("date")).alias(
+            "n_fresh"
+        ),
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    wide = base.crossJoin(F.broadcast(orphans))
+    report = wide.selectExpr(
+        """stack(7,
+  'size_nonempty', CAST(n_rows AS DOUBLE), n_rows > 0,
+  'completeness_o_custkey', CAST(n_custkey AS DOUBLE) / n_rows,
+      n_custkey = n_rows,
+  'uniqueness_o_orderkey', CAST(n_distinct_key AS DOUBLE) / n_rows,
+      n_distinct_key = n_rows,
+  'containment_o_orderstatus', CAST(n_in_domain AS DOUBLE) / n_rows,
+      n_in_domain = n_rows,
+  'positivity_o_totalprice', CAST(n_positive AS DOUBLE) / n_rows,
+      n_positive = n_rows,
+  'freshness_o_orderdate', CAST(n_fresh AS DOUBLE) / n_rows,
+      n_fresh = n_rows,
+  'referential_o_custkey', CAST(n_orphans AS DOUBLE), n_orphans = 0
+) AS (constraint_name, metric, passed)"""
+    )
+    return report.select(
+        "constraint_name", F.round("metric", 6).alias("metric"), "passed"
+    )
+
+
+@register(
+    "stats_column_profile",
+    """
+WITH base AS (
+  SELECT count(*) AS n_rows,
+         count(o_orderkey) AS nn_key, count(DISTINCT o_orderkey) AS nd_key,
+         CAST(min(o_orderkey) AS DOUBLE) AS mn_key,
+         CAST(max(o_orderkey) AS DOUBLE) AS mx_key,
+         count(o_custkey) AS nn_cust, count(DISTINCT o_custkey) AS nd_cust,
+         CAST(min(o_custkey) AS DOUBLE) AS mn_cust,
+         CAST(max(o_custkey) AS DOUBLE) AS mx_cust,
+         count(o_orderstatus) AS nn_st, count(DISTINCT o_orderstatus) AS nd_st,
+         min(o_orderstatus) AS smn_st, max(o_orderstatus) AS smx_st,
+         count(o_totalprice) AS nn_pr, count(DISTINCT o_totalprice) AS nd_pr,
+         round(min(o_totalprice), 2) AS mn_pr, round(max(o_totalprice), 2) AS mx_pr,
+         count(o_orderdate) AS nn_dt, count(DISTINCT o_orderdate) AS nd_dt,
+         CAST(epoch(min(o_orderdate)) AS DOUBLE) AS mn_dt,
+         CAST(epoch(max(o_orderdate)) AS DOUBLE) AS mx_dt,
+         count(o_orderpriority) AS nn_pri,
+         count(DISTINCT o_orderpriority) AS nd_pri,
+         min(o_orderpriority) AS smn_pri, max(o_orderpriority) AS smx_pri
+  FROM orders
+)
+SELECT column_name, n_rows, n_nonnull, n_distinct, min_num, max_num,
+       min_str, max_str FROM (
+  SELECT 'o_orderkey' AS column_name, n_rows, nn_key AS n_nonnull,
+         nd_key AS n_distinct, mn_key AS min_num, mx_key AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM base
+  UNION ALL SELECT 'o_custkey', n_rows, nn_cust, nd_cust, mn_cust, mx_cust,
+         NULL, NULL FROM base
+  UNION ALL SELECT 'o_orderstatus', n_rows, nn_st, nd_st, NULL, NULL,
+         smn_st, smx_st FROM base
+  UNION ALL SELECT 'o_totalprice', n_rows, nn_pr, nd_pr, mn_pr, mx_pr,
+         NULL, NULL FROM base
+  UNION ALL SELECT 'o_orderdate', n_rows, nn_dt, nd_dt, mn_dt, mx_dt,
+         NULL, NULL FROM base
+  UNION ALL SELECT 'o_orderpriority', n_rows, nn_pri, nd_pri, NULL, NULL,
+         smn_pri, smx_pri FROM base
+)
+""",
+    doc="ANALYZE-style column profile of orders: per-column non-null count, "
+    "exact NDV, min/max — all six columns from one aggregate (Spark expands "
+    "the multi-distinct into one pass), unpivoted to a stats-table row per "
+    "column; the input the optimizer/skew planner reads",
+)
+def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table statistics as data: ``(column_name, n_rows, n_nonnull,
+    n_distinct, min_num, max_num, min_str, max_str)`` per column of
+    ``orders``. Numeric and timestamp columns report numeric min/max
+    (timestamps as epoch seconds — engine-neutral, no string formatting
+    drift); string columns report string min/max.
+
+    Plan shape: ONE aggregate computes every column's profile — Spark
+    plans the six exact ``count(DISTINCT ...)`` via a single Expand (rows
+    multiplied by the distinct-aggregate count, then two-stage hash agg),
+    which is the standard multi-distinct strategy and still one scan of
+    the table. ``stack`` unpivots the single row into the stats table. At
+    100 TB you'd sooner trade exact NDV for ``approx_count_distinct``
+    partials (no Expand; see ``approx_distinct_parts``), but the exact
+    form is what ANALYZE publishes and what the oracle can pin.
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.count_distinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("double").alias("mn_key"),
+        F.max("o_orderkey").cast("double").alias("mx_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.count_distinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("double").alias("mn_cust"),
+        F.max("o_custkey").cast("double").alias("mx_cust"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.count_distinct("o_orderstatus").alias("nd_st"),
+        F.min("o_orderstatus").alias("smn_st"),
+        F.max("o_orderstatus").alias("smx_st"),
+        F.count("o_totalprice").alias("nn_pr"),
+        F.count_distinct("o_totalprice").alias("nd_pr"),
+        F.round(F.min("o_totalprice"), 2).alias("mn_pr"),
+        F.round(F.max("o_totalprice"), 2).alias("mx_pr"),
+        F.count("o_orderdate").alias("nn_dt"),
+        F.count_distinct("o_orderdate").alias("nd_dt"),
+        F.min("o_orderdate").cast("timestamp_ltz").cast("long").cast("double").alias("mn_dt"),
+        F.max("o_orderdate").cast("timestamp_ltz").cast("long").cast("double").alias("mx_dt"),
+        F.count("o_orderpriority").alias("nn_pri"),
+        F.count_distinct("o_orderpriority").alias("nd_pri"),
+        F.min("o_orderpriority").alias("smn_pri"),
+        F.max("o_orderpriority").alias("smx_pri"),
+    )
+    return base.selectExpr(
+        """stack(6,
+  'o_orderkey', n_rows, nn_key, nd_key, mn_key, mx_key,
+      CAST(NULL AS STRING), CAST(NULL AS STRING),
+  'o_custkey', n_rows, nn_cust, nd_cust, mn_cust, mx_cust,
+      CAST(NULL AS STRING), CAST(NULL AS STRING),
+  'o_orderstatus', n_rows, nn_st, nd_st, CAST(NULL AS DOUBLE),
+      CAST(NULL AS DOUBLE), smn_st, smx_st,
+  'o_totalprice', n_rows, nn_pr, nd_pr, mn_pr, mx_pr,
+      CAST(NULL AS STRING), CAST(NULL AS STRING),
+  'o_orderdate', n_rows, nn_dt, nd_dt, mn_dt, mx_dt,
+      CAST(NULL AS STRING), CAST(NULL AS STRING),
+  'o_orderpriority', n_rows, nn_pri, nd_pri, CAST(NULL AS DOUBLE),
+      CAST(NULL AS DOUBLE), smn_pri, smx_pri
+) AS (column_name, n_rows, n_nonnull, n_distinct, min_num, max_num,
+      min_str, max_str)"""
+    )

@@ -96,6 +96,7 @@ def load_all() -> dict[str, Query]:
         listing,
         multimodal,
         names_queries,
+        quality,
         pipeline,
         similarity,
         sql_interface,
