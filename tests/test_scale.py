@@ -616,3 +616,77 @@ def test_pq_incremental_plan_reads_codes_only(spark):
     assert "posexplode" not in plan
     assert "pq_codebooks" in plan
     assert "pq_codes" in plan
+
+
+def test_quality_audit_scan_and_broadcast_shape(spark):
+    """The constraint suite must not multiply scans per constraint: the six
+    in-table metrics ride ONE aggregate over orders (plus one more orders
+    scan for the referential anti-join — 2 orders scans total, constant in
+    the number of constraints), and the dimension side of the referential
+    check is broadcast."""
+    from ufload_spark.operators.quality import quality_constraint_audit
+
+    plan = _plan(quality_constraint_audit(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 3  # orders x2 + customer x1
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_priority_sample_no_global_sort(spark):
+    """Priority sampling takes the global top-(k+1) with
+    TakeOrderedAndProject (per-partition heads merged on the driver), never
+    a full global Sort+Exchange of the corpus; the windows that number the
+    survivors run on the bounded (k+1)-row result only."""
+    from ufload_spark.operators.corpus import corpus_priority_sample
+
+    plan = _plan(corpus_priority_sample(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_concurrency_sweep_partitions_by_day(spark):
+    """The sweep-line running sum must be partitioned (by day) — a global
+    single-partition window would serialize the whole boundary stream; and
+    the boundary union must not rescan events (one FileScan, boundaries
+    exploded from structs)."""
+    from ufload_spark.operators.events import events_concurrency_peak
+
+    plan = _plan(events_concurrency_peak(spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1
+    assert "windowspecdefinition(day" in plan
+    import re
+
+    # no empty-partition window spec over the sweep (global window)
+    assert not re.search(r"windowspecdefinition\(t#", plan)
+
+
+def test_editdist_confirm_projects_prefix_before_join(spark):
+    """The confirm stage must shuffle only (doc_id, 80-char prefix), never
+    full document text: the substring projection happens below the join,
+    so no join input carries the raw text column."""
+    from ufload_spark.operators.dedup import dedup_editdist_confirm
+
+    df = dedup_editdist_confirm(spark, SF_DIR)
+    plan = _plan(df)
+    assert "levenshtein" in plan
+    # the raw text column never appears as a join output/input attribute;
+    # only the derived prefix `p` does
+    join_sections = [
+        ln for ln in plan.splitlines() if "Join" in ln or "Exchange" in ln
+    ]
+    assert not any("text#" in ln for ln in join_sections)
+
+
+def test_pit_features_strictness_no_leakage(spark):
+    """Point-in-time correctness, semantically: no label row may receive a
+    state whose validity began AT or AFTER the label timestamp — the
+    leakage guard is the strict inequality."""
+    from ufload_spark.operators.temporal import pipeline_pit_features
+
+    pdf = pipeline_pit_features(spark, SF_DIR).toPandas()
+    got = pdf[pdf.state_since.notna()]
+    assert (got.state_since < got.label_ts).all()
+    # and every purchase label appears exactly once (intervals partition
+    # the timeline -> at most one match per label)
+    assert pdf.label_id.is_unique

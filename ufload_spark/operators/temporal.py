@@ -383,3 +383,102 @@ def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         # approx_distinct_parts' contract envelope
         (err <= 0.05).alias("within_bound"),
     )
+
+
+@register(
+    "pipeline_pit_features",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+), scd AS (
+  SELECT user_id, event_type,
+         ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to
+  FROM changes
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+), labels AS (
+  SELECT event_id AS label_id, user_id, ts AS label_ts,
+         round(value, 2) AS label_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.label_id, l.user_id, l.label_ts, l.label_value,
+       s.event_type AS state_at_label, s.valid_from AS state_since
+FROM labels l
+LEFT JOIN scd s
+  ON s.user_id = l.user_id
+ AND s.valid_from < l.label_ts
+ AND (s.valid_to IS NULL OR s.valid_to >= l.label_ts)
+""",
+    doc="point-in-time feature join (the feature-store op): purchase labels "
+    "joined to the SCD2 user-state dimension with a STRICT as-of predicate "
+    "(valid_from < label_ts) — the state opened by the label's own event is "
+    "invisible, so the feature can never leak the label",
+)
+def pipeline_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training-example assembly: every 'purchase' label event
+    gets the user's state AS OF the instant strictly before the label —
+    the point-in-time-correct join a feature store performs when
+    materializing training sets (labels must never see features derived
+    from themselves or later events).
+
+    Built on the SCD2 intervals of ``events_scd2_user_state``: a label at
+    time t matches the unique interval with ``valid_from < t`` and
+    ``valid_to >= t`` (or open). Strict ``<`` is the leakage guard — a
+    state change at exactly t (possibly the label's own event) is not yet
+    visible. Labels before any prior state keep NULL features (LEFT
+    join), which is honest: at that instant there was nothing to know.
+
+    Plan shape: dimension build and probe both partition by user_id —
+    one exchange each side, equi-join on the key with the interval
+    predicate applied at the join; intervals partition each user's
+    timeline, so every label matches AT MOST ONE interval and no dedup
+    pass exists. Per-user cost is labels × CHANGES (the SCD2 compression
+    is what keeps the right side small at 100 TB).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    scd = changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_id"),
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.round("value", 2).alias("label_value"),
+    )
+    l, s = labels.alias("l"), scd.alias("s")
+    return l.join(
+        s,
+        (F.col("l.user_id") == F.col("s.user_id"))
+        & (F.col("s.valid_from") < F.col("l.label_ts"))
+        & (
+            F.col("s.valid_to").isNull()
+            | (F.col("s.valid_to") >= F.col("l.label_ts"))
+        ),
+        "left",
+    ).select(
+        F.col("l.label_id").alias("label_id"),
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.label_ts").alias("label_ts"),
+        F.col("l.label_value").alias("label_value"),
+        F.col("s.event_type").alias("state_at_label"),
+        F.col("s.valid_from").alias("state_since"),
+    )
