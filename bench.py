@@ -64,6 +64,10 @@ HEADLINE = [
     "dedup_containment",           # prefix-filtered containment join (r5)
     "similarity_pq_topk",          # product-quantization ADC ANN (r5)
     "similarity_pq_incremental",   # persisted PQ index: codes-only probe (r5)
+    "dedup_editdist_confirm",      # LSH candidates + bounded-DP levenshtein (r5)
+    "events_concurrency_peak",     # day-partitioned interval sweep-line (r5)
+    "quality_constraint_audit",    # one-scan Deequ-style constraint suite (r5)
+    "pipeline_pit_features",       # leakage-free PIT feature join (r5)
 ]
 
 
