@@ -690,3 +690,22 @@ def test_pit_features_strictness_no_leakage(spark):
     # and every purchase label appears exactly once (intervals partition
     # the timeline -> at most one match per label)
     assert pdf.label_id.is_unique
+
+
+def test_substring_spans_plan(spark):
+    """dedup_substring_spans must stay whole-stage JVM (no Python eval),
+    compute the span frequency with ONE hash-key exchange (windowed
+    collect_set, no groupBy-then-rejoin second corpus pass), and share a
+    single doc_id exchange between the coverage window and the per-doc
+    aggregate."""
+    import re
+
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["dedup_substring_spans"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert sum(1 for k in keys if k.startswith("h")) == 1, keys
+    assert sum(1 for k in keys if k.startswith("doc_id")) <= 2, keys
+    assert "CartesianProduct" not in plan

@@ -1252,3 +1252,117 @@ JOIN prefs b ON c.doc_b = b.doc_id
 WHERE levenshtein(a.p, b.p) <= {LEV_MAX}
 """
 )
+
+
+# --- exact substring-span dedup (Lee et al. 2022, hash-grouped) -----------
+
+#: span width in tokens. Lee et al. use 50 BPE tokens; 16 whitespace tokens
+#: is the same order of magnitude on the fixture docs while still planting
+#: hits at sf0.001.
+SPAN_W = 16
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), spans AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(list_slice(tk, i + 1, i + {SPAN_W}), ' ')) AS h
+  FROM (SELECT doc_id, tk,
+               unnest(range(greatest(len(tk) - {SPAN_W} + 1, 0))) AS i
+        FROM toks)
+), dup AS (
+  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), contrib AS (
+  SELECT doc_id,
+         least({SPAN_W},
+               coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        - pos, {SPAN_W})) AS c
+  FROM spans s JOIN dup USING (h)
+), cov AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+         CAST(sum(c) AS INT) AS dup_tokens
+  FROM contrib GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS INT) AS n_tokens,
+       CAST(greatest(len(t.tk) - {SPAN_W} + 1, 0) AS INT) AS n_spans,
+       CAST(coalesce(c.n_dup_spans, 0) AS INT) AS n_dup_spans,
+       CAST(coalesce(c.dup_tokens, 0) AS INT) AS dup_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(t.tk) AS dup_frac
+FROM toks t LEFT JOIN cov c USING (doc_id)
+""",
+    doc=f"exact substring-span dedup: {SPAN_W}-token stride-1 spans shared "
+    "across >= 2 docs; per-doc duplicated-token coverage via interval union",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection — the hash-grouped re-expression
+    of Lee et al. 2022's suffix-array pass ("Deduplicating Training Data
+    Makes Language Models Better"): every stride-1 window of
+    :data:`SPAN_W` tokens is content-hashed, a span whose hash occurs in
+    >= 2 DISTINCT documents is a cross-corpus duplicated substring, and
+    each document reports how many of its token positions such spans cover
+    (the paper's "fraction of duplicated tokens", exact via interval
+    union — equal-width sorted intervals make the union a windowed
+    ``least(W, next_start - start)`` sum, integer arithmetic on both
+    engines).
+
+    Scale shape: span generation is a narrow map (posexplode over a
+    position sequence; the token array is split once per document below
+    the Generate, and each emitted row slices ``SPAN_W`` tokens — O(n·W)
+    work, never O(n²) memory). Cross-doc frequency is computed with ONE
+    shuffle on the span hash via a windowed ``collect_set(doc_id)`` —
+    no groupBy-then-rejoin second scan of the corpus. The coverage window
+    and the per-doc aggregate share a single doc_id exchange, and the
+    final left join back to documents rides the same doc_id partitioning.
+    At 100 TB the paper's cluster-global suffix array is replaced by this
+    shuffle-on-hash discipline; the documented knobs are stride sampling
+    (stride s > 1 trades recall of spans shorter than W + s for s× fewer
+    rows) and a 64-bit span hash instead of md5 text.
+
+    Reference analog: none — extension surface mandated by the
+    training-data brief (sub-document exact dedup complements
+    `corpus_paragraph_dedup`, which only sees fixed non-overlapping
+    chunks).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("tk"))
+    n = F.size("tk")
+    positions = F.when(
+        n >= SPAN_W, F.sequence(F.lit(0), n - SPAN_W)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = d.select(
+        "doc_id", "tk", F.posexplode(positions).alias("_i", "pos")
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("tk", F.col("pos") + 1, SPAN_W))).alias("h"),
+    )
+    # one shuffle on h: distinct-doc count per hash as a window, no rejoin
+    n_docs = F.size(F.collect_set("doc_id").over(Window.partitionBy("h")))
+    dup = spans.withColumn("n_docs", n_docs).where(F.col("n_docs") >= 2)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.least(
+        F.lit(SPAN_W),
+        F.coalesce(F.lead("pos").over(w_doc) - F.col("pos"), F.lit(SPAN_W)),
+    )
+    cov = (
+        dup.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_dup_spans"),
+            F.sum("c").cast("int").alias("dup_tokens"),
+        )
+    )
+    return (
+        d.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.cast("int").alias("n_tokens"),
+            F.greatest(n - SPAN_W + 1, F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("int").alias("dup_tokens"),
+            (F.coalesce("dup_tokens", F.lit(0)).cast("double") / n).alias("dup_frac"),
+        )
+    )
