@@ -462,3 +462,178 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TFIDF_TOP)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+# --- distributed BPE merge learning ---------------------------------------
+
+#: merge rounds learned by ``text_bpe_learn``. Each round is one weighted
+#: pair-count shuffle + a 1-row TakeOrdered argmax; real tokenizer training
+#: runs ~30-50k rounds with the same per-round plan (and per-round
+#: checkpointing — see the docstring).
+BPE_LEARN_ROUNDS = 4
+
+_BPE_MERGE_TMPL = (
+    "trim(regexp_replace(replace(' ' || replace({s}, ' ', '  ') || ' ', "
+    "' ' || replace({p}, ' ', '  ') || ' ', "
+    "' ' || replace({p}, ' ', '') || ' '), ' +', ' ', 'g'))"
+)
+
+
+def _bpe_oracle() -> str:
+    """Unrolled per-round CTEs (the generated-oracle pattern the PQ/IVF
+    Lloyd oracles use): words0 → (count, argmax, re-merge) × K."""
+    parts = [
+        """
+WITH words0 AS (
+  SELECT w AS word, count(*) AS freq,
+         trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' </w>' AS s
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w
+)"""
+    ]
+    for k in range(1, BPE_LEARN_ROUNDS + 1):
+        prev = f"words{k - 1}"
+        parts.append(
+            f""", c{k} AS (
+  SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(l)),
+                                 i -> l[i] || ' ' || l[i + 1])) AS p, freq
+    FROM (SELECT string_split(s, ' ') AS l, freq FROM {prev})
+  ) GROUP BY p
+), m{k} AS (
+  SELECT p, cnt FROM c{k} ORDER BY cnt DESC, p LIMIT 1
+), words{k} AS (
+  SELECT word, freq,
+         {_BPE_MERGE_TMPL.format(s="w.s", p="m.p")} AS s
+  FROM {prev} w, m{k} m
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, p AS pair, replace(p, ' ', '') AS merged,"
+        f" cnt AS weighted_count FROM m{k}"
+        for k in range(1, BPE_LEARN_ROUNDS + 1)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@register(
+    "text_bpe_learn",
+    _bpe_oracle(),
+    doc=f"distributed BPE tokenizer training: {BPE_LEARN_ROUNDS} merge rounds "
+    "over the word-frequency table; each round = one weighted pair-count "
+    "shuffle + a 1-row argmax, merge applied via deterministic string "
+    "rewrite identical on both engines",
+)
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first :data:`BPE_LEARN_ROUNDS` BPE merges from the corpus —
+    actual tokenizer *training* (Sennrich et al. 2016), not the fixed-regex
+    tokenization of ``text_bpe_tokens``. Classic BPE trains on the
+    word-frequency dictionary: each distinct word becomes a
+    space-separated symbol string of its characters plus an end-of-word
+    marker ``</w>``, and every round (1) counts adjacent symbol pairs
+    weighted by word frequency, (2) picks the argmax pair (ties broken by
+    pair text — bit-stable across engines and cluster sizes), (3) rewrites
+    every word's symbol string with the pair merged.
+
+    The merge rewrite is a plain string replace on a DOUBLE-SPACED symbol
+    string: doubling separators gives every symbol its own flanking spaces,
+    so consecutive disjoint occurrences all merge in one non-overlapping
+    left-to-right ``replace`` pass (with single spaces the trailing space
+    of one match would consume the leading space of the next). Overlapping
+    occurrences (``a a a`` with pair ``a a``) resolve leftmost-first —
+    exactly BPE's greedy scan. ``replace`` has identical
+    scan-left/resume-after semantics in Spark and DuckDB, so the learned
+    vocabulary is bit-identical (oracle: generated unrolled per-round
+    CTEs, the same pattern as the PQ/IVF Lloyd oracles).
+
+    Scale shape: the corpus is touched ONCE (the word-frequency groupBy —
+    one shuffle on the word, map-side combined); every round after that
+    runs on the distinct-word table, which is vocabulary-sized, not
+    corpus-sized. Per round: one pair-count shuffle + a 1-row
+    ``TakeOrderedAndProject`` argmax broadcast-cross-joined back — no
+    driver collect, no global sort. The K rounds extend one lazy plan;
+    at real training depth (30-50k merges) each round would checkpoint
+    its words table (the ``min_label_components`` discipline) to keep
+    lineage flat — documented here because at K=4 the doubled lineage is
+    cheaper than the checkpoint writes.
+
+    Reference analog: none — extension surface (the training-data brief's
+    token-counting family: this is where the tokenizer those token counts
+    assume comes from).
+    """
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" </w>")
+            ).alias("s"),
+        )
+    )
+    merges = []
+    cur = words
+    for k in range(1, BPE_LEARN_ROUNDS + 1):
+        # adjacent symbol pairs; words are ~10 symbols so the per-element
+        # re-eval of the split inside the lambda is bounded and cheaper
+        # than materializing zipped slice copies
+        l = F.split("s", " ")
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size(l) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(l) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(l, i + 1),
+                            F.element_at(l, i + 2),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("p"),
+        )
+        argmax = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p"))
+            .limit(1)
+        )
+        merges.append(
+            argmax.select(
+                F.lit(k).alias("merge_rank"),
+                F.col("p").alias("pair"),
+                F.replace("p", F.lit(" "), F.lit("")).alias("merged"),
+                F.col("cnt").alias("weighted_count"),
+            )
+        )
+        padded = F.concat(
+            F.lit(" "), F.replace("s", F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        pat = F.concat(
+            F.lit(" "), F.replace("_mp", F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        rep = F.concat(
+            F.lit(" "), F.replace("_mp", F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(argmax.select(F.col("p").alias("_mp"))))
+            .withColumn(
+                "s",
+                F.trim(
+                    F.regexp_replace(F.replace(padded, pat, rep), " +", " ")
+                ),
+            )
+            .drop("_mp")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
