@@ -479,9 +479,10 @@ _BPE_MERGE_TMPL = (
 )
 
 
-def _bpe_oracle() -> str:
+def _bpe_oracle_ctes() -> str:
     """Unrolled per-round CTEs (the generated-oracle pattern the PQ/IVF
-    Lloyd oracles use): words0 → (count, argmax, re-merge) × K."""
+    Lloyd oracles use): words0 → (count, argmax, re-merge) × K. Shared by
+    the learn and encode oracles so the merge chain cannot drift."""
     parts = [
         """
 WITH words0 AS (
@@ -509,12 +510,16 @@ WITH words0 AS (
   FROM {prev} w, m{k} m
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT {k} AS merge_rank, p AS pair, replace(p, ' ', '') AS merged,"
         f" cnt AS weighted_count FROM m{k}"
         for k in range(1, BPE_LEARN_ROUNDS + 1)
     )
-    return "".join(parts) + "\n" + sel
+    return _bpe_oracle_ctes() + "\n" + sel
 
 
 @register(
@@ -562,18 +567,32 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-counting family: this is where the tokenizer those token counts
     assume comes from).
     """
+    _, merges = _bpe_train(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Run the BPE merge loop; returns (final word table with columns
+    ``word, freq, s``, list of 1-row merge DataFrames). See
+    :func:`text_bpe_learn` for semantics."""
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(
-            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
         )
-        .where(F.col("w") != "")
-        .groupBy("w")
+        .where(F.col("word") != "")
+        .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .select(
+            "word",
             "freq",
             F.concat(
-                F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" </w>")
+                F.trim(F.regexp_replace("word", "(.)", "$1 ")), F.lit(" </w>")
             ).alias("s"),
         )
     )
@@ -633,7 +652,68 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .drop("_mp")
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return cur, merges
+
+
+@register(
+    "text_bpe_encode",
+    _bpe_oracle_ctes()
+    + f""",
+dw AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_words,
+       CAST(sum(len(string_split(v.s, ' '))) AS INT) AS n_bpe_tokens
+FROM dw JOIN words{BPE_LEARN_ROUNDS} v ON dw.w = v.word
+WHERE dw.w <> ''
+GROUP BY doc_id
+""",
+    doc="encode documents with the corpus-trained BPE merges: per-doc token "
+    "count under the learned vocabulary via a word-level join — the corpus "
+    "is never re-tokenized per document",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the merges :func:`text_bpe_learn` trains — the encode half of
+    the tokenizer lifecycle. BPE encoding is word-local, so documents are
+    never re-tokenized individually: the final word table (word → merged
+    symbol string) already IS the encoding of every distinct word, and
+    per-document token counts come from a word-level equi-join + sum.
+    Output: per-doc whitespace word count and BPE token count under the
+    learned vocabulary.
+
+    Scale shape: the encode side adds one shuffle (docs exploded to words,
+    joined on the word — at 100 TB this is the standard
+    corpus ⋈ vocabulary join; the vocabulary side is orders of magnitude
+    smaller and AQE will broadcast it when it fits) and one doc_id
+    aggregate. The training lineage rides along lazily exactly as in
+    ``text_bpe_learn``; a production pipeline would read the persisted
+    merge table instead (the ``similarity_ivf_incremental`` lifecycle
+    split, documented rather than duplicated here).
+
+    Reference analog: none — extension surface (token counting under a
+    corpus-trained tokenizer; the oracle shares the generated merge-chain
+    CTEs with ``text_bpe_learn`` so the two can never drift).
+    """
+    final_words, _ = _bpe_train(spark, sf_dir)
+    vocab = final_words.select(
+        "word", F.size(F.split("s", " ")).alias("n_sym")
+    )
+    dw = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    return (
+        dw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum("n_sym").cast("int").alias("n_bpe_tokens"),
+        )
+    )
