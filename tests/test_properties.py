@@ -267,3 +267,47 @@ def test_zorder_buckets_are_tiles_in_both_dimensions(spark):
     lin = pd.DataFrame({"bucket": xq // 16, "y": yq})
     lin_ranges = lin.groupby("bucket").y.agg(["min", "max"])
     assert ((lin_ranges["max"] - lin_ranges["min"]) > 100).mean() > 0.9
+
+
+def test_bpe_merge_rewrite_semantics(spark):
+    """The double-spaced merge rewrite must (a) merge ALL disjoint
+    occurrences in one pass — chained boundaries share no spaces — and
+    (b) resolve overlapping occurrences leftmost-first (BPE's greedy
+    scan), identically in Spark and DuckDB."""
+    import duckdb
+
+    from ufload_spark.operators.textops import _BPE_MERGE_TMPL
+
+    cases = [
+        ("a b", "a b", "ab"),          # single occurrence
+        ("a b a b", "a b", "ab ab"),   # chained disjoint: both merge
+        ("b a b", "a b", "b ab"),      # mid-string
+        ("a a a", "a a", "aa a"),      # overlap: leftmost wins
+        ("a a a a", "a a", "aa aa"),   # overlap chain: greedy pairs
+        ("x a b y", "a b", "x ab y"),  # flanked
+        ("a bb a", "a b", "a bb a"),   # symbol-boundary: no partial match
+    ]
+    df = spark.createDataFrame(
+        [(s, p) for s, p, _ in cases], "s string, _mp string"
+    )
+    padded = F.concat(
+        F.lit(" "), F.replace("s", F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    pat = F.concat(
+        F.lit(" "), F.replace("_mp", F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    rep = F.concat(
+        F.lit(" "), F.replace("_mp", F.lit(" "), F.lit("")), F.lit(" ")
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            F.trim(F.regexp_replace(F.replace(padded, pat, rep), " +", " "))
+        ).collect()
+    ]
+    assert got == [want for _, _, want in cases]
+    con = duckdb.connect()
+    for s, p, want in cases:
+        lit = _BPE_MERGE_TMPL.format(s=f"'{s}'", p=f"'{p}'")
+        (dv,) = con.execute(f"SELECT {lit}").fetchone()
+        assert dv == want, (s, p, dv, want)

@@ -595,6 +595,15 @@ def _bpe_train(
                 F.trim(F.regexp_replace("word", "(.)", "$1 ")), F.lit(" </w>")
             ).alias("s"),
         )
+        # The K-round loop's lineage references the word table 2^K-ish
+        # times (round k's argmax subtree and its words subtree each
+        # re-derive round k-1). Persisting the VOCABULARY-sized base table
+        # collapses that to one corpus scan + cache reads; what still
+        # recomputes per round is word-table-sized, not corpus-sized.
+        # Spark's ContextCleaner unpersists when the query's frames are
+        # GC'd; at real training depth each round's table would be
+        # checkpointed instead (see docstring).
+        .persist()
     )
     merges = []
     cur = words
