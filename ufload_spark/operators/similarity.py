@@ -1628,3 +1628,263 @@ def similarity_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pcodes = spark.read.parquet(codes_path)
     return _pq_adc_topk(e, pbooks, pcodes)
+
+
+# --- distributed PCA: exact integer Gramian + unrolled power iteration ----
+
+#: fixed-point quantization for the Gramian pass: floor(x*2^10 + 0.5) makes
+#: every partial sum an exact int64, so the Gramian is reduction-order-free
+#: (the float-sum nondeterminism that forces round-and-pray elsewhere
+#: simply cannot occur). |entries| stay under 2^63 up to ~10^6 vectors;
+#: beyond that the accumulator widens to decimal/two-word — documented,
+#: not needed at bench SFs.
+PCA_SCALE = 1024
+PCA_ITERS = 3
+
+
+def _gram_batches(batches):
+    import numpy as np
+
+    for pdf in batches:
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # exact integers carried in float64 (|v| < 2^53): BLAS speed,
+        # integer semantics
+        Xq = np.floor(X * float(PCA_SCALE) + 0.5)
+        G = Xq.T @ Xq
+        S = Xq.sum(axis=0)
+        vals = np.concatenate(([float(len(pdf))], S, G.reshape(-1)))
+        yield pd.DataFrame(
+            {
+                "idx": np.arange(vals.size, dtype=np.int32),
+                "val": vals.astype(np.int64),
+            }
+        )
+
+
+def _pca_oracle() -> str:
+    d2 = DIM * DIM
+    fold = "(a, b) -> a + b"
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)*{PCA_SCALE} + 0.5) AS BIGINT)) AS xq
+  FROM embeddings
+), ex AS (
+  SELECT vec_id, CAST(i AS INT) AS i, xq[i+1] AS v
+  FROM q, unnest(range({DIM})) AS t(i)
+), gram AS (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.v*b.v) AS BIGINT) AS g
+  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2
+), sums AS (
+  SELECT i, CAST(sum(v) AS BIGINT) AS s FROM ex GROUP BY i
+), mat AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n,
+         (SELECT list(s ORDER BY i) FROM sums) AS s,
+         (SELECT list(g ORDER BY i, j) FROM gram) AS gf
+), it0 AS (
+  SELECT n,
+         list_transform(range({d2}),
+           k -> CAST(n*gf[k+1] - s[k//{DIM} + 1]*s[k%{DIM} + 1] AS DOUBLE)) AS c,
+         list_transform(range({DIM}), i -> 0.125) AS v
+  FROM mat
+)"""
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        parts.append(
+            f""", it{k} AS (
+  SELECT n, c, list_transform(w, x -> round(x / nrm, 9) + 0.0) AS v
+  FROM (
+    SELECT n, c, w,
+           round(sqrt(list_reduce(list_transform(w, x -> x*x), {fold})), 9) AS nrm
+    FROM (
+      SELECT n, c,
+             list_transform(range({DIM}), i ->
+               round(list_reduce(list_transform(range({DIM}),
+                 j -> c[i*{DIM} + j + 1] * v[j+1]), {fold}), 9) + 0.0) AS w
+      FROM it{k - 1}
+    )
+  )
+)"""
+        )
+    parts.append(
+        f""", fin AS (
+  SELECT n, c, v,
+         list_transform(range({DIM}), i ->
+           round(list_reduce(list_transform(range({DIM}),
+             j -> c[i*{DIM} + j + 1] * v[j+1]), {fold}), 9) + 0.0) AS w4
+  FROM it{PCA_ITERS}
+), stats AS (
+  SELECT n, v,
+         list_reduce(list_transform(range({DIM}), i -> v[i+1]*w4[i+1]), {fold}) AS lam,
+         list_reduce(list_transform(range({DIM}), i -> c[i*{DIM} + i + 1]), {fold}) AS tr
+  FROM fin
+)
+SELECT CAST(i AS INT) AS component,
+       round(v[i+1], 6) + 0.0 AS loading,
+       round(lam / (CAST(n AS DOUBLE)*n*{PCA_SCALE * PCA_SCALE}), 6) + 0.0 AS eigval_cov,
+       round(lam / tr, 6) + 0.0 AS var_share
+FROM stats, unnest(range({DIM})) AS t(i)"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "embedding_pca_power",
+    _pca_oracle(),
+    doc=f"distributed PCA: exact fixed-point Gramian (one Arrow-BLAS map + "
+    f"one tiny integer-sum shuffle), then {PCA_ITERS} unrolled power-"
+    "iteration steps on the single-row matrix; loadings/eigenvalue/"
+    "variance-share of the top principal component",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus — covariance PCA by
+    Gramian aggregation + power iteration, the spectral sibling of the
+    k-means/IVF family. Two numeric disciplines make it cross-engine
+    bit-stable where naive float PCA cannot be:
+
+    1. **The corpus pass is exact integer arithmetic.** Embeddings are
+       quantized ``floor(x*2^10 + 0.5)`` (identical half-up rule in both
+       engines); each Arrow batch computes its Gramian/sum partials as
+       exact integers carried in float64 BLAS (all values < 2^53), and
+       Spark sums int64 partials — an order-free reduction, immune to the
+       float-summation nondeterminism that plagues distributed PCA. The
+       centered scatter matrix ``n·G − s·sᵀ`` is then EXACT integers on
+       both engines, so the eigen-iteration starts from bit-identical
+       input. (int64 bounds hold to ~10^6 vectors at this dim/scale; past
+       that the accumulator widens — a documented knob, not a redesign.)
+    2. **The iteration is rounded at every step** (9 dp after each
+       mat-vec element, normalization, and update; left-fold order
+       matches DuckDB's ``list_reduce`` exactly, and ``+ 0.0`` collapses
+       ``-0.0``), so three power steps stay in lockstep across engines.
+
+    Scale shape: one ``mapInPandas`` map over the corpus (BLAS Gramian per
+    Arrow batch — the `_sig_batches` tier), ONE shuffle of ~DIM² tiny
+    integer partial rows, and all eigen-math on a single driver-free row.
+    This is how PCA is actually run at 100 TB (tree-aggregated Gramian;
+    Spark MLlib's computeSVD does the same dense-Gramian aggregation for
+    small dim); more components = deflation or block iteration, same
+    dataflow.
+
+    Reference analog: none — extension surface (embedding-space analysis
+    for the similarity family: PCA whitening/compression is the standard
+    preprocessing ahead of the IVF/PQ indexes registered above).
+    """
+    tune(spark)
+    e = table(spark, sf_dir, "embeddings")
+    partials = e.select("embedding").mapInPandas(
+        _gram_batches, schema="idx int, val long"
+    )
+    flat = (
+        partials.groupBy("idx")
+        .agg(F.sum("val").alias("v"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "v"))).alias("a"))
+        .select(F.transform("a", lambda x: x["v"]).alias("f"))
+    )
+    n = F.element_at("f", 1)
+    s = F.slice("f", 2, DIM)
+    g = F.slice("f", DIM + 2, DIM * DIM)
+    row = flat.select(
+        n.alias("n"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM * DIM - 1)),
+            lambda k: (
+                n * F.element_at(g, k + 1)
+                - F.element_at(s, (k / DIM).cast("int") + 1)
+                * F.element_at(s, (k % DIM) + 1)
+            ).cast("double"),
+        ).alias("c"),
+        F.array_repeat(F.lit(0.125), DIM).alias("v"),
+    )
+    # Single-row iterate, but the expression TREE is the hazard: projection
+    # collapse would inline the 4096-node scatter-matrix expression into
+    # every one of the 4096 mat-vec references (and each iteration into the
+    # next), exploding the plan combinatorially before a single row is
+    # computed — and Catalyst/AQE re-optimization across plain
+    # repartition(1) barriers still went super-linear (measured: minutes
+    # at DIM=64). A lazy localCheckpoint truncates the lineage outright:
+    # each eigen step is optimized alone, and what crosses the barrier is
+    # one materialized row, not an expression.
+    barrier = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+    row = barrier(row)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    seq = F.sequence(F.lit(0), F.lit(DIM - 1))
+
+    def matvec(c, v):
+        return F.transform(
+            seq,
+            lambda i: F.round(
+                fold(
+                    F.transform(
+                        seq,
+                        lambda j: F.element_at(c, i * DIM + j + 1)
+                        * F.element_at(v, j + 1),
+                    )
+                ),
+                9,
+            )
+            + F.lit(0.0),
+        )
+
+    for _ in range(PCA_ITERS):
+        row = barrier(row.withColumn("w", matvec(F.col("c"), F.col("v"))))
+        row = barrier(
+            row.withColumn(
+                "nrm",
+                F.round(
+                    F.sqrt(fold(F.transform("w", lambda x: x * x))), 9
+                ),
+            )
+        )
+        row = barrier(
+            row.withColumn(
+                "v",
+                F.transform(
+                    "w",
+                    lambda x: F.round(x / F.col("nrm"), 9) + F.lit(0.0),
+                ),
+            ).drop("w", "nrm")
+        )
+    row = barrier(
+        row.withColumn("w4", matvec(F.col("c"), F.col("v")))
+    ).select(
+        "n",
+        "v",
+        fold(
+            F.transform(
+                seq,
+                lambda i: F.element_at("v", i + 1) * F.element_at("w4", i + 1),
+            )
+        ).alias("lam"),
+        fold(
+            F.transform(seq, lambda i: F.element_at("c", i * DIM + i + 1))
+        ).alias("tr"),
+    )
+    return row.select(
+        F.posexplode("v").alias("component", "_l"),
+        F.col("lam"),
+        F.col("tr"),
+        F.col("n"),
+    ).select(
+        F.col("component").cast("int").alias("component"),
+        (F.round("_l", 6) + F.lit(0.0)).alias("loading"),
+        (
+            F.round(
+                F.col("lam")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n")
+                    * F.lit(float(PCA_SCALE * PCA_SCALE))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("eigval_cov"),
+        (F.round(F.col("lam") / F.col("tr"), 6) + F.lit(0.0)).alias(
+            "var_share"
+        ),
+    )
