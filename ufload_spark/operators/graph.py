@@ -1,0 +1,174 @@
+"""Graph analytics over the TPC-H purchase graph (extension surface).
+
+PageRank is the canonical iterative join+agg algorithm — the scale shape a
+100 TB engine must get right is per-iteration cost: one shuffle of the rank
+vector on src, one aggregate shuffle on dst, edges persisted (at cluster
+scale: bucketed by src once so iterations reuse the layout). The numeric
+discipline is the same as `embedding_pca_power`'s Gramian: every rank is an
+exact INTEGER count of probability micro-units (1e9 total), every update is
+integer multiply/div — so the per-node inflow sum is order-free and the
+ranks are bit-identical across engines, runs and cluster sizes, with no
+float-summation rounding to paper over.
+
+Reference analog: none — extension surface (the dedup family's connected
+components builds undirected clusters; PageRank adds the directed
+importance-propagation sibling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ufload_spark.plans.registry import register
+from ufload_spark.sources.tables import table
+
+#: total probability mass in micro-units, damping as an integer percentage
+PR_MASS = 1_000_000_000
+PR_DAMP_PCT = 85
+PR_ITERS = 3
+
+_EDGES_CTE = """
+WITH pairs AS (
+  SELECT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT c_node AS src, s_node AS dst, w FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst, w FROM pairs
+), outw AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+)
+"""
+
+
+def _pr_oracle() -> str:
+    base = f"({PR_MASS} // n)"
+    parts = [
+        _EDGES_CTE,
+        f""", r0 AS (
+  SELECT node, {base} AS r FROM nodes, nn
+)""",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f""", inflow{k} AS (
+  SELECT e.dst AS node, CAST(sum((r.r * e.w) // o.wout) AS BIGINT) AS fl
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN outw o ON e.src = o.src
+  GROUP BY e.dst
+), r{k} AS (
+  SELECT i.node,
+         ({100 - PR_DAMP_PCT} * {base}) // 100 + ({PR_DAMP_PCT} * i.fl) // 100 AS r
+  FROM inflow{k} i, nn
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       CAST(node // 2 AS BIGINT) AS entity_key,
+       CAST(r AS BIGINT) AS rank_micro
+FROM r{PR_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_pagerank_purchases",
+    _pr_oracle(),
+    doc=f"PageRank over the customer<->supplier purchase graph, "
+    f"{PR_ITERS} iterations in exact integer micro-units (order-free "
+    "inflow sums, bit-identical across engines and cluster sizes)",
+)
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank on the bipartite purchase graph: nodes are customers
+    (``custkey*2``) and suppliers (``suppkey*2+1``), edges both directions
+    weighted by lineitem count, damping 0.85, :data:`PR_ITERS` iterations.
+
+    Exactness: ranks are integer micro-units of probability mass
+    (:data:`PR_MASS` total). Each edge contribution is
+    ``(r_src * w) div w_out`` and damping is integer percent arithmetic,
+    so the per-node inflow is a sum of exact integers — reduction-order
+    free, hence bit-identical between Spark's parallel aggregation and
+    DuckDB's single-threaded oracle, at any partitioning. (Floor division
+    leaks < 1 micro-unit per edge per iteration of mass; PageRank only
+    needs relative ranks, and the leak is deterministic.)
+
+    Scale shape: the edge table builds with one join + one aggregate and
+    is persisted (at cluster scale it would be bucketed by ``src`` once so
+    every iteration's rank join co-locates without re-shuffling the
+    edges). Each iteration is then the canonical two-shuffle step: rank
+    vector joined to edges on ``src`` (AQE broadcasts the rank side while
+    it fits — node count ≪ edge count) and inflow aggregated on ``dst``
+    with map-side partial sums. Lineage is linear in iterations (no
+    argmax side-chains), so :data:`PR_ITERS` unrolled lazy steps need no
+    checkpoint at this depth; real 30+-iteration runs checkpoint every
+    few steps (the ``min_label_components`` discipline).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = (
+        pairs.select(
+            F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
+        )
+        .unionAll(
+            pairs.select(
+                F.col("s_node").alias("src"),
+                F.col("c_node").alias("dst"),
+                "w",
+            )
+        )
+        # graph-table reuse across iterations (cluster scale: bucket by src
+        # instead, so the per-iteration join never re-shuffles the edges)
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.groupBy().agg(F.count("*").alias("n"))
+    base = F.expr(f"{PR_MASS} div n")
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", base.alias("r")
+    )
+    for _ in range(PR_ITERS):
+        inflow = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * w) div wout").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("fl"))
+        )
+        ranks = inflow.crossJoin(F.broadcast(nn)).select(
+            "node",
+            (
+                F.expr(f"({100 - PR_DAMP_PCT} * ({PR_MASS} div n)) div 100")
+                + F.expr(f"({PR_DAMP_PCT} * fl) div 100")
+            ).alias("r"),
+        )
+    return ranks.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").cast("bigint").alias("entity_key"),
+        F.col("r").cast("bigint").alias("rank_micro"),
+    )

@@ -93,6 +93,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         delive,
         events,
+        graph,
         listing,
         multimodal,
         names_queries,
