@@ -68,6 +68,10 @@ HEADLINE = [
     "events_concurrency_peak",     # day-partitioned interval sweep-line (r5)
     "quality_constraint_audit",    # one-scan Deequ-style constraint suite (r5)
     "pipeline_pit_features",       # leakage-free PIT feature join (r5)
+    "dedup_substring_spans",       # stride-1 span dedup, interval union (r5)
+    "text_bpe_learn",              # BPE tokenizer training rounds (r5)
+    "embedding_pca_power",         # integer Gramian + power iteration (r5)
+    "graph_pagerank_purchases",    # integer-exact PageRank iterations (r5)
 ]
 
 

@@ -709,3 +709,57 @@ def test_substring_spans_plan(spark):
     assert sum(1 for k in keys if k.startswith("h")) == 1, keys
     assert sum(1 for k in keys if k.startswith("doc_id")) <= 2, keys
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_is_integer_exact_and_persists_edges(spark):
+    """graph_pagerank_purchases: rank arithmetic must be integer-typed end
+    to end (the order-free-sum guarantee), the edge table must be cached
+    for iteration reuse, and total mass must stay within the documented
+    floor-division leak of the 1e9 budget."""
+    from ufload_spark.operators.graph import PR_MASS, graph_pagerank_purchases
+
+    df = graph_pagerank_purchases(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan  # persisted edges
+    total = df.groupBy().sum("rank_micro").collect()[0][0]
+    n_nodes = df.count()
+    # floor-div leak: < 1 micro-unit per edge contribution per iteration,
+    # plus the damping floors — bounded far under 1% of mass
+    assert PR_MASS * 0.99 <= total <= PR_MASS
+    assert n_nodes > 0
+    assert df.schema["rank_micro"].dataType.simpleString() == "bigint"
+
+
+def test_pca_power_matches_numpy_eigendecomposition(spark):
+    """The power-iteration loadings must agree with a full numpy
+    eigendecomposition of the same integer scatter matrix — direction
+    within a loose tolerance (3 iterations of convergence), variance share
+    within 2% absolute."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ufload_spark.operators.similarity import (
+        PCA_SCALE,
+        embedding_pca_power,
+    )
+
+    res = (
+        embedding_pca_power(spark, SF_DIR)
+        .orderBy("component")
+        .toPandas()
+    )
+    X = np.stack(
+        pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        .to_pandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    Xq = np.floor(X * PCA_SCALE + 0.5)
+    n = len(Xq)
+    N = n * (Xq.T @ Xq) - np.outer(Xq.sum(0), Xq.sum(0))
+    evals, evecs = np.linalg.eigh(N)
+    top = evecs[:, -1]
+    v = res["loading"].to_numpy()
+    cos = abs(float(np.dot(top, v) / (np.linalg.norm(top) * np.linalg.norm(v))))
+    assert cos > 0.98, cos
+    share = float(res["var_share"].iloc[0])
+    assert abs(share - evals[-1] / np.trace(N)) < 0.02
