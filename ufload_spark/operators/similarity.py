@@ -1639,7 +1639,11 @@ def similarity_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: beyond that the accumulator widens to decimal/two-word — documented,
 #: not needed at bench SFs.
 PCA_SCALE = 1024
-PCA_ITERS = 3
+#: power-iteration depth. Convergence is (λ2/λ1)^k and the fixture
+#: embeddings are nearly isotropic (λ2/λ1 ≈ 0.93 at sf0.001), so k=8
+#: buys Rayleigh ≥ 0.9·λ1 there; each extra step is a single-row stage,
+#: so depth is a free knob at any corpus size.
+PCA_ITERS = 8
 
 
 def _gram_batches(batches):
