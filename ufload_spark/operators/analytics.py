@@ -886,3 +886,214 @@ def orders_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.dense_rank().over(w).alias("drank"),
     )
+
+
+@register(
+    "lineitem_ols_price_model",
+    """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+), sums AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x*y) AS HUGEINT) AS sxy,
+         CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy
+  FROM q GROUP BY l_returnflag
+), comps AS (
+  SELECT l_returnflag, n, sx, sy,
+         CAST(n*sxy - sx*sy AS DOUBLE) AS cov_n,
+         CAST(n*sxx - sx*sx AS DOUBLE) AS varx_n,
+         CAST(n*syy - sy*sy AS DOUBLE) AS vary_n
+  FROM sums
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       round(cov_n / varx_n / 100, 6) + 0.0 AS slope,
+       round((CAST(sy AS DOUBLE) - (cov_n / varx_n) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 100, 6) + 0.0 AS intercept,
+       round(cov_n * cov_n / (varx_n * vary_n), 6) + 0.0 AS r2
+FROM comps
+""",
+    doc="closed-form OLS (price ~ quantity) per return flag: exact integer "
+    "sufficient statistics in one grouped aggregate, decimal128 normal-"
+    "equation combination, slope/intercept in currency units and R^2",
+)
+def lineitem_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear regression at scale the closed-form way: one aggregation pass
+    collects the exact sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    per group and the normal equations solve in the projection — no
+    gradient loop, no second scan. Quantities and prices quantize exactly
+    (whole units / cents via the half-up ``floor(v+0.5)`` both engines
+    share), so every sum is an exact int64 — the same order-free-reduction
+    discipline as `embedding_pca_power` and `graph_pagerank_purchases` —
+    and the n·Σxy − ΣxΣy combinations are computed in exact decimal128
+    (they exceed int64 past ~10^5 rows) before ONE final float division,
+    rounded on both engines. Slope/intercept are reported back in currency
+    units (cents → /100).
+
+    Scale shape: one shuffle (the groupBy with map-side partials —
+    sufficient statistics are the textbook algebraic aggregate); adding
+    regressors grows the statistics vector O(d²), not the scan count, and
+    at d ≤ a few dozen the solve stays a driver-free projection (beyond
+    that it becomes the PCA Gramian shape). R² doubles as the model-audit
+    metric a feature pipeline gates on.
+
+    Reference analog: none — extension surface (the training-data brief's
+    quality-scoring family: a one-pass linear fit is the standard cheap
+    signal/leakage probe over tabular features).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") + 0.5).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dec = "decimal(38,0)"
+    sums = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast(dec) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    cov_n = (n * sxy - sx * sy).cast("double")
+    varx_n = (n * sxx - sx * sx).cast("double")
+    vary_n = (n * syy - sy * sy).cast("double")
+    slope_c = cov_n / varx_n  # cents per unit
+    return sums.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        (F.round(slope_c / 100, 6) + F.lit(0.0)).alias("slope"),
+        (
+            F.round(
+                (sy.cast("double") - slope_c * sx.cast("double"))
+                / F.col("n").cast("double")
+                / 100,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("intercept"),
+        (F.round(cov_n * cov_n / (varx_n * vary_n), 6) + F.lit(0.0)).alias(
+            "r2"
+        ),
+    )
+
+
+#: market-basket thresholds: an item/pair must appear in >= this many
+#: baskets (orders) to be reported — the a-priori support floor
+BASKET_MINSUP = 2
+
+
+@register(
+    "basket_part_pairs",
+    f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), freq AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY part
+  HAVING count(*) >= {BASKET_MINSUP}
+), fitems AS (
+  SELECT i.okey, i.part FROM items i JOIN freq USING (part)
+), pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, CAST(count(*) AS BIGINT) AS pair_sup
+  FROM fitems a JOIN fitems b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2 HAVING count(*) >= {BASKET_MINSUP}
+), nb AS (
+  SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_baskets FROM items
+)
+SELECT p.part_a, p.part_b, p.pair_sup,
+       fa.sup AS sup_a, fb.sup AS sup_b,
+       round(CAST(p.pair_sup AS DOUBLE) * n_baskets
+             / (CAST(fa.sup AS DOUBLE) * fb.sup), 6) + 0.0 AS lift
+FROM pairs p
+JOIN freq fa ON p.part_a = fa.part
+JOIN freq fb ON p.part_b = fb.part, nb
+""",
+    doc=f"market-basket mining: co-purchased part pairs with support >= "
+    f"{BASKET_MINSUP} after a-priori single-item pruning; lift from exact "
+    "integer supports",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-pair mining over order baskets — the first two levels of
+    a-priori (the part of FP-growth workloads that dominates retail/
+    affinity pipelines). Items below the support floor are pruned BEFORE
+    pairing (the a-priori property: an infrequent item cannot be in a
+    frequent pair), so the within-basket self-join runs over the pruned
+    item set; its output is bounded by Σ basket_size², never corpus², and
+    TPC-H baskets are ≤ 7 items. Lift is computed from exact integer
+    supports with one rounded division.
+
+    Scale shape: one distinct + one support aggregate (shuffles on
+    (okey, part) / part), the pruning semi-join (frequency side is
+    corpus-derived — AQE decides broadcast, the curation-pipeline
+    discipline), the basket self-join on okey, and the pair aggregate.
+    At 100 TB the support floor is the knob: raising it shrinks the
+    frequent-item set super-linearly (Zipfian supports), which is what
+    keeps level-2 candidate volume bounded.
+
+    Reference analog: none — extension surface (co-occurrence mining is
+    the tabular sibling of the n-gram containment join).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    freq = (
+        items.groupBy("part")
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= BASKET_MINSUP)
+    )
+    fitems = items.join(freq.select("part"), "part", "left_semi")
+    a = fitems.alias("a")
+    b = fitems.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count("*").alias("pair_sup"))
+        .where(F.col("pair_sup") >= BASKET_MINSUP)
+    )
+    n_baskets = items.select("okey").distinct().groupBy().agg(
+        F.count("*").alias("n_baskets")
+    )
+    fa = freq.select(
+        F.col("part").alias("part_a"), F.col("sup").alias("sup_a")
+    )
+    fb = freq.select(
+        F.col("part").alias("part_b"), F.col("sup").alias("sup_b")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_sup",
+            "sup_a",
+            "sup_b",
+            (
+                F.round(
+                    F.col("pair_sup").cast("double")
+                    * F.col("n_baskets")
+                    / (F.col("sup_a").cast("double") * F.col("sup_b")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+    )

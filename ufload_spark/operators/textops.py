@@ -726,3 +726,130 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").cast("int").alias("n_bpe_tokens"),
         )
     )
+
+
+#: Zipf fit: top-K words by frequency, log-log OLS in fixed-point micro-units
+ZIPF_K = 1000
+
+
+@register(
+    "text_zipf_fit",
+    f"""
+WITH wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY w
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY freq DESC, w) AS rnk, freq
+  FROM wc ORDER BY freq DESC, w LIMIT {ZIPF_K}
+), pts AS (
+  SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM ranked
+), sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x*y) AS HUGEINT) AS sxy,
+         CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy
+  FROM pts
+), comps AS (
+  SELECT n,
+         CAST(n*sxy - sx*sy AS DOUBLE) AS cov_n,
+         CAST(n*sxx - sx*sx AS DOUBLE) AS varx_n,
+         CAST(n*syy - sy*sy AS DOUBLE) AS vary_n,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM sums
+)
+SELECT CAST(n AS BIGINT) AS k_words,
+       round(cov_n / varx_n, 6) + 0.0 AS zipf_slope,
+       round((syd - (cov_n / varx_n) * sxd) / CAST(n AS DOUBLE) / 1000000, 6)
+         + 0.0 AS log_c,
+       round(cov_n * cov_n / (varx_n * vary_n), 6) + 0.0 AS r2
+FROM comps
+""",
+    doc=f"Zipf's-law fit: log-log OLS over the top-{ZIPF_K} word "
+    "frequencies in exact fixed-point micro-units; slope ~ -1 on natural "
+    "text, R^2 as the fit-quality audit",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-linguistics audit: fit ``ln(freq) = slope·ln(rank) + c`` over
+    the top-:data:`ZIPF_K` words. Natural text gives slope ≈ −1 (Zipf's
+    law); synthetic/templated corpora drift toward flatter slopes with
+    high R² — a cheap distribution-level fingerprint that catches
+    generator artifacts document-level quality scores miss.
+
+    Numerics: logs are transcendental, so full cross-engine bit-equality
+    is not available the way it is for the integer operators — instead
+    each log is snapped to fixed-point micro-units
+    (``floor(ln(v)·10⁶ + 0.5)``, identical rule both engines) immediately,
+    and from there the OLS runs on exact integer sufficient statistics
+    (int64-safe at this scale, combined in decimal128 like
+    `lineitem_ols_price_model`). A 1-ulp libm disagreement can only
+    matter if a log lands within 1 ulp of a 0.5 micro-unit boundary —
+    measure-zero in practice vs. the unconditioned float-sum drift it
+    replaces.
+
+    Scale shape: one word-count shuffle (map-side combined); the ranking
+    is a top-K (vocabulary-sized input, K-bounded output), and the
+    regression is one scalar aggregate over K rows. The global
+    row_number is over the K-row result, never the corpus.
+
+    Reference analog: none — extension surface (text-analysis family).
+    """
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    topk = wc.orderBy(F.desc("freq"), F.asc("w")).limit(ZIPF_K)
+    from pyspark.sql import Window as _W
+
+    ranked = topk.select(
+        F.row_number()
+        .over(_W.orderBy(F.desc("freq"), F.asc("w")))
+        .alias("rnk"),
+        "freq",
+    )
+    x = F.floor(F.log(F.col("rnk").cast("double")) * 1000000 + 0.5).cast(
+        "long"
+    )
+    y = F.floor(F.log(F.col("freq").cast("double")) * 1000000 + 0.5).cast(
+        "long"
+    )
+    sums = ranked.select(x.alias("x"), y.alias("y")).groupBy().agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dec = "decimal(38,0)"
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast(dec) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    cov_n = (n * sxy - sx * sy).cast("double")
+    varx_n = (n * sxx - sx * sx).cast("double")
+    vary_n = (n * syy - sy * sy).cast("double")
+    slope = cov_n / varx_n
+    return sums.select(
+        F.col("n").cast("bigint").alias("k_words"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("zipf_slope"),
+        (
+            F.round(
+                (sy.cast("double") - slope * sx.cast("double"))
+                / F.col("n").cast("double")
+                / 1000000,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("log_c"),
+        (F.round(cov_n * cov_n / (varx_n * vary_n), 6) + F.lit(0.0)).alias(
+            "r2"
+        ),
+    )
