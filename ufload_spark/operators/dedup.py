@@ -1366,3 +1366,102 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("dup_tokens", F.lit(0)).cast("double") / n).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "dedup_substring_incremental",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), spans AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         md5(array_to_string(list_slice(tk, i + 1, i + {SPAN_W}), ' ')) AS h
+  FROM (SELECT doc_id, tk,
+               unnest(range(greatest(len(tk) - {SPAN_W} + 1, 0))) AS i
+        FROM toks)
+), corpus AS (
+  SELECT DISTINCT h FROM spans WHERE doc_id % 4 != 0
+), hits AS (
+  SELECT s.doc_id, s.pos FROM spans s JOIN corpus USING (h)
+  WHERE s.doc_id % 4 = 0
+), contrib AS (
+  SELECT doc_id,
+         least({SPAN_W},
+               coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        - pos, {SPAN_W})) AS c
+  FROM hits
+), cov AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans,
+         CAST(sum(c) AS INT) AS dup_tokens
+  FROM contrib GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.tk) - {SPAN_W} + 1, 0) AS INT) AS n_spans,
+       CAST(coalesce(c.n_dup_spans, 0) AS INT) AS n_dup_spans,
+       CAST(coalesce(c.dup_tokens, 0) AS INT) AS dup_tokens
+FROM toks t LEFT JOIN cov c USING (doc_id)
+WHERE t.doc_id % 4 = 0
+""",
+    doc="incremental substring-span dedup: an incoming batch's spans are "
+    "semi-joined against the persisted corpus span-hash set; only the "
+    "batch is re-tokenized",
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growing-corpus lifecycle for exact substring dedup, completing
+    the incremental family (exact/MinHash/hyperplane-LSH/IVF/PQ → spans):
+    the corpus's span hashes are a persisted table maintained at ingest
+    (the loader's staging→publish discipline); an incoming batch hashes
+    ONLY its own spans and probes the corpus set with a hash semi-join,
+    then reports per-document contaminated-token coverage (same exact
+    interval union as `dedup_substring_spans`). The 100 TB corpus is
+    never re-tokenized — per batch the cost is batch-spans × one
+    semi-join against the span table (Bloom-filter prunable, the
+    `dedup_bloom_prefilter` composition).
+
+    Fixture stand-in: batch = ``doc_id % 4 == 0``, corpus = the rest —
+    the `dedup_minhash_incremental` convention, so the two lifecycles
+    stay comparable side by side.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    n = F.size("tk")
+    positions = F.when(
+        n >= SPAN_W, F.sequence(F.lit(0), n - SPAN_W)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = d.select(
+        "doc_id", "tk", F.posexplode(positions).alias("_i", "pos")
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("tk", F.col("pos") + 1, SPAN_W))).alias("h"),
+    )
+    corpus = spans.where(F.col("doc_id") % 4 != 0).select("h").distinct()
+    hits = (
+        spans.where(F.col("doc_id") % 4 == 0)
+        .join(corpus, "h", "left_semi")
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    contrib = F.least(
+        F.lit(SPAN_W),
+        F.coalesce(F.lead("pos").over(w_doc) - F.col("pos"), F.lit(SPAN_W)),
+    )
+    cov = (
+        hits.withColumn("c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_dup_spans"),
+            F.sum("c").cast("int").alias("dup_tokens"),
+        )
+    )
+    return (
+        d.where(F.col("doc_id") % 4 == 0)
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.greatest(n - SPAN_W + 1, F.lit(0)).cast("int").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("int").alias("dup_tokens"),
+        )
+    )
