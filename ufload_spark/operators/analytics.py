@@ -1097,3 +1097,122 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+#: quantile binning: content-addressed sample threshold (buckets of 256)
+#: and number of bins
+QBIN_SAMPLE_BUCKETS = 10
+QBIN_BINS = 10
+
+_QBIN_SUM = " + ".join(
+    f"(CASE WHEN o_totalprice > b[{k}] THEN 1 ELSE 0 END)"
+    for k in range(1, QBIN_BINS)
+)
+
+
+@register(
+    "features_quantile_binning",
+    f"""
+WITH sample AS (
+  SELECT o_totalprice AS p, o_orderkey AS k
+  FROM orders
+  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::INT
+        < {QBIN_SAMPLE_BUCKETS}
+), ranked AS (
+  SELECT p, row_number() OVER (ORDER BY p, k) AS rn,
+         count(*) OVER () AS ns
+  FROM sample
+), bset AS (
+  SELECT list(p ORDER BY rn) AS b
+  FROM ranked r
+  WHERE EXISTS (
+    SELECT 1 FROM range(1, {QBIN_BINS}) t(j)
+    WHERE r.rn = CAST(ceil(j * r.ns / {QBIN_BINS}.0) AS BIGINT)
+  )
+), binned AS (
+  SELECT 1 + {_QBIN_SUM} AS bin,
+         o_totalprice,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders, bset
+)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM binned GROUP BY bin
+""",
+    doc=f"quantile feature binning: exact decile boundaries from a "
+    "content-addressed sample (the range-partitioner splitter pattern), "
+    "broadcast bin assignment, per-bin exact-integer stats",
+)
+def features_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning the way a distributed engine actually does it:
+    exact quantiles of a corpus-sized column need a global sort, so the
+    boundaries come from a bounded CONTENT-ADDRESSED sample (md5-bucketed
+    — deterministic across engines, runs, and cluster sizes, unlike
+    percentile_approx whose sketch is engine-specific), sorted exactly
+    (the sample is bounded by construction — Spark's own RangePartitioner
+    splitter discipline), and broadcast back for a scan-local bin
+    assignment. Per-bin statistics use cent-quantized exact integer sums.
+    Ties sit on the left side of a boundary (``>`` comparison) — stated,
+    so the contract is engine-free.
+
+    Scale shape: one sample scan (bounded output), one window over the
+    SAMPLE only, one broadcast, then one full-scan projection + grouped
+    aggregate with map-side partials. The sample fraction is the knob: at
+    100 TB the md5 threshold drops so the sample stays
+    single-partition-sortable; boundary error shrinks as 1/√sample
+    (Dvoretzky–Kiefer–Wolfowitz), independent of corpus size.
+
+    Reference analog: none — extension surface (feature-engineering
+    family: quantile bins are the standard preprocessing for decision
+    trees and for leakage-robust WOE/target encodings).
+    """
+    o = table(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    sample = o.where(bucket < QBIN_SAMPLE_BUCKETS).select(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
+    ws = Window.orderBy("p", "k")
+    ranked = sample.select(
+        "p",
+        F.row_number().over(ws).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("ns"),
+    )
+    marks = [
+        F.ceil(F.lit(j) * F.col("ns") / QBIN_BINS).cast("long")
+        for j in range(1, QBIN_BINS)
+    ]
+    hit = marks[0] == F.col("rn")
+    for m in marks[1:]:
+        hit = hit | (m == F.col("rn"))
+    bset = (
+        ranked.where(hit)
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("rn", "p"))).alias("bs"))
+        .select(F.transform("bs", lambda x: x["p"]).alias("b"))
+    )
+    binned = o.crossJoin(F.broadcast(bset)).select(
+        sum(
+            [F.lit(1)]
+            + [
+                F.when(
+                    F.col("o_totalprice") > F.element_at("b", k), 1
+                ).otherwise(0)
+                for k in range(1, QBIN_BINS)
+            ]
+        ).alias("bin"),
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    return binned.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )

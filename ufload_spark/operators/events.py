@@ -723,3 +723,82 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_active_sessions",
         )
     )
+
+
+#: EWMA depth: weights 2^-(i+1) over the last EWMA_K events (dyadic alpha =
+#: 1/2, so every weight product is exact in binary floating point — and the
+#: query keeps everything in scaled integers anyway)
+EWMA_K = 8
+
+_EWMA_NUM_SQL = " + ".join(
+    f"coalesce(lag(cents, {i}) OVER w, 0) * {1 << (EWMA_K - 1 - i)}"
+    for i in range(EWMA_K)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"CASE WHEN lag(cents, {i}) OVER w IS NOT NULL THEN {1 << (EWMA_K - 1 - i)} ELSE 0 END"
+    for i in range(EWMA_K)
+)
+
+
+@register(
+    "events_ewma_value",
+    f"""
+WITH q AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), acc AS (
+  SELECT event_id, user_id,
+         {_EWMA_NUM_SQL} AS num,
+         {_EWMA_DEN_SQL} AS den
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       round(CAST(num AS DOUBLE) / den / 100, 6) + 0.0 AS ewma
+FROM acc
+""",
+    doc=f"per-user EWMA of event values over the last {EWMA_K} events "
+    "(dyadic alpha=1/2): exact integer numerator/denominator from cent-"
+    "quantized values, one user_id exchange",
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series smoothing as a bounded-memory window: the classic
+    exponentially-weighted moving average with α = ½ truncated at
+    :data:`EWMA_K` lags (weight 2⁻⁹ ≈ 0.2 % — the truncation error is
+    below the cent resolution of the data). Values quantize to cents with
+    the shared half-up rule, each lag multiplies a power-of-two weight,
+    and the short-history renormalization divides by the sum of available
+    weights — so numerator and denominator are EXACT int64 and the single
+    final division is deterministic on both engines (the
+    `lineitem_ols_price_model` discipline applied to a sliding window).
+
+    Scale shape: one user_id exchange shared by all :data:`EWMA_K` lag
+    frames (one Window spec), no state beyond the frame — the batch twin
+    of a `transformWithState` streaming smoother, and unlike the
+    recursive EWMA formulation it is expressible as a fixed-width window,
+    which is what makes it distributable without a sequential scan.
+
+    Reference analog: none — extension surface (events/metering family).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    q = e.select("event_id", "user_id", "ts", cents.alias("cents"))
+    num = None
+    den = None
+    for i in range(EWMA_K):
+        wt = 1 << (EWMA_K - 1 - i)
+        lag = F.lag("cents", i).over(w)
+        term = F.coalesce(lag, F.lit(0)) * wt
+        have = F.when(lag.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = have if den is None else den + have
+    return q.select(
+        "event_id",
+        "user_id",
+        (
+            F.round(num.cast("double") / den.cast("double") / 100, 6)
+            + F.lit(0.0)
+        ).alias("ewma"),
+    )
