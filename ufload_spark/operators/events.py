@@ -802,3 +802,171 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("ewma"),
     )
+
+
+#: KMV sketch size: the k smallest 48-bit hash values per set
+KMV_K = 64
+
+
+@register(
+    "events_kmv_set_overlap",
+    f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+), sk AS (
+  SELECT event_type, list(h ORDER BY h) AS mins,
+         CAST(count(*) AS BIGINT) AS k_used
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+), ex AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS exact_users
+  FROM hashed GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.mins AS ma, b.mins AS mb, a.k_used AS ka, b.k_used AS kb
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+), uni AS (
+  SELECT type_a, type_b, ka, kb, ma, mb,
+         list_sort(list_distinct(ma || mb)) AS mu
+  FROM pairs
+), est AS (
+  SELECT type_a, type_b,
+         least(CAST(len(mu) AS BIGINT), {KMV_K}) AS ku,
+         mu[least(CAST(len(mu) AS BIGINT), {KMV_K})] AS kth,
+         len(list_filter(list_slice(mu, 1, least(CAST(len(mu) AS BIGINT), {KMV_K})),
+                         x -> list_contains(ma, x) AND list_contains(mb, x)))
+           AS n_both
+  FROM uni
+)
+SELECT e.type_a, e.type_b,
+       CAST(n_both AS BIGINT) AS kmv_common,
+       round(CAST(n_both AS DOUBLE) / ku, 6) + 0.0 AS jaccard_est,
+       round((CAST(ku AS DOUBLE) - 1) / (CAST(kth AS DOUBLE) / 281474976710656.0), 1)
+         + 0.0 AS union_est,
+       xa.exact_users AS users_a, xb.exact_users AS users_b
+FROM est e
+JOIN ex xa ON e.type_a = xa.event_type
+JOIN ex xb ON e.type_b = xb.event_type
+""",
+    doc=f"KMV (k-minimum-values, k={KMV_K}) sketch per event type over "
+    "distinct-user hashes; pairwise Jaccard and union-size estimates — "
+    "the intersection arithmetic HLL cannot do, fully deterministic "
+    "(min-k of md5 is order-free)",
+)
+def events_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-overlap estimation between event-type audiences with KMV
+    sketches (Bar-Yossef et al.): each type keeps its :data:`KMV_K`
+    smallest 48-bit user-hash values. Unlike HLL, KMV sketches support
+    INTERSECTION estimates: merge two sketches, truncate the union to its
+    k-th minimum, count members present in both — Jaccard ≈ that count/k
+    and |union| ≈ (k−1)/kth-min-normalized. Everything is min-k over
+    deterministic md5 hashes: an ORDER-FREE reduction (min commutes), so
+    unlike engine-specific HLL/theta sketch registers the sketch content
+    is bit-identical across engines, runs, and cluster sizes, and the
+    DuckDB oracle reproduces it exactly.
+
+    Scale shape: one distinct on (type, user-hash) with map-side partial
+    dedup, then a per-type top-k — at 100 TB the row_number window over
+    each type's hashes would be the two-stage min-k (per-partition top-k,
+    then merge: the aggregate form of TakeOrdered); the pairwise stage
+    operates on sketch rows only (types² × k, independent of corpus).
+    Exact per-type cardinalities ride along for audit.
+
+    Reference analog: none — extension surface (sketches family:
+    complements the mergeable-HLL rollup `events_distinct_rollup_sketch`).
+    """
+    e = table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    hashed = e.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(F.collect_list("h")).alias("mins"),
+            F.count("*").alias("k_used"),
+        )
+    )
+    ex = hashed.groupBy("event_type").agg(
+        F.count("*").alias("exact_users")
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("mins").alias("ma"),
+        F.col("k_used").alias("ka"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("mins").alias("mb"),
+        F.col("k_used").alias("kb"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    mu = F.array_sort(F.array_distinct(F.concat("ma", "mb")))
+    ku = F.least(F.size(mu).cast("long"), F.lit(KMV_K))
+    est = pairs.select(
+        "type_a",
+        "type_b",
+        "ma",
+        "mb",
+        mu.alias("mu"),
+        ku.alias("ku"),
+    ).select(
+        "type_a",
+        "type_b",
+        F.element_at("mu", F.col("ku").cast("int")).alias("kth"),
+        F.size(
+            F.filter(
+                F.slice("mu", 1, F.col("ku").cast("int")),
+                lambda x: F.array_contains("ma", x)
+                & F.array_contains("mb", x),
+            )
+        )
+        .cast("long")
+        .alias("n_both"),
+        "ku",
+    )
+    return (
+        est.join(
+            ex.select(
+                F.col("event_type").alias("type_a"),
+                F.col("exact_users").alias("users_a"),
+            ),
+            "type_a",
+        )
+        .join(
+            ex.select(
+                F.col("event_type").alias("type_b"),
+                F.col("exact_users").alias("users_b"),
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").alias("kmv_common"),
+            (
+                F.round(
+                    F.col("n_both").cast("double") / F.col("ku"), 6
+                )
+                + F.lit(0.0)
+            ).alias("jaccard_est"),
+            (
+                F.round(
+                    (F.col("ku").cast("double") - 1)
+                    / (F.col("kth").cast("double") / 281474976710656.0),
+                    1,
+                )
+                + F.lit(0.0)
+            ).alias("union_est"),
+            "users_a",
+            "users_b",
+        )
+    )
