@@ -970,3 +970,71 @@ def events_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "users_b",
         )
     )
+
+
+def _grouped_agg_kernels():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_cents(c: pd.Series) -> float:
+        # pandas median of int cents: midpoints are exact .5 halves in
+        # binary floating point, matching DuckDB's interpolating median
+        # on BIGINT
+        return float(c.median())
+
+    @pandas_udf("long")
+    def count_rows(c: pd.Series) -> int:
+        return int(c.size)
+
+    return median_cents, count_rows
+
+
+@register(
+    "events_grouped_agg_median",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(median(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100, 6)
+         + 0.0 AS median_value
+FROM events GROUP BY event_type
+""",
+    doc="GROUPED_AGG pandas UDF tier: per-event-type exact median via an "
+    "Arrow-batched aggregating kernel next to a JVM count in one groupBy",
+)
+def events_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas-UDF tier (§2.10) — the one vectorized-Python
+    surface the UDF inventory still lacked (scalar, grouped-map,
+    mapInPandas, mapInArrow, stateful, and UDTFs are covered elsewhere).
+    A grouped-agg kernel aggregates a whole group's column to ONE value —
+    here an exact median (non-algebraic: no partial-aggregation form
+    exists, which is precisely when the kernel tier is justified). API
+    constraint, surfaced by this query: Spark refuses to mix GROUPED_AGG
+    pandas UDFs with JVM aggregates in one ``agg``
+    (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a second pandas
+    kernel rather than a codegen count — one Arrow transfer serves both.
+    Values are cent-quantized first so the median's only
+    non-integer case is an exact dyadic midpoint — deterministic against
+    DuckDB's interpolating BIGINT median.
+
+    Scale caveat, stated: GROUPED_AGG materializes each group's column in
+    memory (no partial aggregation), so group cardinality × group size is
+    the constraint — right for per-type/per-tenant medians (few large
+    groups), wrong for per-user medians at 100 TB, where the
+    percentile_approx sketch (`orders_approx_quantiles`) is the scalable
+    substitute.
+
+    Reference analog: none — §2.10 UDF-surface completeness.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    med, cnt = _grouped_agg_kernels()
+    return (
+        e.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            cnt(F.col("cents")).alias("n_events"),
+            (F.round(med(F.col("cents")) / 100, 6) + F.lit(0.0)).alias(
+                "median_value"
+            ),
+        )
+    )

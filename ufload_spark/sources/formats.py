@@ -173,3 +173,73 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@register(
+    "source_corrupt_records",
+    """
+SELECT CASE WHEN doc_id % 7 = 3 THEN NULL ELSE lang END AS lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 7 = 3 THEN NULL ELSE n_chars END)
+            AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+""",
+    doc="malformed-record handling: JSONL with deterministically truncated "
+    "lines read under PERMISSIVE + columnNameOfCorruptRecord; corrupt rows "
+    "group under NULL lang — oracle by construction from the clean table",
+)
+def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-records ingestion semantics — the part of a 100 TB JSONL landing
+    zone that always exists and engines must not silently drop. The query
+    synthesizes the landing file itself from ``documents`` (every
+    ``doc_id % 7 == 3`` line truncated mid-token, so corruption is
+    deterministic and the ORACLE is computable from the clean table by
+    construction — no cross-engine JSON-error-semantics dependency), then
+    reads it back with an explicit schema under PERMISSIVE mode with
+    ``columnNameOfCorruptRecord``: malformed lines surface as a non-null
+    corrupt column and null fields, never as dropped rows. The aggregate
+    groups corrupt rows under NULL lang and proves (via the count and the
+    null-sum) that exactly the planted lines — and only those — failed.
+
+    Scale shape: text write + line-split JSON read are both
+    executor-parallel; the aggregate is one shuffle. DROPMALFORMED /
+    FAILFAST are the same reader with a different mode knob; a production
+    pipeline routes the corrupt column to a quarantine sink (the loader's
+    staging discipline) instead of aggregating it.
+    """
+    dest = _scratch_unique(
+        f"docs_jsonl_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    d = table(spark, sf_dir, "documents").select(
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("line"),
+        "doc_id",
+    )
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.substring(F.col("line"), 1, F.length("line") - 5),
+        )
+        .otherwise(F.col("line"))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").format("text").save(dest)
+    parsed = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(dest)
+    )
+    # group on the corrupt FLAG, not on parsed fields: since SPARK-40646
+    # PERMISSIVE may keep partial results (fields parsed before the error),
+    # so lang can be non-null even on a corrupt row
+    return parsed.groupBy(
+        F.when(F.col("_corrupt").isNull(), F.col("lang")).alias("lang")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("_corrupt").isNull(), F.col("n_chars"))
+        ).alias("sum_chars"),
+    )
