@@ -220,3 +220,69 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("yq").alias("y_max"),
         )
     )
+
+
+@register(
+    "layout_dynamic_partition_overwrite",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'click'
+                     THEN CAST(floor(value * 100 + 0.5) AS BIGINT) * 2
+                     ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+            AS BIGINT) AS total_cents
+FROM events GROUP BY event_type
+""",
+    doc="dynamic partition overwrite: rewrite ONLY the click partition "
+    "(values doubled) under partitionOverwriteMode=dynamic; untouched "
+    "partitions must survive byte-for-byte — proven by exact cent totals",
+)
+def layout_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INSERT OVERWRITE at partition granularity — the daily-reprocessing
+    primitive of every partitioned lake: recompute one day/type and swap
+    it in WITHOUT touching siblings. Static overwrite mode would truncate
+    the whole table; ``spark.sql.sources.partitionOverwriteMode=dynamic``
+    (set per-write here, not session-wide) replaces exactly the
+    partitions present in the incoming frame. The query writes events
+    partitioned by type, overwrites the ``click`` partition with doubled
+    cent values, reads the table back and totals per type in exact
+    integers — doubled clicks prove the overwrite landed, exact totals on
+    the other four types prove they survived untouched.
+
+    Scale shape: the rewrite's cost is the recomputed partition only; the
+    swap is a directory-level commit (the same atomic-rename discipline
+    as the loader's staged publish). At 100 TB this plus
+    `loader_time_travel`'s pointer versioning is the compaction/backfill
+    write path.
+
+    Reference analog: the reference re-restores one instance's DB among
+    many (cli/main.py restore loop) — partition-scoped replacement is
+    that operation lake-side.
+    """
+    from ufload_spark.sources.loader import _scratch_unique
+
+    dest = _scratch_unique(
+        f"events_dpo_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(dest)
+    clicks2 = ev.where(F.col("event_type") == "click").withColumn(
+        "cents", F.col("cents") * 2
+    )
+    (
+        clicks2.write.partitionBy("event_type")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(dest)
+    )
+    back = spark.read.parquet(dest)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+    )
