@@ -884,7 +884,11 @@ def events_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
     ).cast("long")
-    hashed = e.select("event_type", h.alias("h")).distinct()
+    # the distinct (type, user-hash) table feeds the sketch build twice
+    # (a/b join sides) and the exact-cardinality audit twice — persist it
+    # so the corpus scans once (its cardinality is users × types, orders
+    # of magnitude under the event count)
+    hashed = e.select("event_type", h.alias("h")).distinct().persist()
     w = Window.partitionBy("event_type").orderBy("h")
     sk = (
         hashed.withColumn("rn", F.row_number().over(w))
