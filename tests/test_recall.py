@@ -224,3 +224,35 @@ def test_pq_topk_recall_vs_exact(spark):
     assert set(got) == set(exact)
     overlap = sum(len(exact[q] & got[q]) for q in exact) / (5 * len(exact))
     assert overlap >= 0.3, f"PQ top-5 overlap vs exact L2: {overlap}"
+
+
+def test_substring_span_coverage_on_planted_dups(spark, planted_dir):
+    """dedup_substring_spans on the planted document copies: a
+    0-substitution copy IS its base — every span duplicated, so coverage
+    must be exactly 1.0 (both the copy and its base); a 1-2-substitution
+    copy still shares every 16-token window that avoids the edited
+    positions, so any long-enough edited copy must show nonzero
+    duplicated coverage. Exact expectations, not statistical ones —
+    substring dedup is deterministic."""
+    out_dir, _ = planted_dir
+    res = (
+        _registry()["dedup_substring_spans"]
+        .fn(spark, out_dir)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    checked_exact = 0
+    checked_edited = 0
+    for i, did in enumerate(DOC_BASES):
+        copy = res.loc[10000 + did]
+        if copy.n_spans == 0:
+            continue  # too short for a single window — out of scope
+        if i % 3 == 0:  # bit-identical copy
+            assert copy.dup_frac == 1.0, (did, dict(copy))
+            assert res.loc[did].dup_frac == 1.0, did
+            checked_exact += 1
+        elif copy.n_tokens >= 50:  # room for a clean 16-token window
+            assert copy.dup_tokens > 0, (did, dict(copy))
+            checked_edited += 1
+    assert checked_exact >= 3
+    assert checked_edited >= 3
