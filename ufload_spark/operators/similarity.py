@@ -1665,7 +1665,7 @@ def _gram_batches(batches):
         )
 
 
-def _pca_oracle() -> str:
+def _pca_ctes() -> str:
     d2 = DIM * DIM
     fold = "(a, b) -> a + b"
     parts = [
@@ -1712,6 +1712,12 @@ WITH q AS (
   )
 )"""
         )
+    return "".join(parts)
+
+
+def _pca_oracle() -> str:
+    fold = "(a, b) -> a + b"
+    parts = [_pca_ctes()]
     parts.append(
         f""", fin AS (
   SELECT n, c, v,
@@ -1775,6 +1781,53 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the similarity family: PCA whitening/compression is the standard
     preprocessing ahead of the IVF/PQ indexes registered above).
     """
+    row, fold, seq, matvec = _pca_fit(spark, sf_dir)
+    barrier = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+    row = barrier(
+        row.withColumn("w4", matvec(F.col("c"), F.col("v")))
+    ).select(
+        "n",
+        "v",
+        fold(
+            F.transform(
+                seq,
+                lambda i: F.element_at("v", i + 1) * F.element_at("w4", i + 1),
+            )
+        ).alias("lam"),
+        fold(
+            F.transform(seq, lambda i: F.element_at("c", i * DIM + i + 1))
+        ).alias("tr"),
+    )
+    return row.select(
+        F.posexplode("v").alias("component", "_l"),
+        F.col("lam"),
+        F.col("tr"),
+        F.col("n"),
+    ).select(
+        F.col("component").cast("int").alias("component"),
+        (F.round("_l", 6) + F.lit(0.0)).alias("loading"),
+        (
+            F.round(
+                F.col("lam")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n")
+                    * F.lit(float(PCA_SCALE * PCA_SCALE))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("eigval_cov"),
+        (F.round(F.col("lam") / F.col("tr"), 6) + F.lit(0.0)).alias(
+            "var_share"
+        ),
+    )
+
+
+def _pca_fit(spark: SparkSession, sf_dir: str):
+    """Gramian pass + power iteration; returns (fitted single-row frame
+    with columns n, c, v; the shared fold/seq/matvec builders). See
+    :func:`embedding_pca_power` for the numeric contract."""
     tune(spark)
     e = table(spark, sf_dir, "embeddings")
     partials = e.select("embedding").mapInPandas(
@@ -1853,42 +1906,51 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).drop("w", "nrm")
         )
-    row = barrier(
-        row.withColumn("w4", matvec(F.col("c"), F.col("v")))
-    ).select(
-        "n",
-        "v",
+    return row, fold, seq, matvec
+
+
+@register(
+    "embedding_pca_project",
+    _pca_ctes()
+    + f"""
+SELECT e.vec_id, e.label,
+       round(list_reduce(list_transform(range({DIM}),
+             i -> v[i + 1] * CAST(e.embedding[i + 1] AS DOUBLE)),
+             (a, b) -> a + b), 6) + 0.0 AS proj
+FROM embeddings e, it{PCA_ITERS}
+""",
+    doc="apply the fitted principal component: per-vector projection "
+    "score via a broadcast of the single fitted row — the train→apply "
+    "lifecycle for the spectral family",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of the PCA lifecycle (as `text_bpe_encode` is to
+    `text_bpe_learn`): score every embedding against the component
+    `embedding_pca_power` fits. The fitted vector is ONE row — it
+    broadcasts, and the projection is a per-row 64-term left fold
+    (element-wise double multiplies, fold order matching DuckDB's
+    ``list_reduce``, rounded once) — no cross-row float reduction exists
+    anywhere, so the scores are deterministic at any parallelism.
+
+    Scale shape: corpus scan × broadcast-one-row join, pure narrow map —
+    the cheapest possible model-apply plan. Production would read the
+    persisted loadings (the `similarity_ivf_incremental` lifecycle) and
+    use the score for whitening, compression, or as an IVF residual
+    axis; the in-query fit keeps the oracle self-contained.
+    """
+    row, fold, seq, _ = _pca_fit(spark, sf_dir)
+    vrow = row.select("v")
+    e = table(spark, sf_dir, "embeddings")
+    proj = F.round(
         fold(
             F.transform(
                 seq,
-                lambda i: F.element_at("v", i + 1) * F.element_at("w4", i + 1),
+                lambda i: F.element_at("v", i + 1)
+                * F.element_at("embedding", i + 1).cast("double"),
             )
-        ).alias("lam"),
-        fold(
-            F.transform(seq, lambda i: F.element_at("c", i * DIM + i + 1))
-        ).alias("tr"),
-    )
-    return row.select(
-        F.posexplode("v").alias("component", "_l"),
-        F.col("lam"),
-        F.col("tr"),
-        F.col("n"),
-    ).select(
-        F.col("component").cast("int").alias("component"),
-        (F.round("_l", 6) + F.lit(0.0)).alias("loading"),
-        (
-            F.round(
-                F.col("lam")
-                / (
-                    F.col("n").cast("double")
-                    * F.col("n")
-                    * F.lit(float(PCA_SCALE * PCA_SCALE))
-                ),
-                6,
-            )
-            + F.lit(0.0)
-        ).alias("eigval_cov"),
-        (F.round(F.col("lam") / F.col("tr"), 6) + F.lit(0.0)).alias(
-            "var_share"
         ),
+        6,
+    ) + F.lit(0.0)
+    return e.crossJoin(F.broadcast(vrow)).select(
+        "vec_id", "label", proj.alias("proj")
     )
