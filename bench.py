@@ -8,6 +8,11 @@
 
 Queries are forced through the ``noop`` sink so every column is actually
 materialized (a bare count() would let column pruning skip most of the work).
+
+The stdout line is kept deliberately small (sf0.1 per-query map + sf1
+totals); the full detail — sf1 per-query medians, spread stats, ANN
+train-vs-probe tier annotation — is written to ``BENCH_DETAIL.json``
+next to this script.
 """
 
 from __future__ import annotations
@@ -170,8 +175,33 @@ def main() -> None:
             "p90": round(spreads[int(len(spreads) * 0.9)], 3),
         }
 
-    print(json.dumps(result))
+    # Emission contract (r5 lesson: the 50-query × 2-SF line outgrew the
+    # driver's captured output tail and BENCH_r05.json recorded
+    # "parsed": null). The FULL result — both per-query maps, spreads,
+    # tier annotation — goes to a committed sidecar, BENCH_DETAIL.json;
+    # stdout gets ONE SMALL line: the headline metric, the sf0.1 per-query
+    # map (the documented contract), and sf1 totals WITHOUT its per-query
+    # map. Printed last so nothing can scroll it out of the tail.
+    detail = dict(result)
+    detail["ann_tiers"] = {
+        # train-included entries charge k-means training to every run;
+        # the probe entries are the production query path (persisted index,
+        # plan-pinned k-means-free). Track round-over-round accordingly.
+        "train_included": ["similarity_ivf_topk", "similarity_pq_topk"],
+        "persisted_probe": ["similarity_ivf_incremental", "similarity_pq_incremental"],
+    }
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(sidecar, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        result["detail_file"] = "BENCH_DETAIL.json"
+    except OSError:
+        pass  # read-only checkout: the stdout line still stands alone
+    result.pop("sf1_queries", None)
     spark.stop()
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -29,12 +29,22 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v: Any) -> Any:
+    # Type-STRICT on the int/float axis: the driver's value hash
+    # distinguishes an int64 column from a float64 column even when the
+    # values are numerically equal (e.g. DuckDB HUGEINT sums materialize
+    # as float64 while Spark emits int64).  Python's `1849 == 1849.0`
+    # would mask exactly that class of driver hash-fail, so numeric cells
+    # are tagged with their kind before comparison.
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, FLOAT_DECIMALS)
+            return ("f", "NaN")
+        return ("f", round(v, FLOAT_DECIMALS))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None).isoformat()
     if hasattr(v, "isoformat"):

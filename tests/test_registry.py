@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from ufload_spark.plans.registry import _driver_verified_names, load_all
+from ufload_spark.plans.registry import _driver_history, load_all
 
 
 def test_every_query_has_an_oracle():
@@ -15,7 +15,7 @@ def test_unverified_queries_ordered_first():
     """The driver samples ~50 entries per round in iteration order; queries
     without a green CORRECTNESS_r*.json row must come first so driver-side
     coverage converges across rounds."""
-    verified = _driver_verified_names()
+    verified, sampled = _driver_history()
     names = list(load_all())
     seen_verified = False
     for n in names:
@@ -23,6 +23,15 @@ def test_unverified_queries_ordered_first():
             seen_verified = True
         else:
             assert not seen_verified, f"unverified {n!r} after verified entries"
+    # and within the unverified bucket: known driver-fails before everything
+    # never sampled (fail-first re-verification)
+    unverified = [n for n in names if n not in verified]
+    seen_unsampled = False
+    for n in unverified:
+        if n not in sampled:
+            seen_unsampled = True
+        else:
+            assert not seen_unsampled, f"driver-fail {n!r} after never-sampled entries"
 
 
 def test_hash_failed_row_counts_as_unverified(tmp_path):
@@ -53,8 +62,9 @@ def test_hash_failed_row_counts_as_unverified(tmp_path):
         },
     }
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(artifact))
-    verified = _driver_verified_names(repo_root=str(tmp_path))
+    verified, sampled = _driver_history(repo_root=str(tmp_path))
     assert verified == {"fully_green"}
+    assert sampled == {"hash_failed", "fully_green", "errored"}
 
 
 def test_registry_names_unique_and_nonempty():

@@ -695,9 +695,9 @@ def test_pit_features_strictness_no_leakage(spark):
 def test_substring_spans_plan(spark):
     """dedup_substring_spans must stay whole-stage JVM (no Python eval),
     compute the span frequency with ONE hash-key exchange (windowed
-    collect_set, no groupBy-then-rejoin second corpus pass), and share a
-    single doc_id exchange between the coverage window and the per-doc
-    aggregate."""
+    min!=max doc_id — O(1) state, no collect_set, no groupBy-then-rejoin
+    second corpus pass), and share a single doc_id exchange between the
+    coverage window and the per-doc aggregate."""
     import re
 
     from ufload_spark.plans.registry import load_all
@@ -705,6 +705,7 @@ def test_substring_spans_plan(spark):
     df = load_all()["dedup_substring_spans"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "collect_set" not in plan  # span frequency must be O(1)-state
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert sum(1 for k in keys if k.startswith("h")) == 1, keys
     assert sum(1 for k in keys if k.startswith("doc_id")) <= 2, keys

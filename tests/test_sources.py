@@ -751,3 +751,202 @@ def test_pysource_stream_resumes_from_checkpoint(spark, tmp_path):
     assert sorted(rows) == sorted(
         ["0\ten\t10", "1\tfr\t20", "2\tde\t30", "3\tzh\t40"]
     ), "restart must append exactly the new files, once each"
+
+
+# --- OP-SRC-3: chunked upload sink -----------------------------------------
+
+
+def test_upload_chunks_progress_and_atomic_finish(tmp_path):
+    """The multipart lifecycle (reference webdav.py:137-192): 3.5 chunks →
+    start + 4 writes + finish; progress fires per chunk with running percent;
+    the published object only appears after finish and is byte-identical."""
+    from ufload_spark.sources.remote import LocalChunkSink, upload
+
+    payload = bytes(range(256)) * 14  # 3584 bytes
+    src = tmp_path / "dump.bin"
+    src.write_bytes(payload)
+    root = tmp_path / "remote"
+    events: list[tuple[int, int | None, int | None]] = []
+
+    class SpySink(LocalChunkSink):
+        def finish(self, remote_path, upload_id, offset):
+            # staging only, nothing published yet
+            assert not (root / "inst" / "dump.bin").exists()
+            super().finish(remote_path, upload_id, offset)
+
+    sent = upload(
+        str(src), "inst/dump.bin", SpySink(str(root)),
+        buffer_size=1024, progress=lambda *e: events.append(e),
+    )
+    assert sent == len(payload)
+    assert (root / "inst" / "dump.bin").read_bytes() == payload
+    assert [e[0] for e in events] == [1024, 2048, 3072, 3584]
+    assert [e[2] for e in events] == [29, 57, 86, 100]
+    assert all(e[1] == len(payload) for e in events)
+    # no staging leftovers after the atomic rename
+    assert list((root / "inst").glob(".*.part")) == []
+
+
+def test_upload_exact_multiple_still_finishes(tmp_path):
+    """A payload that is an exact multiple of the buffer must still be
+    finalized (the reference's read-then-break leaves that session
+    unfinished — webdav.py:188-190; we fixed it on purpose)."""
+    from ufload_spark.sources.remote import LocalChunkSink, upload
+
+    payload = b"x" * 4096
+    src = tmp_path / "even.bin"
+    src.write_bytes(payload)
+    root = tmp_path / "remote"
+    sent = upload(str(src), "even.bin", LocalChunkSink(str(root)), buffer_size=1024)
+    assert sent == 4096
+    assert (root / "even.bin").read_bytes() == payload
+
+
+def test_upload_retries_transient_chunk_failure(tmp_path):
+    """A chunk that fails transiently is re-sent at the SAME offset and the
+    sink's offset check makes the retry idempotent — the final object has no
+    duplicated or missing bytes."""
+    from ufload_spark.sources.remote import LocalChunkSink, upload
+
+    payload = bytes(range(256)) * 8  # 2048 = 2 chunks
+    src = tmp_path / "flaky.bin"
+    src.write_bytes(payload)
+    root = tmp_path / "remote"
+    fails = {"n": 2}
+
+    class FlakySink(LocalChunkSink):
+        def write(self, remote_path, upload_id, offset, data):
+            super().write(remote_path, upload_id, offset, data)
+            if offset == 1024 and fails["n"]:
+                fails["n"] -= 1
+                raise OSError("transient POST failure")
+
+    sent = upload(
+        str(src), "flaky.bin", FlakySink(str(root)),
+        buffer_size=1024, retry_sleep_s=0.0,
+    )
+    assert sent == 2048
+    assert (root / "flaky.bin").read_bytes() == payload
+
+
+def test_upload_gives_up_after_bounded_retries(tmp_path):
+    """A permanently failing chunk exhausts max_retries and raises; nothing
+    is published."""
+    import pytest
+
+    from ufload_spark.sources.remote import LocalChunkSink, upload
+
+    src = tmp_path / "bad.bin"
+    src.write_bytes(b"y" * 100)
+    root = tmp_path / "remote"
+    calls = {"n": 0}
+
+    class DeadSink(LocalChunkSink):
+        def write(self, remote_path, upload_id, offset, data):
+            calls["n"] += 1
+            raise OSError("hard down")
+
+    with pytest.raises(OSError, match="after 3 attempts"):
+        upload(
+            str(src), "bad.bin", DeadSink(str(root)),
+            buffer_size=64, max_retries=3, retry_sleep_s=0.0,
+        )
+    assert calls["n"] == 3
+    assert not (root / "bad.bin").exists()
+
+
+def test_upload_stream_without_size_reports_no_percent(tmp_path):
+    """A non-seekable stream (no fstat size) still uploads; progress carries
+    byte counts with percent=None — the reference's size=None branch
+    (webdav.py:145-148)."""
+    import io as _io
+
+    from ufload_spark.sources.remote import LocalChunkSink, upload
+
+    root = tmp_path / "remote"
+    events = []
+    sent = upload(
+        _io.BytesIO(b"z" * 1500), "stream.bin", LocalChunkSink(str(root)),
+        buffer_size=1024, progress=lambda *e: events.append(e),
+    )
+    assert sent == 1500
+    assert (root / "stream.bin").read_bytes() == b"z" * 1500
+    assert [e[0] for e in events] == [1024, 1500]
+    assert all(e[1] is None and e[2] is None for e in events)
+
+
+# --- probe-next-on-failure restore (reference cli/main.py:288-371) ---------
+
+
+def test_restore_falls_through_to_next_candidate(spark, tmp_path):
+    """Candidate #1's staged audit fails (empty restore) → candidate #2
+    publishes; the attempt log records the fall-through and the published
+    data is candidate #2's."""
+    from ufload_spark.sources.loader import restore_first_viable
+
+    target = str(tmp_path / "restored")
+    cands = [{"name": "backup_newest.zip"}, {"name": "backup_older.zip"},
+             {"name": "backup_oldest.zip"}]
+
+    def build(s, cand):
+        if cand["name"] == "backup_newest.zip":
+            return s.range(0).selectExpr("id", "'bad' AS src")  # empty → AuditError
+        return s.range(5).selectExpr("id", f"'{cand['name']}' AS src")
+
+    out = restore_first_viable(spark, cands, target, build)
+    assert out["published"] == "backup_older.zip"
+    assert out["rows"] == 5
+    assert [a["ok"] for a in out["attempts"]] == [False, True]
+    got = spark.read.parquet(target)
+    assert got.count() == 5
+    assert got.select("src").distinct().collect()[0][0] == "backup_older.zip"
+
+
+def test_restore_all_candidates_fail_leaves_target_untouched(spark, tmp_path):
+    """Every candidate fails its audit → AuditError naming each attempt, and
+    a pre-existing published target is byte-identical to before."""
+    import pytest
+
+    from ufload_spark.sources.loader import (
+        AuditError,
+        restore_first_viable,
+        stage_and_publish,
+    )
+
+    target = str(tmp_path / "restored")
+    stage_and_publish(spark, spark.range(3).selectExpr("id", "'orig' AS src"), target)
+
+    def build(s, cand):
+        return s.range(0).selectExpr("id", "'x' AS src")
+
+    with pytest.raises(AuditError, match="no viable candidate"):
+        restore_first_viable(
+            spark, [{"name": "a.zip"}, {"name": "b.zip"}], target, build
+        )
+    got = spark.read.parquet(target)
+    assert got.count() == 3
+    assert got.select("src").distinct().collect()[0][0] == "orig"
+    # no staging debris
+    import os as _os
+
+    leftovers = [p for p in _os.listdir(tmp_path) if ".staging." in p or ".old." in p]
+    assert leftovers == []
+
+
+def test_restore_expected_rows_gate_skips_short_candidate(spark, tmp_path):
+    """The expected_rows audit (reference: restored DB must match the
+    expected size) skips a candidate that stages the wrong row count."""
+    from ufload_spark.sources.loader import restore_first_viable
+
+    target = str(tmp_path / "restored")
+
+    def build(s, cand):
+        n = 3 if cand["name"] == "short.zip" else 7
+        return s.range(n).selectExpr("id", f"'{cand['name']}' AS src")
+
+    out = restore_first_viable(
+        spark, [{"name": "short.zip"}, {"name": "full.zip"}], target, build,
+        expected_rows=7,
+    )
+    assert out["published"] == "full.zip"
+    assert spark.read.parquet(target).count() == 7

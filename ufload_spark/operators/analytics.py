@@ -928,10 +928,11 @@ def lineitem_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group and the normal equations solve in the projection — no
     gradient loop, no second scan. Quantities and prices quantize exactly
     (whole units / cents via the half-up ``floor(v+0.5)`` both engines
-    share), so every sum is an exact int64 — the same order-free-reduction
-    discipline as `embedding_pca_power` and `graph_pagerank_purchases` —
-    and the n·Σxy − ΣxΣy combinations are computed in exact decimal128
-    (they exceed int64 past ~10^5 rows) before ONE final float division,
+    share), so every sum is exact — Σx/Σy in int64, the product sums
+    (Σxy, Σx², Σy²) in decimal128 because Σy² wraps int64 past sf≈0.125 —
+    the same order-free-reduction discipline as `embedding_pca_power` and
+    `graph_pagerank_purchases` — and the n·Σxy − ΣxΣy combinations are
+    computed in exact decimal128 before ONE final float division,
     rounded on both engines. Slope/intercept are reported back in currency
     units (cents → /100).
 
@@ -950,6 +951,12 @@ def lineitem_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.floor(F.col("l_quantity") + 0.5).cast("long")
     y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     dec = "decimal(38,0)"
+    # The product sums run in decimal128, mirroring the oracle's HUGEINT:
+    # Σy² alone is ~10^14 per row × millions of rows per group, which
+    # wraps int64 past sf≈0.125 (silently, with ANSI off). Σx/Σy stay
+    # int64-exact at any plausible scale (≤ ~10^7 cents per row).
+    xd = F.col("x").cast(dec)
+    yd = F.col("y").cast(dec)
     sums = (
         li.select("l_returnflag", x.alias("x"), y.alias("y"))
         .groupBy("l_returnflag")
@@ -957,9 +964,9 @@ def lineitem_ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum("x").alias("sx"),
             F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(xd * yd).alias("sxy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(yd * yd).alias("syy"),
         )
     )
     n, sx, sy, sxy, sxx, syy = (

@@ -1313,8 +1313,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     position sequence; the token array is split once per document below
     the Generate, and each emitted row slices ``SPAN_W`` tokens — O(n·W)
     work, never O(n²) memory). Cross-doc frequency is computed with ONE
-    shuffle on the span hash via a windowed ``collect_set(doc_id)`` —
-    no groupBy-then-rejoin second scan of the corpus. The coverage window
+    shuffle on the span hash via windowed ``min(doc_id) != max(doc_id)``
+    (the O(1)-state equivalent of ``count(DISTINCT doc_id) >= 2`` — a
+    boilerplate span shared by millions of docs never materializes a
+    doc_id set) — no groupBy-then-rejoin second scan of the corpus. The coverage window
     and the per-doc aggregate share a single doc_id exchange, and the
     final left join back to documents rides the same doc_id partitioning.
     At 100 TB the paper's cluster-global suffix array is replaced by this
@@ -1339,9 +1341,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.md5(F.concat_ws(" ", F.slice("tk", F.col("pos") + 1, SPAN_W))).alias("h"),
     )
-    # one shuffle on h: distinct-doc count per hash as a window, no rejoin
-    n_docs = F.size(F.collect_set("doc_id").over(Window.partitionBy("h")))
-    dup = spans.withColumn("n_docs", n_docs).where(F.col("n_docs") >= 2)
+    # One shuffle on h: the ">= 2 distinct docs" flag as a window, no
+    # rejoin. min != max is the O(1)-state form of count(DISTINCT) >= 2 —
+    # a boilerplate span shared by millions of documents costs two scalars
+    # of aggregation buffer, not a materialized doc_id set.
+    w_h = Window.partitionBy("h")
+    multi = F.min("doc_id").over(w_h) != F.max("doc_id").over(w_h)
+    dup = spans.withColumn("_multi", multi).where(F.col("_multi")).drop("_multi")
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     contrib = F.least(
         F.lit(SPAN_W),

@@ -305,3 +305,214 @@ def delive_ilike_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.where(F.col("name").ilike("%ur%")).select(
         "gid", "name", F.lit(False).alias("visible")
     )
+
+
+# --- the four remaining §2.11 steps (VERDICT r5 "What's missing" #2) -------
+#
+# Derived input frames, mirroring the DELIVE_CTE discipline: the sandbox
+# tables the reference mutates (sync connection, automated import/export
+# settings, backup config, sync-server entities) are synthesized from the
+# TPC-H dims so the DuckDB oracle sees identical inputs.
+
+SYNC_CTE = """
+WITH conn AS (
+  SELECT n_nationkey AS id,
+         n_regionkey % 2 = 0 AS automatic_patching,
+         'netrpc' AS protocol,
+         lower(n_name) AS login,
+         'LIVE_' || n_name AS database,
+         'prod-' || lower(n_name) AS host,
+         CAST(8069 + n_regionkey AS BIGINT) AS port
+  FROM nation
+)
+"""
+
+
+@register(
+    "delive_sync_connection_override",
+    SYNC_CTE
+    + """
+SELECT id,
+       automatic_patching AS ufload_automatic_patching_prod_value,
+       false AS automatic_patching,
+       'xmlrpc' AS protocol,
+       'admin' AS login,
+       'PFX_SYNC_SERVER_LOCAL' AS database,
+       '127.0.0.1' AS host,
+       CAST(8069 AS BIGINT) AS port
+FROM conn
+""",
+    doc="§2.11 save+override sync connection (db.py:370-372): ALTER ADD "
+    "COLUMN prod-value save, then stomp connection fields to the sandbox "
+    "sync server",
+)
+def delive_sync_connection_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's save-then-override on sync_client_sync_server_connection
+    (db.py:370-372): ADD COLUMN ufload_automatic_patching_prod_value, copy
+    automatic_patching into it (so a later re-live can restore production
+    behavior), then point the connection at the local sandbox sync server
+    (automatic_patching off, xmlrpc, admin@127.0.0.1, prefixed DB name).
+    Schema evolution + column copy + constant stomp is one projection here —
+    a narrow map, no shuffle."""
+    n = table(spark, sf_dir, "nation")
+    conn = n.select(
+        F.col("n_nationkey").alias("id"),
+        (F.col("n_regionkey") % 2 == 0).alias("automatic_patching"),
+    )
+    return conn.select(
+        "id",
+        F.col("automatic_patching").alias("ufload_automatic_patching_prod_value"),
+        F.lit(False).alias("automatic_patching"),
+        F.lit("xmlrpc").alias("protocol"),
+        F.lit("admin").alias("login"),
+        F.lit("PFX_SYNC_SERVER_LOCAL").alias("database"),
+        F.lit("127.0.0.1").alias("host"),
+        F.lit(8069).cast("bigint").alias("port"),
+    )
+
+
+AUTOMATION_CTE = """
+WITH automation AS (
+  SELECT s_suppkey AS id,
+         CASE WHEN s_nationkey % 2 = 0 THEN 'import' ELSE 'export' END AS kind,
+         '/srv/reports/' || s_name AS report_path,
+         'ftp://live.example/' || lower(s_name) AS ftp_url,
+         '/srv/out/' || s_name AS dest_path,
+         lower(s_name) AS ftp_login,
+         'LIVE_FTP_PW' AS ftp_password,
+         true AS ftp_ok
+  FROM supplier
+)
+"""
+
+
+@register(
+    "delive_automation_blanking",
+    AUTOMATION_CTE
+    + """
+SELECT id, kind,
+       '' AS report_path, '' AS ftp_url, '' AS dest_path,
+       '' AS ftp_login, '' AS ftp_password, false AS ftp_ok
+FROM automation
+""",
+    doc="§2.11 automated import/export blanking (db.py:395,402): stomp every "
+    "FTP/path setting so the sandbox can't reach production endpoints",
+)
+def delive_automation_blanking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference blanks every automated_import / automated_export
+    connection setting (db.py:395,402 — paths, FTP URL/login/password,
+    ftp_ok) so a restored sandbox cannot push to or pull from production
+    systems. Both tables collapse to one frame with a ``kind``
+    discriminator; the blanking is a constant projection — narrow map,
+    no shuffle, trivially parallel at any scale."""
+    s = table(spark, sf_dir, "supplier")
+    automation = s.select(
+        F.col("s_suppkey").alias("id"),
+        F.when(F.col("s_nationkey") % 2 == 0, F.lit("import"))
+        .otherwise(F.lit("export"))
+        .alias("kind"),
+    )
+    blank = F.lit("")
+    return automation.select(
+        "id",
+        "kind",
+        blank.alias("report_path"),
+        blank.alias("ftp_url"),
+        blank.alias("dest_path"),
+        blank.alias("ftp_login"),
+        blank.alias("ftp_password"),
+        F.lit(False).alias("ftp_ok"),
+    )
+
+
+@register(
+    "delive_backup_config_reset",
+    """
+WITH backup_config AS (
+  SELECT r_regionkey AS id,
+         r_regionkey % 2 = 0 AS beforemanualsync,
+         r_regionkey % 3 = 0 AS beforepatching,
+         r_regionkey % 2 = 1 AS aftermanualsync,
+         true AS beforeautomaticsync,
+         true AS afterautomaticsync,
+         true AS scheduledbackup,
+         'E:\\\\backups\\\\' || r_name AS name,
+         r_name LIKE 'A%' OR r_name = 'EUROPE' AS is_windows_host
+  FROM region
+)
+SELECT id,
+       false AS beforemanualsync, false AS beforepatching,
+       false AS aftermanualsync, false AS beforeautomaticsync,
+       false AS afterautomaticsync, false AS scheduledbackup,
+       CASE WHEN is_windows_host THEN 'd:\\' ELSE '/tmp' END AS name
+FROM backup_config
+""",
+    doc="§2.11 backup-config reset (db.py:431-439): every backup trigger "
+    "off, backup directory re-pointed per platform",
+)
+def delive_backup_config_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference turns off every backup trigger flag on backup_config and
+    re-points the backup directory platform-dependently ('d:\\\\' on Windows
+    hosts, '/tmp' for local loads) — db.py:431-439. Constant stomp +
+    conditional path: one narrow projection over the config frame."""
+    r = table(spark, sf_dir, "region")
+    cfg = r.select(
+        F.col("r_regionkey").alias("id"),
+        (F.col("r_name").like("A%") | (F.col("r_name") == "EUROPE")).alias(
+            "is_windows_host"
+        ),
+    )
+    off = F.lit(False)
+    return cfg.select(
+        "id",
+        off.alias("beforemanualsync"),
+        off.alias("beforepatching"),
+        off.alias("aftermanualsync"),
+        off.alias("beforeautomaticsync"),
+        off.alias("afterautomaticsync"),
+        off.alias("scheduledbackup"),
+        F.when(F.col("is_windows_host"), F.lit("d:\\"))
+        .otherwise(F.lit("/tmp"))
+        .alias("name"),
+    )
+
+
+#: the sandbox sync user every entity is relinked to (db.py:717 connectionuser)
+_SYNC_USER_LOGIN = "customer#000000002"
+
+
+@register(
+    "delive_sync_entity_relink",
+    DELIVE_CTE
+    + """
+, entity AS (
+  SELECT s_suppkey AS entity_id, 'entity_' || s_name AS entity_name,
+         s_nationkey AS user_id
+  FROM supplier
+)
+SELECT entity_id, entity_name,
+       (SELECT id FROM users WHERE login = '"""
+    + _SYNC_USER_LOGIN
+    + """') AS user_id
+FROM entity
+""",
+    doc="§2.11 sync-server entity relink (db.py:713-719): every sync entity "
+    "re-owned by the sandbox sync user via scalar-subquery lookup",
+)
+def delive_sync_entity_relink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``UPDATE sync_server_entity SET user_id = (SELECT id FROM res_users
+    WHERE login = '<connectionuser>')`` (reference db.py:717; the all-admin
+    variant at db.py:714 is the same shape with a literal 1). The scalar
+    subquery is a one-row aggregate broadcast into the entity scan —
+    OP-JOIN-4's economics: the 100 TB side never moves."""
+    s = table(spark, sf_dir, "supplier")
+    entity = s.select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.concat(F.lit("entity_"), F.col("s_name")).alias("entity_name"),
+    )
+    uid = (
+        users(spark, sf_dir)
+        .where(F.col("login") == _SYNC_USER_LOGIN)
+        .agg(F.max("id").alias("user_id"))
+    )
+    return entity.join(F.broadcast(uid)).select("entity_id", "entity_name", "user_id")

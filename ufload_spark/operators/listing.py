@@ -304,7 +304,7 @@ COMPACT_TARGET = 256 * 1024 * 1024
   FROM backups
 )
 SELECT instance, CAST(prefix_excl // {COMPACT_TARGET} AS BIGINT) AS bin_id,
-       count(*) AS n_files, sum(size_bytes) AS bin_bytes
+       count(*) AS n_files, CAST(sum(size_bytes) AS BIGINT) AS bin_bytes
 FROM seq GROUP BY 1, 2
 """,
     doc="small-file compaction planner: per-instance mtime-ordered greedy "

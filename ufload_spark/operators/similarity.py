@@ -1767,7 +1767,8 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. **The iteration is rounded at every step** (9 dp after each
        mat-vec element, normalization, and update; left-fold order
        matches DuckDB's ``list_reduce`` exactly, and ``+ 0.0`` collapses
-       ``-0.0``), so three power steps stay in lockstep across engines.
+       ``-0.0``), so all :data:`PCA_ITERS` power steps stay in lockstep
+       across engines.
 
     Scale shape: one ``mapInPandas`` map over the corpus (BLAS Gramian per
     Arrow batch — the `_sig_batches` tier), ONE shuffle of ~DIM² tiny

@@ -235,11 +235,13 @@ WITH minute AS (
   FROM events GROUP BY 1, 2
 ), hourly AS (
   SELECT date_trunc('hour', bucket_start) AS bucket_start, event_type,
-         sum(n_events) AS n_events, sum(sum_cents) AS sum_cents
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(sum_cents) AS BIGINT) AS sum_cents
   FROM minute GROUP BY 1, 2
 ), daily AS (
   SELECT date_trunc('day', bucket_start) AS bucket_start, event_type,
-         sum(n_events) AS n_events, sum(sum_cents) AS sum_cents
+         CAST(sum(n_events) AS BIGINT) AS n_events,
+         CAST(sum(sum_cents) AS BIGINT) AS sum_cents
   FROM hourly GROUP BY 1, 2
 )
 SELECT 'minute' AS grain, bucket_start, event_type, n_events,

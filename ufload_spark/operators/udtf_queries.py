@@ -231,8 +231,8 @@ SELECT user_id,
        count(*) AS n_events,
        string_agg(CASE WHEN rn <= 5 THEN event_type END, '>' ORDER BY rn)
          AS path,
-       sum(CASE WHEN prev IS NOT NULL AND prev <> event_type
-                THEN 1 ELSE 0 END) AS n_switches
+       CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> event_type
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
 FROM ordered GROUP BY user_id
 """,
     doc="Python UDTF over a PARTITION BY table argument: per-user "

@@ -129,7 +129,8 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_schema_evolution",
     """
 SELECT o_orderstatus, count(*) AS n_orders,
-       sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n_with_priority,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_priority,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY o_orderstatus
 """,

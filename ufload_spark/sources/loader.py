@@ -467,6 +467,45 @@ def memo_publish(spark: SparkSession, name: str, sf_dir: str, build) -> str:
     return target
 
 
+def restore_first_viable(
+    spark: SparkSession,
+    candidates,
+    target: str,
+    build,
+    *,
+    expected_rows: int | None = None,
+) -> dict:
+    """Probe-next-on-failure restore — the reference's candidate loop
+    (cli/main.py:288-371: try the newest backup, fall through to the
+    next-newest when the restore fails, ``break`` on the first success at
+    :367). The candidate list is :func:`backup_candidates_top3`'s output
+    for one instance (rank-ordered, ≤ k rows — driver-side control plane);
+    ``build(spark, candidate)`` produces the restore DataFrame for one
+    candidate; each attempt runs the full stage→audit→publish discipline,
+    so a failed candidate leaves no staging debris and never touches
+    ``target`` (the audit failure IS the reference's failed-restore
+    signal). Returns ``{"published": <candidate name>, "rows": n,
+    "attempts": [{"name", "ok", "err"} ...]}``; raises :class:`AuditError`
+    when every candidate fails — with ``target`` exactly as it was.
+    """
+    attempts: list[dict] = []
+    for cand in candidates:
+        name = cand["name"] if isinstance(cand, dict) else cand.name
+        try:
+            rows = stage_and_publish(
+                spark, build(spark, cand), target, expected_rows=expected_rows
+            )
+        except AuditError as e:
+            attempts.append({"name": name, "ok": False, "err": str(e)})
+            continue
+        attempts.append({"name": name, "ok": True, "err": None})
+        return {"published": name, "rows": rows, "attempts": attempts}
+    raise AuditError(
+        f"no viable candidate for {target}: "
+        + "; ".join(f"{a['name']}: {a['err']}" for a in attempts)
+    )
+
+
 def _scratch_unique(name: str, *, max_age_s: float = 3600) -> str:
     """Per-invocation scratch path ``<base>/<name>.<ms>.<rand>``.
 

@@ -191,3 +191,142 @@ def download(
             if attempt < max_retries - 1 and retry_sleep_s:
                 time.sleep(retry_sleep_s)
     raise OSError(f"download failed after {max_retries} attempts: {last_err}")
+
+
+# --- OP-SRC-3: chunked upload sink with progress ---------------------------
+
+#: reference upload buffer: 10 MiB multipart chunks (webdav.py:156)
+UPLOAD_CHUNK = 10 * 1024 * 1024
+
+ProgressFn = Callable[[int, int | None, int | None], None]
+
+
+class LocalChunkSink:
+    """Filesystem-backed multipart sink — the transport the offline tests
+    drive, shaped after the reference's SharePoint session (webdav.py:159-167
+    ``startupload`` / ``continueupload`` / ``finishupload`` keyed by an
+    upload id and a byte offset):
+
+    - chunks land in a hidden staging file (``.<name>.<upload_id>.part``),
+    - every chunk declares its offset, and the sink only accepts a chunk
+      whose offset matches the staged size — a retried chunk (same offset)
+      truncates back and rewrites, so retries are idempotent,
+    - ``finish`` atomically renames staging → final: a crashed upload never
+      leaves a half-written object at the published path (the same
+      stage→publish discipline as the bulk loader).
+
+    An HTTP transport implements the same three calls against a remote
+    multipart API; everything above the sink (chunking, retry, progress) is
+    transport-agnostic.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _staging(self, remote_path: str, upload_id: str) -> str:
+        d, name = os.path.split(os.path.join(self.root, remote_path))
+        return os.path.join(d, f".{name}.{upload_id}.part")
+
+    def start(self, remote_path: str, upload_id: str) -> None:
+        staging = self._staging(remote_path, upload_id)
+        os.makedirs(os.path.dirname(staging), exist_ok=True)
+        with open(staging, "wb"):
+            pass
+
+    def write(self, remote_path: str, upload_id: str, offset: int, data: bytes) -> None:
+        staging = self._staging(remote_path, upload_id)
+        staged = os.path.getsize(staging)
+        if offset > staged:
+            raise OSError(f"chunk offset {offset} beyond staged {staged} bytes")
+        with open(staging, "r+b") as f:
+            f.seek(offset)
+            f.write(data)
+            f.truncate(offset + len(data))
+
+    def finish(self, remote_path: str, upload_id: str, offset: int) -> None:
+        staging = self._staging(remote_path, upload_id)
+        staged = os.path.getsize(staging)
+        if staged != offset:
+            raise OSError(f"finish at {offset} but staged {staged} bytes")
+        os.replace(staging, os.path.join(self.root, remote_path))
+
+
+def upload(
+    src,
+    remote_path: str,
+    sink,
+    *,
+    buffer_size: int = UPLOAD_CHUNK,
+    max_retries: int = MAX_RETRIES,
+    retry_sleep_s: float = RETRY_SLEEP_S,
+    progress: ProgressFn | None = None,
+    upload_id: str | None = None,
+) -> int:
+    """Chunked upload with per-chunk bounded retry and progress metering —
+    the reference's multipart ``Client.upload`` (webdav.py:137-192: 10 MiB
+    buffers, start/continue/finish keyed by a uuid upload id, percent
+    progress callbacks) re-expressed over the transport-agnostic sink
+    protocol above. ``src`` is a binary file object or a path. Returns
+    bytes sent.
+
+    Differences from the reference, on purpose:
+
+    - every chunk is retried at its declared offset (idempotent at the
+      sink) instead of failing the whole upload on one bad POST — the
+      same bounded-retry policy as :func:`download`;
+    - ``finish`` is ALWAYS issued, including when the payload is an exact
+      multiple of the buffer size (the reference's read-then-break leaves
+      that multipart session unfinished — webdav.py:188-190);
+    - progress fires per chunk with ``(bytes_sent, total_or_None,
+      percent_or_None)`` — the reference's ``progress_obj.write({'name':
+      percent})`` hook (webdav.py:178-184) maps to the percent argument.
+
+    Spark posture: DataFrame writes go through the committer (COVERAGE
+    §2.1); this is the control-plane uploader for single artifacts — a
+    packaged dump, a manifest, a model file — where the reference's
+    byte-level semantics (resume offsets, progress, atomic finish) are
+    the actual contract. Driver-side by design; never on the task hot path.
+    """
+    import uuid
+
+    close_after = False
+    if isinstance(src, (str, os.PathLike)):
+        src = open(src, "rb")
+        close_after = True
+    try:
+        try:
+            size: int | None = os.fstat(src.fileno()).st_size
+        except (OSError, AttributeError, io.UnsupportedOperation):
+            size = None  # non-file stream: percent unavailable (reference: size=None)
+        iid = upload_id or str(uuid.uuid1())
+
+        def _attempt(fn, *args) -> None:
+            last_err: Exception | None = None
+            for attempt in range(max_retries):
+                try:
+                    fn(*args)
+                    return
+                except Exception as e:  # noqa: BLE001 — retrying any transport error
+                    last_err = e
+                    if attempt < max_retries - 1 and retry_sleep_s:
+                        time.sleep(retry_sleep_s)
+            raise OSError(
+                f"upload chunk failed after {max_retries} attempts: {last_err}"
+            )
+
+        _attempt(sink.start, remote_path, iid)
+        offset = 0
+        while True:
+            chunk = src.read(buffer_size)
+            if not chunk:
+                break
+            _attempt(sink.write, remote_path, iid, offset, chunk)
+            offset += len(chunk)
+            if progress is not None:
+                pct = round(offset * 100 / size) if size else None
+                progress(offset, size, pct)
+        _attempt(sink.finish, remote_path, iid, offset)
+        return offset
+    finally:
+        if close_after:
+            src.close()
