@@ -97,12 +97,37 @@ def main() -> None:
     # aren't timing first-call compilation. The noop sink materializes
     # every column but caches nothing — each measured run scans parquet
     # end-to-end.
+    # Inter-query hygiene (r6): several queries persist frames and rely on
+    # the ContextCleaner's GC-driven unpersist; across ~300 invocations in
+    # one bench process that cache accumulates, and the resulting executor
+    # memory / GC pressure uniformly inflates LATER queries (measured: the
+    # 50-query suite read 1.27× of r4's 27-query suite on common entries,
+    # while the same queries re-measured in isolation matched r4 exactly).
+    # Clearing the cache after every measured run and forcing a full GC
+    # once per pass keeps each query's number independent of suite size —
+    # persisted INDEXES are parquet on disk (memo_publish), unaffected.
+    import gc as _gc
+
+    def _drain_cache() -> None:
+        spark.catalog.clearCache()
+
+    def _drain_full() -> None:
+        # the expensive half (full JVM GC): once per PASS, not per query —
+        # a per-query System.gc() taxed every sub-second entry ~50 ms
+        _drain_cache()
+        _gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in HEADLINE:
             registry[name].fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
+        _drain_full()
 
     # Three measured passes, per-query MEDIAN: the first pass doubles as
     # the JIT warm-up at the real plan shapes (AQE picks different physical
@@ -117,6 +142,8 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - t0)
+            _drain_cache()
+        _drain_full()
     timings = {name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
 
@@ -160,6 +187,8 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 sf1_runs[name].append(time.perf_counter() - t0)
+                _drain_cache()
+            _drain_full()
         sf1_timings = {
             name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in sf1_runs.items()
         }
