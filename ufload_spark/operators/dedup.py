@@ -1065,6 +1065,27 @@ def _containment_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verify stage's per-doc shingle ARRAYS (doc_id, arr, sz) — the
+    second half of the containment index, also published once via
+    :func:`~ufload_spark.sources.loader.memo_publish`. Before r6 the
+    query re-aggregated ``collect_list(shingle)`` over the full ranked
+    table on EVERY run (a corpus-wide doc_id shuffle); the arrays are a
+    pure function of the corpus, so they belong in the persisted index
+    alongside the ranked rows — per query run the verify side is now a
+    parquet scan."""
+    from ufload_spark.sources.loader import memo_publish
+
+    def build() -> DataFrame:
+        return (
+            _containment_ranked(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("arr"), F.count("*").alias("sz"))
+        )
+
+    return spark.read.parquet(memo_publish(spark, "containment_sets", sf_dir, build))
+
+
 def _containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed candidate pairs (doc_a, doc_b) that can possibly satisfy
     C(A,B) >= t, by prefix + positional filtering (PPJoin family, public):
@@ -1146,15 +1167,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (extension surface — dedup family).
     """
-    ranked = _containment_ranked(spark, sf_dir)
     cand = _containment_candidates(spark, sf_dir)
     # verify via per-doc shingle ARRAYS + a JVM array_intersect per pair:
     # linear in candidates. (The earlier row-level verify re-joined the
     # shingle table per pair — its output was the same Σdf² blow-up the
-    # prefix filter exists to avoid, and dominated the sf1 wall.)
-    sets = ranked.groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("arr"), F.count("*").alias("sz")
-    )
+    # prefix filter exists to avoid, and dominated the sf1 wall. r6: the
+    # arrays come from the persisted index, not a per-run corpus shuffle.)
+    sets = _containment_sets(spark, sf_dir)
     sa = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"),
         F.col("sz").alias("sz"),
