@@ -49,7 +49,16 @@ def base_hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def base_hash60(col: Column) -> Column:
+    """60-bit deterministic base hash (15 md5 hex chars — fits signed
+    int64) shared with the DuckDB oracle; used where the hash IS the key
+    (containment index) so collisions must be negligible AND identical
+    across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 BASE_HASH32_SQL = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+BASE_HASH60_SQL = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
 
 
 def minhash_expr(i: int) -> Column:
@@ -1034,9 +1043,10 @@ CONTAINMENT_T = 0.5
 
 
 def _containment_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The containment join's index: every (doc_id, shingle) with the
-    shingle's per-doc rank in GLOBAL rarest-first order (df asc, shingle
-    asc) and the doc's set size — built once per (process, fixture) and
+    """The containment join's index: every (doc_id, h) — h the 60-bit
+    md5-derived shingle key, see :func:`base_hash60` — with the shingle's
+    per-doc rank in GLOBAL rarest-first order (df asc, h asc) and the
+    doc's set size — built once per (process, fixture) and
     published via :func:`~ufload_spark.sources.loader.memo_publish`. The
     raw form referenced the shingle pipeline SIX times across the plan
     (sizes, df, rank, probe, both verify sides) and recomputed the
@@ -1045,19 +1055,30 @@ def _containment_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ufload_spark.sources.loader import memo_publish
 
     def build() -> DataFrame:
-        sh = shingles(spark, sf_dir)
+        # Shingles are keyed by a 60-bit md5-derived integer (r6) rather
+        # than the raw trigram string: the index rows, the candidate join
+        # key, and the verify arrays all shrink ~5× on the wire, and the
+        # hash is the SAME expression the DuckDB oracle computes, so the
+        # (vanishingly rare) collisions are identical on both engines —
+        # the MinHash base-hash discipline. dropDuplicates post-hash keeps
+        # set semantics exact under collision on both sides.
+        sh = (
+            shingles(spark, sf_dir)
+            .select("doc_id", base_hash60(F.col("shingle")).alias("h"))
+            .dropDuplicates(["doc_id", "h"])
+        )
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
         return (
-            sh.join(dfreq, "shingle")
+            sh.join(dfreq, "h")
             .join(sizes, "doc_id")
             .withColumn(
                 "rnk",
                 F.row_number().over(
-                    Window.partitionBy("doc_id").orderBy("df", "shingle")
+                    Window.partitionBy("doc_id").orderBy("df", "h")
                 ),
             )
-            .select("doc_id", "shingle", "rnk", "sz")
+            .select("doc_id", "h", "rnk", "sz")
         )
 
     return spark.read.parquet(
@@ -1080,7 +1101,7 @@ def _containment_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             _containment_ranked(spark, sf_dir)
             .groupBy("doc_id")
-            .agg(F.collect_list("shingle").alias("arr"), F.count("*").alias("sz"))
+            .agg(F.collect_list("h").alias("arr"), F.count("*").alias("sz"))
         )
 
     return spark.read.parquet(memo_publish(spark, "containment_sets", sf_dir, build))
@@ -1108,18 +1129,18 @@ def _containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk") <= F.col("sz") - F.ceil(F.lit(CONTAINMENT_T) * F.col("sz")) + 1
     ).select(
         F.col("doc_id").alias("doc_a"),
-        "shingle",
+        "h",
         F.col("rnk").alias("p_a"),
         F.col("sz").alias("sz_a"),
     )
     index = ranked.select(
         F.col("doc_id").alias("doc_b"),
-        "shingle",
+        "h",
         F.col("rnk").alias("p_b"),
         F.col("sz").alias("sz_b"),
     )
     return (
-        prefix.join(index, "shingle")
+        prefix.join(index, "h")
         .where(F.col("doc_a") != F.col("doc_b"))
         .where(
             1 + F.least(F.col("sz_a") - F.col("p_a"), F.col("sz_b") - F.col("p_b"))
@@ -1134,11 +1155,13 @@ def _containment_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_containment",
     SHINGLES_CTE
     + f"""
-, sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+, hs AS (
+  SELECT DISTINCT doc_id, {BASE_HASH60_SQL} AS h FROM shingles
+), sizes AS (SELECT doc_id, count(*) AS sz FROM hs GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n
-  FROM shingles a JOIN shingles b
-    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  FROM hs a JOIN hs b
+    ON a.h = b.h AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, round(CAST(n AS DOUBLE) / sa.sz, 4) AS containment
