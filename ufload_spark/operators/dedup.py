@@ -1513,3 +1513,95 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_tokens", F.lit(0)).cast("int").alias("dup_tokens"),
         )
     )
+
+
+_SIMHASH_SEGS_SQL = (
+    f"SELECT doc_id, simhash, j AS seg,\n"
+    f"         (simhash >> ({SEG_BITS} * j)) & {(1 << SEG_BITS) - 1} AS segval\n"
+    f"  FROM %s, (SELECT unnest(range(0, {N_SEGS})) AS j)"
+)
+
+
+@register(
+    "dedup_simhash_incremental",
+    _SIMHASH_CTE
+    + f"""
+, batch AS (SELECT * FROM sims WHERE doc_id % 4 = 0),
+existing AS (SELECT * FROM sims WHERE doc_id % 4 <> 0),
+bsegs AS (
+  {_SIMHASH_SEGS_SQL % 'batch'}
+), esegs AS (
+  {_SIMHASH_SEGS_SQL % 'existing'}
+), collided AS (
+  SELECT DISTINCT b.doc_id
+  FROM bsegs b JOIN esegs e ON b.seg = e.seg AND b.segval = e.segval
+  WHERE bit_count(xor(b.simhash, e.simhash)) <= {HAMMING_D}
+)
+SELECT doc_id FROM batch
+WHERE doc_id NOT IN (SELECT doc_id FROM collided)
+""",
+    doc="incremental SimHash dedup against a PERSISTED fingerprint table: "
+    "the batch's segment keys probe the published corpus fingerprints; "
+    "survivors (no corpus doc within the Hamming radius) are appendable",
+)
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growing-corpus lifecycle for SimHash, completing the incremental
+    family (exact / MinHash / hyperplane-LSH / IVF / PQ / spans → SimHash):
+    corpus fingerprints are PERSISTED through the staged loader
+    (stage → audit → atomic publish, read back from parquet — the
+    `dedup_minhash_persist_roundtrip` discipline), an incoming batch
+    fingerprints only ITS OWN documents, melts to (seg, segval) pigeonhole
+    keys, and probes the published table; a batch doc with any corpus
+    fingerprint within Hamming distance :data:`HAMMING_D` is a near-dup,
+    the rest are the appendable survivors.
+
+    Scale shape: per batch the cost is batch-fingerprints × one segment
+    equi-join against the fingerprint table (bucket cardinality
+    2^SEG_BITS per segment bounds the per-bucket pairing exactly as in
+    `dedup_simhash_pairs`); the 100 TB corpus is never re-shingled, and
+    the published table grows by one append per ingested batch.
+
+    Reference analog: none — extension surface (dedup family lifecycle).
+    """
+    import os
+
+    from ufload_spark.sources.loader import _scratch_unique, stage_and_publish
+
+    sims = dedup_simhash(spark, sf_dir)
+    existing = sims.where(F.col("doc_id") % 4 != 0)
+    target = _scratch_unique(
+        f"simhash_fps_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    stage_and_publish(spark, existing, target)
+    persisted = spark.read.parquet(target)
+    batch = sims.where(F.col("doc_id") % 4 == 0)
+
+    def melt(df: DataFrame) -> DataFrame:
+        seg_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("seg"),
+                    F.shiftright(F.col("simhash"), SEG_BITS * j)
+                    .bitwiseAND(F.lit((1 << SEG_BITS) - 1))
+                    .alias("segval"),
+                )
+                for j in range(N_SEGS)
+            ]
+        )
+        return df.select("doc_id", "simhash", F.explode(seg_structs).alias("sv")).select(
+            "doc_id", "simhash", "sv.seg", "sv.segval"
+        )
+
+    b, e = melt(batch).alias("b"), melt(persisted).alias("e")
+    hamming = F.bit_count(F.col("b.simhash").bitwiseXOR(F.col("e.simhash")))
+    collided = (
+        b.join(
+            e,
+            (F.col("b.seg") == F.col("e.seg"))
+            & (F.col("b.segval") == F.col("e.segval")),
+        )
+        .where(hamming <= HAMMING_D)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return batch.select("doc_id").join(collided, "doc_id", "left_anti")
