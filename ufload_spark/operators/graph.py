@@ -17,7 +17,7 @@ importance-propagation sibling).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ufload_spark.plans.registry import register
@@ -127,7 +127,7 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(F.count("*").alias("w"))
         )
-        return pairs.select(
+        both = pairs.select(
             F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
         ).unionAll(
             pairs.select(
@@ -136,6 +136,12 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "w",
             )
         )
+        # wout (the src's total out-weight) is static per node, so it is
+        # DENORMALIZED into the published edge row — each iteration's
+        # contribution (r*w div wout) then needs only the rank join, not a
+        # second outw join (one fewer join × PR_ITERS per run).
+        wout = F.sum("w").over(Window.partitionBy("src"))
+        return both.withColumn("wout", wout)
 
     # The edge table is a pure function of the corpus: published ONCE via
     # the staged loader (r6 — previously rebuilt per run from the
@@ -144,9 +150,8 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the published table is bucketed by src so the per-iteration rank
     # join co-locates without re-shuffling the edges.
     edges = spark.read.parquet(
-        memo_publish(spark, "pagerank_edges", sf_dir, build_edges)
+        memo_publish(spark, "pagerank_edges_w", sf_dir, build_edges)
     ).persist()
-    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     nn = nodes.groupBy().agg(F.count("*").alias("n"))
     base = F.expr(f"{PR_MASS} div n")
@@ -156,7 +161,6 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PR_ITERS):
         inflow = (
             edges.join(ranks, edges.src == ranks.node)
-            .join(outw, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(r * w) div wout").alias("contrib"),
