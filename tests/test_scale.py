@@ -722,6 +722,16 @@ def test_pagerank_is_integer_exact_and_persists_edges(spark):
     df = graph_pagerank_purchases(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan  # persisted edges
+    # Broadcast discipline: every iteration join must pin the broadcast to
+    # the RANK side. Without the hint the planner sizes the published edge
+    # parquet (40 MB at sf1 < the 64 MB threshold) and broadcasts the
+    # 12M-row EDGE relation each iteration — flaky driver OOM. Tiny-SF
+    # physical plans can't show that, so pin the hint in the logical plan.
+    from ufload_spark.operators.graph import PR_ITERS
+
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("rightHint=(strategy=broadcast") >= PR_ITERS, opt[:2000]
+    assert "leftHint=(strategy=broadcast" not in opt  # never the edge side
     total = df.groupBy().sum("rank_micro").collect()[0][0]
     n_nodes = df.count()
     # floor-div leak: < 1 micro-unit per edge contribution per iteration,

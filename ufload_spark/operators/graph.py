@@ -127,15 +127,26 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .agg(F.count("*").alias("w"))
         )
+        # Both edge directions come from ONE evaluation of pairs via
+        # explode, not a self-union: a union would plan the lineitem⋈orders
+        # join + aggregate twice (two concurrent orders broadcasts, double
+        # the build work for identical output).
         both = pairs.select(
-            F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
-        ).unionAll(
-            pairs.select(
-                F.col("s_node").alias("src"),
-                F.col("c_node").alias("dst"),
-                "w",
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("c_node").alias("src"),
+                        F.col("s_node").alias("dst"),
+                        F.col("w"),
+                    ),
+                    F.struct(
+                        F.col("s_node").alias("src"),
+                        F.col("c_node").alias("dst"),
+                        F.col("w"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst", "e.w")
         # wout (the src's total out-weight) is static per node, so it is
         # DENORMALIZED into the published edge row — each iteration's
         # contribution (r*w div wout) then needs only the rank join, not a
@@ -159,8 +170,17 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", base.alias("r")
     )
     for _ in range(PR_ITERS):
+        # The rank side is EXPLICITLY broadcast: node count ≪ edge count,
+        # so edges never shuffle (they stream from the persisted table).
+        # Without the hint the planner sizes the published edge parquet
+        # (40 MB at sf1, under the 64 MB threshold thanks to delta-encoded
+        # sorted src + wout) and broadcasts the 12M-row EDGE relation in
+        # every iteration — three retained ~GB hashed relations that
+        # flakily OOM an 8 GB driver (the r6 bench crash). At cluster
+        # scale beyond broadcastable rank vectors, drop the hint and
+        # bucket the published edges by src instead.
         inflow = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(F.broadcast(ranks), edges.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(r * w) div wout").alias("contrib"),
