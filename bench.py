@@ -77,6 +77,8 @@ HEADLINE = [
     "text_bpe_learn",              # BPE tokenizer training rounds (r5)
     "embedding_pca_power",         # integer Gramian + power iteration (r5)
     "graph_pagerank_purchases",    # integer-exact PageRank iterations (r5)
+    # r6 additions (appended; earlier entries stay comparable round-over-round)
+    "text_bm25_search",            # BM25 ranked retrieval, decimal-exact sums (r6)
 ]
 
 

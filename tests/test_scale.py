@@ -780,3 +780,43 @@ def test_pca_power_matches_numpy_eigendecomposition(spark):
     assert proj8 >= 0.9, proj8
     share = float(res["var_share"].iloc[0])
     assert abs(share - ray / np.trace(N)) < 1e-4
+
+
+def test_image_neardup_is_banded_and_groupfirst(spark):
+    """multimodal_image_neardup: the candidate join must be a banded
+    EQUI-join (never a cartesian/NLJ pair product), pairing must happen at
+    hash-GROUP level, and every emitted pair must be inside the pigeonhole
+    radius (banding lossless at Hamming <= AH_NEARDUP_T < AH_BANDS)."""
+    from ufload_spark.operators.multimodal import (
+        AH_BANDS,
+        AH_NEARDUP_T,
+        multimodal_image_neardup,
+    )
+
+    df = multimodal_image_neardup(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert AH_NEARDUP_T < AH_BANDS  # the losslessness precondition
+    rows = df.collect()
+    assert rows, "fixture plants near-dup classes; pairs must exist"
+    for r in rows:
+        assert 1 <= r["hamming"] <= AH_NEARDUP_T
+        assert r["ahash_a"] < r["ahash_b"]
+        assert r["pair_count"] >= 1
+
+
+def test_bm25_topk_avoids_global_sort(spark):
+    """text_bm25_search: the top-k must be TakeOrderedAndProject (never a
+    global Sort of all scored documents), scores must be monotonically
+    ranked, and every returned doc must match at least one query term."""
+    from ufload_spark.operators.textops import BM25_TOPK, text_bm25_search
+
+    df = text_bm25_search(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = sorted(df.collect(), key=lambda r: r["rnk"])
+    assert 0 < len(rows) <= BM25_TOPK
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["n_terms"] >= 1 for r in rows)

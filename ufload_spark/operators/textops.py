@@ -853,3 +853,128 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+#: Lucene-flavored BM25: k1 term-frequency saturation, b length norm.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+#: the fixed search query (terms from the corpus's synthetic vocabulary)
+BM25_QUERY = ("hash", "join", "vector")
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "text_bm25_search",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         avg(dl) AS avgdl
+  FROM dl, (SELECT 1) one
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+), dfq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), term_scores AS (
+  SELECT t.doc_id,
+         CAST(
+           ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+           * (t.tf * ({BM25_K1} + 1.0))
+           / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                  + {BM25_B} * l.dl / s.avgdl))
+           AS DECIMAL(20, 10)) AS term_score
+  FROM tf t JOIN dfq q USING (tok) JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         round(CAST(sum(term_score) AS DOUBLE), 4) AS score
+  FROM term_scores GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= {BM25_TOPK}
+""",
+    doc=f"BM25 ranked retrieval: query {BM25_QUERY} over the corpus, "
+    f"k1={BM25_K1} b={BM25_B}, decimal-summed term scores (order-free), "
+    f"top-{BM25_TOPK}",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 ranked retrieval over the documents corpus for a fixed
+    query — the search tier above ``text_tfidf_top_terms``'s keyword
+    extraction: Lucene-flavored idf ``ln(1 + (N - df + ½)/(df + ½))``,
+    :data:`BM25_K1` term-frequency saturation and :data:`BM25_B` length
+    normalization against the corpus mean document length.
+
+    Determinism: each per-(doc, term) score is one fixed-shape double
+    expression (bit-identical across engines), but the per-doc SUM over
+    matched terms would be float-order-dependent — so term scores are
+    cast to ``decimal(20,10)`` first and summed exactly (the decimal38
+    trick from the OLS/Zipf queries), then rounded once at the end.
+
+    Scale shape: the token stream shuffles once to build per-doc lengths;
+    query-term postings are filtered BEFORE their aggregate (tf rows
+    exist only for query terms, ~|query| rows per matching doc); the
+    document-frequency table and the scalar (N, avgdl) stats ride
+    broadcasts. The final top-k is TakeOrderedAndProject — never a global
+    sort — and the rank window runs on the ≤ :data:`BM25_TOPK` collected
+    survivors (SCALE GUARD: bounded input by construction).
+
+    Reference analog: none (extension surface — text-analysis family).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = (
+        idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / norm
+    ).cast("decimal(20,10)")
+    scored = (
+        tf.join(F.broadcast(dfq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum("term_score").cast("double"), 4).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)
+    # rank over the <= BM25_TOPK survivors only (SCALE GUARD: the
+    # partition-less window's input is bounded by the limit above)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "n_terms",
+        "score",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
