@@ -1955,3 +1955,232 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.crossJoin(F.broadcast(vrow)).select(
         "vec_id", "label", proj.alias("proj")
     )
+
+
+# --- label propagation: kNN majority vote + nearest-class-mean ---------------
+
+#: integer micro-units for exact class-centroid sums (the PCA/Gramian
+#: discipline: quantize floats once, sum exactly, divide at the end)
+NCM_SCALE = 1_000_000
+
+
+@register(
+    "similarity_knn_label_vote",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS true_label
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS ce, label FROM embeddings
+      WHERE vec_id >= 5),
+expl AS (
+  SELECT qid, cid, true_label, label,
+         sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+         sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+         sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+  FROM q, c, (SELECT unnest(range(1, {DIM + 1})) AS i)
+  GROUP BY qid, cid, true_label, label
+), scored AS (
+  SELECT qid, cid, true_label, label,
+         round(dp / (sqrt(nq) * sqrt(nc)), 6) AS cosine FROM expl
+), topk AS (
+  SELECT qid, true_label, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, cid) AS rnk
+    FROM scored
+  ) WHERE rnk <= {TOP_K}
+), votes AS (
+  SELECT qid, true_label, label, count(*) AS n_votes
+  FROM topk GROUP BY 1, 2, 3
+)
+SELECT qid, CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS predicted_label,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY n_votes DESC, label) AS vr
+  FROM votes
+) WHERE vr = 1
+""",
+    doc=f"kNN auto-labeling: majority label of the cosine top-{TOP_K} "
+    "neighbors per query vector (ties: most votes, then smallest label), "
+    "with the true label alongside for audit",
+)
+def similarity_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-labeling by k-nearest-neighbor majority vote — the label-
+    propagation step of a training-data pipeline (label a new batch from
+    its embedded neighbors): score the broadcast query batch against the
+    labeled candidate corpus, keep each query's cosine top-:data:`TOP_K`,
+    and emit the plurality label (ties broken by vote count then smallest
+    label — deterministic on both engines), with the query's own label
+    for accuracy audit.
+
+    Scale shape: identical to ``similarity_topk_cosine`` — the candidate
+    corpus never shuffles (query batch broadcast, scores ride a
+    (qid, cosine) exchange), and the vote is a per-query aggregate over
+    ≤ :data:`TOP_K` rows. At index scale the scoring stage swaps for the
+    persisted IVF/PQ probe; the vote is unchanged.
+
+    Reference analog: none (extension surface — similarity family).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    c = e.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label"
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        "true_label",
+        "label",
+        F.round(
+            dot(F.col("qe"), F.col("ce"))
+            / (F.sqrt(sqnorm(F.col("qe"))) * F.sqrt(sqnorm(F.col("ce")))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "cid")
+    topk = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= TOP_K
+    )
+    votes = topk.groupBy("qid", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    # plurality with deterministic tie-break: most votes, then smallest
+    # label — max_by over (n_votes, -label) mirrors the oracle's
+    # row_number ORDER BY n_votes DESC, label
+    return votes.groupBy("qid", "true_label").agg(
+        F.max_by(
+            "label", F.struct(F.col("n_votes"), (-F.col("label")).alias("nl"))
+        ).alias("predicted_label"),
+        F.max(F.struct(F.col("n_votes"), (-F.col("label")).alias("nl")))
+        .getField("n_votes")
+        .alias("n_votes"),
+    ).select(
+        "qid",
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("predicted_label").cast("long").alias("predicted_label"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+    )
+
+
+@register(
+    "similarity_ncm_classify",
+    f"""
+WITH c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5),
+q AS (SELECT vec_id AS qid, embedding AS qe, label AS true_label
+      FROM embeddings WHERE vec_id < 5),
+cexpl AS (
+  SELECT label, i,
+         CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * {NCM_SCALE})
+                  AS BIGINT)) AS BIGINT) AS sx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM c, (SELECT unnest(range(1, {DIM + 1})) AS i)
+  GROUP BY label, i
+), cent AS (
+  SELECT label, i, CAST(sx AS DOUBLE) / n / {NCM_SCALE} AS m FROM cexpl
+), qexpl AS (
+  SELECT qid, true_label, i, CAST(qe[i] AS DOUBLE) AS x
+  FROM q, (SELECT unnest(range(1, {DIM + 1})) AS i)
+), dists AS (
+  SELECT qe.qid, qe.true_label, ce.label,
+         round(sum((qe.x - ce.m) * (qe.x - ce.m)), 6) AS sqdist
+  FROM qexpl qe JOIN cent ce ON qe.i = ce.i
+  GROUP BY 1, 2, 3
+)
+SELECT qid, CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS predicted_label, sqdist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sqdist, label) AS rnk
+  FROM dists
+) WHERE rnk = 1
+""",
+    doc="nearest-class-mean classifier: per-label centroids from exact "
+    f"integer micro-unit sums (scale {NCM_SCALE}), argmin L2 per query "
+    "(ties: smallest label) — the Rocchio/prototype auto-labeler",
+)
+def similarity_ncm_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean (Rocchio/prototype) classification — the other
+    standard auto-labeler: average each label's candidate vectors into a
+    class centroid, then assign every query vector to the nearest
+    centroid by squared L2 (ties to the smallest label).
+
+    Determinism: per-element centroid sums would be float-order-dependent
+    at cluster parallelism, so each element is quantized ONCE to
+    :data:`NCM_SCALE` micro-units and summed as exact int64 (the
+    PCA-Gramian discipline); the single divide back to double happens
+    after the reduction, so centroids are bit-identical across engines,
+    runs and partitionings. The per-query distance is then a fixed-shape
+    sequential fold over the broadcast 10-row centroid table.
+
+    Scale shape: the centroid aggregate is one exchange of
+    (label, element) partial sums — label-count × DIM rows, a MODEL-sized
+    result that broadcasts to the query batch; the corpus itself never
+    shuffles and is scanned exactly once.
+
+    Reference analog: none (extension surface — similarity family).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    c = e.where(F.col("vec_id") >= 5)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    cexpl = c.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * NCM_SCALE)
+        .cast("long")
+        .alias("xq"),
+    )
+    cent = (
+        cexpl.groupBy("label", "i")
+        .agg(F.sum("xq").alias("sx"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "i",
+            (F.col("sx").cast("double") / F.col("n") / NCM_SCALE).alias("m"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("me")
+        )
+    )
+    dists = q.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        "true_label",
+        "label",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qe"),
+                    F.col("me"),
+                    lambda x, m: (x.cast("double") - m)
+                    * (x.cast("double") - m),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("sqdist"),
+    )
+    w = Window.partitionBy("qid").orderBy("sqdist", "label")
+    return (
+        dists.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "qid",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("label").cast("long").alias("predicted_label"),
+            "sqdist",
+        )
+    )
