@@ -598,10 +598,10 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses (orderkey, suppkey) pairs before the exchange, so the
     shuffled bytes are the distinct-pair set, not the full lineitem
     stream (measured ~25% faster at sf1 than the semi/anti form, same
-    rows). `late` feeds both its own aggregate and the candidate join on
-    the same orderkey partitioning — ReuseExchange serves both from one
-    shuffle. All frames exchange on orderkey — one bucketed layout
-    serves every branch at scale."""
+    rows). Lineitem is scanned three times, each pruned to 2-3 columns
+    with the lateness filter pushed down where it applies; every branch
+    exchanges on orderkey, so one bucketed layout serves all of them at
+    scale."""
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
