@@ -211,12 +211,14 @@ def test_q19_derives_per_table_pushdown(spark):
 
 
 def test_q21_double_correlation_joins(spark):
-    """Q21's EXISTS and NOT EXISTS must become one left-semi and one
-    left-anti join — not a cartesian fallback."""
+    """Q21's EXISTS and NOT EXISTS are decorrelated (r6) into per-order
+    countDistinct aggregates; both must partial-combine map-side (the
+    distinct-pair collapse BEFORE the exchange is what replaced the 6M-row
+    semi-join probe stream) and no branch may fall back to a cartesian."""
     from ufload_spark.operators.tpch_full import tpch_q21_waiting_suppliers
 
     plan = _plan(tpch_q21_waiting_suppliers(spark, SF_DIR))
-    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("partial_count(distinct") >= 2
     assert "CartesianProduct" not in plan
 
 
@@ -232,17 +234,19 @@ def test_q8_dimensions_all_broadcast(spark):
 
 
 def test_q18_semi_join_with_map_side_partials(spark):
-    """Q18's having-clause subquery must become a semi join (never a
-    cartesian fallback) and both aggregates must partial-combine map-side —
-    the properties that keep the double orderkey pass viable at 100×."""
+    """Q18 (r6): the HAVING aggregate is the answer — lineitem must be
+    scanned EXACTLY ONCE (no semi-join back, no re-aggregation), the one
+    quantity aggregate must partial-combine map-side, and the top-100 must
+    be TakeOrderedAndProject, never a global sort."""
     from ufload_spark.operators.analytics import tpch_q18_large_orders
 
     df = tpch_q18_large_orders(spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()
     plan = _plan(df)
-    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1  # single pass
     assert "CartesianProduct" not in plan
-    assert "partial_sum" in plan  # map-side combine on both agg stages
+    assert "partial_sum" in plan  # map-side combine on the one agg
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_flagship_max_by_single_exchange(spark):
