@@ -978,3 +978,101 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.row_number().over(w).cast("long").alias("rnk"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+         unnest(range(1, len(string_split_regex(lower(trim(text)), '\s+')) + 1))
+           AS pos
+  FROM documents
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY 1
+), v AS (
+  SELECT CAST(count(*) AS BIGINT) AS vsize FROM uni
+), bigr AS (
+  SELECT doc_id, pos, lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+         tok
+  FROM toks
+  QUALIFY prev IS NOT NULL
+), bcnt AS (
+  SELECT prev, tok, CAST(count(*) AS BIGINT) AS c12 FROM bigr GROUP BY 1, 2
+), scored AS (
+  SELECT g.doc_id,
+         CAST(-ln((b.c12 + 1.0) / (u.c1 + v.vsize)) AS DECIMAL(20, 10))
+           AS nll
+  FROM bigr g
+  JOIN bcnt b ON g.prev = b.prev AND g.tok = b.tok
+  JOIN uni u ON g.prev = u.tok
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS avg_neg_logprob
+FROM scored GROUP BY doc_id
+""",
+    doc="bigram-LM quality scoring: corpus-trained add-one-smoothed bigram "
+    "model, per-doc mean negative log-probability — the perplexity tier "
+    "above the unigram scorer; decimal-summed NLLs (order-free)",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring — one tier above
+    ``text_unigram_logprob``: train an add-one-smoothed bigram model ON
+    the corpus (``P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V)``), then score every
+    document by its bigrams' mean negative log-probability. Catches
+    word-salad that unigram frequency can't (corpus-typical tokens in
+    atypical ORDER score high).
+
+    Determinism: each bigram NLL is a fixed-shape double expression; the
+    per-doc mean would be float-order-dependent, so NLLs are cast to
+    ``decimal(20,10)``, summed exactly, and divided once (the BM25/OLS
+    discipline).
+
+    Scale shape: the token stream exchanges ONCE on doc_id for the
+    lag window (adjacency needs document order); unigram and bigram
+    counts are vocabulary-sized aggregates that broadcast back into the
+    scoring join (Heaps' law — sub-linear in corpus bytes; a corpus whose
+    bigram table outgrows broadcast switches that one join to a shuffle
+    on the bigram key, everything else unchanged).
+
+    Reference analog: none (extension surface — text-analysis family).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos", "tok"),
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    vsize = uni.agg(F.count("*").alias("vsize"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigr = (
+        toks.withColumn("prev", F.lag("tok").over(w))
+        .where(F.col("prev").isNotNull())
+        .select("doc_id", "prev", "tok")
+    )
+    bcnt = bigr.groupBy("prev", "tok").agg(F.count("*").alias("c12"))
+    nll = (
+        -F.log(
+            (F.col("c12") + F.lit(1.0))
+            / (F.col("c1") + F.col("vsize"))
+        )
+    ).cast("decimal(20,10)")
+    return (
+        bigr.join(F.broadcast(bcnt), ["prev", "tok"])
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("prev"), "c1")), "prev"
+        )
+        .crossJoin(F.broadcast(vsize))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("nll").cast("double") / F.count("*"), 4
+            ).alias("avg_neg_logprob"),
+        )
+    )
