@@ -103,7 +103,7 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orphans = (
         o.join(
-            F.broadcast(c.select("c_custkey")),
+            c.select("c_custkey"),
             o.o_custkey == F.col("c_custkey"),
             "left_anti",
         )

@@ -10,9 +10,15 @@ The reference has no query corpus at all (SURVEY §5 — 3 unit tests on name
 parsing); this module is the "analytics engine breadth" the rebuild target
 mandates beyond reference parity.
 
-Scale notes follow the house rules: dimension sides broadcast, fact-fact
-joins shuffle on their keys (bucketing candidates), aggregates partial
-map-side, no driver-side collection.
+Scale notes follow the house rules: FIXED-cardinality dims (nation=25,
+region=5) and 1-row scalars carry explicit broadcast hints; sides that
+GROW with the corpus (customer/part/supplier and per-part/per-supplier
+derived frames) are deliberately UNHINTED — the planner broadcasts them
+from accurate file-size estimates at bench scale, and at 1000× they
+degrade to a shuffle join instead of forcing a driver OOM (an explicit
+hint overrides any size check — the r6 pagerank incident class).
+Fact-fact joins shuffle on their keys (bucketing candidates), aggregates
+partial map-side, no driver-side collection.
 """
 
 from __future__ import annotations
@@ -88,8 +94,8 @@ def tpch_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (offers.unit_price == best.best_price),
         )
         .drop("bk")
-        .join(F.broadcast(p), offers.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        .join(p, offers.l_partkey == p.p_partkey)
+        .join(s, offers.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -180,7 +186,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .where(pair)
@@ -233,12 +239,12 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
     vol = _rev().alias("volume")
     df = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .select(F.year("o_orderdate").alias("yr"), vol, "nation")
     )
@@ -274,9 +280,9 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
         .agg(F.round(F.sum(_rev()), 2).alias("profit"))
@@ -313,7 +319,7 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     partvalue = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("l_partkey")
@@ -404,7 +410,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -438,8 +444,8 @@ def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -471,8 +477,8 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ak"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ak"))
         .where(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -500,7 +506,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast build and probe before the residual disjunction runs."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     q = F.col("l_quantity")
     sz = F.col("p_size")
     pred = (
@@ -544,7 +550,7 @@ def tpch_q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1998-01-01"))
     )
     shipped = (
-        li.join(F.broadcast(gp), li.l_partkey == gp.p_partkey)
+        li.join(gp, li.l_partkey == gp.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 250)
@@ -553,7 +559,7 @@ def tpch_q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     return (
-        s.join(F.broadcast(shipped), s.s_suppkey == shipped.l_suppkey, "left_semi")
+        s.join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", "n_name")
     )
@@ -622,7 +628,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         late_cnt.where(F.col("late_s") == 1), "l_orderkey"
     ).join(all_cnt.where(F.col("all_s") >= 2), "l_orderkey")
     return (
-        cand.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        cand.join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
