@@ -1230,3 +1230,118 @@ def features_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+# --- pairwise correlation matrix --------------------------------------------
+
+#: (name, exact integer quantization SQL) — the shared half-up rule; the
+#: Spark side builds the identical Column expressions from the same list
+_CORR_VARS = [
+    ("quantity", "CAST(floor(l_quantity + 0.5) AS BIGINT)"),
+    ("price_cents", "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+    ("discount_pct", "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"),
+    ("tax_pct", "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"),
+]
+
+
+def _corr_oracle() -> str:
+    names = [n for n, _ in _CORR_VARS]
+    qcols = ",\n         ".join(
+        f"{expr} AS {n}" for n, expr in _CORR_VARS
+    )
+    sums = ["CAST(count(*) AS HUGEINT) AS n"]
+    for n in names:
+        sums.append(f"CAST(sum({n}) AS HUGEINT) AS s_{n}")
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            sums.append(f"CAST(sum({a}*{b}) AS HUGEINT) AS s_{a}_{b}")
+    pair_rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            pair_rows.append(
+                f"""SELECT '{a}' AS var_x, '{b}' AS var_y,
+       CAST(n AS BIGINT) AS n_rows,
+       round(CAST(n*s_{a}_{b} - s_{a}*s_{b} AS DOUBLE)
+             / (sqrt(CAST(n*s_{a}_{a} - s_{a}*s_{a} AS DOUBLE))
+                * sqrt(CAST(n*s_{b}_{b} - s_{b}*s_{b} AS DOUBLE))), 6)
+         + 0.0 AS corr
+FROM sums"""
+            )
+    return (
+        "WITH q AS (\n  SELECT " + qcols + "\n  FROM lineitem\n), sums AS (\n"
+        "  SELECT " + ",\n         ".join(sums) + "\n  FROM q\n)\n"
+        + "\nUNION ALL\n".join(pair_rows)
+    )
+
+
+@register(
+    "lineitem_correlation_matrix",
+    _corr_oracle(),
+    doc="pairwise Pearson correlations over the lineitem numerics: one "
+    "aggregate collects exact integer sufficient statistics for all 4 "
+    "variables, 6 pair rows from decimal128 combinations — the feature-"
+    "redundancy audit a training pipeline gates on",
+)
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-redundancy audit: Pearson correlation for every pair of
+    lineitem numerics (quantity, price, discount, tax), computed the
+    closed-form way — ONE aggregation pass collects the exact sufficient
+    statistics (n, Σxᵢ, Σxᵢxⱼ for all pairs), then each of the 6
+    correlations is an arithmetic projection over that single row. Adding
+    variables grows the statistics vector O(d²), never the scan count —
+    the `lineitem_ols_price_model` discipline generalized to the full
+    matrix.
+
+    Exactness: each variable quantizes to integers once (the shared
+    half-up rule), sums run in decimal128 (Σprice² wraps int64 past
+    sf≈0.125), and the n·Σxy − ΣxΣy combinations stay exact decimal until
+    ONE final double division — so the matrix is bit-identical across
+    engines, runs, and partitionings.
+
+    Scale shape: one scan, one single-row aggregate with map-side
+    partials (pure algebraic statistics), and a 6-row projection. No
+    joins, no window, nothing driver-side.
+
+    Reference analog: none (extension surface — statistics family).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    names = [n for n, _ in _CORR_VARS]
+    q = li.select(*[F.expr(expr).alias(n) for n, expr in _CORR_VARS])
+    aggs = [F.count("*").alias("n")]
+    for n in names:
+        aggs.append(F.sum(F.col(n).cast(dec)).alias(f"s_{n}"))
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(
+                F.sum(F.col(a).cast(dec) * F.col(b).cast(dec)).alias(
+                    f"s_{a}_{b}"
+                )
+            )
+    sums = q.agg(*aggs)
+    nn = F.col("n").cast(dec)
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            cov = (nn * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+                "double"
+            )
+            va = (nn * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+                "double"
+            )
+            vb = (nn * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+                "double"
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("var_x"),
+                    F.lit(b).alias("var_y"),
+                    (F.round(cov / (F.sqrt(va) * F.sqrt(vb)), 6) + F.lit(0.0)).alias(
+                        "corr"
+                    ),
+                )
+            )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.explode(F.array(*pairs)).alias("p"),
+    ).select("p.var_x", "p.var_y", "n_rows", "p.corr")
