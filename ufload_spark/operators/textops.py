@@ -1076,3 +1076,113 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+#: PMI: only terms in the top-PMI_VOCAB by document frequency participate
+#: in the pair join — the a-priori prefilter that bounds the within-doc
+#: self-join at any corpus size
+PMI_VOCAB = 40
+PMI_MIN_PAIR_DOCS = 5
+
+
+@register(
+    "text_pmi_cooccurrence",
+    rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1
+), vocab AS (
+  SELECT term, df FROM (
+    SELECT term, df,
+           row_number() OVER (ORDER BY df DESC, term) AS rnk
+    FROM df
+  ) WHERE rnk <= {PMI_VOCAB}
+), pruned AS (
+  SELECT t.doc_id, t.term, v.df FROM toks t JOIN vocab v USING (term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         any_value(a.df) AS df_a, any_value(b.df) AS df_b,
+         CAST(count(*) AS BIGINT) AS co_docs
+  FROM pruned a JOIN pruned b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, co_docs,
+       round(ln((CAST(co_docs AS DOUBLE) * n_docs)
+                / (CAST(df_a AS DOUBLE) * df_b)), 6) + 0.0 AS pmi
+FROM pairs CROSS JOIN nd
+WHERE co_docs >= {PMI_MIN_PAIR_DOCS}
+""",
+    doc=f"PMI term co-occurrence: document-level pointwise mutual "
+    f"information over the top-{PMI_VOCAB} vocabulary (a-priori "
+    "prefilter bounds the within-doc pair join), exact integer counts, "
+    "one ln per output row",
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: pointwise mutual information
+    ``ln(P(a,b) / (P(a)·P(b)))`` over document-level co-occurrence, the
+    standard phrase/topic signal (and the doc-level sibling of
+    ``text_bigram_logprob``'s adjacency model).
+
+    Scale shape — the a-priori discipline from ``basket_part_pairs``:
+    only the top-:data:`PMI_VOCAB` terms by document frequency enter the
+    within-document self-join, so the pair space is bounded by
+    vocab²/2 regardless of corpus size, and the distinct-presence
+    projection collapses each document to ≤ vocab rows BEFORE the join.
+    All probabilities come from exact integer counts with one ``ln`` per
+    output row (no float reductions anywhere); the
+    :data:`PMI_MIN_PAIR_DOCS` support floor mirrors collocation practice
+    (PMI is unstable at tiny counts).
+
+    Reference analog: none (extension surface — text-analysis family).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    ).distinct()
+    nd = d.agg(F.count("*").alias("n_docs"))
+    df_ = toks.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.orderBy(F.desc("df"), "term")
+    # SCALE GUARD: the partition-less rank window runs over the
+    # vocabulary-sized df table (Heaps' law), never the corpus
+    vocab = (
+        df_.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= PMI_VOCAB)
+        .select("term", "df")
+    )
+    pruned = toks.join(F.broadcast(vocab), "term")
+    a = pruned.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = pruned.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, ["doc_id"])
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(
+            F.any_value("df_a").alias("df_a"),
+            F.any_value("df_b").alias("df_b"),
+            F.count("*").alias("co_docs"),
+        )
+        .where(F.col("co_docs") >= PMI_MIN_PAIR_DOCS)
+    )
+    pmi = F.log(
+        (F.col("co_docs").cast("double") * F.col("n_docs"))
+        / (F.col("df_a").cast("double") * F.col("df_b"))
+    )
+    return pairs.crossJoin(F.broadcast(nd)).select(
+        "term_a",
+        "term_b",
+        "co_docs",
+        (F.round(pmi, 6) + F.lit(0.0)).alias("pmi"),
+    )
