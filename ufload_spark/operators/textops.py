@@ -1186,3 +1186,110 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "co_docs",
         (F.round(pmi, 6) + F.lit(0.0)).alias("pmi"),
     )
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to the
+#: synthetic corpus's 10-99-word documents). All integer so every rule is an
+#: exact comparison in both engines.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MEANLEN = 3  # mean word length bounds, applied as integer
+GOPHER_MAX_MEANLEN = 10  # cross-multiplied inequalities
+GOPHER_MIN_STOPWORDS = 2  # distinct stopwords required
+_ALPHA_WORD = r"\S*[A-Za-z]\S*"
+
+_NONWS_SQL = "length(regexp_replace(trim(text), '\\s+', '', 'g'))"
+_ALPHA_WORDS_SQL = f"len(regexp_extract_all(text, '{_ALPHA_WORD}'))"
+_DSTOPS_SQL = (
+    f"len(list_distinct(regexp_extract_all(lower(text), '\\b({_STOP})\\b')))"
+)
+
+
+@register(
+    "text_gopher_filters",
+    f"""
+WITH sig AS (
+  SELECT lang,
+         {_TOKENS_SQL} AS nw,
+         {_NONWS_SQL} AS nc,
+         {_DSTOPS_SQL} AS dstops,
+         {_ALPHA_WORDS_SQL} AS alphaw
+  FROM documents
+), rules AS (
+  SELECT lang,
+         CASE WHEN nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+              THEN 1 ELSE 0 END AS r_len,
+         CASE WHEN nc BETWEEN {GOPHER_MIN_MEANLEN} * nw
+                          AND {GOPHER_MAX_MEANLEN} * nw
+              THEN 1 ELSE 0 END AS r_meanlen,
+         CASE WHEN dstops >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END AS r_stop,
+         CASE WHEN 5 * alphaw >= 4 * nw THEN 1 ELSE 0 END AS r_alpha
+  FROM sig
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(r_len) AS BIGINT) AS pass_len,
+       CAST(sum(r_meanlen) AS BIGINT) AS pass_meanlen,
+       CAST(sum(r_stop) AS BIGINT) AS pass_stopwords,
+       CAST(sum(r_alpha) AS BIGINT) AS pass_alpha,
+       CAST(sum(r_len * r_meanlen * r_stop * r_alpha) AS BIGINT) AS pass_all
+FROM rules GROUP BY lang
+""",
+    doc="Gopher-style quality rule panel: word count, mean word length, "
+    "stopword presence, alphabetic-word fraction; per-language pass counts",
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public), the
+    standard pretraining quality gate: word-count bounds, mean-word-length
+    bounds, minimum distinct-stopword presence, and minimum fraction of
+    words containing an alphabetic character. Emits per-language pass
+    counts for each rule plus the conjunction — the shape a curation
+    pipeline monitors while tuning thresholds.
+
+    Numeric discipline: every rule is an integer comparison (mean word
+    length and the 0.8 alpha fraction are cross-multiplied, never divided),
+    so rule outcomes are bit-identical across engines — no float ratios
+    anywhere.
+
+    Scale shape: a pure narrow projection over the document scan (token
+    and character counts per document) followed by one small per-language
+    aggregate — the same one-shuffle profile as ``text_token_stats``. At
+    100 TB the projection is embarrassingly parallel and the aggregate
+    output is bounded by the language set.
+
+    Reference analog: none (extension surface — text-analysis family).
+    """
+    d = table(spark, sf_dir, "documents")
+    nw = token_count(F.col("text"))
+    nc = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    dstops = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(f"\\b({_STOP})\\b"), 0
+            )
+        )
+    )
+    alphaw = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_ALPHA_WORD), 0)
+    )
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    rules = d.select(
+        "lang",
+        as_int(nw.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)).alias("r_len"),
+        as_int(
+            nc.between(GOPHER_MIN_MEANLEN * nw, GOPHER_MAX_MEANLEN * nw)
+        ).alias("r_meanlen"),
+        as_int(dstops >= GOPHER_MIN_STOPWORDS).alias("r_stop"),
+        as_int(5 * alphaw >= 4 * nw).alias("r_alpha"),
+    )
+    return rules.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("r_len").cast("bigint").alias("pass_len"),
+        F.sum("r_meanlen").cast("bigint").alias("pass_meanlen"),
+        F.sum("r_stop").cast("bigint").alias("pass_stopwords"),
+        F.sum("r_alpha").cast("bigint").alias("pass_alpha"),
+        F.sum(
+            F.col("r_len") * F.col("r_meanlen") * F.col("r_stop") * F.col("r_alpha")
+        )
+        .cast("bigint")
+        .alias("pass_all"),
+    )
