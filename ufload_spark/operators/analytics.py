@@ -1345,3 +1345,120 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_rows"),
         F.explode(F.array(*pairs)).alias("p"),
     ).select("p.var_x", "p.var_y", "n_rows", "p.corr")
+
+
+@register(
+    "orders_abc_analysis",
+    """
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), binned AS (
+  SELECT o_custkey, cents,
+         length(bin(cents)) * 8
+           + (cents >> CASE WHEN length(bin(cents)) > 4
+                            THEN length(bin(cents)) - 4 ELSE 0 END) % 8
+           AS bin_id
+  FROM rev
+), bins AS (
+  SELECT bin_id, CAST(count(*) AS BIGINT) AS n_cust,
+         CAST(sum(cents) AS BIGINT) AS bin_cents
+  FROM binned GROUP BY bin_id
+), tot AS (
+  SELECT CAST(sum(bin_cents) AS BIGINT) AS total_cents FROM bins
+), ranked AS (
+  SELECT bin_id, n_cust, bin_cents,
+         CAST(coalesce(sum(bin_cents) OVER (
+           ORDER BY bin_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM bins
+), classed AS (
+  SELECT bin_id,
+         CASE WHEN cum_before * 5 < total_cents * 4 THEN 'A'
+              WHEN cum_before * 20 < total_cents * 19 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         n_cust, bin_cents, total_cents
+  FROM ranked, tot
+)
+SELECT abc_class, CAST(sum(n_cust) AS BIGINT) AS n_customers,
+       CAST(sum(bin_cents) AS BIGINT) AS revenue_cents,
+       round(CAST(sum(bin_cents) AS DOUBLE) / any_value(total_cents), 6) + 0.0
+         AS revenue_share
+FROM classed GROUP BY abc_class
+""",
+    doc="ABC (Pareto) customer segmentation at power-of-two revenue-bin "
+    "granularity — distributed ABC without a global sort; exact integer "
+    "cents end to end",
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto segmentation of customers by lifetime revenue: class A
+    covers (approximately) the top 80% of revenue, B the next 15%, C the
+    tail. The classic formulation sorts ALL customers by revenue and takes
+    a running share — a corpus-wide total-order window, the one shape a
+    distributed engine must refuse. Instead revenues are bucketed into
+    sub-octave bins — highest-set-bit × 8 plus the next three mantissa
+    bits, ≤ 512 bins by construction (~9% boundary resolution) — the
+    cumulative share is taken over the BIN table, and class boundaries
+    snap to bin edges: every customer in a bin whose preceding cumulative
+    share is < 80% is class A, < 95% B, else C. Boundary snapping is the
+    documented tradeoff for losing the global sort, and every count/sum
+    underneath is exact integer cents (share thresholds applied by
+    cross-multiplication, never division; the bin key is pure integer
+    shift/mask, so both engines bin identically — no float log2 edge
+    cases).
+
+    Scale shape: one per-customer aggregate (shuffle on custkey), one
+    ≤512-row bin aggregate, a SCALE-GUARDed partition-less window over the
+    bin table (domain-bounded: 64 bit positions × 8 mantissa sub-bins at
+    any corpus size), and a 3-row final aggregate. The bin/class
+    map never leaves broadcast size.
+
+    Reference analog: none (extension surface — analytics family).
+    """
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rev = o.groupBy("o_custkey").agg(F.sum(cents).cast("bigint").alias("cents"))
+    bitlen = F.length(F.bin(F.col("cents")))
+    mant = F.expr(
+        "(cents >> CASE WHEN length(bin(cents)) > 4"
+        " THEN length(bin(cents)) - 4 ELSE 0 END) % 8"
+    )
+    binned = rev.select("cents", (bitlen * 8 + mant).alias("bin_id"))
+    bins = binned.groupBy("bin_id").agg(
+        F.count("*").cast("bigint").alias("n_cust"),
+        F.sum("cents").cast("bigint").alias("bin_cents"),
+    )
+    tot = bins.agg(F.sum("bin_cents").cast("bigint").alias("total_cents"))
+    # SCALE GUARD: partition-less window over the BIN table only —
+    # bin_id is (highest-set-bit × 8 + 3 mantissa bits) of a bigint, so
+    # ≤ 512 rows regardless of corpus size.
+    w = (
+        Window.orderBy(F.desc("bin_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = bins.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("bin_cents").over(w), F.lit(0)).cast("bigint"),
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum_before") * 5 < F.col("total_cents") * 4, "A")
+        .when(F.col("cum_before") * 20 < F.col("total_cents") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "n_cust",
+        "bin_cents",
+        "total_cents",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.sum("n_cust").cast("bigint").alias("n_customers"),
+        F.sum("bin_cents").cast("bigint").alias("revenue_cents"),
+        (
+            F.round(
+                F.sum("bin_cents").cast("double") / F.any_value("total_cents"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("revenue_share"),
+    )
