@@ -1042,3 +1042,140 @@ def events_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MBIN_SQL = """length(bin(cents)) * 8
+  + (cents >> CASE WHEN length(bin(cents)) > 4
+              THEN length(bin(cents)) - 4 ELSE 0 END) % 8"""
+
+
+@register(
+    "events_rfm_segmentation",
+    f"""
+WITH p AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         max(ts) AS last_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), anchor AS (
+  SELECT max(last_ts) AS a FROM p
+), u AS (
+  SELECT user_id, freq, cents, {_MBIN_SQL} AS mkey,
+         date_diff('day', CAST(last_ts AS DATE), CAST(a AS DATE)) AS rdays
+  FROM p, anchor
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM u
+), rb AS (
+  SELECT rdays AS k, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1
+), fb AS (
+  SELECT freq AS k, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1
+), mb AS (
+  SELECT mkey AS k, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1
+), rs AS (
+  SELECT k, CAST(5 - least(4, (5 * coalesce(sum(n) OVER (
+           ORDER BY k ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)) // t) AS INT) AS score
+  FROM rb, tot
+), fs AS (
+  SELECT k, CAST(1 + least(4, (5 * coalesce(sum(n) OVER (
+           ORDER BY k ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)) // t) AS INT) AS score
+  FROM fb, tot
+), ms AS (
+  SELECT k, CAST(1 + least(4, (5 * coalesce(sum(n) OVER (
+           ORDER BY k ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)) // t) AS INT) AS score
+  FROM mb, tot
+)
+SELECT rs.score AS r_score, fs.score AS f_score, ms.score AS m_score,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM u
+JOIN rs ON u.rdays = rs.k
+JOIN fs ON u.freq = fs.k
+JOIN ms ON u.mkey = ms.k
+GROUP BY 1, 2, 3
+""",
+    doc="RFM quintile segmentation (recency/frequency/monetary) via "
+    "domain-bounded value histograms — no corpus-wide ntile window; "
+    "boundaries at value granularity, exact integer arithmetic",
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of purchasers: quintile scores 1-5 for Recency
+    (days since last purchase, recent = 5), Frequency (purchase count)
+    and Monetary (lifetime cents), aggregated to segment-cell populations
+    (≤ 125 output rows). The classic formulation is three corpus-wide
+    ``ntile(5)`` windows — three total-order sorts a distributed engine
+    must refuse. Instead each dimension gets a VALUE histogram (distinct
+    recency days — bounded by the dataset's time span; distinct purchase
+    counts — bounded by per-user activity; sub-octave monetary bins —
+    ≤ 512 by construction), the cumulative population runs over the
+    histogram table, and the quintile score is derived per distinct value
+    by integer arithmetic (``5·cum_before div total``). Ties share one
+    bin and therefore one score on both engines — no tiebreak ambiguity,
+    exactly deterministic.
+
+    Scale shape: one per-user aggregate (shuffle on user_id), three tiny
+    histogram aggregates with SCALE-GUARDed partition-less windows over
+    domain-bounded tables, three broadcast joins mapping users to scores,
+    and a ≤125-row final aggregate.
+
+    Reference analog: none (extension surface — event-analytics family).
+    """
+    ev = table(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    anchor = p.agg(F.max("last_ts").alias("a"))
+    mkey = F.expr(
+        "length(bin(cents)) * 8 + (cents >> CASE WHEN length(bin(cents)) > 4"
+        " THEN length(bin(cents)) - 4 ELSE 0 END) % 8"
+    )
+    u = p.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "freq",
+        "cents",
+        mkey.alias("mkey"),
+        F.datediff(F.to_date("a"), F.to_date("last_ts")).cast("bigint").alias(
+            "rdays"
+        ),
+    )
+    tot = u.agg(F.count("*").cast("bigint").alias("t"))
+
+    # SCALE GUARD: the three partition-less windows below run over VALUE
+    # histograms only — distinct recency days (dataset time span), distinct
+    # per-user purchase counts (activity-bounded), ≤512 sub-octave monetary
+    # bins — never over the user population.
+    def scores(col: str, ascending_score: bool) -> DataFrame:
+        hist = u.groupBy(F.col(col).alias("k")).agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+        w = Window.orderBy(F.asc("k")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cum = hist.withColumn(
+            "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0))
+        )
+        q = F.least(F.lit(4), F.expr("(5 * cum_before) div t"))
+        score = (1 + q) if ascending_score else (5 - q)
+        return cum.crossJoin(F.broadcast(tot)).select(
+            "k", score.cast("int").alias("score")
+        )
+
+    rs = scores("rdays", ascending_score=False)
+    fs = scores("freq", ascending_score=True)
+    ms = scores("mkey", ascending_score=True)
+    return (
+        u.join(F.broadcast(rs.withColumnsRenamed({"k": "rdays", "score": "r_score"})), "rdays")
+        .join(F.broadcast(fs.withColumnsRenamed({"k": "freq", "score": "f_score"})), "freq")
+        .join(F.broadcast(ms.withColumnsRenamed({"k": "mkey", "score": "m_score"})), "mkey")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
