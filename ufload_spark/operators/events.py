@@ -1179,3 +1179,106 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_score", "f_score", "m_score")
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
+
+
+#: CUSUM drift alarm threshold, in cents of accumulated positive deviation.
+CUSUM_THRESHOLD_CENTS = 25000
+
+
+@register(
+    "events_cusum_drift",
+    f"""
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS target
+  FROM p
+), c AS (
+  SELECT user_id, event_id,
+         CAST(sum(cents - target) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM p, t
+), s AS (
+  SELECT user_id,
+         cum - CAST(min(cum) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS excursion
+  FROM c
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(max(excursion) AS BIGINT) AS max_cusum_cents,
+       CAST(max(excursion) >= {CUSUM_THRESHOLD_CENTS} AS INT) AS drift_flag
+FROM s GROUP BY user_id
+""",
+    doc="CUSUM upward-drift detection per user over purchase values — "
+    "running-sum-minus-running-min window equivalence, exact integer cents",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift detection over purchase amounts (Page 1954,
+    public): the one-sided upper CUSUM ``S_i = max(0, S_{{i-1}} + (x_i -
+    target))`` looks like an unexpressible non-linear recursion, but it
+    has an exact closed form — ``S_i = C_i - min_{{j<=i}} C_j`` where
+    ``C`` is the plain running sum of deviations — which turns the
+    changepoint detector into two stock window functions. Emits each
+    user's maximum excursion and an alarm flag at
+    :data:`CUSUM_THRESHOLD_CENTS`.
+
+    Numeric discipline: deviations are integer cents against the floored
+    global mean (``total div n``, both engines identical; the sub-cent
+    floor bias is deterministic), so every running sum, min and max is
+    exact — no float accumulation across the window frames.
+
+    Scale shape: one broadcast scalar (the target), one shuffle
+    partitioning by the high-cardinality user_id for the ordered windows
+    (both windows share the single (user_id, ts, event_id) sort), and the
+    final per-user aggregate rides the same partitioning — one exchange
+    total. Per-partition state for running sum/min is O(1).
+
+    Reference analog: none (extension surface — event-analytics family;
+    the offline sibling of the streaming anomaly guards).
+    """
+    ev = table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = p.agg(
+        F.expr("CAST(sum(cents) AS BIGINT) div count(*)").alias("target")
+    )
+    w_sum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = p.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("cents") - F.col("target"))
+        .over(w_sum)
+        .cast("bigint")
+        .alias("cum"),
+    )
+    w_min = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = c.select(
+        "user_id",
+        (F.col("cum") - F.min("cum").over(w_min).cast("bigint")).alias(
+            "excursion"
+        ),
+    )
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.max("excursion").cast("bigint").alias("max_cusum_cents"),
+        (F.max("excursion") >= CUSUM_THRESHOLD_CENTS)
+        .cast("int")
+        .alias("drift_flag"),
+    )
