@@ -1462,3 +1462,115 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("revenue_share"),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    """
+WITH fo AS (
+  SELECT o_custkey,
+         min(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY o_custkey
+), om AS (
+  SELECT o.o_custkey, f.cohort_m,
+         year(o.o_orderdate) * 12 + month(o.o_orderdate) - f.cohort_m
+           AS month_index,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+), cell AS (
+  SELECT cohort_m, month_index,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM om GROUP BY 1, 2
+), sized AS (
+  SELECT cohort_m, month_index, n_active, revenue_cents,
+         CAST(sum(revenue_cents) OVER (
+           PARTITION BY cohort_m ORDER BY month_index
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_revenue_cents,
+         CAST(first(n_active) OVER (
+           PARTITION BY cohort_m ORDER BY month_index
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cohort_size
+  FROM cell
+)
+SELECT CAST((cohort_m - 1) // 12 AS INT) * 100
+         + CAST((cohort_m - 1) % 12 + 1 AS INT) AS cohort_ym,
+       CAST(month_index AS INT) AS month_index,
+       n_active, cohort_size, revenue_cents, cum_revenue_cents,
+       CAST(cum_revenue_cents // cohort_size AS BIGINT) AS ltv_cents_per_user
+FROM sized
+""",
+    doc="cohort LTV triangle: first-order-month cohorts x months-since, "
+    "active counts, cumulative revenue and per-user LTV in exact cents",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort lifetime-value triangle — the standard growth-analytics
+    artifact: customers grouped by first-order month, each cohort tracked
+    across months-since-acquisition with active counts, period revenue,
+    cumulative revenue, and cumulative LTV per acquired customer.
+
+    Months are compared as the integer ``year*12 + month`` (identical on
+    both engines — no fractional ``months_between`` or month-boundary
+    semantics to reconcile); money is exact integer cents with integer
+    division for the per-user LTV; cohort size is the month-0 active
+    count (every customer's first order lands in their cohort month by
+    construction, read off the running window's ``first``).
+
+    Scale shape: a per-customer min aggregate, one join back to orders on
+    the high-cardinality custkey (AQE decides the strategy; the cohort
+    frame is corpus-scaled so it is never hinted broadcast), the cell
+    aggregate on (cohort, month_index) — and only THEN the windows, over
+    the aggregated triangle whose partitions are domain-bounded (≤ the
+    dataset's month span per cohort, ~80 rows here) regardless of corpus
+    size. The distinct-count rides the same (cohort, month) shuffle.
+
+    Reference analog: none (extension surface — analytics family sibling
+    of ``events_retention_cohorts``, which tracks presence; this tracks
+    money).
+    """
+    o = table(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    fo = o.groupBy("o_custkey").agg(F.min(ym).alias("cohort_m"))
+    om = o.join(fo, "o_custkey").select(
+        "o_custkey",
+        "cohort_m",
+        (ym - F.col("cohort_m")).alias("month_index"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cell = om.groupBy("cohort_m", "month_index").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    # SCALE GUARD: windows run over the aggregated (cohort, month) triangle
+    # — partitions are bounded by the dataset's month span, never the
+    # order count.
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = cell.select(
+        "cohort_m",
+        "month_index",
+        "n_active",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias(
+            "cum_revenue_cents"
+        ),
+        F.first("n_active").over(w).cast("bigint").alias("cohort_size"),
+    )
+    return sized.select(
+        (
+            F.expr("CAST((cohort_m - 1) div 12 AS INT)") * 100
+            + F.expr("CAST((cohort_m - 1) % 12 + 1 AS INT)")
+        ).alias("cohort_ym"),
+        F.col("month_index").cast("int").alias("month_index"),
+        "n_active",
+        "cohort_size",
+        "revenue_cents",
+        "cum_revenue_cents",
+        F.expr("CAST(cum_revenue_cents div cohort_size AS BIGINT)").alias(
+            "ltv_cents_per_user"
+        ),
+    )
