@@ -1574,3 +1574,160 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_cents_per_user"
         ),
     )
+
+
+@register(
+    "orders_benford_digits",
+    """
+WITH c AS (
+  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), obs AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY digit
+), tot AS (
+  SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs
+)
+SELECT digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / n, 6) + 0.0 AS obs_share,
+       round(log10(1.0 + 1.0 / digit), 6) + 0.0 AS benford_share,
+       round(n * pow(CAST(n_obs AS DOUBLE) / n - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit), 6) + 0.0 AS chi2_term
+FROM obs, tot
+""",
+    doc="Benford's-law first-digit audit of order totals: observed vs "
+    "expected digit shares and per-digit chi-square contributions",
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit over order totals — the classic
+    forensic-accounting screen: the distribution of first significant
+    digits against the log10(1 + 1/d) law, with each digit's chi-square
+    contribution (their sum is the test statistic; large terms point at
+    the digits driving the deviation).
+
+    The first digit is taken from the DECIMAL STRING of the integer cents
+    value — pure integer/string ops, identical on both engines (no float
+    log-based digit extraction, which disagrees at power-of-ten
+    boundaries). Only the final shares/chi-square are floats, each a
+    fixed-shape expression over one integer count pair, rounded to 6dp.
+
+    Scale shape: a narrow projection to one digit per row, a 9-row
+    aggregate with map-side combine, one broadcast scalar total. Nothing
+    else — the cheapest possible full-scan statistic.
+
+    Reference analog: none (extension surface — data-quality/audit family
+    alongside ``quality_constraint_audit``).
+    """
+    o = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    share = F.col("n_obs").cast("double") / F.col("n")
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        (F.round(share, 6) + F.lit(0.0)).alias("obs_share"),
+        (F.round(exp, 6) + F.lit(0.0)).alias("benford_share"),
+        (F.round(F.col("n") * F.pow(share - exp, 2) / exp, 6) + F.lit(0.0)).alias(
+            "chi2_term"
+        ),
+    )
+
+
+@register(
+    "supplier_concentration_hhi",
+    """
+WITH sr AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT s_nationkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(cents) AS BIGINT) AS nation_cents,
+         sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sumsq,
+         CAST(max(cents) AS BIGINT) AS top_cents
+  FROM sr GROUP BY 1
+)
+SELECT n.n_name AS nation, n_suppliers,
+       round(CAST(sumsq AS DOUBLE)
+             / (CAST(nation_cents AS DOUBLE) * CAST(nation_cents AS DOUBLE)),
+             6) + 0.0 AS hhi,
+       round(CAST(top_cents AS DOUBLE) / CAST(nation_cents AS DOUBLE), 6)
+         + 0.0 AS top_share
+FROM agg JOIN nation n ON agg.s_nationkey = n.n_nationkey
+""",
+    doc="Herfindahl-Hirschman supplier-concentration index per nation from "
+    "exact integer revenue cents (int128/decimal38 sum of squares)",
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: the Herfindahl-Hirschman index of
+    supplier revenue shares within each nation (Σ share² — 1/n for
+    perfect competition, 1.0 for monopoly), plus the largest single
+    supplier's share. HHI is computed as Σcents² / (Σcents)² so every
+    reduction is over exact integers — the squares live in
+    decimal(38,0) on the Spark side and HUGEINT in the oracle (a
+    supplier's cents² overflows int64 from ~$100M revenue; the
+    [[cross-engine-determinism-tricks]] decimal38 discipline) — and
+    floats appear only in the final two divisions, rounded to 6dp.
+
+    Scale shape: one (nation, supplier) aggregate off the
+    lineitem⋈supplier join (supplier side is corpus-scaled — AQE decides
+    the strategy), one 25-row nation aggregate, and a broadcast join to
+    the fixed-cardinality nation names. Map-side combine takes the
+    per-supplier sums; nothing corpus-sized survives the first shuffle.
+
+    Reference analog: none (extension surface — analytics/audit family).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    sr = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    c38 = F.col("cents").cast("decimal(38,0)")
+    agg = sr.groupBy("s_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("nation_cents"),
+        F.sum(c38 * c38).alias("sumsq"),
+        F.max("cents").cast("bigint").alias("top_cents"),
+    )
+    return agg.join(
+        F.broadcast(na), agg.s_nationkey == na.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        "n_suppliers",
+        (
+            F.round(
+                F.col("sumsq").cast("double")
+                / (
+                    F.col("nation_cents").cast("double")
+                    * F.col("nation_cents").cast("double")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("hhi"),
+        (
+            F.round(
+                F.col("top_cents").cast("double")
+                / F.col("nation_cents").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("top_share"),
+    )
