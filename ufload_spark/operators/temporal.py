@@ -484,3 +484,78 @@ def pipeline_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.event_type").alias("state_at_label"),
         F.col("s.valid_from").alias("state_since"),
     )
+
+
+#: Attribution lookback window: a purchase is click-attributed when the
+#: user's latest prior click is at most this many seconds before it.
+ATTRIB_WINDOW_S = 3600
+
+
+@register(
+    "events_attribution_last_touch",
+    f"""
+WITH j AS (
+  SELECT p.value, p.ts, c.ts AS click_ts
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+), tagged AS (
+  SELECT CASE
+           WHEN click_ts IS NULL THEN 'organic'
+           WHEN epoch_us(ts) - epoch_us(click_ts)
+                <= CAST({ATTRIB_WINDOW_S} AS BIGINT) * 1000000
+             THEN 'click_attributed'
+           ELSE 'click_expired'
+         END AS channel,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM j
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM tagged GROUP BY channel
+""",
+    doc=f"last-touch attribution: purchase revenue split by whether the "
+    f"user's latest prior click fell within {ATTRIB_WINDOW_S} s",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is attributed to
+    the user's most recent PRIOR click — ``click_attributed`` when that
+    click is within :data:`ATTRIB_WINDOW_S`, ``click_expired`` when it is
+    older, ``organic`` when the user never clicked before buying — and
+    revenue is totaled per channel in exact integer cents.
+
+    Scale shape: the as-of join runs as the union + ordered-window plan
+    (:func:`asof_join` — one shuffle on user_id, O(1) window state, no
+    join product ever materializes), the latency classification is a
+    row-local integer microsecond comparison, and the output is a 3-row
+    aggregate with map-side combine. The oracle uses DuckDB's native
+    ASOF LEFT JOIN against the identical window arithmetic.
+
+    Reference analog: none (extension surface — the attribution sibling
+    of ``events_asof_last_click``, which emits the raw pairs).
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(purchases, clicks, "user_id", "ts", ["event_id", "ts"])
+    lat_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))
+    channel = (
+        F.when(F.col("asof_ts").isNull(), "organic")
+        .when(lat_us <= ATTRIB_WINDOW_S * 1_000_000, "click_attributed")
+        .otherwise("click_expired")
+    )
+    return (
+        j.select(
+            channel.alias("channel"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
