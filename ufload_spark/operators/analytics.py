@@ -1731,3 +1731,78 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("top_share"),
     )
+
+
+@register(
+    "orders_seasonality_index",
+    """
+WITH mon AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+         month(o_orderdate) AS m,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+), moy AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS n_months,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM mon GROUP BY m
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS tc,
+         CAST(sum(n_months) AS BIGINT) AS tm
+  FROM moy
+)
+SELECT m AS month, n_months, cents AS revenue_cents,
+       round(CAST(cents AS DOUBLE) * tm
+             / (CAST(n_months AS DOUBLE) * tc), 6) + 0.0 AS seasonal_index
+FROM moy, tot
+""",
+    doc="month-of-year seasonality index: mean monthly revenue per calendar "
+    "month vs the overall monthly mean, from exact integer cents",
+)
+def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality profile: for each calendar month, the
+    ratio of its mean monthly revenue to the overall monthly mean (1.0 =
+    no seasonality). Calendar months are weighted by how many times they
+    actually occur in the dataset span (an 80-month span covers January
+    seven times but September six — dividing by raw month counts would
+    bias the index), which is why the per-(year, month) aggregate comes
+    first.
+
+    All sums are exact integer cents; the index is one fixed-shape double
+    expression ``cents·tm / (n_months·tc)`` over four exact integers,
+    rounded to 6dp — no float accumulation anywhere.
+
+    Scale shape: one (year*12+month) aggregate with map-side combine
+    (output bounded by the dataset's month span), a 12-row month-of-year
+    aggregate, one broadcast scalar pair. Cheapest-possible profile.
+
+    Reference analog: none (extension surface — analytics family).
+    """
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    mon = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+        F.month("o_orderdate").alias("m"),
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    moy = mon.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    tot = moy.agg(
+        F.sum("cents").cast("bigint").alias("tc"),
+        F.sum("n_months").cast("bigint").alias("tm"),
+    )
+    return moy.crossJoin(F.broadcast(tot)).select(
+        F.col("m").alias("month"),
+        "n_months",
+        F.col("cents").alias("revenue_cents"),
+        (
+            F.round(
+                F.col("cents").cast("double")
+                * F.col("tm")
+                / (F.col("n_months").cast("double") * F.col("tc")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("seasonal_index"),
+    )
