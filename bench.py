@@ -79,6 +79,9 @@ HEADLINE = [
     "graph_pagerank_purchases",    # integer-exact PageRank iterations (r5)
     # r6 additions (appended; earlier entries stay comparable round-over-round)
     "text_bm25_search",            # BM25 ranked retrieval, decimal-exact sums (r6)
+    "graph_triangle_count",        # degree-ordered oriented wedge join (r6)
+    "events_rfm_segmentation",     # histogram-quantile RFM, no global ntile (r6)
+    "orders_cohort_ltv",           # cohort LTV triangle, bounded windows (r6)
 ]
 
 
