@@ -2184,3 +2184,72 @@ def similarity_ncm_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqdist",
         )
     )
+
+
+from ufload_spark.plans.registry import QUERIES as _REGISTRY  # noqa: E402
+
+_RECALL_ORACLE = f"""
+WITH exact AS (
+  SELECT qid, cid FROM ({_REGISTRY["similarity_topk_cosine"].oracle}) ex
+), approx AS (
+  SELECT qid, cid FROM ({_REGISTRY["similarity_quantized_topk"].oracle}) an
+)
+SELECT e.qid, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.cid) AS BIGINT) AS n_hit,
+       round(CAST(count(a.cid) AS DOUBLE) / count(*), 6) + 0.0 AS recall_at_k
+FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+GROUP BY e.qid
+"""
+
+
+@register(
+    "similarity_quantized_recall_eval",
+    _RECALL_ORACLE,
+    doc=f"retrieval-quality evaluation: recall@{TOP_K} of the int8 "
+    "scalar-quantized search against the float brute-force ground truth",
+)
+def similarity_quantized_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retrieval quality as a first-class query: recall@k of
+    ``similarity_quantized_topk`` (the int8 scalar-quantized search — the
+    representation a 100 TB corpus actually serves from, at 4x less
+    memory bandwidth than float32) against ``similarity_topk_cosine``
+    (the float ground truth), per query vector. This is the number an
+    index owner watches when choosing a quantization level: it prices the
+    lossy representation in ranking terms, on the live corpus, inside the
+    CORRECTNESS sweep and bench trend. (Planted-fixture recall for the
+    LSH/IVF probe paths lives in tests/test_recall.py — the stock corpus
+    has no near-dup structure, so band-collision probes retrieve nothing
+    there by construction and their quality is measured on planted
+    fixtures instead.)
+
+    Determinism: both sides break ranking ties by candidate id, so the
+    top-k SETS are exactly reproducible across engines; the recall ratio
+    is one rounded division of two exact counts. The oracle embeds both
+    registered oracles as subqueries — one source of truth, no drift
+    between the eval and the operators it evaluates.
+
+    Scale shape: both inputs are query-batch-sized (k rows per query), so
+    the join/aggregate is broadcast-trivial; total cost = the two
+    underlying plans, whose corpus-scan shapes are already audited.
+
+    Reference analog: none (extension surface — similarity family).
+    """
+    ex = similarity_topk_cosine(spark, sf_dir).select("qid", "cid")
+    ap = similarity_quantized_topk(spark, sf_dir).select(
+        F.col("qid").alias("a_qid"), F.col("cid").alias("a_cid")
+    )
+    j = ex.join(
+        ap,
+        (ex.qid == ap.a_qid) & (ex.cid == ap.a_cid),
+        "left",
+    )
+    return j.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.count("a_cid").cast("bigint").alias("n_hit"),
+        (
+            F.round(F.count("a_cid").cast("double") / F.count("*"), 6)
+            + F.lit(0.0)
+        ).alias("recall_at_k"),
+    )
