@@ -824,3 +824,91 @@ def test_bm25_topk_avoids_global_sort(spark):
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(r["n_terms"] >= 1 for r in rows)
+
+
+def test_cusum_single_exchange(spark):
+    """events_cusum_drift: both windows (running sum, running min) and the
+    final per-user aggregate must ride ONE user_id exchange — the closed
+    form's entire point is that the changepoint scan costs one shuffle."""
+    from ufload_spark.operators.events import events_cusum_drift
+
+    plan = _plan(events_cusum_drift(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_triangle_count_joins_are_equi(spark):
+    """graph_triangle_count: the wedge and closing joins must plan as hash
+    equi-joins — a nested-loop/cartesian anywhere means the orientation
+    trick failed and the plan is corpus-quadratic."""
+    from ufload_spark.operators.graph import graph_triangle_count
+
+    df = graph_triangle_count(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the two 1-row scalar
+    # crossJoins assembling the final stats row
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    equi = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    # two degree attachments + the wedge join + the closing join
+    assert equi >= 4
+    row = df.collect()[0]
+    # each triangle closes exactly one ORIENTED wedge but 3 degree-wedges
+    assert row["n_wedges"] >= 3 * row["n_triangles"]
+    assert row["n_edges"] >= row["max_degree"]
+
+
+def test_suboctave_bins_domain_bounded(spark):
+    """The ABC/RFM replacement for corpus-wide sorts only works if the
+    histogram tables stay tiny: the sub-octave key must take ≤ 512
+    distinct values over the real revenue distribution (and the window
+    inputs in both queries are exactly these keys)."""
+    from ufload_spark.functions.binning import SUBOCTAVE_MAX_BINS, suboctave_bin
+
+    rev = (
+        table(spark, SF_DIR_MID, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    nbins = rev.select(suboctave_bin("cents").alias("b")).distinct().count()
+    assert 0 < nbins <= SUBOCTAVE_MAX_BINS
+
+
+def test_rfm_scores_complete_and_monotone(spark):
+    """events_rfm_segmentation: every score in 1..5, and the monetary
+    dimension must actually discriminate (≥ 3 distinct M scores at the
+    mid fixture) — a degenerate histogram would quietly collapse all
+    users into one quintile."""
+    from ufload_spark.operators.events import events_rfm_segmentation
+
+    rows = events_rfm_segmentation(spark, SF_DIR_MID).collect()
+    assert rows
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5
+    assert len({r["m_score"] for r in rows}) >= 3
+
+
+def test_cohort_ltv_window_is_span_bounded(spark):
+    """orders_cohort_ltv: the running windows must consume the aggregated
+    (cohort, month) triangle — per-cohort partition sizes are bounded by
+    the dataset month span, and cumulative LTV must be non-decreasing."""
+    from ufload_spark.operators.analytics import orders_cohort_ltv
+
+    rows = orders_cohort_ltv(spark, SF_DIR).collect()
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_ym"], []).append(r)
+    span_months = 12 * 8  # fixtures span < 8 years
+    for ym, rs in by_cohort.items():
+        assert len(rs) <= span_months
+        rs.sort(key=lambda r: r["month_index"])
+        cum = [r["cum_revenue_cents"] for r in rs]
+        assert cum == sorted(cum)
+        assert all(r["cohort_size"] == rs[0]["n_active"] for r in rs)

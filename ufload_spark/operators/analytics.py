@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ufload_spark.functions.names import db_to_instance, file_to_db
 from ufload_spark.operators.listing import BACKUPS_CTE, backups
+from ufload_spark.functions.binning import suboctave_bin, suboctave_bin_sql
 from ufload_spark.plans.registry import register
 from ufload_spark.sources.tables import table
 
@@ -1349,17 +1350,13 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_abc_analysis",
-    """
+    f"""
 WITH rev AS (
   SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                          AS BIGINT) AS cents
   FROM orders GROUP BY o_custkey
 ), binned AS (
-  SELECT o_custkey, cents,
-         length(bin(cents)) * 8
-           + (cents >> CASE WHEN length(bin(cents)) > 4
-                            THEN length(bin(cents)) - 4 ELSE 0 END) % 8
-           AS bin_id
+  SELECT o_custkey, cents, {suboctave_bin_sql("cents")} AS bin_id
   FROM rev
 ), bins AS (
   SELECT bin_id, CAST(count(*) AS BIGINT) AS n_cust,
@@ -1420,12 +1417,7 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     rev = o.groupBy("o_custkey").agg(F.sum(cents).cast("bigint").alias("cents"))
-    bitlen = F.length(F.bin(F.col("cents")))
-    mant = F.expr(
-        "(cents >> CASE WHEN length(bin(cents)) > 4"
-        " THEN length(bin(cents)) - 4 ELSE 0 END) % 8"
-    )
-    binned = rev.select("cents", (bitlen * 8 + mant).alias("bin_id"))
+    binned = rev.select("cents", suboctave_bin("cents").alias("bin_id"))
     bins = binned.groupBy("bin_id").agg(
         F.count("*").cast("bigint").alias("n_cust"),
         F.sum("cents").cast("bigint").alias("bin_cents"),

@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ufload_spark.functions.binning import suboctave_bin, suboctave_bin_sql
 from ufload_spark.plans.registry import register
 from ufload_spark.sources.tables import table
 
@@ -1044,9 +1045,7 @@ def events_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MBIN_SQL = """length(bin(cents)) * 8
-  + (cents >> CASE WHEN length(bin(cents)) > 4
-              THEN length(bin(cents)) - 4 ELSE 0 END) % 8"""
+_MBIN_SQL = suboctave_bin_sql("cents")
 
 
 @register(
@@ -1134,10 +1133,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     anchor = p.agg(F.max("last_ts").alias("a"))
-    mkey = F.expr(
-        "length(bin(cents)) * 8 + (cents >> CASE WHEN length(bin(cents)) > 4"
-        " THEN length(bin(cents)) - 4 ELSE 0 END) % 8"
-    )
+    mkey = suboctave_bin("cents")
     u = p.crossJoin(F.broadcast(anchor)).select(
         "user_id",
         "freq",
