@@ -1278,3 +1278,86 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("drift_flag"),
     )
+
+
+@register(
+    "events_stickiness_dau_wau",
+    """
+WITH triple AS (
+  SELECT DISTINCT year(date_trunc('week', ts)) * 10000
+                    + month(date_trunc('week', ts)) * 100
+                    + day(date_trunc('week', ts)) AS wk,
+                  CAST(ts AS DATE) AS d, user_id
+  FROM events
+), dau AS (
+  SELECT wk, d, CAST(count(*) AS BIGINT) AS dau FROM triple GROUP BY wk, d
+), wau AS (
+  SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM triple GROUP BY wk
+), davg AS (
+  SELECT wk, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(dau) AS BIGINT) AS dau_sum
+  FROM dau GROUP BY wk
+)
+SELECT CAST(davg.wk AS INT) AS week_start, n_days, dau_sum, wau,
+       round(CAST(dau_sum AS DOUBLE) / (n_days * wau), 6) + 0.0
+         AS stickiness
+FROM davg JOIN wau ON davg.wk = wau.wk
+""",
+    doc="product-analytics stickiness: mean DAU / WAU per ISO week from one "
+    "deduplicated (week, day, user) frame",
+)
+def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity stickiness — the product-analytics staple ``avg(DAU)/WAU``
+    per ISO week (1.0 = every weekly-active user shows up daily). The
+    scan is deduplicated ONCE to the (week, day, user) triple; both the
+    daily and weekly distinct counts then run over that frame — the raw
+    event volume is touched a single time, and the triple is at most
+    |users|·7 rows per week no matter how many events each user emits
+    (the 100 TB concern: events per user grows with corpus, the triple
+    does not).
+
+    Counts are exact integers; stickiness is one fixed-shape rounded
+    division. Week keys are the integer yyyymmdd of the Monday week start
+    (``date_trunc('week')`` is Monday-ISO on both engines; the integer
+    form sidesteps date-vs-timestamp materialization differences).
+
+    Scale shape: one dedup shuffle on the triple, two small aggregates
+    (the week one rides a second distinct on user — bounded by the
+    triple), one tiny join on week keys.
+
+    Reference analog: none (extension surface — event-analytics family).
+    """
+    ev = table(spark, sf_dir, "events")
+    wkd = F.date_trunc("week", F.col("ts"))
+    triple = ev.select(
+        (F.year(wkd) * 10000 + F.month(wkd) * 100 + F.dayofmonth(wkd)).alias(
+            "wk"
+        ),
+        F.to_date("ts").alias("d"),
+        "user_id",
+    ).distinct()
+    dau = triple.groupBy("wk", "d").agg(
+        F.count("*").cast("bigint").alias("dau")
+    )
+    wau = triple.groupBy("wk").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    davg = dau.groupBy("wk").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+    )
+    return davg.join(wau, "wk").select(
+        F.col("wk").cast("int").alias("week_start"),
+        "n_days",
+        "dau_sum",
+        "wau",
+        (
+            F.round(
+                F.col("dau_sum").cast("double")
+                / (F.col("n_days") * F.col("wau")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("stickiness"),
+    )
