@@ -1361,3 +1361,118 @@ def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("stickiness"),
     )
+
+
+#: Markov stationary iteration: mass micro-units and unrolled step count.
+MARKOV_MASS = 1_000_000_000
+MARKOV_ITERS = 4
+
+_MARKOV_PAIRS_CTE = """
+ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type AS p, event_type AS nxt, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), outw AS (
+  SELECT p, CAST(sum(n) AS BIGINT) AS wout FROM pairs GROUP BY p
+), states AS (
+  SELECT DISTINCT p AS s FROM pairs
+), ns AS (
+  SELECT CAST(count(*) AS BIGINT) AS k FROM states
+)"""
+
+
+def _markov_oracle() -> str:
+    steps = [f", r0 AS (SELECT s, {MARKOV_MASS} // k AS r FROM states, ns)"]
+    for i in range(1, MARKOV_ITERS + 1):
+        steps.append(
+            f""", r{i} AS (
+  SELECT e.nxt AS s, CAST(sum((r.r * e.n) // o.wout) AS BIGINT) AS r
+  FROM pairs e
+  JOIN r{i - 1} r ON e.p = r.s
+  JOIN outw o ON e.p = o.p
+  GROUP BY e.nxt
+)"""
+        )
+    return (
+        "WITH "
+        + _MARKOV_PAIRS_CTE
+        + "".join(steps)
+        + f"""
+SELECT s AS state, r AS stationary_micro,
+       round(CAST(r AS DOUBLE) / {MARKOV_MASS}, 6) + 0.0 AS share
+FROM r{MARKOV_ITERS}
+"""
+    )
+
+
+@register(
+    "events_markov_stationary",
+    _markov_oracle(),
+    doc=f"stationary distribution of the event-type Markov chain: "
+    f"{MARKOV_ITERS} unrolled integer-micro-unit power steps over the "
+    "transition-count matrix",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where user behavior settles: the stationary distribution of the
+    event-type Markov chain, by :data:`MARKOV_ITERS` unrolled power steps
+    over the transition-count matrix that ``events_type_transitions``
+    exposes raw. The numeric discipline is ``graph_pagerank_purchases``'s:
+    every mass is an exact INTEGER count of probability micro-units
+    (:data:`MARKOV_MASS` total) and every step is integer multiply/div,
+    so per-state inflow sums are reduction-order-free and bit-identical
+    across engines and cluster sizes.
+
+    Scale shape: ONE corpus-touching exchange (the per-user lag window on
+    user_id — the family's shared partition key) reduces the stream to a
+    |types|² count matrix, which is persisted; the four iterations then
+    join |types|-row rank vectors against it — micro-frames, costless at
+    any corpus size. Compare pagerank, where the edge table itself is
+    corpus-scaled and must be published/bucketed; here only the REDUCTION
+    is corpus-scaled.
+
+    Reference analog: none (extension surface — event-analytics family).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("nxt"),
+            F.lag("event_type").over(w).alias("p"),
+        )
+        .where(F.col("p").isNotNull())
+        .groupBy("p", "nxt")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn(
+            "wout", F.sum("n").over(Window.partitionBy("p")).cast("bigint")
+        )
+        .persist()  # |types|² rows; spares re-running the user exchange per step
+    )
+    states = pairs.select(F.col("p").alias("s")).distinct()
+    ns = states.agg(F.count("*").cast("bigint").alias("k"))
+    ranks = states.crossJoin(F.broadcast(ns)).select(
+        "s", F.expr(f"{MARKOV_MASS} div k").cast("bigint").alias("r")
+    )
+    for _ in range(MARKOV_ITERS):
+        ranks = (
+            pairs.join(F.broadcast(ranks), pairs.p == F.col("s"))
+            .select(
+                F.col("nxt"),
+                F.expr("(r * n) div wout").alias("contrib"),
+            )
+            .groupBy("nxt")
+            .agg(F.sum("contrib").cast("bigint").alias("r"))
+            .select(F.col("nxt").alias("s"), "r")
+        )
+    return ranks.select(
+        F.col("s").alias("state"),
+        F.col("r").alias("stationary_micro"),
+        (F.round(F.col("r").cast("double") / MARKOV_MASS, 6) + F.lit(0.0)).alias(
+            "share"
+        ),
+    )
