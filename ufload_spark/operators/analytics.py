@@ -1668,8 +1668,8 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier's share. HHI is computed as Σcents² / (Σcents)² so every
     reduction is over exact integers — the squares live in
     decimal(38,0) on the Spark side and HUGEINT in the oracle (a
-    supplier's cents² overflows int64 from ~$100M revenue; the
-    [[cross-engine-determinism-tricks]] decimal38 discipline) — and
+    supplier's cents² overflows int64 from ~$100M revenue — the engine's
+    decimal38 wide-integer discipline) — and
     floats appear only in the final two divisions, rounded to 6dp.
 
     Scale shape: one (nation, supplier) aggregate off the

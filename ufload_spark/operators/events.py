@@ -1476,3 +1476,70 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@register(
+    "events_user_entropy",
+    """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+), tot AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS nt,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM c GROUP BY user_id
+), terms AS (
+  SELECT c.user_id, tot.n_types, tot.nt,
+         CAST(round((CAST(c.n AS DOUBLE) / tot.nt)
+                    * ln(CAST(c.n AS DOUBLE) / tot.nt), 12)
+              AS DECIMAL(38, 12)) AS term
+  FROM c JOIN tot ON c.user_id = tot.user_id
+)
+SELECT user_id, any_value(n_types) AS n_types, any_value(nt) AS n_events,
+       round(-CAST(sum(term) AS DOUBLE), 6) + 0.0 AS entropy_nats
+FROM terms GROUP BY user_id
+""",
+    doc="behavioral entropy per user: Shannon entropy of the event-type "
+    "mix, decimal-summed terms for cross-engine determinism",
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type mix — the
+    behavioral-diversity feature (0 = monomaniac, ln|types| = uniform)
+    that segmentation and anomaly models consume.
+
+    Numeric discipline — the engine's NLL summation pattern
+    (``text_unigram_logprob``): each ``p·ln p`` term is a fixed-shape double expression over
+    two exact integers, individually rounded to 12dp and cast to
+    ``decimal(38,12)`` BEFORE the per-user sum, so the reduction is
+    order-free; the ≤ |types| per-term ulp differences sit 6 orders of
+    magnitude below the final 6dp rounding. Never sum raw doubles across
+    rows and round after — partition order would leak into the hash.
+
+    Scale shape: one (user, type) count aggregate with map-side combine,
+    a per-user rollup riding the same user partitioning, one join back —
+    all on the high-cardinality user key; output is one row per user.
+
+    Reference analog: none (extension surface — event-analytics family).
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = c.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    p = F.col("n").cast("double") / F.col("nt")
+    terms = c.join(tot, "user_id").select(
+        "user_id",
+        "n_types",
+        "nt",
+        F.round(p * F.log(p), 12).cast("decimal(38,12)").alias("term"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.any_value("n_types").alias("n_types"),
+        F.any_value("nt").alias("n_events"),
+        (F.round(-F.sum("term").cast("double"), 6) + F.lit(0.0)).alias(
+            "entropy_nats"
+        ),
+    )
