@@ -1543,3 +1543,99 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats"
         ),
     )
+
+
+@register(
+    "events_funnel_latency",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), lat AS (
+  SELECT 'view_to_click' AS step, c.user_id,
+         epoch_us(c.t_click) - epoch_us(v.t_view) AS us
+  FROM c JOIN v ON c.user_id = v.user_id
+  UNION ALL
+  SELECT 'click_to_purchase' AS step, p.user_id,
+         epoch_us(p.t_purchase) - epoch_us(c.t_click) AS us
+  FROM p JOIN c ON p.user_id = c.user_id
+)
+SELECT step, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(us) AS BIGINT) AS total_us,
+       CAST(sum(us) // count(*) AS BIGINT) AS avg_us,
+       CAST(max(us) AS BIGINT) AS max_us
+FROM lat GROUP BY step
+""",
+    doc="funnel step latency: exact integer-microsecond time from first "
+    "view to first subsequent click, and click to purchase",
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for the strictly-ordered funnel: per converting
+    user, microseconds from first view to the first LATER click and from
+    that click to the first later purchase, aggregated per step (count,
+    total, integer-average, max). Same step semantics as
+    ``events_funnel`` — an unordered diff would credit purchases that
+    preceded the view.
+
+    All latencies are exact integer microseconds; the average is integer
+    division — no float anywhere, so the output hashes identically on
+    both engines by construction.
+
+    Scale shape: three per-user min aggregates, each riding the shared
+    user_id partitioning with step frames shrinking monotonically
+    (step-k input is step-k-1 converters), one 2-row final aggregate.
+
+    Reference analog: none (extension surface — event-analytics family).
+    """
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = (
+        c.join(v, "user_id")
+        .select(
+            F.lit("view_to_click").alias("step"),
+            (
+                F.unix_micros(F.col("t_click")) - F.unix_micros(F.col("t_view"))
+            ).alias("us"),
+        )
+        .unionAll(
+            p.join(c, "user_id").select(
+                F.lit("click_to_purchase").alias("step"),
+                (
+                    F.unix_micros(F.col("t_purchase"))
+                    - F.unix_micros(F.col("t_click"))
+                ).alias("us"),
+            )
+        )
+    )
+    return lat.groupBy("step").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("us").cast("bigint").alias("total_us"),
+        F.expr("CAST(sum(us) div count(*) AS BIGINT)").alias("avg_us"),
+        F.max("us").cast("bigint").alias("max_us"),
+    )
