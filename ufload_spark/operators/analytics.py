@@ -1798,3 +1798,90 @@ def orders_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("seasonal_index"),
     )
+
+
+@register(
+    "parts_skyline_price_size",
+    """
+WITH p AS (
+  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT a.p_partkey, a.cents, a.size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.cents <= a.cents AND b.size >= a.size
+    AND (b.cents < a.cents OR b.size > a.size)
+)
+""",
+    doc="skyline / Pareto frontier of parts (minimize price, maximize "
+    "size) via bin-pruned sort-filter skyline; oracle is the quadratic "
+    "NOT EXISTS dominance check",
+)
+def parts_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline operator (Börzsönyi et al. 2001 — public): parts not
+    dominated on (lower price, larger size). Spark has no skyline
+    primitive and the textbook formulation is a quadratic self-anti-join;
+    the scalable shape here is grid-pruned sort-filter skyline:
+
+    1. price → sub-octave bin (monotone integer key, ≤ 512 bins);
+    2. per-bin max size, running max over STRICTLY lower bins (a
+       SCALE-GUARDed ≤512-row window) — any part whose size does not
+       exceed every strictly-cheaper bin's max is dominated and dropped
+       BEFORE any pairwise work; survivors are the bin-frontier
+       candidates, expected skyline-sized for non-adversarial data;
+    3. exact within-bin refinement on the survivors via two value-RANGE
+       windows per bin (max size over strictly-cheaper rows; max size
+       among equal-price rows), which resolves the tie semantics
+       exactly: equal (price, size) points dominate neither way and both
+       survive.
+
+    Every comparison is on exact integer cents/size; the output is the
+    frontier itself, so the result is deterministic and engine-identical.
+    The oracle runs the quadratic NOT EXISTS dominance check — exactly
+    the plan this operator exists to avoid.
+
+    Scale shape: one narrow scan + ≤512-row bin aggregate + the pruned
+    candidate windows; no corpus-wide sort, no self-join of the full
+    table at any point.
+
+    Reference analog: none (extension surface — analytics family).
+    """
+    pt = table(spark, sf_dir, "part")
+    p = pt.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    ).withColumn("bin_id", suboctave_bin("cents"))
+    bins = p.groupBy("bin_id").agg(F.max("size").alias("bin_max"))
+    # SCALE GUARD: partition-less window over the ≤512-row bin table only
+    wb = Window.orderBy("bin_id").rowsBetween(Window.unboundedPreceding, -1)
+    bounds = bins.withColumn("lower_max", F.max("bin_max").over(wb)).select(
+        "bin_id", "lower_max"
+    )
+    cand = p.join(F.broadcast(bounds), "bin_id").where(
+        F.col("lower_max").isNull() | (F.col("size") > F.col("lower_max"))
+    )
+    # exact refinement among bin-frontier survivors: value-RANGE windows
+    # per bin (survivor counts are frontier-sized after the prefilter)
+    w_cheaper = (
+        Window.partitionBy("bin_id")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = (
+        Window.partitionBy("bin_id").orderBy("cents").rangeBetween(0, 0)
+    )
+    refined = cand.select(
+        "p_partkey",
+        "cents",
+        "size",
+        F.max("size").over(w_cheaper).alias("max_cheaper"),
+        F.max("size").over(w_equal).alias("max_equal"),
+    )
+    return refined.where(
+        (F.col("max_cheaper").isNull() | (F.col("size") > F.col("max_cheaper")))
+        & (F.col("size") >= F.col("max_equal"))
+    ).select("p_partkey", "cents", "size")
