@@ -1293,3 +1293,152 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pass_all"),
     )
+
+
+#: JS-divergence vocabulary: token count over the whole corpus picks the
+#: top-N terms both distributions are restricted to (fixed-size model).
+JSD_VOCAB = 50
+
+
+@register(
+    "text_js_divergence_by_lang",
+    f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tc AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT term, CAST(sum(n) AS BIGINT) AS cn
+  FROM tc GROUP BY term
+  ORDER BY cn DESC, term LIMIT {JSD_VOCAB}
+), vtc AS (
+  SELECT tc.lang, tc.term, tc.n, v.cn FROM tc JOIN vocab v USING (term)
+), ltot AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS ln_tot FROM vtc GROUP BY lang
+), ctot AS (
+  SELECT CAST(sum(cn) AS BIGINT) AS cn_tot FROM vocab
+), terms AS (
+  SELECT t.lang,
+         CAST(round(CASE WHEN t.n = 0 THEN 0 ELSE
+           0.5 * (CAST(t.n AS DOUBLE) / l.ln_tot)
+           * ln((CAST(t.n AS DOUBLE) / l.ln_tot)
+                / (0.5 * CAST(t.n AS DOUBLE) / l.ln_tot
+                   + 0.5 * CAST(t.cn AS DOUBLE) / c.cn_tot)) END, 12)
+           AS DECIMAL(38, 12)) AS p_term,
+         CAST(round(
+           0.5 * (CAST(t.cn AS DOUBLE) / c.cn_tot)
+           * ln((CAST(t.cn AS DOUBLE) / c.cn_tot)
+                / (0.5 * CAST(t.n AS DOUBLE) / l.ln_tot
+                   + 0.5 * CAST(t.cn AS DOUBLE) / c.cn_tot)), 12)
+           AS DECIMAL(38, 12)) AS q_term
+  FROM vtc t JOIN ltot l ON t.lang = l.lang, ctot c
+), qmiss AS (
+  -- vocab terms ABSENT from a language still contribute the Q-side mass
+  SELECT l.lang,
+         CAST(round(0.5 * (CAST(v.cn AS DOUBLE) / c.cn_tot) * ln(2.0), 12)
+              AS DECIMAL(38, 12)) AS q_term
+  FROM ltot l, vocab v, ctot c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM vtc t WHERE t.lang = l.lang AND t.term = v.term
+  )
+)
+SELECT lang,
+       round(CAST(
+         (SELECT coalesce(sum(p_term + q_term), 0) FROM terms WHERE terms.lang = x.lang)
+         + (SELECT coalesce(sum(q_term), 0) FROM qmiss WHERE qmiss.lang = x.lang)
+         AS DOUBLE), 6) + 0.0 AS jsd_nats
+FROM ltot x
+""",
+    doc=f"Jensen-Shannon divergence of each language's top-{JSD_VOCAB}-term "
+    "distribution vs the corpus distribution — drift monitoring with "
+    "order-free decimal term sums",
+)
+def text_js_divergence_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitoring: the Jensen-Shannon divergence (nats)
+    between each language's term distribution and the whole-corpus
+    distribution, restricted to the global top-:data:`JSD_VOCAB` terms —
+    the fixed-size-model discipline every text operator here follows
+    (Heaps-bounded vocabulary, broadcastable). JSD is the symmetric,
+    bounded KL variant curation pipelines watch to catch a source or
+    language shard drifting from the mixture.
+
+    Numeric discipline: both KL halves decompose into per-(lang, term)
+    terms; each is a fixed-shape double expression over exact integer
+    counts, rounded to 12dp and cast ``decimal(38,12)`` BEFORE summation
+    (order-free; the NLL pattern). Vocabulary terms a language never
+    emits still carry Q-side mass ``0.5·q·ln 2`` — omitting them would
+    undercount the divergence — contributed by an anti-join branch.
+
+    Scale shape: one (lang, term) count shuffle, a top-N vocabulary
+    (partition-less rank over the Heaps-bounded term table, the
+    ``text_pmi_cooccurrence`` SCALE GUARD), broadcast vocabulary joins,
+    and per-language sums over ≤ |langs|·|vocab| rows.
+
+    Reference analog: none (extension surface — text-analysis family).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.where(F.length(F.trim("text")) > 0).select(
+        "lang",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    )
+    tc = toks.groupBy("lang", "term").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    # SCALE GUARD: the rank window runs over the vocabulary-sized term
+    # table (Heaps' law), never the corpus
+    df_ = tc.groupBy("term").agg(F.sum("n").cast("bigint").alias("cn"))
+    wv = Window.orderBy(F.desc("cn"), "term")
+    vocab = (
+        df_.withColumn("rnk", F.row_number().over(wv))
+        .where(F.col("rnk") <= JSD_VOCAB)
+        .select("term", "cn")
+    )
+    vtc = tc.join(F.broadcast(vocab), "term")
+    ltot = vtc.groupBy("lang").agg(F.sum("n").cast("bigint").alias("ln_tot"))
+    ctot = vocab.agg(F.sum("cn").cast("bigint").alias("cn_tot"))
+    pl = F.col("n").cast("double") / F.col("ln_tot")
+    pc = F.col("cn").cast("double") / F.col("cn_tot")
+    mid = 0.5 * pl + 0.5 * pc
+    present = (
+        vtc.join(ltot, "lang")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "lang",
+            F.round(0.5 * pl * F.log(pl / mid), 12)
+            .cast("decimal(38,12)")
+            .alias("p_term"),
+            F.round(0.5 * pc * F.log(pc / mid), 12)
+            .cast("decimal(38,12)")
+            .alias("q_term"),
+        )
+    )
+    # vocab terms a language never emits: Q-side mass only (P = 0)
+    missing = (
+        ltot.select("lang")
+        .crossJoin(F.broadcast(vocab))
+        .join(vtc.select("lang", "term"), ["lang", "term"], "left_anti")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "lang",
+            F.lit(None).cast("decimal(38,12)").alias("p_term"),
+            F.round(0.5 * pc * F.log(F.lit(2.0)), 12)
+            .cast("decimal(38,12)")
+            .alias("q_term"),
+        )
+    )
+    allterms = present.unionByName(missing)
+    return allterms.groupBy("lang").agg(
+        (
+            F.round(
+                (
+                    F.coalesce(F.sum("p_term"), F.lit(0))
+                    + F.coalesce(F.sum("q_term"), F.lit(0))
+                ).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("jsd_nats")
+    )
