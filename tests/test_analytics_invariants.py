@@ -1,0 +1,204 @@
+"""Mathematical invariants of the r6 segmentation/audit analytics family.
+
+The oracle comparison (test_correctness) pins cross-engine equality; these
+pin the MATH — conservation laws, bounds, and frontier properties that
+would not be violated by a consistent-but-wrong implementation on both
+engines."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from ufload_spark.sources.tables import table
+
+
+def test_abc_shares_partition_revenue(spark):
+    from ufload_spark.operators.analytics import orders_abc_analysis
+
+    rows = orders_abc_analysis(spark, SF_DIR).collect()
+    classes = {r["abc_class"] for r in rows}
+    assert classes <= {"A", "B", "C"} and "A" in classes
+    total = sum(r["revenue_cents"] for r in rows)
+    direct = (
+        table(spark, SF_DIR, "orders")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")))
+        .collect()[0][0]
+    )
+    assert total == direct  # conservation: classes partition all revenue
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    # Pareto ordering: A's per-customer revenue strictly exceeds C's
+    by = {r["abc_class"]: r for r in rows}
+    if "C" in by:
+        a, c = by["A"], by["C"]
+        assert (a["revenue_cents"] / a["n_customers"]) > (
+            c["revenue_cents"] / c["n_customers"]
+        )
+
+
+def test_attribution_conserves_purchase_revenue(spark):
+    from ufload_spark.operators.temporal import events_attribution_last_touch
+
+    rows = events_attribution_last_touch(spark, SF_DIR).collect()
+    assert {r["channel"] for r in rows} <= {
+        "organic",
+        "click_attributed",
+        "click_expired",
+    }
+    ev = table(spark, SF_DIR, "events")
+    direct = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(
+            F.count("*"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")),
+        )
+        .collect()[0]
+    )
+    assert sum(r["n_purchases"] for r in rows) == direct[0]
+    assert sum(r["revenue_cents"] for r in rows) == direct[1]
+
+
+def test_seasonality_conserves_revenue_and_months(spark):
+    from ufload_spark.operators.analytics import orders_seasonality_index
+
+    rows = orders_seasonality_index(spark, SF_DIR).collect()
+    assert len(rows) == 12
+    direct = (
+        table(spark, SF_DIR, "orders")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")))
+        .collect()[0][0]
+    )
+    assert sum(r["revenue_cents"] for r in rows) == direct
+    # occurrence-weighted index averages to ~1 across months
+    wavg = sum(r["seasonal_index"] * r["n_months"] for r in rows) / sum(
+        r["n_months"] for r in rows
+    )
+    assert abs(wavg - 1.0) < 0.01
+
+
+def test_benford_is_a_distribution(spark):
+    from ufload_spark.operators.analytics import orders_benford_digits
+
+    rows = orders_benford_digits(spark, SF_DIR).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-3
+    assert all(r["chi2_term"] >= 0 for r in rows)
+    exp = sum(r["benford_share"] for r in rows)
+    assert abs(exp - 1.0) < 1e-3  # log10(1+1/d) over 1..9 telescopes to 1
+
+
+def test_hhi_bounds(spark):
+    from ufload_spark.operators.analytics import supplier_concentration_hhi
+
+    for r in supplier_concentration_hhi(spark, SF_DIR).collect():
+        lo = 1.0 / r["n_suppliers"]
+        assert lo - 1e-6 <= r["hhi"] <= 1.0 + 1e-6
+        assert r["top_share"] <= 1.0 + 1e-6
+        # HHI >= top supplier's squared share
+        assert r["hhi"] >= r["top_share"] ** 2 - 1e-4
+
+
+def test_stickiness_bounds(spark):
+    from ufload_spark.operators.events import events_stickiness_dau_wau
+
+    rows = events_stickiness_dau_wau(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["stickiness"] <= 1.0 + 1e-6
+        assert r["dau_sum"] <= r["n_days"] * r["wau"]
+
+
+def test_markov_stationary_conserves_mass(spark):
+    from ufload_spark.operators.events import (
+        MARKOV_ITERS,
+        MARKOV_MASS,
+        events_markov_stationary,
+    )
+
+    rows = events_markov_stationary(spark, SF_DIR).collect()
+    total = sum(r["stationary_micro"] for r in rows)
+    # each integer division loses < 1 micro-unit per (edge, step)
+    max_loss = MARKOV_ITERS * len(rows) * len(rows) * len(rows)
+    assert MARKOV_MASS - max_loss <= total <= MARKOV_MASS
+    assert all(r["stationary_micro"] > 0 for r in rows)
+
+
+def test_entropy_bounds(spark):
+    from ufload_spark.operators.events import events_user_entropy
+
+    for r in events_user_entropy(spark, SF_DIR).collect():
+        assert -1e-9 <= r["entropy_nats"] <= math.log(r["n_types"]) + 1e-9
+
+
+def test_funnel_latency_monotone(spark):
+    from ufload_spark.operators.events import events_funnel_latency
+
+    rows = {r["step"]: r for r in events_funnel_latency(spark, SF_DIR).collect()}
+    assert set(rows) == {"view_to_click", "click_to_purchase"}
+    assert rows["view_to_click"]["n_users"] >= rows["click_to_purchase"]["n_users"]
+    for r in rows.values():
+        assert 0 < r["avg_us"] <= r["max_us"]
+        assert r["total_us"] >= r["avg_us"] * r["n_users"]  # floor div
+
+
+def test_skyline_is_a_frontier(spark):
+    from ufload_spark.operators.analytics import parts_skyline_price_size
+
+    pts = [
+        (r["cents"], r["size"])
+        for r in parts_skyline_price_size(spark, SF_DIR).collect()
+    ]
+    assert pts
+    for a in pts:
+        for b in pts:
+            if a is b:
+                continue
+            dominates = (
+                b[0] <= a[0]
+                and b[1] >= a[1]
+                and (b[0] < a[0] or b[1] > a[1])
+            )
+            assert not dominates
+    # every non-skyline point is dominated by some skyline point
+    allpts = [
+        (r["cents"], r["size"])
+        for r in table(spark, SF_DIR, "part")
+        .select(
+            F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+        .collect()
+    ]
+    sky = set(pts)
+    for p in allpts:
+        if p in sky:
+            continue
+        assert any(
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in pts
+        )
+
+
+def test_jsd_bounds(spark):
+    from ufload_spark.operators.textops import text_js_divergence_by_lang
+
+    rows = text_js_divergence_by_lang(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["jsd_nats"] <= math.log(2.0) + 1e-9
+
+
+def test_quantized_recall_bounds(spark):
+    from ufload_spark.operators.similarity import (
+        similarity_quantized_recall_eval,
+    )
+
+    rows = similarity_quantized_recall_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_hit"] <= r["n_exact"]
+        assert abs(r["recall_at_k"] - r["n_hit"] / r["n_exact"]) < 1e-6
+    # int8 quantization should stay a high-fidelity representation
+    assert sum(r["n_hit"] for r in rows) / sum(r["n_exact"] for r in rows) >= 0.6
