@@ -1058,6 +1058,30 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none — extension surface (co-occurrence mining is
     the tabular sibling of the n-gram containment join).
     """
+    return _basket_pair_stats(spark, sf_dir).select(
+        "part_a",
+        "part_b",
+        "pair_sup",
+        "sup_a",
+        "sup_b",
+        (
+            F.round(
+                F.col("pair_sup").cast("double")
+                * F.col("n_baskets")
+                / (F.col("sup_a").cast("double") * F.col("sup_b")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("lift"),
+    )
+
+
+def _basket_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared level-2 a-priori frame: frequent (part_a < part_b) pairs with
+    ``pair_sup``, per-item supports and the basket count — the common input
+    of the association-rule and recommendation queries. Same plan shape as
+    :func:`basket_part_pairs` (pruned self-join on okey, bounded by
+    Σ basket_size²)."""
     li = table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
@@ -1085,32 +1109,192 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_baskets = items.select("okey").distinct().groupBy().agg(
         F.count("*").alias("n_baskets")
     )
-    fa = freq.select(
-        F.col("part").alias("part_a"), F.col("sup").alias("sup_a")
-    )
-    fb = freq.select(
-        F.col("part").alias("part_b"), F.col("sup").alias("sup_b")
-    )
+    fa = freq.select(F.col("part").alias("part_a"), F.col("sup").alias("sup_a"))
+    fb = freq.select(F.col("part").alias("part_b"), F.col("sup").alias("sup_b"))
     return (
         pairs.join(fa, "part_a")
         .join(fb, "part_b")
         .crossJoin(F.broadcast(n_baskets))
-        .select(
-            "part_a",
-            "part_b",
-            "pair_sup",
-            "sup_a",
-            "sup_b",
-            (
-                F.round(
-                    F.col("pair_sup").cast("double")
-                    * F.col("n_baskets")
-                    / (F.col("sup_a").cast("double") * F.col("sup_b")),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("lift"),
-        )
+    )
+
+
+_BASKET_PAIRS_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), freq AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS sup FROM items GROUP BY part
+  HAVING count(*) >= {BASKET_MINSUP}
+), fitems AS (
+  SELECT i.okey, i.part FROM items i JOIN freq USING (part)
+), pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, CAST(count(*) AS BIGINT) AS pair_sup
+  FROM fitems a JOIN fitems b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2 HAVING count(*) >= {BASKET_MINSUP}
+), nb AS (
+  SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_baskets FROM items
+), stats AS (
+  SELECT p.part_a, p.part_b, p.pair_sup, fa.sup AS sup_a, fb.sup AS sup_b,
+         n_baskets
+  FROM pairs p
+  JOIN freq fa ON p.part_a = fa.part
+  JOIN freq fb ON p.part_b = fb.part, nb
+)
+"""
+
+
+@register(
+    "basket_association_rules",
+    _BASKET_PAIRS_SQL
+    + """
+, rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, pair_sup,
+         sup_a AS sup_ante, sup_b AS sup_cons, n_baskets FROM stats
+  UNION ALL
+  SELECT part_b, part_a, pair_sup, sup_b, sup_a, n_baskets FROM stats
+)
+SELECT antecedent, consequent, pair_sup,
+       round(CAST(pair_sup AS DOUBLE) / sup_ante, 6) + 0.0 AS confidence,
+       round(CAST(pair_sup AS DOUBLE) * n_baskets
+             / (CAST(sup_ante AS DOUBLE) * sup_cons), 6) + 0.0 AS lift
+FROM rules
+""",
+    doc="directional association rules from frequent pairs: confidence "
+    "pair_sup/sup(antecedent) and lift, both from exact integer supports",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules (a ⇒ b and b ⇒ a) over the frequent
+    pairs of :func:`basket_part_pairs`. Confidence is P(b|a) =
+    pair_sup/sup_a and lift is confidence/P(b); both are single IEEE
+    divisions of exact int64 supports, so the doubles are bit-identical
+    across engines.
+
+    Scale shape: identical to the pair miner (the union doubling is a
+    row-local projection, no extra shuffle). The rule table is bounded by
+    2× the frequent-pair count, which the support floor controls.
+
+    Reference analog: none — extension surface.
+    """
+    stats = _basket_pair_stats(spark, sf_dir)
+    fwd = stats.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "pair_sup",
+        F.col("sup_a").alias("sup_ante"),
+        F.col("sup_b").alias("sup_cons"),
+        "n_baskets",
+    )
+    rev = stats.select(
+        F.col("part_b").alias("antecedent"),
+        F.col("part_a").alias("consequent"),
+        "pair_sup",
+        F.col("sup_b").alias("sup_ante"),
+        F.col("sup_a").alias("sup_cons"),
+        "n_baskets",
+    )
+    rules = fwd.unionByName(rev)
+    return rules.select(
+        "antecedent",
+        "consequent",
+        "pair_sup",
+        (
+            F.round(F.col("pair_sup").cast("double") / F.col("sup_ante"), 6)
+            + F.lit(0.0)
+        ).alias("confidence"),
+        (
+            F.round(
+                F.col("pair_sup").cast("double")
+                * F.col("n_baskets")
+                / (F.col("sup_ante").cast("double") * F.col("sup_cons")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("lift"),
+    )
+
+
+#: item-item recommendations reported per antecedent part
+RECO_TOP_N = 3
+
+
+@register(
+    "part_recommendations_topn",
+    _BASKET_PAIRS_SQL
+    + f"""
+, rules AS (
+  SELECT part_a AS antecedent, part_b AS consequent, pair_sup,
+         sup_a AS sup_ante, sup_b AS sup_cons, n_baskets FROM stats
+  UNION ALL
+  SELECT part_b, part_a, pair_sup, sup_b, sup_a, n_baskets FROM stats
+), scored AS (
+  SELECT antecedent, consequent, pair_sup,
+         round(CAST(pair_sup AS DOUBLE) * n_baskets
+               / (CAST(sup_ante AS DOUBLE) * sup_cons), 6) + 0.0 AS lift
+  FROM rules
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY antecedent
+           ORDER BY lift DESC, pair_sup DESC, consequent) AS rank
+  FROM scored
+)
+SELECT antecedent, consequent, pair_sup, lift, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {RECO_TOP_N}
+""",
+    doc=f"item-item collaborative filtering: top-{RECO_TOP_N} co-purchase "
+    "recommendations per part ranked by lift with deterministic ties",
+)
+def part_recommendations_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item top-N recommendation lists: for every frequent part, the
+    top-:data:`RECO_TOP_N` co-purchased parts ranked by lift. The rank
+    window orders by ``(lift DESC, pair_sup DESC, consequent)`` — lift is
+    a single division of exact integers (bit-identical cross-engine) and
+    the two integer tie-breaks make the row_number deterministic.
+
+    Scale shape: the pair-mining plan plus ONE extra shuffle for the rank
+    window, partitioned by antecedent — per-partition work is each part's
+    frequent-neighbor list, bounded by the support floor, never the
+    corpus. This is the batch-precompute half of a recommender: the
+    emitted (antecedent → top-N) table is the thing a serving layer
+    broadcasts.
+
+    Reference analog: none — extension surface.
+    """
+    stats = _basket_pair_stats(spark, sf_dir)
+    fwd = stats.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "pair_sup",
+        F.col("sup_a").alias("sup_ante"),
+        F.col("sup_b").alias("sup_cons"),
+        "n_baskets",
+    )
+    rev = stats.select(
+        F.col("part_b").alias("antecedent"),
+        F.col("part_a").alias("consequent"),
+        "pair_sup",
+        F.col("sup_b").alias("sup_ante"),
+        F.col("sup_a").alias("sup_cons"),
+        "n_baskets",
+    )
+    scored = fwd.unionByName(rev).select(
+        "antecedent",
+        "consequent",
+        "pair_sup",
+        (
+            F.round(
+                F.col("pair_sup").cast("double")
+                * F.col("n_baskets")
+                / (F.col("sup_ante").cast("double") * F.col("sup_cons")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("lift"),
+    )
+    w = Window.partitionBy("antecedent").orderBy(
+        F.col("lift").desc(), F.col("pair_sup").desc(), F.col("consequent")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= RECO_TOP_N)
     )
 
 
