@@ -559,3 +559,305 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+#: autocorrelation: maximum lag (days) reported
+ACF_MAX_LAG = 14
+
+
+@register(
+    "orders_acf_daily_revenue",
+    f"""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+           AS cents
+  FROM orders GROUP BY 1
+), lags AS (
+  SELECT CAST(range AS INT) AS lag FROM range(1, {ACF_MAX_LAG} + 1)
+), pairs AS (
+  SELECT l.lag, x.cents AS x, y.cents AS y
+  FROM lags l
+  JOIN daily x ON true
+  JOIN daily y ON y.day = x.day + l.lag
+), sums AS (
+  SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(y * y) AS HUGEINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 AS acf
+FROM sums
+""",
+    doc=f"autocorrelation of the daily-revenue series at lags 1..{ACF_MAX_LAG}: "
+    "lagged Pearson from exact integer-cent sums (HUGEINT/decimal38), one "
+    "sqrt+division per lag",
+)
+def orders_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily order revenue, lags 1..14 — the
+    seasonality/persistence diagnostic of demand forecasting. Per lag k it
+    is the Pearson correlation of the day series against itself shifted by
+    k days (pairs restricted to days where both endpoints exist).
+
+    Determinism: the day series is integer cents, every moment (n, Σx, Σy,
+    Σxy, Σx², Σy²) is an exact decimal(38,0)/HUGEINT, and the double math
+    is the same fixed sequence on both engines — cast, multiply, sqrt,
+    divide, round (the ``lineitem_ols_price_model`` discipline). Σx² at
+    sf10000 is ~6e34, inside decimal38.
+
+    Scale shape: ONE shuffle aggregates orders to the daily frame, which
+    is bounded by the calendar (~2.4k rows/decade), never order count.
+    The lag expansion (explode × 14), self-join and per-lag moments all
+    run on that bounded frame — broadcast-joinable at any corpus size.
+
+    Reference analog: none — extension surface (time-series sibling of
+    ``lineitem_ols_price_model``).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(1, ACF_MAX_LAG + 1)])
+    ).alias("lag")
+    x = daily.select(lags, F.col("day"), F.col("cents").alias("x"))
+    y = daily.select(
+        F.col("day").alias("yday"), F.col("cents").alias("y")
+    )
+    pairs = x.join(
+        F.broadcast(y), F.col("yday") == F.col("day") + F.col("lag")
+    )
+    dec = "decimal(38,0)"
+    sums = pairs.groupBy("lag").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    cov_n = (n * sxy - sx * sy).cast("double")
+    varx_n = (n * sxx - sx * sx).cast("double")
+    vary_n = (n * syy - sy * sy).cast("double")
+    return sums.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (F.round(cov_n / F.sqrt(varx_n * vary_n), 6) + F.lit(0.0)).alias("acf"),
+    )
+
+
+@register(
+    "events_cumulative_distinct_users",
+    """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS day FROM events GROUP BY 1
+), daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM first_seen GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily
+""",
+    doc="running distinct-user count via the first-seen trick: min(ts) per "
+    "user, daily new-user counts, one running integer sum over the bounded "
+    "day frame",
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time WITHOUT a running COUNT(DISTINCT)
+    — the first-seen trick: a user contributes to the cumulative curve
+    exactly once, on the day of their first event, so the running distinct
+    count is the running SUM of daily first-seen counts. Turns an
+    unboundable stateful distinct into two hash aggregates plus a window
+    over the calendar frame.
+
+    Scale shape: one shuffle on user_id (min ts), one on day. The running
+    sum's input is the per-day frame.
+    """
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    # SCALE GUARD: partition-less window = a single-reducer sort. Safe here
+    # ONLY because the input is the per-day aggregate — bounded by the
+    # calendar span, not event volume. The running sum is over int64s, so
+    # combine order cannot change the value.
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+#: trailing revenue window (days, inclusive of the order day)
+ROLLING_WINDOW_DAYS = 90
+
+
+@register(
+    "orders_rolling_90d_by_customer",
+    f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, day,
+       CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+            RANGE BETWEEN {ROLLING_WINDOW_DAYS - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing_cents
+FROM o
+""",
+    doc=f"per-customer trailing {ROLLING_WINDOW_DAYS}-day revenue via a "
+    "RANGE frame over integer epoch-days — exact int64 cents",
+)
+def orders_rolling_90d_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 90-day spend per customer at every order — the RANGE-frame
+    window (value-based, not row-based: the frame is `day ∈ [d-89, d]`
+    regardless of how many orders fall in it). Orders on the same day
+    share one frame, so the output is identical however same-day rows are
+    ordered — no tie-break needed.
+
+    Scale shape: ONE shuffle partitions by customer; each partition sorts
+    its own order history (tens of rows). The measure is exact int64
+    cents. This is the feature-engineering shape behind every
+    "spend in the last N days" model input.
+    """
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-(ROLLING_WINDOW_DAYS - 1), Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        day.alias("day"),
+        cents.alias("cents"),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.sum("cents").over(w).cast("bigint").alias("trailing_cents"),
+    )
+
+
+#: a user whose last event is at least this many days before the corpus
+#: end is treated as churned (otherwise right-censored)
+CHURN_QUIET_DAYS = 7
+
+
+@register(
+    "events_churn_hazard",
+    f"""
+WITH span AS (
+  SELECT user_id,
+         CAST(CAST(min(ts) AS DATE) - DATE '1970-01-01' AS BIGINT) AS first_day,
+         CAST(CAST(max(ts) AS DATE) - DATE '1970-01-01' AS BIGINT) AS last_day
+  FROM events GROUP BY 1
+), horizon AS (
+  SELECT max(last_day) AS max_day FROM span
+), lives AS (
+  SELECT CAST((last_day - first_day) // 7 AS BIGINT) AS week,
+         CASE WHEN last_day <= max_day - {CHURN_QUIET_DAYS} THEN 1 ELSE 0 END
+           AS churned
+  FROM span, horizon
+), weekly AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS n_ending,
+         CAST(sum(churned) AS BIGINT) AS n_churned
+  FROM lives GROUP BY week
+)
+SELECT week, n_churned,
+       CAST(sum(n_ending) OVER (ORDER BY week DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_risk,
+       round(CAST(n_churned AS DOUBLE)
+             / sum(n_ending) OVER (ORDER BY week DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0
+         AS hazard
+FROM weekly
+""",
+    doc="discrete churn-hazard table (the life-table half of Kaplan-Meier): "
+    "per lifetime-week churn counts, at-risk set via one reverse running "
+    "sum, hazard as a single division",
+)
+def events_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard: users are binned by lifetime week
+    (last event day − first event day, integer-divided by 7); a user
+    counts as churned if their last event precedes the corpus horizon by
+    ≥ :data:`CHURN_QUIET_DAYS` days, else right-censored. The at-risk set
+    n_risk(w) = users whose lifetime reaches week w is the REVERSE running
+    sum of per-week endings, and hazard(w) = churned(w)/n_risk(w) is one
+    IEEE division of exact ints. (The Kaplan-Meier survival curve is the
+    running product of (1−hazard); emitting the hazard table keeps every
+    value a single deterministic division instead of a float product whose
+    association order differs across engines.)
+
+    Scale shape: one shuffle on user_id for the span aggregate, one on
+    week; the window runs over the per-week frame, bounded by the corpus
+    time span in weeks.
+    """
+    ev = table(spark, sf_dir, "events")
+    day = lambda c: F.datediff(c, F.lit("1970-01-01")).cast("long")  # noqa: E731
+    span = ev.groupBy("user_id").agg(
+        day(F.to_date(F.min("ts"))).alias("first_day"),
+        day(F.to_date(F.max("ts"))).alias("last_day"),
+    )
+    horizon = span.groupBy().agg(F.max("last_day").alias("max_day"))
+    lives = span.crossJoin(F.broadcast(horizon)).select(
+        F.floor((F.col("last_day") - F.col("first_day")) / 7)
+        .cast("bigint")
+        .alias("week"),
+        F.when(
+            F.col("last_day") <= F.col("max_day") - CHURN_QUIET_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    weekly = lives.groupBy("week").agg(
+        F.count("*").cast("bigint").alias("n_ending"),
+        F.sum("churned").cast("bigint").alias("n_churned"),
+    )
+    # SCALE GUARD: partition-less window over the per-week frame only —
+    # bounded by the corpus time span, not user count.
+    w = (
+        Window.orderBy(F.col("week").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_risk = F.sum("n_ending").over(w).cast("bigint")
+    return weekly.select(
+        "week",
+        "n_churned",
+        n_risk.alias("n_risk"),
+        (
+            F.round(F.col("n_churned").cast("double") / n_risk, 6)
+            + F.lit(0.0)
+        ).alias("hazard"),
+    )
