@@ -863,3 +863,70 @@ def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_weight"),
         )
     )
+
+
+#: RAG chunking geometry: window size and stride in characters
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150
+
+
+@register(
+    "text_chunk_documents",
+    f"""
+WITH src AS (
+  SELECT doc_id, text,
+         unnest(range(0, (length(text) - 1) // {CHUNK_STRIDE} + 1)) AS i
+  FROM documents WHERE length(text) > 0
+), chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_CHARS})
+           AS chunk
+  FROM src
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       CAST(length(chunk) AS BIGINT) AS chunk_chars,
+       md5(chunk) AS chunk_md5
+FROM chunks
+""",
+    doc=f"RAG chunking: {CHUNK_CHARS}-char sliding windows at stride "
+    f"{CHUNK_STRIDE} ({CHUNK_CHARS - CHUNK_STRIDE}-char overlap) via "
+    "sequence+explode; emits per-chunk geometry and content md5",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the retrieval-corpus prep step
+    that feeds embedding models: fixed windows of :data:`CHUNK_CHARS`
+    characters every :data:`CHUNK_STRIDE` (so consecutive chunks share a
+    50-char overlap and no character is orphaned; the final chunk may run
+    short). Emits geometry plus the chunk md5 — the downstream join keys
+    for embedding and dedup stages — rather than re-shipping the text.
+
+    Scale shape: narrow projection + per-row ``sequence``/``explode``; the
+    expansion factor is len/stride (bounded by the document-length cap a
+    real corpus enforces), rows never shuffle. At 100 TB this is a pure
+    map stage that pipelines into the parquet scan.
+
+    Reference analog: none — extension surface (LLM-pipeline family).
+    """
+    d = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n_chunks_m1 = F.floor((F.length("text") - 1) / CHUNK_STRIDE).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks_m1)).alias("chunk_id"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.col("text")
+        .substr(
+            F.col("chunk_id") * CHUNK_STRIDE + 1, F.lit(CHUNK_CHARS)
+        )
+        .alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * CHUNK_STRIDE).cast("bigint").alias("chunk_start"),
+        F.length("chunk").cast("bigint").alias("chunk_chars"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    )

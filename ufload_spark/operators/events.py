@@ -1639,3 +1639,121 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(us) div count(*) AS BIGINT)").alias("avg_us"),
         F.max("us").cast("bigint").alias("max_us"),
     )
+
+
+@register(
+    "events_ab_test_ztest",
+    """
+WITH assigned AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS HUGEINT) AS cents
+  FROM events GROUP BY 1, 2
+), arms AS (
+  SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS sx,
+         CAST(sum(cents * cents) AS HUGEINT) AS sxx
+  FROM assigned GROUP BY arm
+), wide AS (
+  SELECT
+    max(CASE WHEN arm = 0 THEN n END)   AS n_a,
+    max(CASE WHEN arm = 1 THEN n END)   AS n_b,
+    max(CASE WHEN arm = 0 THEN sx END)  AS sx_a,
+    max(CASE WHEN arm = 1 THEN sx END)  AS sx_b,
+    max(CASE WHEN arm = 0 THEN sxx END) AS sxx_a,
+    max(CASE WHEN arm = 1 THEN sxx END) AS sxx_b
+  FROM arms
+), stats AS (
+  SELECT n_a, n_b, sx_a, sx_b,
+         CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a,
+         CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b,
+         CAST(n_a * sxx_a - sx_a * sx_a AS DOUBLE)
+           / CAST(n_a * (n_a - 1) AS DOUBLE) AS var_a,
+         CAST(n_b * sxx_b - sx_b * sx_b AS DOUBLE)
+           / CAST(n_b * (n_b - 1) AS DOUBLE) AS var_b
+  FROM wide
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(m_a / 100.0, 6) + 0.0 AS mean_value_a,
+       round(m_b / 100.0, 6) + 0.0 AS mean_value_b,
+       CASE WHEN var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE) > 0
+            THEN round((m_a - m_b)
+                 / sqrt(var_a / CAST(n_a AS DOUBLE)
+                        + var_b / CAST(n_b AS DOUBLE)), 6) + 0.0
+            END AS t_welch
+FROM stats
+""",
+    doc="Welch two-sample t-test on per-user purchase value: deterministic "
+    "user_id-parity arms, exact integer-cent moments (HUGEINT/decimal38), "
+    "one fixed double sequence; NULL when both variances degenerate",
+)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic for an A/B experiment: users are
+    assigned to arms by ``user_id % 2`` (the stand-in for a salted
+    assignment hash — any deterministic user→arm map slots in), the
+    per-user metric is total purchase value in integer cents, and
+
+        t = (m_a − m_b) / sqrt(s²_a/n_a + s²_b/n_b)
+
+    with the unbiased per-arm variances. (A conversion-rate z-test
+    degenerates on these fixtures — every user purchases — so the
+    continuous-metric test is the informative one.)
+
+    Determinism: per-arm moments (n, Σx, Σx²) are exact
+    decimal(38,0)/HUGEINT; the double math is the same fixed sequence on
+    both engines — divisions, the Welch combination, sqrt, round — and
+    the degenerate zero-variance case returns NULL on both sides rather
+    than tripping ANSI division.
+
+    Scale shape: one shuffle on user_id for the per-user metric (the arm
+    rides along), then a map-side partial aggregate into two groups and a
+    2-row pivot. Σx² is ~1e14 per user at these fixtures and the arm sum
+    stays inside decimal38 up to ~1e24 users.
+
+    Reference analog: none — extension surface (the experimentation
+    sibling of ``lineitem_ols_price_model``).
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.sum(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).otherwise(0)
+    ).cast("bigint")
+    assigned = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(cents.alias("cents"))
+    dec = "decimal(38,0)"
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("cents").cast(dec).alias("sx"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).cast(dec).alias("sxx"),
+    )
+    wide = arms.groupBy().agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 0, F.col("sx"))).alias("sx_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("sx"))).alias("sx_b"),
+        F.max(F.when(F.col("arm") == 0, F.col("sxx"))).alias("sxx_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("sxx"))).alias("sxx_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    m_a = F.col("sx_a").cast("double") / n_a.cast("double")
+    m_b = F.col("sx_b").cast("double") / n_b.cast("double")
+    var_a = (n_a * F.col("sxx_a") - F.col("sx_a") * F.col("sx_a")).cast(
+        "double"
+    ) / (n_a * (n_a - 1)).cast("double")
+    var_b = (n_b * F.col("sxx_b") - F.col("sx_b") * F.col("sx_b")).cast(
+        "double"
+    ) / (n_b * (n_b - 1)).cast("double")
+    se2 = var_a / n_a.cast("double") + var_b / n_b.cast("double")
+    return wide.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        (F.round(m_a / 100.0, 6) + F.lit(0.0)).alias("mean_value_a"),
+        (F.round(m_b / 100.0, 6) + F.lit(0.0)).alias("mean_value_b"),
+        F.when(
+            se2 > 0, F.round((m_a - m_b) / F.sqrt(se2), 6) + F.lit(0.0)
+        ).alias("t_welch"),
+    )
