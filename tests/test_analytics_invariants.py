@@ -202,3 +202,140 @@ def test_quantized_recall_bounds(spark):
         assert abs(r["recall_at_k"] - r["n_hit"] / r["n_exact"]) < 1e-6
     # int8 quantization should stay a high-fidelity representation
     assert sum(r["n_hit"] for r in rows) / sum(r["n_exact"] for r in rows) >= 0.6
+
+
+def test_association_rules_bounds_and_symmetry(spark):
+    from ufload_spark.operators.analytics import basket_association_rules
+
+    rows = basket_association_rules(spark, SF_DIR).collect()
+    assert rows
+    pair_sup = {}
+    for r in rows:
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["lift"] > 0.0
+        pair_sup[(r["antecedent"], r["consequent"])] = r["pair_sup"]
+    # every rule has its reverse with identical pair support, and lift is
+    # direction-independent up to rounding
+    for (a, b), sup in pair_sup.items():
+        assert pair_sup.get((b, a)) == sup
+
+
+def test_recommendations_are_ranked_prefixes(spark):
+    from ufload_spark.operators.analytics import (
+        RECO_TOP_N,
+        part_recommendations_topn,
+    )
+
+    rows = part_recommendations_topn(spark, SF_DIR).collect()
+    assert rows
+    by_ante = {}
+    for r in rows:
+        by_ante.setdefault(r["antecedent"], []).append(r)
+    for ante, rs in by_ante.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))  # dense prefix 1..k
+        assert len(rs) <= RECO_TOP_N
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        lifts = [r["lift"] for r in ordered]
+        assert lifts == sorted(lifts, reverse=True)
+
+
+def test_acf_bounds(spark):
+    from ufload_spark.operators.temporal import (
+        ACF_MAX_LAG,
+        orders_acf_daily_revenue,
+    )
+
+    rows = orders_acf_daily_revenue(spark, SF_DIR).collect()
+    assert {r["lag"] for r in rows} == set(range(1, ACF_MAX_LAG + 1))
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+        assert r["n_pairs"] > 0
+
+
+def test_cumulative_distinct_users_conserves(spark):
+    from ufload_spark.operators.temporal import events_cumulative_distinct_users
+
+    rows = sorted(
+        events_cumulative_distinct_users(spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    running = 0
+    for r in rows:
+        running += r["new_users"]
+        assert r["cum_users"] == running  # the running sum IS the curve
+    direct = table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert running == direct  # conservation: final point = distinct users
+
+
+def test_rolling_90d_covers_order_total(spark):
+    from ufload_spark.operators.temporal import orders_rolling_90d_by_customer
+
+    df = orders_rolling_90d_by_customer(spark, SF_DIR)
+    o = table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    j = df.join(o, "o_orderkey").collect()
+    assert j
+    for r in j:
+        # the trailing window includes the order itself
+        assert r["trailing_cents"] >= r["cents"]
+
+
+def test_churn_hazard_life_table(spark):
+    from ufload_spark.operators.temporal import events_churn_hazard
+
+    rows = sorted(
+        events_churn_hazard(spark, SF_DIR).collect(), key=lambda r: r["week"]
+    )
+    assert rows
+    n_users = table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert rows[0]["n_risk"] == n_users  # everyone is at risk in week 0+
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_risk"] >= b["n_risk"]  # risk set shrinks
+    for r in rows:
+        assert 0.0 <= r["hazard"] <= 1.0
+        assert r["n_churned"] <= r["n_risk"]
+
+
+def test_welch_ttest_pools_all_users(spark):
+    from ufload_spark.operators.events import events_ab_test_ztest
+
+    row = events_ab_test_ztest(spark, SF_DIR).collect()[0]
+    n_users = table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert row["n_a"] + row["n_b"] == n_users
+    assert row["mean_value_a"] > 0 and row["mean_value_b"] > 0
+
+
+def test_chunks_reconstruct_documents(spark):
+    from ufload_spark.operators.corpus import (
+        CHUNK_CHARS,
+        CHUNK_STRIDE,
+        text_chunk_documents,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_DIR, "documents")
+        .where(F.length("text") > 0)
+        .collect()
+    }
+    chunks = text_chunk_documents(spark, SF_DIR).collect()
+    import hashlib
+
+    seen = {}
+    for c in chunks:
+        text = docs[c["doc_id"]]
+        piece = text[c["chunk_start"] : c["chunk_start"] + CHUNK_CHARS]
+        assert c["chunk_chars"] == len(piece)
+        assert c["chunk_md5"] == hashlib.md5(piece.encode()).hexdigest()
+        seen.setdefault(c["doc_id"], []).append(c)
+    assert set(seen) == set(docs)
+    for doc_id, cs in seen.items():
+        starts = sorted(c["chunk_start"] for c in cs)
+        # stride spacing from 0, and full coverage of the document
+        assert starts == [i * CHUNK_STRIDE for i in range(len(cs))]
+        assert starts[-1] + CHUNK_CHARS >= len(docs[doc_id])
