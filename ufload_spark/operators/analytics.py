@@ -1118,6 +1118,33 @@ def _basket_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both rule directions (a ⇒ b AND b ⇒ a) from ONE pass over the pair
+    frame: each pair row explodes into its two orientations row-locally,
+    instead of a union of two selects — which would duplicate the whole
+    mining subtree (scan, distinct, self-join, aggregates) in the plan."""
+    stats = _basket_pair_stats(spark, sf_dir)
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("part_a").alias("antecedent"),
+                F.col("part_b").alias("consequent"),
+                F.col("sup_a").alias("sup_ante"),
+                F.col("sup_b").alias("sup_cons"),
+            ),
+            F.struct(
+                F.col("part_b").alias("antecedent"),
+                F.col("part_a").alias("consequent"),
+                F.col("sup_b").alias("sup_ante"),
+                F.col("sup_a").alias("sup_cons"),
+            ),
+        )
+    ).alias("r")
+    return stats.select(both, "pair_sup", "n_baskets").select(
+        "r.*", "pair_sup", "n_baskets"
+    )
+
+
 _BASKET_PAIRS_SQL = f"""
 WITH items AS (
   SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
@@ -1174,24 +1201,7 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none — extension surface.
     """
-    stats = _basket_pair_stats(spark, sf_dir)
-    fwd = stats.select(
-        F.col("part_a").alias("antecedent"),
-        F.col("part_b").alias("consequent"),
-        "pair_sup",
-        F.col("sup_a").alias("sup_ante"),
-        F.col("sup_b").alias("sup_cons"),
-        "n_baskets",
-    )
-    rev = stats.select(
-        F.col("part_b").alias("antecedent"),
-        F.col("part_a").alias("consequent"),
-        "pair_sup",
-        F.col("sup_b").alias("sup_ante"),
-        F.col("sup_a").alias("sup_cons"),
-        "n_baskets",
-    )
-    rules = fwd.unionByName(rev)
+    rules = _basket_rules(spark, sf_dir)
     return rules.select(
         "antecedent",
         "consequent",
@@ -1258,24 +1268,7 @@ def part_recommendations_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none — extension surface.
     """
-    stats = _basket_pair_stats(spark, sf_dir)
-    fwd = stats.select(
-        F.col("part_a").alias("antecedent"),
-        F.col("part_b").alias("consequent"),
-        "pair_sup",
-        F.col("sup_a").alias("sup_ante"),
-        F.col("sup_b").alias("sup_cons"),
-        "n_baskets",
-    )
-    rev = stats.select(
-        F.col("part_b").alias("antecedent"),
-        F.col("part_a").alias("consequent"),
-        "pair_sup",
-        F.col("sup_b").alias("sup_ante"),
-        F.col("sup_a").alias("sup_cons"),
-        "n_baskets",
-    )
-    scored = fwd.unionByName(rev).select(
+    scored = _basket_rules(spark, sf_dir).select(
         "antecedent",
         "consequent",
         "pair_sup",
