@@ -339,3 +339,43 @@ def test_chunks_reconstruct_documents(spark):
         # stride spacing from 0, and full coverage of the document
         assert starts == [i * CHUNK_STRIDE for i in range(len(cs))]
         assert starts[-1] + CHUNK_CHARS >= len(docs[doc_id])
+
+
+def test_label_propagation_conserves_nodes(spark):
+    from ufload_spark.operators.graph import graph_label_propagation
+
+    rows = graph_label_propagation(spark, SF_DIR).collect()
+    assert rows
+    li = table(spark, SF_DIR, "lineitem")
+    o = table(spark, SF_DIR, "orders")
+    n_cust = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey").distinct().count()
+    )
+    n_supp = li.select("l_suppkey").distinct().count()
+    # conservation: every incident node lands in exactly one community
+    assert sum(r["n_members"] for r in rows) == n_cust + n_supp
+    # propagation actually merged labels: fewer communities than nodes
+    assert len(rows) < n_cust + n_supp
+
+
+def test_fuzzy_search_ranks_and_recovers(spark):
+    from ufload_spark.operators.textops import (
+        FUZZY_TOP_K,
+        search_fuzzy_partnames,
+    )
+
+    rows = search_fuzzy_partnames(spark, SF_DIR).collect()
+    assert rows
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_key"], []).append(r)
+    for key, rs in by_probe.items():
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in ordered] == list(range(1, len(rs) + 1))
+        assert len(rs) <= FUZZY_TOP_K
+        dists = [r["dist"] for r in ordered]
+        assert dists == sorted(dists)  # verified metric drives the rank
+    # the deleted-char corruption is distance 1 from the true name, and at
+    # least one probe's retrieval recovers a distance<=1 match
+    assert min(r["dist"] for r in rows) <= 1

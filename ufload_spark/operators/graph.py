@@ -345,3 +345,119 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+#: label propagation: synchronous iterations (self-loop weight damps the
+#: bipartite oscillation mode)
+LPA_ITERS = 4
+LPA_SELF_W = 1
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        _EDGES_CTE,
+        """, l0 AS (
+  SELECT node, node AS label FROM nodes
+)""",
+    ]
+    for k in range(1, LPA_ITERS + 1):
+        prev = f"l{k - 1}"
+        parts.append(
+            f""", c{k} AS (
+  SELECT node, label, CAST(sum(wsum) AS BIGINT) AS wsum FROM (
+    SELECT e.dst AS node, l.label, CAST(sum(e.w) AS BIGINT) AS wsum
+    FROM edges e JOIN {prev} l ON e.src = l.node GROUP BY 1, 2
+    UNION ALL
+    SELECT node, label, {LPA_SELF_W} FROM {prev}
+  ) GROUP BY 1, 2
+), l{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY wsum DESC, label) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+FROM l{LPA_ITERS}
+GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    _lpa_oracle(),
+    doc=f"community detection by {LPA_ITERS} synchronous label-propagation "
+    "rounds over the purchase graph: weighted neighbor-label mode with "
+    "integer weights and (weight DESC, label) tie order — fully "
+    "deterministic; emits community sizes",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation communities on the customer–supplier purchase
+    graph (same weighted bipartite edge set as PageRank). Every node
+    starts as its own label; each synchronous round reassigns it the
+    neighbor label with the largest incident edge weight (plus a unit
+    self-vote, which damps the oscillation mode synchronous LPA exhibits
+    on bipartite graphs), ties broken by smallest label. All weights are
+    integers and the argmax order is total, so the trajectory is
+    bit-identical across engines — no float scores, no random tie flips.
+
+    Scale shape: per round, ONE shuffle joins the label vector to the
+    edges on src and aggregates (dst, label) weight sums map-side, and
+    one window picks the per-node argmax — the same two-exchange
+    iteration as PageRank, with the same cluster-scale note: bucket the
+    edge table by src once and every round reuses the layout shuffle-free
+    on the edge side. The (node, label) aggregate is bounded by the
+    distinct incident-label count per node, never the corpus.
+
+    Reference analog: none — extension surface (the labeled sibling of
+    ``dedup_connected_components``; components merge everything reachable,
+    LPA keeps densely-connected regions distinct).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    both = F.explode(
+        F.array(
+            F.struct(F.col("c_node").alias("src"), F.col("s_node").alias("dst")),
+            F.struct(F.col("s_node").alias("src"), F.col("c_node").alias("dst")),
+        )
+    ).alias("e")
+    edges = pairs.select(both, "w").select("e.src", "e.dst", "w")
+    edges = edges.persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        inflow = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum("w").cast("bigint").alias("wsum"))
+        )
+        votes = inflow.unionByName(
+            labels.select("node", "label", F.lit(LPA_SELF_W).cast("bigint").alias("wsum"))
+        ).groupBy("node", "label").agg(F.sum("wsum").cast("bigint").alias("wsum"))
+        w_rank = Window.partitionBy("node").orderBy(
+            F.col("wsum").desc(), F.col("label")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )

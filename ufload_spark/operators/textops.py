@@ -1442,3 +1442,127 @@ def text_js_divergence_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("jsd_nats")
     )
+
+
+#: fuzzy search: probe sampling modulus, rarest-trigram prefix size,
+#: results per probe
+FUZZY_PROBE_MOD = 199
+FUZZY_PREFIX_K = 2
+FUZZY_TOP_K = 3
+
+
+@register(
+    "search_fuzzy_partnames",
+    f"""
+WITH names AS (
+  SELECT p_partkey AS key, p_name AS name FROM part
+), grams AS (
+  SELECT key, name,
+         substr(name, CAST(i AS BIGINT), 3) AS g
+  FROM (SELECT key, name, unnest(range(1, length(name) - 1)) AS i FROM names)
+), gram_df AS (
+  SELECT g, CAST(count(DISTINCT key) AS BIGINT) AS df FROM grams GROUP BY g
+), probes AS (
+  SELECT key AS probe_key,
+         substr(name, 1, 2) || substr(name, 4) AS probe_text
+  FROM names
+  WHERE key % {FUZZY_PROBE_MOD} = 0 AND length(name) >= 4
+), probe_grams AS (
+  SELECT probe_key, probe_text,
+         substr(probe_text, CAST(i AS BIGINT), 3) AS g
+  FROM (SELECT probe_key, probe_text,
+               unnest(range(1, length(probe_text) - 1)) AS i
+        FROM probes)
+), probe_prefix AS (
+  SELECT probe_key, probe_text, g FROM (
+    SELECT DISTINCT pg.probe_key, pg.probe_text, pg.g, d.df
+    FROM probe_grams pg JOIN gram_df d USING (g)
+  ) t
+  QUALIFY row_number() OVER (PARTITION BY probe_key ORDER BY df, g)
+          <= {FUZZY_PREFIX_K}
+), cands AS (
+  SELECT DISTINCT pp.probe_key, pp.probe_text, gr.key AS match_key,
+         gr.name AS match_name
+  FROM probe_prefix pp JOIN grams gr USING (g)
+), ranked AS (
+  SELECT probe_key, probe_text, match_key, match_name,
+         CAST(levenshtein(probe_text, match_name) AS INT) AS dist,
+         CAST(row_number() OVER (
+           PARTITION BY probe_key
+           ORDER BY levenshtein(probe_text, match_name), match_key) AS INT)
+           AS rank
+  FROM cands
+)
+SELECT probe_key, probe_text, match_key, match_name, dist, rank
+FROM ranked WHERE rank <= {FUZZY_TOP_K}
+""",
+    doc=f"fuzzy name search: rarest-{FUZZY_PREFIX_K} trigram candidate "
+    f"retrieval (inverted-index join, PPJoin prefix discipline) + bounded "
+    f"levenshtein rank, top-{FUZZY_TOP_K} per probe with integer ties",
+)
+def search_fuzzy_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string search over part names — the search-box shape:
+    probes are a deterministic corpus sample (every
+    :data:`FUZZY_PROBE_MOD`-th part) corrupted by deleting their third
+    character; retrieval joins each probe's :data:`FUZZY_PREFIX_K` RAREST
+    trigrams (by corpus document frequency, ties by trigram — the PPJoin
+    rarest-first prefix discipline from ``dedup_containment``) against
+    the corpus trigram index; verification is exact Levenshtein on the
+    candidate set only, ranked ``(dist, match_key)`` for a deterministic
+    top-:data:`FUZZY_TOP_K`.
+
+    Scale shape: the trigram inverted index is one shuffle on the gram;
+    restricting probes to their rarest grams bounds each posting-list
+    fan-out (a stopword-ish gram like ``'re '`` never drives the join),
+    so candidate volume is Σ probe→rare-posting sizes, never
+    probes × corpus. Levenshtein runs on candidates only. Both the index
+    and probe sides scale with the corpus and stay UNHINTED (round-6
+    broadcast policy) — AQE picks the build side.
+
+    Reference analog: none — extension surface (the string sibling of
+    ``similarity_lsh_topk``; same retrieve-then-verify shape).
+    """
+    names = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"), F.col("p_name").alias("name")
+    )
+    def trigrams(df: DataFrame, text: str, keep: list[str]) -> DataFrame:
+        i = F.explode(F.sequence(F.lit(1), F.length(text) - 2)).alias("i")
+        return df.where(F.length(text) >= 3).select(*keep, F.col(text), i).select(
+            *keep, F.col(text).substr(F.col("i"), F.lit(3)).alias("g")
+        )
+
+    grams = trigrams(names, "name", ["key", "name"])
+    gram_df = grams.groupBy("g").agg(
+        F.countDistinct("key").cast("bigint").alias("df")
+    )
+    probes = names.where(
+        (F.col("key") % FUZZY_PROBE_MOD == 0) & (F.length("name") >= 4)
+    ).select(
+        F.col("key").alias("probe_key"),
+        F.concat(
+            F.col("name").substr(1, 2), F.expr("substr(name, 4)")
+        ).alias("probe_text"),
+    )
+    probe_grams = trigrams(probes, "probe_text", ["probe_key"]).join(
+        gram_df, "g"
+    ).dropDuplicates(["probe_key", "g"])
+    w_rare = Window.partitionBy("probe_key").orderBy("df", "g")
+    probe_prefix = (
+        probe_grams.withColumn("rn", F.row_number().over(w_rare))
+        .where(F.col("rn") <= FUZZY_PREFIX_K)
+        .select("probe_key", "g")
+        .join(probes, "probe_key")
+    )
+    cands = probe_prefix.join(grams, "g").select(
+        "probe_key",
+        "probe_text",
+        F.col("key").alias("match_key"),
+        F.col("name").alias("match_name"),
+    ).distinct()
+    dist = F.levenshtein(F.col("probe_text"), F.col("match_name"))
+    w_rank = Window.partitionBy("probe_key").orderBy(dist, F.col("match_key"))
+    return (
+        cands.withColumn("dist", dist.cast("int"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= FUZZY_TOP_K)
+    )
