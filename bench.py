@@ -82,6 +82,12 @@ HEADLINE = [
     "graph_triangle_count",        # degree-ordered oriented wedge join (r6)
     "events_rfm_segmentation",     # histogram-quantile RFM, no global ntile (r6)
     "orders_cohort_ltv",           # cohort LTV triangle, bounded windows (r6)
+    "part_recommendations_topn",   # a-priori pair mining + lift-ranked top-N (r6)
+    "orders_rolling_90d_by_customer",  # RANGE-frame trailing-spend window (r6)
+    "text_chunk_documents",        # map-only sliding-window RAG chunking (r6)
+    "graph_label_propagation",     # synchronous weighted-mode LPA rounds (r6)
+    "search_fuzzy_partnames",      # rarest-trigram retrieval + levenshtein (r6)
+    "orders_acf_daily_revenue",    # lagged Pearson over the bounded day frame (r6)
 ]
 
 
