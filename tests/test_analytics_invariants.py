@@ -379,3 +379,65 @@ def test_fuzzy_search_ranks_and_recovers(spark):
     # the deleted-char corruption is distance 1 from the true name, and at
     # least one probe's retrieval recovers a distance<=1 match
     assert min(r["dist"] for r in rows) <= 1
+
+
+def test_exact_quartiles_match_sorted_selection(spark):
+    from ufload_spark.operators.analytics import orders_exact_quartiles_select
+
+    rows = {
+        r["quartile"]: r
+        for r in orders_exact_quartiles_select(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    cents = sorted(
+        r[0]
+        for r in table(spark, SF_DIR, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .collect()
+    )
+    n = len(cents)
+    for q, r in rows.items():
+        rank = (n * q + 3) // 4
+        assert r["target_rank"] == rank
+        assert r["value_cents"] == cents[rank - 1]  # exact order statistic
+    assert rows[1]["value_cents"] <= rows[2]["value_cents"] <= rows[3]["value_cents"]
+
+
+def test_theilsen_median_is_central(spark):
+    from ufload_spark.operators.temporal import orders_theilsen_trend
+
+    row = orders_theilsen_trend(spark, SF_DIR).collect()[0]
+    assert row["n_pairs"] == row["n_days"] * (row["n_days"] - 1) // 2
+    # the median slope splits the pairwise slopes ~in half
+    daily = sorted(
+        (r["day"], r["cents"])
+        for r in table(spark, SF_DIR, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+        .collect()
+    )
+    slopes = sorted(
+        (b[1] - a[1]) / (b[0] - a[0])
+        for i, a in enumerate(daily)
+        for b in daily[i + 1 :]
+    )
+    assert abs(slopes[(len(slopes) + 1) // 2 - 1] - row["slope_cents_per_day"]) < 1e-5
+
+
+def test_chi2_nonnegative_and_counts(spark):
+    from ufload_spark.operators.events import events_chi2_independence
+
+    row = events_chi2_independence(spark, SF_DIR).collect()[0]
+    assert row["chi2"] >= 0.0
+    assert row["n_events"] == table(spark, SF_DIR, "events").count()
+    assert row["n_cells"] >= 2

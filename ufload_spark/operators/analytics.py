@@ -2062,3 +2062,155 @@ def parts_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_cheaper").isNull() | (F.col("size") > F.col("max_cheaper")))
         & (F.col("size") >= F.col("max_equal"))
     ).select("p_partkey", "cents", "size")
+
+
+#: refinement fan-out of the exact-selection second stage
+QSEL_SUBBINS = 512
+
+
+@register(
+    "orders_exact_quartiles_select",
+    """
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt FROM c
+), t AS (
+  SELECT CAST(v.q AS INT) AS quartile, CAST((n.cnt * v.q + 3) // 4 AS BIGINT) AS target_rank
+  FROM n, (VALUES (1), (2), (3)) v(q)
+), ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c
+)
+SELECT t.quartile, t.target_rank, r.cents AS value_cents
+FROM t JOIN ranked r ON r.rn = t.target_rank
+""",
+    doc="EXACT quartiles of order value without a global sort: two rounds "
+    "of histogram refinement (sub-octave then 512 linear sub-bins) narrow "
+    "each target rank to a value-domain-bounded interval, where a tiny "
+    "per-value count selects the order statistic — distributed quickselect "
+    "as dataflow; the oracle is the naive ORDER BY selection",
+)
+def orders_exact_quartiles_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 order statistics of ``o_totalprice`` cents with NO
+    corpus-wide sort — the distributed-selection pattern that replaces
+    ``ORDER BY … OFFSET r`` (a single-reducer sort at 100 TB) and
+    complements the engine's ``percentile_approx`` sketches when the
+    answer must be exact:
+
+    1. one scan builds a ≤512-row sub-octave histogram carrying per-bin
+       count/min/max; an exclusive running sum over that bounded table
+       locates, for each target rank, its bin and the rank mass before it;
+    2. a second scan (broadcast-semi-joined to the ≤3 chosen bins) splits
+       each bin into 512 LINEAR sub-bins by exact integer arithmetic on
+       the bin's [min, max] — narrowing each target to ~0.02% of its
+       value range;
+    3. a third scan groups the surviving rows BY VALUE; the per-value
+       count table is bounded by the sub-bin's value-domain width (never
+       corpus size), and the rank falls on the first value whose
+       cumulative count reaches it.
+
+    Every count is exact int64, every cut is integer arithmetic, and ties
+    across bin boundaries are immaterial because selection is by
+    cumulative mass, so the result is the exact order statistic — equal to
+    the oracle's naive sorted selection. Three narrow scans total; all
+    windows run over bounded histogram frames (512 / 512 / value-domain
+    interval).
+
+    Reference analog: none — extension surface (the exact sibling of
+    ``orders_approx_quantiles``).
+    """
+    o = table(spark, sf_dir, "orders")
+    cents_col = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    c = o.select(cents_col.alias("cents"))
+    n = c.groupBy().agg(F.count("*").cast("bigint").alias("cnt"))
+    targets = (
+        spark.range(1, 4)
+        .select(F.col("id").cast("int").alias("quartile"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "quartile",
+            F.expr("CAST((cnt * quartile + 3) DIV 4 AS BIGINT)").alias(
+                "target_rank"
+            ),
+        )
+    )
+    binned = c.select("cents", suboctave_bin("cents").alias("b1"))
+    h1 = binned.groupBy("b1").agg(
+        F.count("*").cast("bigint").alias("cnt1"),
+        F.min("cents").alias("lo1"),
+        F.max("cents").alias("hi1"),
+    )
+    # SCALE GUARD: partition-less windows below run over histogram frames
+    # only (<=512 rows by construction), never corpus-sized inputs.
+    w1 = (
+        Window.orderBy("b1")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h1c = h1.withColumn(
+        "cb1", (F.sum("cnt1").over(w1) - F.col("cnt1")).cast("bigint")
+    )
+    chosen1 = F.broadcast(h1c).join(
+        F.broadcast(targets),
+        (F.col("cb1") < F.col("target_rank"))
+        & (F.col("target_rank") <= F.col("cb1") + F.col("cnt1")),
+    )
+    sub = F.expr(
+        f"((cents - lo1) * {QSEL_SUBBINS}) DIV (hi1 - lo1 + 1)"
+    )
+    r2 = binned.join(
+        F.broadcast(
+            chosen1.select("quartile", "target_rank", "b1", "lo1", "hi1", "cb1")
+        ),
+        "b1",
+    ).select(
+        "quartile",
+        "target_rank",
+        "b1",
+        "lo1",
+        "hi1",
+        "cb1",
+        "cents",
+        sub.cast("long").alias("b2"),
+    )
+    h2 = r2.groupBy("quartile", "target_rank", "b1", "lo1", "hi1", "cb1", "b2").agg(
+        F.count("*").cast("bigint").alias("cnt2")
+    )
+    w2 = (
+        Window.partitionBy("quartile")
+        .orderBy("b2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h2c = h2.withColumn(
+        "cb12",
+        (F.col("cb1") + F.sum("cnt2").over(w2) - F.col("cnt2")).cast("bigint"),
+    )
+    chosen2 = h2c.where(
+        (F.col("cb12") < F.col("target_rank"))
+        & (F.col("target_rank") <= F.col("cb12") + F.col("cnt2"))
+    )
+    r3 = r2.drop("target_rank", "cb1").join(
+        F.broadcast(chosen2.select("quartile", "target_rank", "b2", "cb12")),
+        ["quartile", "b2"],
+    )
+    g3 = r3.groupBy("quartile", "target_rank", "cb12", "cents").agg(
+        F.count("*").cast("bigint").alias("cnt3")
+    )
+    w3 = (
+        Window.partitionBy("quartile")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g3c = g3.withColumn(
+        "cum", (F.col("cb12") + F.sum("cnt3").over(w3)).cast("bigint")
+    )
+    return (
+        g3c.where(
+            (F.col("cum") - F.col("cnt3") < F.col("target_rank"))
+            & (F.col("target_rank") <= F.col("cum"))
+        )
+        .select(
+            "quartile",
+            "target_rank",
+            F.col("cents").alias("value_cents"),
+        )
+    )

@@ -1757,3 +1757,85 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             se2 > 0, F.round((m_a - m_b) / F.sqrt(se2), 6) + F.lit(0.0)
         ).alias("t_welch"),
     )
+
+
+@register(
+    "events_chi2_independence",
+    """
+WITH cells AS (
+  SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), marg AS (
+  SELECT event_type, arm, o,
+         CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+         CAST(sum(o) OVER (PARTITION BY arm) AS BIGINT) AS ct,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM cells
+), terms AS (
+  SELECT n,
+         CAST(round(
+           (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+           * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+           / (CAST(rt AS DOUBLE) * ct / n), 12) AS DECIMAL(38, 12)) AS term
+  FROM marg
+), agg AS (
+  SELECT max(n) AS n, sum(term) AS chi2_dec,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_events, n_cells,
+       round(CAST(chi2_dec AS DOUBLE), 6) + 0.0 AS chi2
+FROM agg
+""",
+    doc="chi-square independence test of event_type x assignment arm: "
+    "exact integer contingency table, per-cell terms rounded+cast to "
+    "decimal(38,12) before the order-free sum (the JSD discipline)",
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² test of independence between event type and the
+    ``user_id % 2`` experiment arm — the categorical-balance audit every
+    A/B pipeline runs before trusting its assignment. The contingency
+    table is exact int64; each cell's (o−e)²/e is a FIXED double sequence
+    (e = rt·ct/n with one multiply and one divide), and the cross-cell
+    sum — the one place float association order could differ — is made
+    order-free by rounding each term to 12 decimals and summing in
+    decimal(38,12), the ``text_js_divergence_by_lang`` discipline.
+
+    Scale shape: one shuffle to the (type × arm) cell table (bounded by
+    the category product, here 10 rows); marginals via windows over that
+    bounded frame; no corpus-sized window anywhere.
+
+    Reference analog: none — extension surface (the categorical sibling
+    of ``events_ab_test_ztest``).
+    """
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("arm")
+    w_all = Window.partitionBy()
+    marg = cells.select(
+        "o",
+        F.sum("o").over(w_r).cast("bigint").alias("rt"),
+        F.sum("o").over(w_c).cast("bigint").alias("ct"),
+        F.sum("o").over(w_all).cast("bigint").alias("n"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = F.round(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e,
+        12,
+    ).cast("decimal(38,12)")
+    agg = marg.select(F.col("n"), term.alias("term")).groupBy().agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("term").alias("chi2_dec"),
+    )
+    return agg.select(
+        "n_events",
+        "n_cells",
+        (F.round(F.col("chi2_dec").cast("double"), 6) + F.lit(0.0)).alias(
+            "chi2"
+        ),
+    )

@@ -861,3 +861,117 @@ def events_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("hazard"),
     )
+
+
+@register(
+    "orders_theilsen_trend",
+    """
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+), slopes AS (
+  SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.day - a.day) AS slope
+  FROM daily a JOIN daily b ON b.day > a.day
+), np AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM slopes
+), med_slope AS (
+  SELECT slope FROM (
+    SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM slopes
+  ), np WHERE rn = (n_pairs + 1) // 2
+), resid AS (
+  SELECT d.cents - m.slope * d.day AS b0 FROM daily d, med_slope m
+), med_b0 AS (
+  SELECT b0 FROM (
+    SELECT b0, row_number() OVER (ORDER BY b0) AS rn FROM resid
+  ), nd WHERE rn = (n_days + 1) // 2
+)
+SELECT n_days, n_pairs,
+       round(slope, 6) + 0.0 AS slope_cents_per_day,
+       round(b0, 6) + 0.0 AS intercept_cents
+FROM nd, np, med_slope, med_b0
+""",
+    doc="Theil-Sen robust trend of daily revenue: lower-median of all "
+    "pairwise slopes over the calendar-bounded day frame, median residual "
+    "intercept; slope doubles are single divisions of exact cents",
+)
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator for the daily-revenue trend — the
+    outlier-robust alternative to ``lineitem_ols_price_model``'s least
+    squares (breakdown point 29% vs 0%): the slope is the LOWER MEDIAN of
+    all pairwise day-to-day slopes, the intercept the lower median of the
+    per-day residuals under that slope.
+
+    Determinism: each pairwise slope is ONE IEEE division of exact int64
+    cent/day deltas, so the multiset of slopes is bit-identical across
+    engines; selection by row_number picks a VALUE (equal values are
+    interchangeable), so the median is deterministic without any float
+    summation.
+
+    Scale shape: orders aggregate once to the calendar-bounded day frame
+    (~2.4k rows/decade); the pair join and both medians run on that frame
+    (pairs ≈ calendar²/2 ≈ 3M/decade — bounded by time span, NEVER corpus
+    size). SCALE GUARD: the partition-less rank windows are safe only for
+    that reason; for corpus-sized medians use
+    ``orders_exact_quartiles_select``'s histogram refinement instead.
+
+    Reference analog: none — extension surface (robust-statistics sibling
+    of the OLS and ACF entries).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    nd = daily.groupBy().agg(F.count("*").cast("bigint").alias("n_days"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.day") > F.col("a.day")).select(
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / (F.col("b.day") - F.col("a.day"))
+        ).alias("slope")
+    )
+    np_ = slopes.groupBy().agg(F.count("*").cast("bigint").alias("n_pairs"))
+    w_s = Window.orderBy("slope")
+    med_slope = (
+        slopes.withColumn("rn", F.row_number().over(w_s))
+        .crossJoin(F.broadcast(np_))
+        .where(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select("slope")
+    )
+    resid = daily.crossJoin(F.broadcast(med_slope)).select(
+        (F.col("cents") - F.col("slope") * F.col("day")).alias("b0")
+    )
+    w_b = Window.orderBy("b0")
+    med_b0 = (
+        resid.withColumn("rn", F.row_number().over(w_b))
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("rn") == F.expr("(n_days + 1) DIV 2"))
+        .select("b0")
+    )
+    return (
+        nd.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(med_slope))
+        .crossJoin(F.broadcast(med_b0))
+        .select(
+            "n_days",
+            "n_pairs",
+            (F.round(F.col("slope"), 6) + F.lit(0.0)).alias(
+                "slope_cents_per_day"
+            ),
+            (F.round(F.col("b0"), 6) + F.lit(0.0)).alias("intercept_cents"),
+        )
+    )
