@@ -441,3 +441,35 @@ def test_chi2_nonnegative_and_counts(spark):
     assert row["chi2"] >= 0.0
     assert row["n_events"] == table(spark, SF_DIR, "events").count()
     assert row["n_cells"] >= 2
+
+
+def test_ks_stat_bounds(spark):
+    from ufload_spark.operators.events import events_ks_drift_binned
+
+    row = events_ks_drift_binned(spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    assert row["n_a"] + row["n_b"] == table(spark, SF_DIR, "events").count()
+
+
+def test_revenue_growth_conserves_and_nulls(spark):
+    from ufload_spark.operators.temporal import orders_revenue_growth
+
+    rows = sorted(
+        orders_revenue_growth(spark, SF_DIR).collect(),
+        key=lambda r: (r["year"], r["month"]),
+    )
+    assert rows
+    direct = (
+        table(spark, SF_DIR, "orders")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+        )
+        .collect()[0][0]
+    )
+    assert sum(r["revenue_cents"] for r in rows) == direct
+    assert rows[0]["mom_pct"] is None  # no month precedes the first
+    for i, r in enumerate(rows):
+        if i < 12:
+            assert r["yoy_pct"] is None

@@ -1839,3 +1839,115 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2"
         ),
     )
+
+
+@register(
+    "events_ks_drift_binned",
+    f"""
+WITH vals AS (
+  SELECT CASE WHEN CAST(extract(day FROM ts) AS INT) <= 15 THEN 0 ELSE 1 END
+           AS side,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), binned AS (
+  SELECT side, {suboctave_bin_sql('cents')} AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM vals GROUP BY 1, 2
+), wide AS (
+  SELECT b,
+         CAST(coalesce(sum(CASE WHEN side = 0 THEN c END), 0) AS BIGINT) AS ca,
+         CAST(coalesce(sum(CASE WHEN side = 1 THEN c END), 0) AS BIGINT) AS cb
+  FROM binned GROUP BY b
+), cum AS (
+  SELECT
+    CAST(sum(ca) OVER (ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+    CAST(sum(cb) OVER (ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+    CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+    CAST(sum(cb) OVER () AS BIGINT) AS n_b
+  FROM wide
+), diffs AS (
+  SELECT n_a, n_b,
+         CAST(abs(cum_a * n_b - cum_b * n_a) AS DECIMAL(38, 0)) AS dnum
+  FROM cum
+)
+SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+       round(CAST(max(dnum) AS DOUBLE)
+             / (CAST(max(n_a) AS DOUBLE) * max(n_b)), 6) + 0.0 AS ks_stat
+FROM diffs
+""",
+    doc="two-sample KS drift statistic over sub-octave value bins: "
+    "first-half vs second-half of month, exact integer CDFs, max CDF gap "
+    "by decimal cross-multiplication, one final division",
+)
+def events_ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Kolmogorov-Smirnov drift check: does the event-value
+    distribution shift between the first and second half of the month?
+    The statistic is max_b |CDF_a(b) − CDF_b(b)| evaluated at the
+    sub-octave bin edges (the engine's standard device for avoiding a
+    corpus-wide sort: the exact KS over raw values needs global order
+    statistics; at ≤512 bin edges with ~9% value resolution the binned
+    statistic is the drift-monitoring workhorse).
+
+    Determinism: both CDFs are exact integer running sums; the max is
+    taken over |cum_a·n_b − cum_b·n_a| in decimal(38,0) — integer
+    cross-multiplication, no float comparison — and ONE division at the
+    end converts the argmax gap to the [0,1] statistic.
+
+    Scale shape: one shuffle to the (side, bin) table, everything after
+    runs on the ≤512-row bin frame.
+
+    Reference analog: none — extension surface (the distributional sibling
+    of ``events_chi2_independence``; same drift-audit family as
+    ``text_js_divergence_by_lang``).
+    """
+    ev = table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("side"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    binned = vals.groupBy("side", suboctave_bin("cents").alias("b")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wide = binned.groupBy("b").agg(
+        F.coalesce(F.sum(F.when(F.col("side") == 0, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.coalesce(F.sum(F.when(F.col("side") == 1, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    # SCALE GUARD: partition-less windows over the <=512-row bin frame only.
+    w_cum = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum = wide.select(
+        F.sum("ca").over(w_cum).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(w_cum).cast("bigint").alias("cum_b"),
+        F.sum("ca").over(w_all).cast("bigint").alias("n_a"),
+        F.sum("cb").over(w_all).cast("bigint").alias("n_b"),
+    )
+    diffs = cum.select(
+        "n_a",
+        "n_b",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        .cast("decimal(38,0)")
+        .alias("dnum"),
+    )
+    return diffs.groupBy().agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        (
+            F.round(
+                F.max("dnum").cast("double")
+                / (F.max("n_a").cast("double") * F.max("n_b")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ks_stat"),
+    )

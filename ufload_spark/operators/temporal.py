@@ -975,3 +975,78 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("b0"), 6) + F.lit(0.0)).alias("intercept_cents"),
         )
     )
+
+
+@register(
+    "orders_revenue_growth",
+    """
+WITH monthly AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS INT) AS year,
+         CAST(extract(month FROM o_orderdate) AS INT) AS month,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1, 2
+), lagged AS (
+  SELECT year, month, revenue_cents,
+         lag(revenue_cents, 1) OVER w AS prev_m,
+         lag(revenue_cents, 12) OVER w AS prev_y
+  FROM monthly
+  WINDOW w AS (ORDER BY year * 12 + month)
+)
+SELECT year, month, revenue_cents,
+       round(CAST((revenue_cents - prev_m) * 100 AS DOUBLE) / prev_m, 6) + 0.0
+         AS mom_pct,
+       round(CAST((revenue_cents - prev_y) * 100 AS DOUBLE) / prev_y, 6) + 0.0
+         AS yoy_pct
+FROM lagged
+""",
+    doc="month-over-month and year-over-year revenue growth: exact integer "
+    "monthly cents, lag-1/lag-12 over the bounded month frame, one "
+    "division per growth figure (NULL where no prior period)",
+)
+def orders_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The finance-dashboard staple: monthly revenue with MoM and YoY
+    percentage growth. Offsets use ``lag`` over the month frame keyed by
+    the integer ``year*12+month`` (sidestepping months_between semantics);
+    growth is (Δcents·100)/prev — an exact integer numerator and ONE IEEE
+    division, NULL for the first month / first year.
+
+    Scale shape: one shuffle aggregates orders to the calendar-bounded
+    month frame; the lag window runs on that bounded frame only (SCALE
+    GUARD: safe because the frame is the calendar, not the corpus).
+
+    Reference analog: none — extension surface (the periodic sibling of
+    ``orders_seasonality_index``).
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("revenue_cents")
+    )
+    w = Window.orderBy(F.col("year") * 12 + F.col("month"))
+    lagged = monthly.select(
+        "year",
+        "month",
+        "revenue_cents",
+        F.lag("revenue_cents", 1).over(w).alias("prev_m"),
+        F.lag("revenue_cents", 12).over(w).alias("prev_y"),
+    )
+    growth = lambda prev: (  # noqa: E731
+        F.round(
+            ((F.col("revenue_cents") - F.col(prev)) * 100).cast("double")
+            / F.col(prev),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    return lagged.select(
+        "year",
+        "month",
+        "revenue_cents",
+        growth("prev_m").alias("mom_pct"),
+        growth("prev_y").alias("yoy_pct"),
+    )
