@@ -473,3 +473,39 @@ def test_revenue_growth_conserves_and_nulls(spark):
     for i, r in enumerate(rows):
         if i < 12:
             assert r["yoy_pct"] is None
+
+
+def test_leadtime_quartiles_monotone(spark):
+    from ufload_spark.operators.analytics import lineitem_leadtime_quartiles
+
+    rows = lineitem_leadtime_quartiles(spark, SF_DIR).collect()
+    by_prio = {}
+    for r in rows:
+        by_prio.setdefault(r["priority"], {})[r["quartile"]] = r["lead_days"]
+    assert by_prio
+    for prio, qs in by_prio.items():
+        assert set(qs) == {1, 2, 3}
+        assert qs[1] <= qs[2] <= qs[3]
+        # bounded by the calendar span (fixtures draw dates independently)
+        assert all(abs(v) < 3000 for v in qs.values())
+
+
+def test_triples_obey_downward_closure(spark):
+    from ufload_spark.operators.analytics import (
+        BASKET_MINSUP,
+        basket_part_pairs,
+        basket_part_triples,
+    )
+
+    pairs = {
+        (r["part_a"], r["part_b"]): r["pair_sup"]
+        for r in basket_part_pairs(spark, SF_DIR).collect()
+    }
+    triples = basket_part_triples(spark, SF_DIR).collect()
+    for t in triples:
+        a, b, c = t["part_a"], t["part_b"], t["part_c"]
+        assert a < b < c
+        assert t["triple_sup"] >= BASKET_MINSUP
+        # every 2-subset is a frequent pair with support >= the triple's
+        for sub in [(a, b), (a, c), (b, c)]:
+            assert sub in pairs and pairs[sub] >= t["triple_sup"]

@@ -2214,3 +2214,213 @@ def orders_exact_quartiles_select(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("cents").alias("value_cents"),
         )
     )
+
+
+@register(
+    "lineitem_leadtime_quartiles",
+    """
+WITH lt AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+              AS BIGINT) AS lead_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), h AS (
+  SELECT priority, lead_days, CAST(count(*) AS BIGINT) AS c FROM lt
+  GROUP BY 1, 2
+), cum AS (
+  SELECT priority, lead_days, c,
+         CAST(sum(c) OVER (PARTITION BY priority ORDER BY lead_days
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cm,
+         CAST(sum(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+  FROM h
+), t AS (
+  SELECT priority, lead_days, cm, c, n, CAST(v.q AS INT) AS quartile,
+         (n * v.q + 3) // 4 AS r
+  FROM cum, (VALUES (1), (2), (3)) v(q)
+)
+SELECT priority, quartile, lead_days, CAST(n AS BIGINT) AS n_lines
+FROM t WHERE cm - c < r AND r <= cm
+""",
+    doc="exact per-priority lead-time quartiles from a value-domain-bounded "
+    "day histogram — grouped exact percentiles with no sort, counts are "
+    "all int64",
+)
+def lineitem_leadtime_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of order-to-ship lead time, per order priority —
+    grouped exact percentiles WITHOUT any sort or selection pass: lead
+    time in whole days is value-domain-bounded — by the ~122-day ship
+    window in true TPC-H, by the calendar span (±~2.4k days; these
+    fixtures draw ship dates independently of order dates) here — so the
+    full distribution per group is a small day histogram;
+    one cumulative window over it reads off every quartile exactly. This
+    is the degenerate-and-fast case of the selection ladder —
+    ``percentile_approx`` (sketch) → ``orders_exact_quartiles_select``
+    (histogram refinement for unbounded domains) → this (direct histogram
+    when the domain is bounded).
+
+    Scale shape: the lineitem⋈orders equi-join shuffles on orderkey (the
+    bucketed-layout twin removes even that — `layout_bucketed_orderkey_join`),
+    then one shuffle to the (priority, day) histogram, bounded by
+    5 × ~200 rows at any corpus size.
+
+    Reference analog: none — extension surface.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lt = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("lead_days"),
+    )
+    h = lt.groupBy("priority", "lead_days").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("lead_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("priority")
+    cum = h.select(
+        "priority",
+        "lead_days",
+        "c",
+        F.sum("c").over(w_cum).cast("bigint").alias("cm"),
+        F.sum("c").over(w_n).cast("bigint").alias("n"),
+    )
+    t = cum.crossJoin(
+        F.broadcast(
+            spark.range(1, 4).select(F.col("id").cast("int").alias("quartile"))
+        )
+    ).withColumn("r", F.expr("(n * quartile + 3) DIV 4"))
+    return t.where(
+        (F.col("cm") - F.col("c") < F.col("r")) & (F.col("r") <= F.col("cm"))
+    ).select(
+        "priority",
+        "quartile",
+        "lead_days",
+        F.col("n").cast("bigint").alias("n_lines"),
+    )
+
+
+@register(
+    "basket_part_triples",
+    f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), freq AS (
+  SELECT part FROM items GROUP BY part
+  HAVING count(*) >= {BASKET_MINSUP}
+), fitems AS (
+  SELECT i.okey, i.part FROM items i JOIN freq USING (part)
+), fpairs AS (
+  SELECT a.part AS pa, b.part AS pb
+  FROM fitems a JOIN fitems b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2 HAVING count(*) >= {BASKET_MINSUP}
+), cand AS (
+  SELECT x.pa AS part_a, x.pb AS part_b, y.pb AS part_c
+  FROM fpairs x JOIN fpairs y ON x.pa = y.pa AND x.pb < y.pb
+  WHERE EXISTS (SELECT 1 FROM fpairs z
+                WHERE z.pa = x.pb AND z.pb = y.pb)
+)
+SELECT t.part_a, t.part_b, t.part_c,
+       CAST(count(*) AS BIGINT) AS triple_sup
+FROM (
+  SELECT a.okey, a.part AS part_a, b.part AS part_b, c.part AS part_c
+  FROM fitems a
+  JOIN fitems b ON a.okey = b.okey AND a.part < b.part
+  JOIN fitems c ON b.okey = c.okey AND b.part < c.part
+) t
+JOIN cand USING (part_a, part_b, part_c)
+GROUP BY 1, 2, 3 HAVING count(*) >= {BASKET_MINSUP}
+""",
+    doc=f"a-priori level 3: frequent part triples — candidates generated "
+    f"from frequent-pair joins (every 2-subset must be frequent), counted "
+    f"by a candidate-restricted basket join, support >= {BASKET_MINSUP}",
+)
+def basket_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent triple mining — the third a-priori level above
+    :func:`basket_part_pairs`. Candidates come from the level-2 result:
+    (a,b,c) is a candidate iff (a,b), (a,c) AND (b,c) are all frequent
+    pairs (the downward-closure property), generated by the classic
+    prefix self-join of the pair set plus one subset semi-join. The
+    within-basket triple enumeration (bounded by Σ basket_size³, baskets
+    ≤ 7 here) is then semi-joined to the candidate set before counting,
+    so the aggregate never sees a triple that cannot be frequent.
+
+    Scale shape: the same pruned-items plan as the pair miner plus the
+    candidate generation (a self-join of the FREQUENT-PAIR table — output
+    of the support floor, orders of magnitude smaller than the item
+    table) and one more within-basket join. The support floor is again
+    the knob: candidate volume falls super-linearly as it rises.
+
+    Reference analog: none — extension surface.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    freq = (
+        items.groupBy("part")
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= BASKET_MINSUP)
+        .select("part")
+    )
+    fitems = items.join(freq, "part", "left_semi")
+    a, b, c = fitems.alias("a"), fitems.alias("b"), fitems.alias("c")
+    fpairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
+        .agg(F.count("*").alias("ps"))
+        .where(F.col("ps") >= BASKET_MINSUP)
+        .select("pa", "pb")
+    )
+    x, y = fpairs.alias("x"), fpairs.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.pa") == F.col("y.pa"))
+            & (F.col("x.pb") < F.col("y.pb")),
+        )
+        .select(
+            F.col("x.pa").alias("part_a"),
+            F.col("x.pb").alias("part_b"),
+            F.col("y.pb").alias("part_c"),
+        )
+        .join(
+            fpairs.select(
+                F.col("pa").alias("part_b"), F.col("pb").alias("part_c")
+            ),
+            ["part_b", "part_c"],
+            "left_semi",
+        )
+    )
+    triples = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .join(
+            c,
+            (F.col("b.okey") == F.col("c.okey"))
+            & (F.col("b.part") < F.col("c.part")),
+        )
+        .select(
+            F.col("a.part").alias("part_a"),
+            F.col("b.part").alias("part_b"),
+            F.col("c.part").alias("part_c"),
+        )
+        .join(cand, ["part_a", "part_b", "part_c"], "left_semi")
+    )
+    return (
+        triples.groupBy("part_a", "part_b", "part_c")
+        .agg(F.count("*").cast("bigint").alias("triple_sup"))
+        .where(F.col("triple_sup") >= BASKET_MINSUP)
+    )
