@@ -509,3 +509,24 @@ def test_triples_obey_downward_closure(spark):
         # every 2-subset is a frequent pair with support >= the triple's
         for sub in [(a, b), (a, c), (b, c)]:
             assert sub in pairs and pairs[sub] >= t["triple_sup"]
+
+
+def test_gini_bounds(spark):
+    from ufload_spark.operators.analytics import customer_spend_gini
+
+    row = customer_spend_gini(spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["gini_binned"] < 1.0
+    n = table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    assert row["n_customers"] == n
+
+
+def test_fano_positive_and_conserves(spark):
+    from ufload_spark.operators.events import events_burstiness_fano
+
+    rows = events_burstiness_fano(spark, SF_DIR).collect()
+    assert rows
+    ev = table(spark, SF_DIR, "events")
+    n_hours = ev.select(F.date_trunc("hour", "ts")).distinct().count()
+    for r in rows:
+        assert r["n_hours"] == n_hours
+        assert r["fano"] > 0.0 and r["mean_per_hour"] > 0.0

@@ -2424,3 +2424,94 @@ def basket_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("triple_sup"))
         .where(F.col("triple_sup") >= BASKET_MINSUP)
     )
+
+
+@register(
+    "customer_spend_gini",
+    f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), h AS (
+  SELECT {suboctave_bin_sql('cents')} AS b,
+         CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(cents) AS BIGINT) AS s
+  FROM spend GROUP BY 1
+), cum AS (
+  SELECT c, s,
+         CAST(sum(s) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cs,
+         CAST(sum(c) OVER () AS BIGINT) AS n,
+         CAST(sum(s) OVER () AS BIGINT) AS tot
+  FROM h
+)
+SELECT max(n) AS n_customers,
+       round(1.0 - CAST(sum(CAST(c AS DECIMAL(38, 0)) * (2 * cs - s))
+                        AS DOUBLE)
+                   / (CAST(max(n) AS DOUBLE) * max(tot)), 6) + 0.0
+         AS gini_binned
+FROM cum
+""",
+    doc="Gini coefficient of customer spend from the sub-octave histogram "
+    "(trapezoid Lorenz over <=512 bins, ~9% value resolution) — exact "
+    "decimal(38,0) numerator, one final division; no customer-wide sort",
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-inequality audit: the Gini coefficient of per-customer
+    revenue, WITHOUT ranking every customer (the textbook formula needs a
+    corpus-wide sort). The Lorenz curve is evaluated at the ≤512
+    sub-octave bin edges — G = 1 − Σ_b c_b·(S_{b−1}+S_b) / (N·T) with
+    c_b the bin count and S the cumulative bin spend — a trapezoid
+    estimate whose resolution is the bins' ~9% value width (within-bin
+    inequality is below that resolution by construction). The numerator
+    accumulates exactly in decimal(38,0) (c·(2S−s) products), so the only
+    float op is the final division.
+
+    Scale shape: one custkey shuffle, one ≤512-row histogram aggregate,
+    windows over the bin frame only — the `orders_abc_analysis`
+    discipline applied to an inequality index; complements
+    `supplier_concentration_hhi` (which needs no ordering at all).
+
+    Reference analog: none — extension surface.
+    """
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    h = spend.groupBy(suboctave_bin("cents").alias("b")).agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    # SCALE GUARD: partition-less windows over the <=512-row bin frame only.
+    w_cum = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum = h.select(
+        "c",
+        "s",
+        F.sum("s").over(w_cum).cast("bigint").alias("cs"),
+        F.sum("c").over(w_all).cast("bigint").alias("n"),
+        F.sum("s").over(w_all).cast("bigint").alias("tot"),
+    )
+    num = F.sum(
+        F.col("c").cast("decimal(38,0)") * (2 * F.col("cs") - F.col("s"))
+    )
+    return cum.groupBy().agg(
+        F.max("n").alias("n_customers"),
+        (
+            F.round(
+                F.lit(1.0)
+                - num.cast("double")
+                / (F.max("n").cast("double") * F.max("tot")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gini_binned"),
+    )

@@ -1951,3 +1951,73 @@ def events_ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("ks_stat"),
     )
+
+
+@register(
+    "events_burstiness_fano",
+    """
+WITH hours AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+  FROM events
+), moments AS (
+  SELECT event_type,
+         CAST(sum(c) AS BIGINT) AS sx,
+         CAST(sum(c * c) AS BIGINT) AS sxx
+  FROM hours GROUP BY event_type
+)
+SELECT event_type, n_hours,
+       round(CAST(sx AS DOUBLE) / n_hours, 6) + 0.0 AS mean_per_hour,
+       round((CAST(n_hours * sxx - sx * sx AS DOUBLE)
+              / CAST(n_hours * (n_hours - 1) AS DOUBLE))
+             / (CAST(sx AS DOUBLE) / n_hours), 6) + 0.0 AS fano
+FROM moments, spine
+""",
+    doc="index of dispersion (Fano factor) of hourly event counts per "
+    "type, zero-hours included via the global hour spine; exact integer "
+    "moments, fixed double sequence",
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness audit: the Fano factor (variance/mean of hourly counts)
+    per event type — ≈1 for a Poisson stream, >1 for bursty arrivals;
+    the signal capacity planners and anomaly detectors key on. Hours
+    where a type has NO events count as zeros: the variance uses
+    n = the corpus's global distinct-hour spine, and zero terms vanish
+    from Σc and Σc² — so no spine join materializes, just the scalar
+    hour count riding in by broadcast.
+
+    Determinism: per-type (Σc, Σc²) are exact int64; mean and the
+    unbiased variance are a fixed double sequence, one division each.
+
+    Scale shape: one shuffle to the (hour × type) frame (calendar-bounded
+    per type), one tiny moment aggregate.
+
+    Reference analog: none — extension surface (arrival-process sibling
+    of ``events_concurrency_peak``).
+    """
+    ev = table(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    spine = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).distinct().groupBy().agg(F.count("*").cast("bigint").alias("n_hours"))
+    moments = hours.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+    )
+    j = moments.crossJoin(F.broadcast(spine))
+    n = F.col("n_hours")
+    mean = F.col("sx").cast("double") / n
+    var = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / (
+        n * (n - 1)
+    ).cast("double")
+    return j.select(
+        "event_type",
+        "n_hours",
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_per_hour"),
+        (F.round(var / mean, 6) + F.lit(0.0)).alias("fano"),
+    )
