@@ -930,3 +930,66 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("chunk").cast("bigint").alias("chunk_chars"),
         F.md5(F.col("chunk")).alias("chunk_md5"),
     )
+
+
+@register(
+    "text_chunk_neardup",
+    f"""
+WITH src AS (
+  SELECT doc_id, text,
+         unnest(range(0, (length(text) - 1) // {CHUNK_STRIDE} + 1)) AS i
+  FROM documents WHERE length(text) > 0
+), chunks AS (
+  SELECT doc_id, md5(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT),
+                            {CHUNK_CHARS})) AS chunk_md5
+  FROM src
+)
+SELECT chunk_md5,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM chunks
+GROUP BY chunk_md5
+HAVING count(DISTINCT doc_id) >= 2
+""",
+    doc="cross-document duplicate chunks: the RAG chunker's md5 keys "
+    "grouped corpus-wide; chunks appearing in >=2 docs are boilerplate "
+    "candidates — one content-hash shuffle",
+)
+def text_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular duplicate detection — the dedup composition of
+    :func:`text_chunk_documents`: identical 200-char windows appearing in
+    two or more documents flag shared boilerplate (headers, licenses,
+    templated passages) at a granularity document-level dedup misses and
+    paragraph-level dedup (``corpus_paragraph_dedup``) only catches when
+    paragraph boundaries align. Retrieval pipelines drop or down-weight
+    these chunks before embedding.
+
+    Scale shape: the map-only chunker followed by ONE shuffle on the
+    chunk md5 (content-addressed, uniformly distributed — no skew) with
+    map-side partial counts; the ≥2-doc filter keeps the output to the
+    duplicated tail.
+
+    Reference analog: none — extension surface (LLM-pipeline family).
+    """
+    d = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n_chunks_m1 = F.floor((F.length("text") - 1) / CHUNK_STRIDE).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks_m1)).alias("chunk_id"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        F.md5(
+            F.col("text").substr(
+                F.col("chunk_id") * CHUNK_STRIDE + 1, F.lit(CHUNK_CHARS)
+            )
+        ).alias("chunk_md5"),
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

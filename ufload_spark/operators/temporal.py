@@ -1050,3 +1050,85 @@ def orders_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         growth("prev_m").alias("mom_pct"),
         growth("prev_y").alias("yoy_pct"),
     )
+
+
+@register(
+    "orders_forecast_naive_backtest",
+    """
+WITH monthly AS (
+  SELECT CAST(extract(year FROM o_orderdate) * 12
+              + extract(month FROM o_orderdate) AS BIGINT) AS mkey,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), paired AS (
+  SELECT a.cents AS actual, f.cents AS forecast
+  FROM monthly a JOIN monthly f ON f.mkey = a.mkey - 12
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval_months,
+         CAST(sum(abs(actual - forecast)) AS BIGINT) AS sae,
+         CAST(sum(actual - forecast) AS BIGINT) AS se,
+         CAST(sum(actual) AS BIGINT) AS sa
+  FROM paired
+)
+SELECT n_eval_months,
+       CAST(sae // n_eval_months AS BIGINT) AS mae_cents,
+       round(CAST(sae * 100 AS DOUBLE) / sa, 6) + 0.0 AS wmape_pct,
+       round(CAST(se * 100 AS DOUBLE) / sa, 6) + 0.0 AS bias_pct
+FROM agg
+""",
+    doc="seasonal-naive forecast backtest: predict month m with month "
+    "m-12, exact integer error sums over the bounded month frame, "
+    "weighted MAPE/bias as single divisions",
+)
+def orders_forecast_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (ŷ_m = y_{m−12}) — the
+    baseline every demand-forecasting pipeline must report before any
+    model earns its keep. Errors accumulate as exact integer cents
+    (Σ|e|, Σe, Σy), so MAE is an integer floor-division and weighted
+    MAPE / bias are one IEEE division each.
+
+    Scale shape: one shuffle to the calendar-bounded month frame; the
+    lag pairing is a self-join on the integer month key over that bounded
+    frame.
+
+    Reference analog: none — extension surface (the evaluation sibling of
+    ``orders_revenue_growth`` / ``orders_seasonality_index``).
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("mkey")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = monthly.alias("a")
+    f_ = monthly.alias("f")
+    paired = a.join(
+        F.broadcast(f_), F.col("f.mkey") == F.col("a.mkey") - 12
+    ).select(
+        F.col("a.cents").alias("actual"), F.col("f.cents").alias("forecast")
+    )
+    agg = paired.groupBy().agg(
+        F.count("*").cast("bigint").alias("n_eval_months"),
+        F.sum(F.abs(F.col("actual") - F.col("forecast")))
+        .cast("bigint")
+        .alias("sae"),
+        F.sum(F.col("actual") - F.col("forecast")).cast("bigint").alias("se"),
+        F.sum("actual").cast("bigint").alias("sa"),
+    )
+    return agg.select(
+        "n_eval_months",
+        F.expr("CAST(sae DIV n_eval_months AS BIGINT)").alias("mae_cents"),
+        (
+            F.round((F.col("sae") * 100).cast("double") / F.col("sa"), 6)
+            + F.lit(0.0)
+        ).alias("wmape_pct"),
+        (
+            F.round((F.col("se") * 100).cast("double") / F.col("sa"), 6)
+            + F.lit(0.0)
+        ).alias("bias_pct"),
+    )
