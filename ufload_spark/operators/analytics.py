@@ -2515,3 +2515,225 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("gini_binned"),
     )
+
+
+@register(
+    "lineitem_duplicate_billing_audit",
+    """
+SELECT l_orderkey, l_partkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       min(CAST(l_quantity AS BIGINT)) = max(CAST(l_quantity AS BIGINT))
+       AND min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+         = max(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+         AS exact_double_entry
+FROM lineitem
+GROUP BY l_orderkey, l_partkey
+HAVING count(*) > 1
+""",
+    doc="duplicate-billing audit: orders where the same part appears on "
+    "more than one line — exact-double-entry flag when every duplicate "
+    "line carries identical quantity and cents",
+)
+def lineitem_duplicate_billing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accounts-payable double-billing sweep: within one order, the
+    same part billed on more than one line is either a legitimate split
+    shipment or a duplicate entry — the audit surfaces every such group
+    with the evidence an investigator triages on: line count, how many
+    DISTINCT suppliers the duplicate lines route through (1 supplier +
+    identical amounts smells like double entry; several suppliers looks
+    like sourcing), total quantity/cents at stake, and the
+    ``exact_double_entry`` flag (min = max on both quantity and exact
+    half-up cents across the group — no float comparison anywhere).
+
+    Scale shape: ONE hash aggregation keyed (l_orderkey, l_partkey) —
+    the natural lineitem clustering key prefix, so with the table
+    bucketed by orderkey the exchange disappears entirely; map-side
+    partials shrink the shuffle to the duplicate groups plus one row per
+    distinct (order, part). No join, no window, no global order.
+
+    Reference analog: none (extension surface — audit family; the
+    deduplication sibling of `dedup_exact` for relational rows rather
+    than documents).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    return (
+        li.select(
+            "l_orderkey", "l_partkey", "l_suppkey", qty.alias("q"), cents.alias("c")
+        )
+        .groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+            F.sum("q").cast("bigint").alias("total_qty"),
+            F.sum("c").cast("bigint").alias("total_cents"),
+            (
+                (F.min("q") == F.max("q")) & (F.min("c") == F.max("c"))
+            ).alias("exact_double_entry"),
+        )
+        .where(F.col("n_lines") > 1)
+    )
+
+
+@register(
+    "parts_abc_xyz_matrix",
+    f"""
+WITH monthly AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS mth,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mq,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS mc
+  FROM lineitem GROUP BY 1, 2
+), pk AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(mq) AS HUGEINT) AS sq,
+         CAST(sum(CAST(mq AS HUGEINT) * mq) AS HUGEINT) AS sqq,
+         CAST(sum(mc) AS BIGINT) AS cents
+  FROM monthly GROUP BY l_partkey
+), binned AS (
+  SELECT l_partkey, cents, {suboctave_bin_sql("cents")} AS bin_id,
+         CASE WHEN n = 1 THEN 'Z'
+              WHEN 4 * n * (n * sqq - sq * sq) <= (n - 1) * sq * sq THEN 'X'
+              WHEN n * (n * sqq - sq * sq) <= (n - 1) * sq * sq THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM pk
+), bins AS (
+  SELECT bin_id, CAST(sum(cents) AS BIGINT) AS bin_cents
+  FROM binned GROUP BY bin_id
+), tot AS (
+  SELECT CAST(sum(bin_cents) AS BIGINT) AS total_cents FROM bins
+), classes AS (
+  SELECT bin_id,
+         CASE WHEN coalesce(sum(bin_cents) OVER (
+                ORDER BY bin_id DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5
+              < total_cents * 4 THEN 'A'
+              WHEN coalesce(sum(bin_cents) OVER (
+                ORDER BY bin_id DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 20
+              < total_cents * 19 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM bins, tot
+)
+SELECT c.abc_class, b.xyz_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(b.cents) AS BIGINT) AS revenue_cents,
+       round(CAST(sum(b.cents) AS DOUBLE)
+             / (SELECT total_cents FROM tot), 6) + 0.0 AS revenue_share
+FROM binned b JOIN classes c USING (bin_id)
+GROUP BY 1, 2
+""",
+    doc="ABC-XYZ inventory matrix: Pareto revenue class (sub-octave-binned "
+    "cumulative share, no global sort) x demand-variability class (monthly-"
+    "quantity CoV by integer cross-multiplication) — the 9-cell planner view",
+)
+def parts_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inventory planner's ABC-XYZ matrix: every part is classed on
+    two axes — A/B/C by share of total revenue (A ≈ top 80%, B next 15%,
+    C tail) and X/Y/Z by demand regularity (coefficient of variation of
+    its monthly shipped quantity: X ≤ 0.5, Y ≤ 1.0, Z above or a single
+    active month) — and the matrix reports part count, revenue and
+    revenue share per cell. AX cells are forecast-friendly steady
+    earners; CZ cells are the long tail candidates for stock cuts.
+
+    Both axes are decided in exact integer arithmetic. The CoV threshold
+    test cross-multiplies the sample-variance moments — CoV² =
+    n(nΣq²−(Σq)²)/((n−1)(Σq)²) compared as 4·n·(nΣq²−(Σq)²) ≤ (n−1)(Σq)²
+    in decimal128/HUGEINT — so no engine ever divides or square-roots.
+    The ABC axis reuses the :func:`suboctave_bin` device from
+    ``orders_abc_analysis``: per-part revenue cents bin into ≤ 512
+    integer sub-octave bins, the cumulative share runs over the BIN
+    table, and class boundaries snap to bin edges — distributed Pareto
+    without a corpus-wide sort.
+
+    Scale shape: one (part, month) aggregate off the raw scan, one
+    part-level re-aggregate of those partials, a ≤ 512-row bin table
+    with a SCALE-GUARDed window, a broadcast bin→class join back onto
+    the part frame, and a ≤ 9-row final aggregate. At 100 TB only the
+    first aggregate sees data volume, and it is a mergeable partial
+    rollup on the table's natural key.
+
+    Reference analog: none (extension surface — analytics family).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    monthly = (
+        li.select(
+            "l_partkey",
+            F.date_trunc("month", F.col("l_shipdate")).alias("mth"),
+            qty.alias("q"),
+            cents.alias("c"),
+        )
+        .groupBy("l_partkey", "mth")
+        .agg(F.sum("q").alias("mq"), F.sum("c").alias("mc"))
+    )
+    dec = "decimal(38,0)"
+    pk = monthly.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("mq").cast(dec).alias("sq"),
+        F.sum(F.col("mq").cast(dec) * F.col("mq")).cast(dec).alias("sqq"),
+        F.sum("mc").cast("bigint").alias("cents"),
+    )
+    n, sq, sqq = (F.col(c) for c in ("n", "sq", "sqq"))
+    spread = n * sqq - sq * sq
+    binned = pk.select(
+        "cents",
+        suboctave_bin("cents").alias("bin_id"),
+        F.when(n == 1, "Z")
+        .when(F.lit(4) * n * spread <= (n - 1) * sq * sq, "X")
+        .when(n * spread <= (n - 1) * sq * sq, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    bins = binned.groupBy("bin_id").agg(
+        F.sum("cents").cast("bigint").alias("bin_cents")
+    )
+    tot = bins.agg(F.sum("bin_cents").cast("bigint").alias("total_cents"))
+    # SCALE GUARD: partition-less window over the BIN table only — the
+    # sub-octave key of a bigint admits ≤ 512 rows at any corpus size.
+    w = Window.orderBy(F.desc("bin_id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    classes = (
+        bins.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("bin_cents").over(w), F.lit(0)).cast("bigint"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin_id",
+            F.when(F.col("cum_before") * 5 < F.col("total_cents") * 4, "A")
+            .when(F.col("cum_before") * 20 < F.col("total_cents") * 19, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return (
+        binned.join(F.broadcast(classes), "bin_id")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "xyz_class",
+            "n_parts",
+            "revenue_cents",
+            (
+                F.round(
+                    F.col("revenue_cents").cast("double")
+                    / F.col("total_cents"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("revenue_share"),
+        )
+    )

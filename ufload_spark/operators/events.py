@@ -2021,3 +2021,100 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(mean, 6) + F.lit(0.0)).alias("mean_per_hour"),
         (F.round(var / mean, 6) + F.lit(0.0)).alias("fano"),
     )
+
+
+#: bot heuristics: hourly rate cap and squared-CoV regularity threshold
+#: (CoV² < BOT_COV2_NUM/BOT_COV2_DEN flags metronome-regular traffic)
+BOT_RATE_CAP = 40
+BOT_COV2_NUM = 1
+BOT_COV2_DEN = 100
+
+
+@register(
+    "events_bot_detection",
+    f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), rate AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(max(c) AS BIGINT) AS max_hourly,
+         CAST(count(*) AS BIGINT) AS active_hours
+  FROM hourly GROUP BY user_id
+), gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events
+), gm AS (
+  SELECT user_id, CAST(count(g) AS BIGINT) AS ng,
+         CAST(sum(g) AS HUGEINT) AS sg,
+         CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS sgg
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+)
+SELECT r.user_id, r.n_events, r.max_hourly, r.active_hours,
+       r.max_hourly >= {BOT_RATE_CAP} AS rate_flag,
+       coalesce({BOT_COV2_DEN} * g.ng * (g.ng * g.sgg - g.sg * g.sg)
+                < {BOT_COV2_NUM} * (g.ng - 1) * g.sg * g.sg, false)
+         AS regular_flag
+FROM rate r LEFT JOIN gm g ON r.user_id = g.user_id AND g.ng >= 2
+""",
+    doc=f"bot-detection panel: per-user hourly rate cap (>= {BOT_RATE_CAP}"
+    "/h) and metronome-regularity flag (inter-arrival CoV² < "
+    f"{BOT_COV2_NUM}/{BOT_COV2_DEN} by integer cross-multiplication over "
+    "exact microsecond moments)",
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abuse-detection panel every event pipeline runs: per user, (a) the
+    burst-rate flag — any hour with ≥ :data:`BOT_RATE_CAP` events — and
+    (b) the regularity flag — inter-arrival times too periodic for a
+    human, CoV² = n(nΣg²−(Σg)²)/((n−1)(Σg)²) below 1/100, evaluated
+    ENTIRELY by integer cross-multiplication of exact microsecond moments
+    (HUGEINT/decimal38), so the flag never compares floats.
+
+    Scale shape: one shuffle to (user, hour) counts, one user_id window
+    for the ordered gaps (deterministic (ts, event_id) order), one
+    user-level join. All per-user state is moments, never gap lists.
+
+    Reference analog: none — extension surface (the abuse sibling of
+    ``events_burstiness_fano``; that one audits the stream, this one
+    names the users).
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    rate = hourly.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.max("c").cast("bigint").alias("max_hourly"),
+        F.count("*").cast("bigint").alias("active_hours"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("g"),
+    )
+    dec = "decimal(38,0)"
+    gm = (
+        gaps.where(F.col("g").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("g").cast("bigint").alias("ng"),
+            F.sum("g").cast(dec).alias("sg"),
+            F.sum(F.col("g").cast(dec) * F.col("g")).cast(dec).alias("sgg"),
+        )
+        .where(F.col("ng") >= 2)
+    )
+    ng, sg, sgg = (F.col(c) for c in ("ng", "sg", "sgg"))
+    regular = (
+        F.lit(BOT_COV2_DEN) * ng * (ng * sgg - sg * sg)
+        < F.lit(BOT_COV2_NUM) * (ng - 1) * sg * sg
+    )
+    return rate.join(gm, "user_id", "left").select(
+        "user_id",
+        "n_events",
+        "max_hourly",
+        "active_hours",
+        (F.col("max_hourly") >= BOT_RATE_CAP).alias("rate_flag"),
+        F.coalesce(regular, F.lit(False)).alias("regular_flag"),
+    )
