@@ -2737,3 +2737,94 @@ def parts_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+#: target-encoding smoothing pseudo-count (rows of global prior per category)
+TE_SMOOTH_M = 20
+
+
+@register(
+    "features_target_encoding",
+    f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), cat AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_c,
+         CAST(sum(cents) AS HUGEINT) AS s_c
+  FROM base GROUP BY o_orderpriority
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS s
+  FROM base
+), g AS (
+  SELECT n, (s * 1000000) // n AS g_micro FROM tot
+)
+SELECT b.o_orderkey, b.o_orderpriority,
+       CAST(CAST(((c.s_c - b.cents) * 1000000 + {TE_SMOOTH_M} * g.g_micro)
+                 // (c.n_c - 1 + {TE_SMOOTH_M}) AS BIGINT) AS DOUBLE)
+         / 1e6 AS te_cents
+FROM base b JOIN cat c USING (o_orderpriority), g
+""",
+    doc="leakage-safe smoothed target encoding: leave-one-out category mean "
+    f"of the cents target, shrunk toward the global mean with m={TE_SMOOTH_M} "
+    "pseudo-rows — every step exact integer micro-cents (one decimal128 "
+    "floor division per row), no float summation or rounding anywhere",
+)
+def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding, the categorical-feature workhorse, in its
+    leakage-safe form: each row's category is encoded as the mean target
+    of the OTHER rows in its category (leave-one-out — a row never sees
+    its own label, the in-fold leakage that inflates offline metrics),
+    shrunk toward the global mean with :data:`TE_SMOOTH_M` pseudo-rows so
+    rare categories don't memorize noise:
+
+        te_i = (S_c − y_i + m·ȳ) / (n_c − 1 + m)
+
+    The spec is INTEGER-FIRST: the global mean is quantized once to
+    micro-cents (``g_micro = S·10⁶ div N``) and each row's encoding is a
+    single decimal128 floor division of exact integers — a float-formula
+    draft of this query landed on 6th-decimal rounding ties between
+    engines (ULP-level multiply-add drift straddling round boundaries);
+    integer micro-units make the value identical by construction, and
+    the final ``/1e6`` presentation divide is exact in both engines.
+
+    Scale shape: one category aggregate (a handful of groups — broadcast
+    back), one 1-row global aggregate (broadcast), then a narrow map over
+    the fact scan. The fact table never shuffles: at 100 TB the encode is
+    scan-speed, the model state is category-count-sized, and the same
+    two broadcast frames ARE the fitted encoder a scoring pipeline would
+    persist (the `memo_publish` pattern the IVF/PQ indexes demonstrate).
+
+    Reference analog: none (extension surface — ML feature-engineering
+    family, beside `features_quantile_binning`).
+    """
+    o = table(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    cat = base.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_c"),
+        F.sum("cents").cast(dec).alias("s_c"),
+    )
+    g = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast(dec).alias("s"),
+    ).select("n", F.expr("CAST(s * 1000000 AS decimal(38,0)) div n").alias("g_micro"))
+    te_micro = F.expr(
+        f"CAST((s_c - cents) * 1000000 + {TE_SMOOTH_M} * g_micro AS decimal(38,0))"
+        f" div (n_c - 1 + {TE_SMOOTH_M})"
+    )
+    return (
+        base.join(F.broadcast(cat), "o_orderpriority")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (te_micro.cast("double") / 1e6).alias("te_cents"),
+        )
+    )

@@ -238,3 +238,68 @@ def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 ) AS (column_name, n_rows, n_nonnull, n_distinct, min_num, max_num,
       min_str, max_str)"""
     )
+
+
+#: k-anonymity floor and l-diversity floor for the privacy audit
+K_ANON_MIN = 5
+L_DIVERSE_MIN = 3
+
+
+@register(
+    "privacy_k_anonymity",
+    f"""
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         c_mktsegment
+  FROM customer
+)
+SELECT c_nationkey, bal_band,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l,
+       count(*) >= {K_ANON_MIN} AS k_anonymous,
+       count(DISTINCT c_mktsegment) >= {L_DIVERSE_MIN} AS l_diverse
+FROM qi GROUP BY 1, 2
+""",
+    doc=f"privacy audit: k-anonymity (k >= {K_ANON_MIN}) and l-diversity "
+    f"(l >= {L_DIVERSE_MIN} distinct sensitive values) per quasi-identifier "
+    "group (nation x $1000 balance band) — one hash aggregate",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release-gate privacy audit (Sweeney's k-anonymity, Machanavajjhala
+    et al.'s l-diversity): project the table onto its quasi-identifiers —
+    here nation plus a $1000 account-balance band, the attributes an
+    attacker could link from public data — and measure, per QI group,
+    the re-identification crowd size ``k`` (rows sharing the QI tuple)
+    and the sensitive-attribute diversity ``l`` (distinct market
+    segments). A group with k < :data:`K_ANON_MIN` re-identifies
+    individuals by linkage; one with l < :data:`L_DIVERSE_MIN` leaks the
+    sensitive value even when k is large (the homogeneity attack). The
+    output is the per-group evidence table a release pipeline joins back
+    to suppress or generalize failing groups before publishing.
+
+    The balance band is floor(balance/1000) — a deterministic IEEE
+    divide-then-floor both engines compute identically (no rounding
+    ties: the quotient magnitudes sit far from representation edges).
+
+    Scale shape: ONE hash aggregate keyed by the QI tuple with map-side
+    partials; distinct-count of a ≤5-value domain adds a bounded
+    per-group state. No join, no window — at 100 TB this is a single
+    shuffle of group partials.
+
+    Reference analog: none (extension surface — governance family,
+    beside `quality_constraint_audit`; `corpus_pii_scrub` is the
+    unstructured-text sibling).
+    """
+    c = table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return qi.groupBy("c_nationkey", "bal_band").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("l"),
+        (F.count("*") >= K_ANON_MIN).alias("k_anonymous"),
+        (F.countDistinct("c_mktsegment") >= L_DIVERSE_MIN).alias("l_diverse"),
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ufload_spark.functions.binning import suboctave_bin, suboctave_bin_sql
 from ufload_spark.plans.registry import register
 from ufload_spark.sources.tables import table
 
@@ -112,3 +113,65 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hot key's rows."""
     ev = table(spark, sf_dir, "events")
     return salted_agg(ev, "event_type")
+
+
+@register(
+    "diagnostics_key_skew",
+    f"""
+WITH keyed AS (
+  SELECT 'l_partkey' AS key_col, l_partkey AS k FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey' AS key_col, l_suppkey AS k FROM lineitem
+), per_key AS (
+  SELECT key_col, k, CAST(count(*) AS BIGINT) AS c
+  FROM keyed GROUP BY key_col, k
+)
+SELECT key_col, {suboctave_bin_sql("c")} AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS rows_covered,
+       CAST(max(c) AS BIGINT) AS max_rows
+FROM per_key GROUP BY key_col, bin_id
+""",
+    doc="join-key skew profiler: per-key row counts for the lineitem join "
+    "keys folded into <=512 sub-octave frequency bins — the planner input "
+    "for salting/broadcast decisions, all exact integers",
+)
+def diagnostics_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew profile a distributed planner reads BEFORE picking a join
+    or aggregation strategy: for each candidate shuffle key of the fact
+    table, the distribution of rows-per-key folded into sub-octave
+    frequency bins (≤ 512 bins at any cardinality — the
+    :func:`suboctave_bin` device). A healthy key shows mass in the low
+    bins; a pathological one shows a high-bin spike whose ``max_rows``
+    says exactly how large the hottest reducer would run. This is the
+    evidence table behind this module's salting operator and AQE's
+    skew-join thresholds — measured, not guessed.
+
+    Scale shape: both key columns ride ONE scan (the per-column key
+    streams are stacked row-locally before aggregation), one (key_col,
+    key) hash aggregate with map-side partials, then a ≤ 1024-row bin
+    rollup. No join, no window, no global sort; output is bounded by
+    the bin domain regardless of corpus size.
+
+    Reference analog: none (extension surface — ops/diagnostics family,
+    beside `events_salted_agg` which consumes exactly this signal).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("l_partkey").alias("key_col"), F.col("l_partkey").alias("k")),
+                F.struct(F.lit("l_suppkey").alias("key_col"), F.col("l_suppkey").alias("k")),
+            )
+        ).alias("e")
+    ).select("e.key_col", "e.k")
+    per_key = keyed.groupBy("key_col", "k").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return per_key.groupBy(
+        "key_col", suboctave_bin("c").alias("bin_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("rows_covered"),
+        F.max("c").cast("bigint").alias("max_rows"),
+    )
