@@ -2828,3 +2828,143 @@ def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (te_micro.cast("double") / 1e6).alias("te_cents"),
         )
     )
+
+
+#: bootstrap replica count
+BOOT_B = 32
+#: cumulative Poisson(1) CDF thresholds scaled to 1e6 (weights 0..5, else 6)
+BOOT_POIS_CDF = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def _boot_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BOOT_POIS_CDF)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+@register(
+    "orders_bootstrap_ci",
+    f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), est AS (
+  SELECT (CAST(sum(cents) AS HUGEINT) * 1000000) // count(*) AS est_micro
+  FROM base
+), rep AS (
+  SELECT t.b,
+         {_boot_weight_sql(
+             "(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
+             " CAST(t.b AS VARCHAR)), 1, 12))::BIGINT % 1000000)"
+         )} AS w,
+         cents
+  FROM base, range({BOOT_B}) t(b)
+), means AS (
+  SELECT b, (CAST(sum(w * cents) AS HUGEINT) * 1000000)
+            // CAST(sum(w) AS HUGEINT) AS m
+  FROM rep GROUP BY b
+), ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means
+)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_replicas,
+       (SELECT CAST(est_micro AS BIGINT) FROM est) AS est_micro,
+       CAST(max(CASE WHEN r = 2 THEN m END) AS BIGINT) AS lo_micro,
+       CAST(max(CASE WHEN r = {BOOT_B - 1} THEN m END) AS BIGINT) AS hi_micro
+FROM ranked
+""",
+    doc=f"Poisson bootstrap CI for the mean order value: {BOOT_B} replicas "
+    "with content-addressed Poisson(1) weights (md5 inverse-CDF — "
+    "deterministic, engine- and layout-independent), replica means in exact "
+    "integer micro-cents, interval = 2nd/31st order statistics",
+)
+def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value, in the only
+    form that distributes: the POISSON bootstrap (Chamandy et al.) — each
+    replica reweights every row independently with w ~ Poisson(1) instead
+    of resampling n-of-n (which needs global coordination). The weights
+    are CONTENT-ADDRESSED, not random(): w = inverse-CDF of
+    md5(orderkey:replica), the corpus module's hash-sampling discipline,
+    so every engine, run and cluster layout draws the identical
+    pseudo-sample. Replica means are exact integer micro-cents
+    (decimal128 weighted sums, one floor division each), and the interval
+    is the 2nd/:data:`BOOT_B`−1st order statistics of the
+    :data:`BOOT_B` replica means (a ~93.75% interval at B=32) — order
+    statistics of exact integers, so the CI is bit-stable.
+
+    Scale shape: the fact scan fans out ×:data:`BOOT_B` row-locally
+    (explode of a literal range — no shuffle), then ONE hash aggregate to
+    B partial rows per map task; the replica table is B rows, and the
+    order-statistic window is SCALE-GUARDed by B. At 100 TB the cost is
+    one scan with a ×B map-side multiply — the standard price of a
+    distributed bootstrap — and B caps the reducer count, with map-side
+    combine keeping the shuffle at B × tasks rows.
+
+    Reference analog: none (extension surface — experimentation family,
+    beside `events_ab_test_ztest`; the z-test assumes normality, the
+    bootstrap measures the sampling distribution instead).
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    dec = "decimal(38,0)"
+    est = base.agg(
+        F.expr(
+            "CAST(CAST(sum(cents) AS decimal(38,0)) * 1000000 AS decimal(38,0))"
+            " div count(*)"
+        ).alias("est_micro")
+    )
+    b_col = F.explode(F.array(*[F.lit(k) for k in range(BOOT_B)])).alias("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    w = F.lit(6)
+    for k in range(len(BOOT_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < BOOT_POIS_CDF[k], k).otherwise(w)
+    rep = base.select("o_orderkey", "cents", b_col).select(
+        "b", "cents", w.cast("bigint").alias("w")
+    )
+    means = rep.groupBy("b").agg(
+        F.expr(
+            "CAST(CAST(sum(w * cents) AS decimal(38,0)) * 1000000"
+            " AS decimal(38,0)) div CAST(sum(w) AS decimal(38,0))"
+        ).alias("m")
+    )
+    # SCALE GUARD: partition-less window over the B-row replica table only.
+    ranked = means.withColumn(
+        "r", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    return (
+        ranked.agg(
+            F.max(F.when(F.col("r") == 2, F.col("m")))
+            .cast("bigint")
+            .alias("lo_micro"),
+            F.max(F.when(F.col("r") == BOOT_B - 1, F.col("m")))
+            .cast("bigint")
+            .alias("hi_micro"),
+        )
+        .crossJoin(F.broadcast(est))
+        .select(
+            F.lit(BOOT_B).cast("bigint").alias("n_replicas"),
+            F.col("est_micro").cast("bigint").alias("est_micro"),
+            "lo_micro",
+            "hi_micro",
+        )
+    )

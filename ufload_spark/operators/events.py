@@ -2118,3 +2118,135 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_hourly") >= BOT_RATE_CAP).alias("rate_flag"),
         F.coalesce(regular, F.lit(False)).alias("regular_flag"),
     )
+
+
+#: robust outlier threshold: |x - med| > (MAD_K_X10K / 10000) * MAD
+#: (3 sigma-equivalents x the 1.4826 normal-consistency constant)
+MAD_K_X10K = 44478
+
+
+@register(
+    "events_outlier_mad",
+    f"""
+WITH cents AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), h1 AS (
+  SELECT event_type, v, CAST(count(*) AS BIGINT) AS c FROM cents GROUP BY 1, 2
+), m1 AS (
+  SELECT event_type, v AS med, n FROM (
+    SELECT event_type, v, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS cm,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM h1
+  ) WHERE cm - c < (n + 1) // 2 AND (n + 1) // 2 <= cm
+), dev AS (
+  SELECT c.event_type, abs(c.v - m.med) AS d
+  FROM cents c JOIN m1 m USING (event_type)
+), h2 AS (
+  SELECT event_type, d, CAST(count(*) AS BIGINT) AS c FROM dev GROUP BY 1, 2
+), m2 AS (
+  SELECT event_type, d AS mad FROM (
+    SELECT event_type, d, c,
+           sum(c) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS cm,
+           sum(c) OVER (PARTITION BY event_type) AS n
+    FROM h2
+  ) WHERE cm - c < (n + 1) // 2 AND (n + 1) // 2 <= cm
+)
+SELECT h.event_type,
+       CAST(sum(h.c) AS BIGINT) AS n_events,
+       CAST(any_value(m1.med) AS BIGINT) AS med_cents,
+       CAST(any_value(m2.mad) AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN 10000 * h.d > {MAD_K_X10K} * m2.mad
+                     THEN h.c ELSE 0 END) AS BIGINT) AS n_outliers
+FROM h2 h JOIN m2 USING (event_type) JOIN m1 USING (event_type)
+GROUP BY h.event_type
+""",
+    doc="robust outlier panel: per-type lower-median and MAD over the exact "
+    "cents histogram, outliers counted by integer cross-multiplication "
+    "(|x-med| > 4.4478*MAD) — no floats anywhere, two bounded-domain passes",
+)
+def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counting the way monitoring pipelines do it when
+    mean/stddev are poisoned by the very outliers being hunted: center =
+    MEDIAN, spread = MAD (median absolute deviation), flag =
+    |x − med| > 3·1.4826·MAD. Both medians are LOWER medians (rank
+    ⌈n/2⌉), read directly off the exact integer-cent histogram — the
+    bounded-domain degenerate case of the engine's selection ladder
+    (see ``lineitem_leadtime_quartiles``) — and the threshold multiplies
+    through by 10⁴ (:data:`MAD_K_X10K`), so med, MAD and the outlier
+    count are all exact BIGINTs: no float, no interpolation, no
+    engine-order sensitivity anywhere.
+
+    Scale shape: two raw-scan hash aggregates (the irreducible two-pass
+    cost of MAD — deviations need the median first), each collapsing to
+    a (type × ≤ cents-domain) histogram bounded by the VALUE domain, not
+    the corpus; medians come from windows over those bounded histograms,
+    and the outlier count is summed from the second histogram — the raw
+    stream is never rescanned a third time.
+
+    Reference analog: none (extension surface — monitoring family;
+    `events_value_anomalies` is the z-score sibling this replaces when
+    the tail is heavy).
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v"),
+    )
+
+    def lower_median(hist: DataFrame, col: str) -> DataFrame:
+        # SCALE GUARD: windows partition by event_type over the HISTOGRAM
+        # frame, whose size is bounded by the cents value domain.
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_n = Window.partitionBy("event_type")
+        cum = hist.select(
+            "event_type",
+            col,
+            "c",
+            F.sum("c").over(w_cum).cast("bigint").alias("cm"),
+            F.sum("c").over(w_n).cast("bigint").alias("n"),
+        ).withColumn("r", F.expr("(n + 1) DIV 2"))
+        return cum.where(
+            (F.col("cm") - F.col("c") < F.col("r")) & (F.col("r") <= F.col("cm"))
+        )
+
+    h1 = cents.groupBy("event_type", "v").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    m1 = lower_median(h1, "v").select(
+        "event_type", F.col("v").alias("med")
+    )
+    dev = cents.join(F.broadcast(m1), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med")).alias("d")
+    )
+    h2 = dev.groupBy("event_type", "d").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    m2 = lower_median(h2, "d").select(
+        "event_type", F.col("d").alias("mad")
+    )
+    return (
+        h2.join(F.broadcast(m2), "event_type")
+        .join(F.broadcast(m1), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.any_value("med").cast("bigint").alias("med_cents"),
+            F.any_value("mad").cast("bigint").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.lit(10000) * F.col("d") > F.lit(MAD_K_X10K) * F.col("mad"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

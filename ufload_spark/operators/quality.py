@@ -303,3 +303,114 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") >= K_ANON_MIN).alias("k_anonymous"),
         (F.countDistinct("c_mktsegment") >= L_DIVERSE_MIN).alias("l_diverse"),
     )
+
+
+@register(
+    "quality_reconciliation",
+    """
+WITH line_cents AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(floor(
+           (l_extendedprice * (1 - l_discount)) * (1 + l_tax) * 100 + 0.5
+         ) AS BIGINT)) AS BIGINT) AS gross_cents
+  FROM lineitem GROUP BY l_orderkey
+), o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS header_cents
+  FROM orders
+), joined AS (
+  SELECT o.o_orderkey, o.header_cents, l.l_orderkey AS lk,
+         l.n_lines, l.gross_cents
+  FROM o FULL OUTER JOIN line_cents l ON o.o_orderkey = l.l_orderkey
+)
+SELECT CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(n_lines), 0) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN o_orderkey IS NOT NULL AND lk IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_orders,
+       CAST(sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orders_without_lines,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan_line_orders,
+       CAST(sum(CASE WHEN header_cents = gross_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_amount_match,
+       CAST(coalesce(sum(CASE WHEN o_orderkey IS NOT NULL AND lk IS NOT NULL
+                     THEN abs(header_cents - gross_cents) END), 0) AS BIGINT)
+         AS drift_cents_total
+FROM joined
+""",
+    doc="two-table reconciliation audit: full-outer orders vs lineitem "
+    "rollup — childless headers, orphan lines, exact-cents amount matches "
+    "and total absolute drift, all exact integers in one pass",
+)
+def quality_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The month-end reconciliation every finance/data-engineering team
+    runs between a header table and its detail rollup: join orders to the
+    per-order lineitem gross (price × (1−discount) × (1+tax), half-up
+    cents per LINE so the sum is an exact BIGINT) FULL OUTER, then count
+    the four populations an auditor asks for — matched orders, headers
+    with no lines, orphaned details, exact amount agreement — plus the
+    total absolute drift in cents. Per-line quantization is the
+    documented spec (quantize-then-sum), so both engines sum identical
+    integers; the float product inside the quantize follows one
+    parenthesized evaluation order.
+
+    Scale shape: one lineitem hash aggregate on its natural key, one
+    equi-join to orders on the same key (co-located for free under the
+    bucketed layout `layout_bucketed_orderkey_join` demonstrates), one
+    global single-row rollup. The full-outer join is the honest shape —
+    semi/anti pairs would need two probes of the same build side.
+
+    Reference analog: the reference audits restored DBs against manifest
+    expectations (cloud backup lists vs restore results); this is that
+    control generalized to header/detail ledger parity.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    line_cents = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(
+            F.floor(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * (1 + F.col("l_tax"))
+                * 100
+                + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("gross_cents"),
+    )
+    oo = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("header_cents"),
+    )
+    j = oo.join(
+        line_cents, oo.o_orderkey == line_cents.l_orderkey, "full_outer"
+    )
+    matched = F.col("o_orderkey").isNotNull() & F.col("l_orderkey").isNotNull()
+    return j.agg(
+        F.count("o_orderkey").cast("bigint").alias("n_orders"),
+        F.coalesce(F.sum("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(matched, 1).otherwise(0)).cast("bigint").alias("n_matched_orders"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orders_without_lines"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orphan_line_orders"),
+        F.sum(
+            F.when(F.col("header_cents") == F.col("gross_cents"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_amount_match"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    matched, F.abs(F.col("header_cents") - F.col("gross_cents"))
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("drift_cents_total"),
+    )
