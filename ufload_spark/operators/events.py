@@ -2250,3 +2250,115 @@ def events_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+#: Count-Min sketch geometry: D independent hash rows x W buckets
+CM_DEPTH = 3
+CM_WIDTH = 64
+
+
+def _cm_bucket_sql(d: str, key: str) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({d} AS VARCHAR) || ':' ||"
+        f" CAST({key} AS VARCHAR)), 1, 12))::BIGINT % {CM_WIDTH})"
+    )
+
+
+@register(
+    "events_countmin_estimate",
+    f"""
+WITH keyed AS (
+  SELECT user_id FROM events
+), sketch AS (
+  SELECT t.d, {_cm_bucket_sql("t.d", "user_id")} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM keyed, range({CM_DEPTH}) t(d)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM keyed GROUP BY user_id
+), probes AS (
+  SELECT e.user_id, e.exact_n, t.d,
+         {_cm_bucket_sql("t.d", "e.user_id")} AS bucket
+  FROM exact e, range({CM_DEPTH}) t(d)
+)
+SELECT p.user_id, CAST(any_value(p.exact_n) AS BIGINT) AS exact_n,
+       CAST(min(s.c) AS BIGINT) AS cm_estimate,
+       CAST(min(s.c) - any_value(p.exact_n) AS BIGINT) AS overestimate
+FROM probes p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+GROUP BY p.user_id
+""",
+    doc=f"Count-Min sketch ({CM_DEPTH}x{CM_WIDTH}, md5 row hashes): one-pass "
+    "mergeable frequency sketch, then per-key min-over-rows point estimates "
+    "audited against exact counts (CM never underestimates)",
+)
+def events_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch (Cormode & Muthukrishnan) as a distributed
+    operator: :data:`CM_DEPTH` independent md5-keyed hash rows of
+    :data:`CM_WIDTH` counters summarize the full per-key frequency
+    distribution in a fixed 192-counter table, and a key's estimate is
+    the MIN of its counters across rows — ≥ the true count by
+    construction, within εN with high probability. The query then audits
+    the sketch against the exact counts per key (``overestimate`` is the
+    collision inflation), which is the eval a pipeline runs before
+    trusting sketch geometry at production scale.
+
+    Why it matters at 100 TB: counters are sums, so the sketch is
+    MERGEABLE — map tasks sketch their partitions independently and the
+    shuffle carries ≤ D×W rows per task regardless of key cardinality,
+    the same contract as the HLL rollup (`events_distinct_rollup_sketch`)
+    but for point frequencies rather than distinct counts. The hash is
+    content-addressed md5 (the corpus module's discipline), so sketch
+    contents are bit-identical on any engine or layout.
+
+    Scale shape: one ×D row-local fan-out (no shuffle) into a D×W-row
+    hash aggregate; the probe side reuses the exact per-key aggregate
+    (itself one shuffle) and joins the 192-row sketch broadcast. All
+    counters BIGINT.
+
+    Reference analog: none (extension surface — sketch family).
+    """
+    ev = table(spark, sf_dir, "events")
+    keyed = ev.select("user_id")
+    d_col = F.explode(F.array(*[F.lit(k) for k in range(CM_DEPTH)])).alias("d")
+
+    def bucket(d: F.col, key: F.col) -> F.col:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", d.cast("string"), key.cast("string"))
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CM_WIDTH
+        )
+
+    sketch = (
+        keyed.select("user_id", d_col)
+        .select("d", bucket(F.col("d"), F.col("user_id")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    exact = keyed.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("exact_n")
+    )
+    probes = exact.select("user_id", "exact_n", d_col).select(
+        "user_id",
+        "exact_n",
+        "d",
+        bucket(F.col("d"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.any_value("exact_n").cast("bigint").alias("exact_n"),
+            F.min("c").cast("bigint").alias("cm_estimate"),
+            (F.min("c") - F.any_value("exact_n")).cast("bigint").alias("overestimate"),
+        )
+    )

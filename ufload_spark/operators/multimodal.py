@@ -30,6 +30,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -441,7 +442,13 @@ def make_wav(doc_id: int) -> bytes:
     fmt = struct.pack(
         "<HHIIHH", 1, channels, rate, rate * block_align, block_align, WAV_BITS
     )
-    data = bytes(n_samples * block_align)
+    # Real (deterministic) PCM content, not silence: interleaved int16
+    # samples s(i) = ((doc_id·31 + i·7919) mod 4096) − 2048 — same byte
+    # count as the former zero fill, so size-derived oracles are
+    # unaffected, while sample-level operators (loudness) get a waveform
+    # whose moments the oracle can recompute from the id arithmetic.
+    idx = np.arange(n_samples * channels, dtype=np.int64)
+    data = (((doc_id * 31 + idx * 7919) % 4096) - 2048).astype("<i2").tobytes()
     chunks = (
         _riff_chunk(b"JUNK", b"ufload-spark-audio-fixture!")  # 27 bytes: odd
         + _riff_chunk(b"fmt ", fmt)
@@ -889,3 +896,112 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") * F.col("n_b")).cast("long").alias("pair_count"),
         )
     )
+
+
+# --- sample-level PCM analysis ---------------------------------------------
+
+
+def decode_wav_samples(content: bytes) -> np.ndarray:
+    """Interleaved int16 PCM samples from real WAV bytes: validates the
+    container via :func:`decode_wav`, then re-walks the chunks for the
+    data payload. Little-endian per the RIFF spec regardless of host
+    byte order."""
+    channels, _rate, bits, n_frames = decode_wav(content)
+    pos = 12
+    while pos < len(content):
+        cid = content[pos : pos + 4]
+        (ln,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        if cid == b"data":
+            body = content[pos + 8 : pos + 8 + ln]
+            return np.frombuffer(body, dtype="<i2").astype(np.int64)
+        pos += 8 + ln + (ln % 2)
+    raise ValueError("missing data chunk")  # unreachable after decode_wav
+
+
+LOUDNESS_SCHEMA = (
+    "doc_id long, n_frames int, sum_sq long, peak_abs int, mean_sq long"
+)
+
+
+def _audio_loudness_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            s = decode_wav_samples(bytes(content))
+            channels, _rate, _bits, n_frames = decode_wav(bytes(content))
+            sum_sq = int((s * s).sum())
+            rows.append(
+                (
+                    int(doc_id),
+                    n_frames,
+                    sum_sq,
+                    int(np.abs(s).max()) if s.size else 0,
+                    sum_sq // s.size if s.size else 0,
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_frames", "sum_sq", "peak_abs", "mean_sq"]
+        ).astype(
+            {
+                "doc_id": "int64",
+                "n_frames": "int32",
+                "sum_sq": "int64",
+                "peak_abs": "int32",
+                "mean_sq": "int64",
+            }
+        )
+
+
+@register(
+    "multimodal_audio_loudness",
+    """
+WITH spec AS (
+  SELECT doc_id, doc_id % 2 + 1 AS channels,
+         doc_id % 1000 + 100 AS n_frames
+  FROM documents
+), samples AS (
+  SELECT s.doc_id, s.n_frames,
+         ((s.doc_id * 31 + t.i * 7919) % 4096) - 2048 AS v
+  FROM spec s, range(2200) t(i)
+  WHERE t.i < s.n_frames * s.channels
+)
+SELECT doc_id,
+       CAST(any_value(n_frames) AS INT) AS n_frames,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+       CAST(max(abs(v)) AS INT) AS peak_abs,
+       CAST(sum(v * v) // count(*) AS BIGINT) AS mean_sq
+FROM samples GROUP BY doc_id
+""",
+    doc="sample-level PCM loudness: real int16 decode of the WAV data "
+    "chunk (numpy frombuffer over the validated RIFF walk), exact integer "
+    "energy moments (sum/mean of squares, peak) per document",
+)
+def multimodal_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first SAMPLE-level audio operator (the meta query above stops at
+    the container): decode every interleaved int16 PCM frame from the
+    real WAV bytes and reduce to the integer energy moments an audio
+    curation pipeline filters on — total/mean square (clipping and
+    silence gates), peak amplitude (normalization headroom). All moments
+    are exact int64 (peak² ≤ 2²², so even billion-sample files stay
+    within range), so there is no float path to drift.
+
+    The decode is genuine signal plumbing: numpy ``frombuffer`` over the
+    data chunk located by the validated RIFF walk, explicit little-endian
+    dtype so big-endian hosts decode identically. The oracle never sees
+    the bytes — it recomputes the waveform from the synthesizer's
+    id-arithmetic, so a decode bug (sign, endianness, off-by-one in the
+    chunk walk, pad-byte slip) hash-mismatches immediately.
+
+    Scale shape: narrow Arrow-batched map, per-file memory = one sample
+    buffer; no shuffle, embarrassingly parallel, linear in bytes — the
+    posture every decode stage in this module shares.
+
+    Reference analog: none (extension surface — multimodal family).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    audio = d.mapInPandas(
+        _synthesize_audio_batches, schema="doc_id long, content binary"
+    )
+    return audio.mapInPandas(_audio_loudness_batches, schema=LOUDNESS_SCHEMA)
