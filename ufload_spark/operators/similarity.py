@@ -2253,3 +2253,224 @@ def similarity_quantized_recall_eval(
             + F.lit(0.0)
         ).alias("recall_at_k"),
     )
+
+
+# --- MMR diversified rerank -------------------------------------------------
+
+#: MMR geometry: relevance pool size, picks, and λ as an integer tenth
+MMR_POOL = 10
+MMR_PICKS = 3
+MMR_LAMBDA_X10 = 7
+
+_MMR_ORACLE_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+expl AS (
+  SELECT qid, cid,
+         sum(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS dp,
+         sum(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)) AS nq,
+         sum(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)) AS nc
+  FROM q, c, (SELECT unnest(range(1, {DIM + 1})) AS i)
+  GROUP BY qid, cid
+), pool AS (
+  SELECT qid, cid, rel FROM (
+    SELECT qid, cid,
+           CAST(round(dp / (sqrt(nq) * sqrt(nc)) * 1e6) AS BIGINT) AS rel,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY CAST(round(dp / (sqrt(nq) * sqrt(nc)) * 1e6) AS BIGINT)
+                      DESC, cid) AS rnk
+    FROM expl
+  ) WHERE rnk <= {MMR_POOL}
+), sims AS (
+  SELECT a.qid, a.cid AS ca, b.cid AS cb,
+         CAST(round(sum(CAST(ea.embedding[i] AS DOUBLE)
+                        * CAST(eb.embedding[i] AS DOUBLE))
+                    / (sqrt(sum(CAST(ea.embedding[i] AS DOUBLE)
+                                * CAST(ea.embedding[i] AS DOUBLE)))
+                       * sqrt(sum(CAST(eb.embedding[i] AS DOUBLE)
+                                  * CAST(eb.embedding[i] AS DOUBLE))))
+                    * 1e6) AS BIGINT) AS sim
+  FROM pool a
+  JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid
+  JOIN embeddings ea ON ea.vec_id = a.cid
+  JOIN embeddings eb ON eb.vec_id = b.cid,
+       (SELECT unnest(range(1, {DIM + 1})) AS i)
+  GROUP BY a.qid, a.cid, b.cid
+), p1 AS (
+  SELECT qid, cid, {MMR_LAMBDA_X10} * rel AS score FROM (
+    SELECT qid, cid, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+    FROM pool
+  ) WHERE rn = 1
+), r2 AS (
+  SELECT p.qid, p.cid,
+         {MMR_LAMBDA_X10} * p.rel
+         - {10 - MMR_LAMBDA_X10} * s.sim AS score
+  FROM pool p
+  JOIN p1 ON p.qid = p1.qid AND p.cid <> p1.cid
+  JOIN sims s ON s.qid = p.qid AND s.ca = p.cid AND s.cb = p1.cid
+), p2 AS (
+  SELECT qid, cid, score FROM (
+    SELECT qid, cid, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+    FROM r2
+  ) WHERE rn = 1
+), r3 AS (
+  SELECT p.qid, p.cid,
+         {MMR_LAMBDA_X10} * p.rel
+         - {10 - MMR_LAMBDA_X10} * greatest(s1.sim, s2.sim) AS score
+  FROM pool p
+  JOIN p1 ON p.qid = p1.qid AND p.cid <> p1.cid
+  JOIN p2 ON p.qid = p2.qid AND p.cid <> p2.cid
+  JOIN sims s1 ON s1.qid = p.qid AND s1.ca = p.cid AND s1.cb = p1.cid
+  JOIN sims s2 ON s2.qid = p.qid AND s2.ca = p.cid AND s2.cb = p2.cid
+), p3 AS (
+  SELECT qid, cid, score FROM (
+    SELECT qid, cid, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+    FROM r3
+  ) WHERE rn = 1
+)
+SELECT qid, 1 AS pick, cid, CAST(score AS DOUBLE) / 1e7 AS mmr_score FROM p1
+UNION ALL
+SELECT qid, 2, cid, CAST(score AS DOUBLE) / 1e7 FROM p2
+UNION ALL
+SELECT qid, 3, cid, CAST(score AS DOUBLE) / 1e7 FROM p3
+"""
+
+
+@register(
+    "similarity_mmr_rerank",
+    _MMR_ORACLE_SQL,
+    doc=f"MMR diversified rerank: λ={MMR_LAMBDA_X10}/10 relevance-vs-"
+    f"redundancy over the cosine top-{MMR_POOL} pool, {MMR_PICKS} unrolled "
+    "greedy picks in exact integer micro-units (argmax never compares floats)",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein) — the rerank a
+    RAG retriever runs so its k passages aren't k paraphrases of one
+    passage: greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈picked}
+    sim(d, s). The :data:`MMR_PICKS` greedy rounds are UNROLLED into the
+    plan (the PCA/BPE discipline for data-independent iteration counts),
+    and all scores are exact integer micro-units — relevance and
+    pairwise cosines snap to ×10⁶ BIGINTs once, λ-blending is integer
+    (×10), so every argmax is a total integer order with cid tie-break:
+    no float comparison anywhere, bit-identical picks on any engine.
+
+    Scale shape: the corpus-sized work is exactly the brute-force top-k
+    scan that feeds the pool (swap in the IVF/PQ probe for the
+    production path — the pool contract is the same); everything after
+    is bounded by queries × :data:`MMR_POOL`: the pairwise-sim self-join
+    is ≤ pool² rows per query, and each greedy round is a broadcast join
+    of a picks-sized frame. Diversification cost never touches the
+    corpus again.
+
+    Reference analog: none (extension surface — retrieval family, the
+    result-side sibling of `similarity_topk_cosine`).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = e.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+
+    def cos_micro(a, b) -> F.col:
+        return F.round(
+            dot(a, b) / (F.sqrt(sqnorm(a)) * F.sqrt(sqnorm(b))) * 1e6
+        ).cast("bigint")
+
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", "ce", cos_micro(F.col("qe"), F.col("ce")).alias("rel")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), "cid")
+    pool = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= MMR_POOL)
+        .select("qid", "cid", "ce", "rel")
+        .persist()
+    )
+    a = pool.select("qid", F.col("cid").alias("ca"), F.col("ce").alias("ea"))
+    b = pool.select("qid", F.col("cid").alias("cb"), F.col("ce").alias("eb"))
+    sims = (
+        a.join(b, ["qid"])
+        .where(F.col("ca") != F.col("cb"))
+        .select(
+            "qid",
+            "ca",
+            "cb",
+            cos_micro(F.col("ea"), F.col("eb")).alias("sim"),
+        )
+        .persist()
+    )
+    lam, inv = MMR_LAMBDA_X10, 10 - MMR_LAMBDA_X10
+    argmax = F.max_by(
+        F.struct(F.col("cid"), F.col("score")),
+        F.struct(F.col("score"), (-F.col("cid")).alias("nc")),
+    ).alias("p")
+    p1 = (
+        pool.select("qid", "cid", (F.lit(lam) * F.col("rel")).alias("score"))
+        .groupBy("qid")
+        .agg(argmax)
+        .select("qid", F.col("p.cid").alias("c1"), F.col("p.score").alias("s1"))
+    )
+    r2 = (
+        pool.join(F.broadcast(p1), "qid")
+        .where(F.col("cid") != F.col("c1"))
+        .join(
+            sims.withColumnRenamed("ca", "cid").withColumnRenamed("cb", "c1"),
+            ["qid", "cid", "c1"],
+        )
+        .select(
+            "qid",
+            "cid",
+            (F.lit(lam) * F.col("rel") - F.lit(inv) * F.col("sim")).alias("score"),
+        )
+    )
+    p2 = (
+        r2.groupBy("qid")
+        .agg(argmax)
+        .select("qid", F.col("p.cid").alias("c2"), F.col("p.score").alias("s2"))
+    )
+    s1j = sims.select(
+        "qid", F.col("ca").alias("cid"), F.col("cb").alias("c1"), F.col("sim").alias("sim1")
+    )
+    s2j = sims.select(
+        "qid", F.col("ca").alias("cid"), F.col("cb").alias("c2"), F.col("sim").alias("sim2")
+    )
+    r3 = (
+        pool.join(F.broadcast(p1), "qid")
+        .join(F.broadcast(p2), "qid")
+        .where((F.col("cid") != F.col("c1")) & (F.col("cid") != F.col("c2")))
+        .join(s1j, ["qid", "cid", "c1"])
+        .join(s2j, ["qid", "cid", "c2"])
+        .select(
+            "qid",
+            "cid",
+            (
+                F.lit(lam) * F.col("rel")
+                - F.lit(inv) * F.greatest(F.col("sim1"), F.col("sim2"))
+            ).alias("score"),
+        )
+    )
+    p3 = (
+        r3.groupBy("qid")
+        .agg(argmax)
+        .select("qid", F.col("p.cid").alias("c3"), F.col("p.score").alias("s3"))
+    )
+
+    def present(frame: DataFrame, pick: int, ccol: str, scol: str) -> DataFrame:
+        return frame.select(
+            "qid",
+            F.lit(pick).cast("int").alias("pick"),
+            F.col(ccol).alias("cid"),
+            (F.col(scol).cast("double") / 1e7).alias("mmr_score"),
+        )
+
+    return (
+        present(p1, 1, "c1", "s1")
+        .unionByName(present(p2, 2, "c2", "s2"))
+        .unionByName(present(p3, 3, "c3", "s3"))
+    )
