@@ -2968,3 +2968,165 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi_micro",
         )
     )
+
+
+@register(
+    "parts_croston_intermittent",
+    """
+WITH monthly AS (
+  SELECT l_partkey,
+         (year(l_shipdate) * 12 + month(l_shipdate)) AS m_idx,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mq
+  FROM lineitem GROUP BY 1, 2
+), pk AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS d_months,
+         CAST(sum(mq) AS BIGINT) AS sum_qty,
+         CAST(max(m_idx) - min(m_idx) AS BIGINT) AS span_months
+  FROM monthly GROUP BY l_partkey
+)
+SELECT l_partkey, d_months, sum_qty, span_months,
+       CASE WHEN d_months >= 2 AND span_months > 0
+            THEN CAST((CAST(sum_qty AS HUGEINT) * (d_months - 1) * 1000000)
+                      // (d_months * span_months) AS BIGINT)
+       END AS croston_micro
+FROM pk
+""",
+    doc="Croston intermittent-demand rate per part: mean nonzero monthly "
+    "demand / mean inter-demand interval, exact integer micro-units via the "
+    "telescoped interval sum (max-min month index) — no window needed",
+)
+def parts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method, the standard forecast for INTERMITTENT demand
+    (spare parts, long-tail SKUs) where most periods sell nothing and a
+    plain moving average under-forecasts: demand rate = mean nonzero
+    demand ÷ mean interval between demand months. The interval sum
+    TELESCOPES — Σ successive gaps = last demand month − first — so the
+    whole statistic needs no window or ordering, just min/max/sum/count
+    per part, and the rate is one decimal128 floor division in exact
+    integer micro-units: rate = Σq·(d−1)·10⁶ div (d·span). Parts with a
+    single demand month report NULL (no interval evidence), the honest
+    Croston posture.
+
+    Scale shape: one (part, month) aggregate off the raw scan (mergeable
+    partials on the natural key), one part-level rollup, a narrow map.
+    No joins, no windows, nothing corpus-sized after the first
+    aggregate. The XYZ matrix (`parts_abc_xyz_matrix`) classifies the
+    same monthly frame by variability; this prices the demand rate.
+
+    Reference analog: none (extension surface — forecasting family,
+    beside `orders_forecast_naive_backtest`).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.select(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m_idx"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("l_partkey", "m_idx")
+        .agg(F.sum("q").alias("mq"))
+    )
+    pk = monthly.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("d_months"),
+        F.sum("mq").cast("bigint").alias("sum_qty"),
+        (F.max("m_idx") - F.min("m_idx")).cast("bigint").alias("span_months"),
+    )
+    croston = F.expr(
+        "CAST(CAST(sum_qty AS decimal(38,0)) * (d_months - 1) * 1000000"
+        " AS decimal(38,0)) div (d_months * span_months)"
+    ).cast("bigint")
+    return pk.select(
+        "l_partkey",
+        "d_months",
+        "sum_qty",
+        "span_months",
+        F.when(
+            (F.col("d_months") >= 2) & (F.col("span_months") > 0), croston
+        ).alias("croston_micro"),
+    )
+
+
+#: peak test: day revenue must exceed 130% of the trailing-7-day mean
+PEAK_PCT = 130
+PEAK_TRAIL = 7
+
+
+@register(
+    "orders_peak_revenue_days",
+    f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), ctx AS (
+  SELECT day, cents,
+         lag(cents) OVER w AS prev_cents,
+         lead(cents) OVER w AS next_cents,
+         sum(cents) OVER (w ROWS BETWEEN {PEAK_TRAIL} PRECEDING
+                          AND 1 PRECEDING) AS trail_cents,
+         count(*) OVER (w ROWS BETWEEN {PEAK_TRAIL} PRECEDING
+                        AND 1 PRECEDING) AS trail_n
+  FROM daily
+  WINDOW w AS (ORDER BY day)
+)
+SELECT day, cents, CAST(trail_cents AS BIGINT) AS trail_cents
+FROM ctx
+WHERE prev_cents IS NOT NULL AND next_cents IS NOT NULL
+  AND trail_n = {PEAK_TRAIL}
+  AND cents > prev_cents AND cents > next_cents
+  AND 100 * {PEAK_TRAIL} * cents > {PEAK_PCT} * trail_cents
+""",
+    doc=f"revenue peak detection: local maxima exceeding {PEAK_PCT}% of the "
+    f"trailing-{PEAK_TRAIL}-day mean by integer cross-multiplication over "
+    "the calendar-bounded day frame",
+)
+def orders_peak_revenue_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection, the alerting primitive: a day is a revenue peak
+    when it is a strict local maximum (above both neighbors) AND exceeds
+    :data:`PEAK_PCT`% of its trailing :data:`PEAK_TRAIL`-day mean — the
+    neighbor test kills plateaus, the trailing test kills noise around a
+    rising baseline. The mean comparison is cross-multiplied
+    (``100·7·cents > 130·Σtrail``), so peaks are decided in exact
+    integer cents; days without a full trailing window are ineligible
+    (the honest cold-start rule).
+
+    Scale shape: one day-grain aggregate off the raw scan, then lag/
+    lead/trailing-sum share ONE partition-less window over the day
+    frame — SCALE GUARD: calendar-bounded (≤ a few thousand rows for
+    decades), never corpus-sized.
+
+    Reference analog: none (extension surface — monitoring family;
+    `events_cusum_drift` finds sustained level shifts, this finds
+    single-day spikes).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    # SCALE GUARD: partition-less window over the DAY frame only
+    # (calendar-bounded at any corpus size).
+    w = Window.orderBy("day")
+    w_tr = w.rowsBetween(-PEAK_TRAIL, -1)
+    ctx = daily.select(
+        "day",
+        "cents",
+        F.lag("cents").over(w).alias("prev_cents"),
+        F.lead("cents").over(w).alias("next_cents"),
+        F.sum("cents").over(w_tr).alias("trail_cents"),
+        F.count("*").over(w_tr).alias("trail_n"),
+    )
+    return ctx.where(
+        F.col("prev_cents").isNotNull()
+        & F.col("next_cents").isNotNull()
+        & (F.col("trail_n") == PEAK_TRAIL)
+        & (F.col("cents") > F.col("prev_cents"))
+        & (F.col("cents") > F.col("next_cents"))
+        & (
+            F.lit(100 * PEAK_TRAIL) * F.col("cents")
+            > F.lit(PEAK_PCT) * F.col("trail_cents")
+        )
+    ).select("day", "cents", F.col("trail_cents").cast("bigint").alias("trail_cents"))

@@ -2362,3 +2362,119 @@ def events_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.any_value("exact_n")).cast("bigint").alias("overestimate"),
         )
     )
+
+
+@register(
+    "events_entropy_rate",
+    """
+WITH ordered AS (
+  SELECT event_type AS cur,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), trans AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS n_ij
+  FROM ordered WHERE prev IS NOT NULL GROUP BY prev, cur
+), row_tot AS (
+  SELECT prev, CAST(sum(n_ij) AS BIGINT) AS n_i FROM trans GROUP BY prev
+), tot AS (
+  SELECT CAST(sum(n_ij) AS BIGINT) AS n FROM trans
+), cond_terms AS (
+  SELECT CAST(round((CAST(t.n_ij AS DOUBLE) / tot.n)
+                    * ln(CAST(t.n_ij AS DOUBLE) / r.n_i), 12)
+              AS DECIMAL(38,12)) AS term
+  FROM trans t JOIN row_tot r ON t.prev = r.prev, tot
+), marg_terms AS (
+  SELECT CAST(round((CAST(n_i AS DOUBLE) / tot.n)
+                    * ln(CAST(n_i AS DOUBLE) / tot.n), 12)
+              AS DECIMAL(38,12)) AS term
+  FROM row_tot, tot
+)
+SELECT (SELECT n FROM tot) AS n_transitions,
+       (SELECT CAST(count(*) AS BIGINT) FROM row_tot) AS n_states,
+       round(-CAST((SELECT sum(term) FROM cond_terms) AS DOUBLE), 6) + 0.0
+         AS entropy_rate_nats,
+       round(-CAST((SELECT sum(term) FROM marg_terms) AS DOUBLE), 6) + 0.0
+         AS marginal_entropy_nats
+""",
+    doc="Markov entropy rate of the event stream: H(next|cur) from exact "
+    "integer transition counts vs the marginal H(cur) — each p*ln(p) term "
+    "rounded+cast decimal(38,12) before the order-free sum",
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How predictable is the NEXT event given the current one? The Markov
+    entropy rate H(X₊₁|X) = −Σᵢⱼ p(i,j)·ln p(j|i) over the exact
+    transition counts (per-user ordered streams, deterministic (ts,
+    event_id) order), reported beside the marginal entropy H(X) — the
+    gap between them is exactly the information the previous event
+    carries, the signal that justifies (or kills) sequence features in
+    a model. Term summation follows the engine's NLL discipline: each
+    term is a fixed-shape double expression over exact integers, rounded
+    to 12 dp and cast ``decimal(38,12)`` BEFORE the sum, so the
+    reduction is order-free at any parallelism.
+
+    Scale shape: one user_id exchange for the lag window, then a
+    |types|²-bounded transition table — every aggregate after the window
+    is state-domain-sized, and the output is one row.
+
+    Reference analog: none (extension surface — the sequence-level
+    sibling of `events_user_entropy`; `events_markov_stationary` uses
+    the same transition table for the long-run mix).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    trans = (
+        ordered.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").cast("bigint").alias("n_ij"))
+    )
+    row_tot = trans.groupBy("prev").agg(F.sum("n_ij").cast("bigint").alias("n_i"))
+    tot = trans.agg(F.sum("n_ij").cast("bigint").alias("n"))
+    dec = "decimal(38,12)"
+    cond = (
+        trans.join(F.broadcast(row_tot), "prev")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("n_ij").cast("double") / F.col("n"))
+                * F.log(F.col("n_ij").cast("double") / F.col("n_i")),
+                12,
+            )
+            .cast(dec)
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("h_cond"))
+    )
+    marg = (
+        row_tot.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("n_i").cast("double") / F.col("n"))
+                * F.log(F.col("n_i").cast("double") / F.col("n")),
+                12,
+            )
+            .cast(dec)
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("h_marg"))
+    )
+    n_states = row_tot.agg(F.count("*").cast("bigint").alias("n_states"))
+    return (
+        tot.crossJoin(F.broadcast(n_states))
+        .crossJoin(F.broadcast(cond))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n").alias("n_transitions"),
+            "n_states",
+            (F.round(-F.col("h_cond").cast("double"), 6) + F.lit(0.0)).alias(
+                "entropy_rate_nats"
+            ),
+            (F.round(-F.col("h_marg").cast("double"), 6) + F.lit(0.0)).alias(
+                "marginal_entropy_nats"
+            ),
+        )
+    )
