@@ -527,3 +527,61 @@ def streaming_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(hourly, output_mode="append", prefix="hier_rollup")
+
+
+from ufload_spark.operators.events import CM_DEPTH as _CM_D, CM_WIDTH as _CM_W, _cm_bucket_sql as _cm_b
+
+
+@register(
+    "streaming_countmin_sketch",
+    f"""
+SELECT t.d, {_cm_b("t.d", "user_id")} AS bucket,
+       CAST(count(*) AS BIGINT) AS c
+FROM events, range({_CM_D}) t(d)
+GROUP BY 1, 2
+""",
+    doc="streaming Count-Min sketch: additive md5-row counters aggregated "
+    "in complete mode — sink contents are micro-batch-split-invariant and "
+    "equal the batch sketch exactly",
+)
+def streaming_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch (`events_countmin_estimate`) maintained BY THE
+    STREAMING ENGINE: every arriving event increments one counter per
+    hash row, state is the D×W counter table in the state store, and
+    because counters are purely ADDITIVE the final sink is bit-identical
+    no matter how the source was micro-batched — the mergeability that
+    makes sketches the right streaming state at 100 TB (state size is
+    D×W, constant, while exact per-key counting state grows with
+    cardinality). Complete-mode emission of a 192-row table is free.
+
+    The registered oracle is the batch sketch computed by DuckDB from
+    the same md5 geometry, so a streaming-path divergence (double
+    counting on retry, dropped batch) hash-mismatches.
+    """
+    from ufload_spark.operators.events import CM_DEPTH, CM_WIDTH
+
+    sdf = events_readstream(spark, sf_dir)
+    d_col = F.explode(F.array(*[F.lit(k) for k in range(CM_DEPTH)])).alias("d")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("d").cast("string"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CM_WIDTH
+    )
+    sketch = (
+        sdf.select("user_id", d_col)
+        .select("d", bucket.alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return run_to_memory(sketch, output_mode="complete", prefix="countmin")
