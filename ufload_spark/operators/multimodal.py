@@ -1005,3 +1005,140 @@ def multimodal_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synthesize_audio_batches, schema="doc_id long, content binary"
     )
     return audio.mapInPandas(_audio_loudness_batches, schema=LOUDNESS_SCHEMA)
+
+
+# --- video scene-cut detection ----------------------------------------------
+
+#: pixel-video geometry: scene length L = doc_id % SC_L_MOD + SC_L_OFF,
+#: frame count nf = doc_id % SC_NF_MOD + SC_NF_OFF, per-scene render base
+#: = (doc_id*SC_BASE_A + scene*SC_BASE_B) % SC_BASE_MOD
+SC_L_MOD, SC_L_OFF = 4, 3
+SC_NF_MOD, SC_NF_OFF = 24, 2
+SC_BASE_A, SC_BASE_B, SC_BASE_MOD = 17, 59, 251
+
+
+def make_pixel_video(doc_id: int) -> bytes:
+    """A UFV1 container of REAL pixel PNGs arranged in scenes: frames
+    within a scene are identical, the render base jumps at scene
+    boundaries — the ground truth a cut detector must recover."""
+    length = doc_id % SC_L_MOD + SC_L_OFF
+    n_frames = doc_id % SC_NF_MOD + SC_NF_OFF
+    parts = [VIDEO_MAGIC, struct.pack(">I", n_frames)]
+    for idx in range(n_frames):
+        base = (doc_id * SC_BASE_A + (idx // length) * SC_BASE_B) % SC_BASE_MOD
+        png = make_pixel_png(base)
+        parts.append(struct.pack(">I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def _scene_cut_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows = []
+    for pdf in batches:
+        for doc_id in pdf["doc_id"]:
+            content = make_pixel_video(int(doc_id))
+            prev_hash: str | None = None
+            n_frames = n_cuts = max_ham = 0
+            for _idx, frame in iter_video_frames(content):
+                h = ahash_bits(decode_png_pixels(frame))
+                n_frames += 1
+                if prev_hash is not None:
+                    ham = sum(a != b for a, b in zip(prev_hash, h))
+                    if ham >= 1:
+                        n_cuts += 1
+                    max_ham = max(max_ham, ham)
+                prev_hash = h
+            rows.append((int(doc_id), n_frames, n_cuts, max_ham))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_frames", "n_cuts", "max_hamming"]
+        ).astype(
+            {
+                "doc_id": "int64",
+                "n_frames": "int32",
+                "n_cuts": "int32",
+                "max_hamming": "int32",
+            }
+        )
+        rows = []
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    f"""
+WITH spec AS (
+  SELECT doc_id,
+         doc_id % {SC_L_MOD} + {SC_L_OFF} AS len,
+         doc_id % {SC_NF_MOD} + {SC_NF_OFF} AS nf
+  FROM documents
+), scenes AS (
+  SELECT d.doc_id, d.len, d.nf, s.s,
+         (d.doc_id * {SC_BASE_A} + s.s * {SC_BASE_B}) % {SC_BASE_MOD} AS base
+  FROM spec d, range({(SC_NF_MOD + SC_NF_OFF - 1) // SC_L_OFF + 1}) s(s)
+  WHERE s.s <= (d.nf - 1) // d.len
+), px AS (
+  SELECT sc.doc_id, sc.s, x.x, y.y,
+         (7 * x.x + 13 * y.y + 31 * sc.base) % 256 AS v
+  FROM scenes sc,
+       (SELECT unnest(range(0, {AH_W})) AS x) x,
+       (SELECT unnest(range(0, {AH_H})) AS y) y
+), blocks AS (
+  SELECT doc_id, s, x // {AH_BLOCK} AS bx, y // {AH_BLOCK} AS by, avg(v) AS bm
+  FROM px GROUP BY 1, 2, 3, 4
+), g AS (
+  SELECT doc_id, s, avg(v) AS gm FROM px GROUP BY 1, 2
+), bits AS (
+  SELECT b.doc_id, b.s,
+         string_agg(CASE WHEN b.bm >= g.gm THEN '1' ELSE '0' END, ''
+                    ORDER BY b.by, b.bx) AS h
+  FROM blocks b JOIN g USING (doc_id, s) GROUP BY b.doc_id, b.s
+), trans AS (
+  -- one transition row per consecutive FRAME pair that crosses a scene
+  -- boundary (within-scene pairs are identical frames: distance 0)
+  SELECT a.doc_id,
+         (SELECT count(*) FROM range(64) t(i)
+          WHERE substr(a.h, CAST(t.i AS INT) + 1, 1)
+                <> substr(b.h, CAST(t.i AS INT) + 1, 1)) AS ham
+  FROM bits a
+  JOIN bits b ON a.doc_id = b.doc_id AND b.s = a.s + 1
+)
+SELECT d.doc_id,
+       CAST(d.nf AS INT) AS n_frames,
+       CAST(coalesce(sum(CASE WHEN t.ham >= 1 THEN 1 ELSE 0 END), 0) AS INT)
+         AS n_cuts,
+       CAST(coalesce(max(t.ham), 0) AS INT) AS max_hamming
+FROM spec d LEFT JOIN trans t USING (doc_id)
+GROUP BY d.doc_id, d.nf
+""",
+    doc="video scene-cut detection: per-video sequential aHash walk over "
+    "REAL pixel frames (PNG inflate+unfilter per frame), cut where "
+    "consecutive-frame Hamming distance >= 1; oracle recovers the planted "
+    "scene structure closed-form",
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection, the first step of any video-curation pipeline
+    (dedup by scene, sample per scene, caption per scene): walk each
+    video's frames IN ORDER, perceptual-hash every frame through the
+    honest pixel path (UFV1 container walk → PNG chunk CRC walk → zlib
+    inflate → unfilter → 8×8 average hash), and declare a cut where the
+    consecutive-frame Hamming distance is ≥ 1. The fixture plants the
+    ground truth — scenes of ``doc_id%{SC_L_MOD}+{SC_L_OFF}`` identical
+    frames whose render base jumps at boundaries — and the oracle
+    recovers every hash bit and cut CLOSED-FORM from the synthesis
+    arithmetic, so a bug anywhere in the container walk, the pixel
+    decode, or the sequential pairing shifts a count and hash-mismatches.
+
+    Scale shape: the sequential frame walk is PER-VIDEO state inside one
+    Arrow-batched map — videos are rows, so the embarrassing parallelism
+    is across videos and NO shuffle exists in the plan at all; memory per
+    task is one frame hash (64 bits), not the video. This is the
+    multimodal twin of the UDTF per-entity walk (`udtf_user_paths`):
+    same sequential-state semantics, but the entity boundary is a row,
+    so no PARTITION BY machinery is needed.
+
+    Reference analog: none (extension surface — multimodal family).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _scene_cut_batches,
+        schema="doc_id long, n_frames int, n_cuts int, max_hamming int",
+    )
