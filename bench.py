@@ -88,6 +88,13 @@ HEADLINE = [
     "graph_label_propagation",     # synchronous weighted-mode LPA rounds (r6)
     "search_fuzzy_partnames",      # rarest-trigram retrieval + levenshtein (r6)
     "orders_acf_daily_revenue",    # lagged Pearson over the bounded day frame (r6)
+    "events_bot_detection",        # hourly-rate + CoV² regularity panel (r6)
+    "parts_abc_xyz_matrix",        # binned Pareto × demand-CoV matrix (r6)
+    "orders_bootstrap_ci",         # Poisson bootstrap, ×B row-local fan-out (r6)
+    "graph_bfs_distances",         # frontier-broadcast BFS rounds (r6)
+    "events_outlier_mad",          # two-pass median/MAD over cents histograms (r6)
+    "events_countmin_estimate",    # mergeable CM sketch + probe audit (r6)
+    "multimodal_video_scene_cuts", # per-video sequential aHash walk, map-only (r6)
 ]
 
 
