@@ -586,3 +586,140 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy(F.col("d").alias("distance")).agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
+
+
+#: link-prediction output size
+LP_TOP_N = 20
+
+
+@register(
+    "graph_link_prediction",
+    f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+), edges AS (
+  SELECT a.part AS u, b.part AS v
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2 HAVING count(*) >= {TRI_EDGE_MINSUP}
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+), und AS (
+  SELECT u AS w, v AS n FROM edges UNION ALL SELECT v AS w, u AS n FROM edges
+), wedges AS (
+  SELECT a.n AS u, b.n AS v, CAST(count(*) AS BIGINT) AS common
+  FROM und a JOIN und b ON a.w = b.w AND a.n < b.n
+  GROUP BY 1, 2
+), cand AS (
+  SELECT w.u, w.v, w.common FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = w.u AND e.v = w.v)
+), scored AS (
+  SELECT c.u, c.v, c.common, du.d AS deg_u, dv.d AS deg_v,
+         (c.common * 1000000) // (du.d + dv.d - c.common) AS jacc_micro
+  FROM cand c
+  JOIN deg du ON c.u = du.node
+  JOIN deg dv ON c.v = dv.node
+)
+SELECT u, v, common, deg_u, deg_v, jacc_micro, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY jacc_micro DESC, u, v) AS rnk
+  FROM scored
+) WHERE rnk <= {LP_TOP_N}
+""",
+    doc=f"link prediction on the co-purchase graph: top-{LP_TOP_N} "
+    "non-adjacent pairs by common-neighbor Jaccard — exact integer counts, "
+    "score as one floor division to micro-units, anti-join vs existing edges",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood overlap — the classic
+    common-neighbor/Jaccard baseline (Liben-Nowell & Kleinberg): for
+    every NON-adjacent part pair reachable in two hops, score
+    |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| and emit the global top
+    :data:`LP_TOP_N` — the "these products will be bought together
+    next" shortlist. Common counts come from one wedge aggregate,
+    existing edges are removed by an anti-join, the union size is
+    du+dv−common (exact integers), and the score snaps to micro-units
+    with one floor division, so the ranking is a total integer order
+    with (u, v) tie-break — bit-stable everywhere.
+
+    Scale shape: the wedge self-join through shared neighbors is the
+    honest Σd_w² cost of neighborhood methods; at 100 TB the standard
+    mitigation — cap or sample super-hub intermediates (w with d_w over
+    a threshold contributes ~nothing to Jaccard anyway since it inflates
+    every union) — bolts on as one filter against the broadcast degree
+    table. Final ranking is TakeOrdered (no global sort materializes).
+
+    Reference analog: none (extension surface — graph family; the
+    predictive sibling of `part_recommendations_topn`, which ranks
+    pairs that DID co-occur).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("u"), F.col("b.part").alias("v"))
+        .agg(F.count("*").alias("sup"))
+        .where(F.col("sup") >= TRI_EDGE_MINSUP)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("w"), F.col("v").alias("n")),
+                F.struct(F.col("v").alias("w"), F.col("u").alias("n")),
+            )
+        ).alias("e")
+    ).select("e.w", "e.n")
+    ua, ub = und.alias("ua"), und.alias("ub")
+    wedges = (
+        ua.join(
+            ub,
+            (F.col("ua.w") == F.col("ub.w")) & (F.col("ua.n") < F.col("ub.n")),
+        )
+        .groupBy(F.col("ua.n").alias("u"), F.col("ub.n").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    cand = wedges.join(edges, ["u", "v"], "left_anti")
+    scored = (
+        cand.join(
+            F.broadcast(deg.withColumnsRenamed({"node": "u", "d": "deg_u"})), "u"
+        )
+        .join(
+            F.broadcast(deg.withColumnsRenamed({"node": "v", "d": "deg_v"})), "v"
+        )
+        .select(
+            "u",
+            "v",
+            "common",
+            "deg_u",
+            "deg_v",
+            F.expr(
+                "CAST(common * 1000000 AS decimal(38,0))"
+                " div (deg_u + deg_v - common)"
+            )
+            .cast("bigint")
+            .alias("jacc_micro"),
+        )
+    )
+    # TakeOrderedAndProject: top-N, no full sort materializes
+    top = scored.orderBy(
+        F.desc("jacc_micro"), "u", "v"
+    ).limit(LP_TOP_N)
+    w = Window.orderBy(F.desc("jacc_micro"), "u", "v")
+    # SCALE GUARD: partition-less window over the LP_TOP_N-row frame only.
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
