@@ -993,3 +993,76 @@ def text_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    r"""
+WITH tokens AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM tokens WHERE len(toks) >= 3
+), first_seen AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST((CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+         AS novelty_micro
+FROM sh s JOIN first_seen f USING (shingle)
+GROUP BY s.doc_id
+""",
+    doc="corpus novelty curve: per document (in arrival order), the "
+    "fraction of its distinct 3-gram shingles first seen IN that document "
+    "— exact integer counts, one shingle-keyed shuffle, micro-unit ratio",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much NEW text does each document contribute? Per document, the
+    fraction of its distinct shingles whose first occurrence (minimum
+    doc_id — the corpus arrival order) is that document. The per-doc
+    novelty score is what curation pipelines threshold to stop ingesting
+    a source that has gone repetitive (the diminishing-returns signal
+    behind Heaps'-law curves), and near-zero novelty flags late
+    duplicates the dedup family would confirm.
+
+    Exactness: counts are integers, the ratio is one decimal128 floor
+    division to micro-units — no floats.
+
+    Scale shape: the shingle pipeline reuses the dedup family's single
+    doc_id exchange; attribution adds ONE shuffle keyed by shingle
+    (min-aggregate with map-side combine), and the join back to the
+    per-doc rollup rides that same shingle partitioning before
+    re-keying by doc. This is `corpus_paragraph_dedup`'s plan shape at
+    shingle grain — the honest cost of global first-occurrence
+    attribution at any corpus size.
+
+    Reference analog: none (extension surface — corpus-prep family).
+    """
+    from ufload_spark.operators.dedup import shingles
+
+    sh = shingles(spark, sf_dir, distinct=True)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.expr(
+                "CAST(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " AS decimal(38,0)) * 1000000 AS decimal(38,0)) div count(*)"
+            )
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+    )
