@@ -530,3 +530,247 @@ def test_fano_positive_and_conserves(spark):
     for r in rows:
         assert r["n_hours"] == n_hours
         assert r["fano"] > 0.0 and r["mean_per_hour"] > 0.0
+
+
+def test_countmin_never_underestimates(spark):
+    from ufload_spark.operators.events import events_countmin_estimate
+
+    rows = events_countmin_estimate(spark, SF_DIR).collect()
+    assert rows and all(r["cm_estimate"] >= r["exact_n"] for r in rows)
+    assert all(r["overestimate"] == r["cm_estimate"] - r["exact_n"] for r in rows)
+    total = table(spark, SF_DIR, "events").count()
+    assert sum(r["exact_n"] for r in rows) == total
+
+
+def test_bootstrap_interval_ordered(spark):
+    from ufload_spark.operators.analytics import BOOT_B, orders_bootstrap_ci
+
+    r = orders_bootstrap_ci(spark, SF_DIR).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_replicas"] == BOOT_B
+    assert 0 < row["lo_micro"] <= row["hi_micro"]
+    # the point estimate is the full-sample mean; the trimmed replica
+    # interval brackets it on any non-degenerate sample
+    assert row["lo_micro"] <= row["est_micro"] <= row["hi_micro"]
+
+
+def test_kanon_partitions_customers(spark):
+    from ufload_spark.operators.quality import privacy_k_anonymity
+
+    rows = privacy_k_anonymity(spark, SF_DIR).collect()
+    n_cust = table(spark, SF_DIR, "customer").count()
+    assert sum(r["k"] for r in rows) == n_cust  # QI groups partition the table
+    assert all(1 <= r["l"] <= r["k"] for r in rows)
+    assert all(r["k_anonymous"] == (r["k"] >= 5) for r in rows)
+
+
+def test_mad_outlier_bounds(spark):
+    from ufload_spark.operators.events import events_outlier_mad
+
+    rows = events_outlier_mad(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_outliers"] < r["n_events"]
+        assert r["mad_cents"] >= 0 and r["med_cents"] >= 0
+
+
+def test_bfs_seeds_at_distance_zero(spark):
+    from ufload_spark.operators.graph import BFS_SEED_NATION, graph_bfs_distances
+
+    rows = {r["distance"]: r["n_nodes"] for r in graph_bfs_distances(spark, SF_DIR).collect()}
+    seeds = (
+        table(spark, SF_DIR, "supplier")
+        .where(F.col("s_nationkey") == BFS_SEED_NATION)
+        .select("s_suppkey")
+        .distinct()
+        .count()
+    )
+    assert rows.get(0) == seeds  # every seed and only seeds at distance 0
+    assert all(d >= 0 for d in rows)
+
+
+def test_duplicate_billing_groups_are_groups(spark):
+    from ufload_spark.operators.analytics import lineitem_duplicate_billing_audit
+
+    rows = lineitem_duplicate_billing_audit(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["n_lines"] >= 2 for r in rows)
+    assert all(1 <= r["n_suppliers"] <= r["n_lines"] for r in rows)
+
+
+def test_abc_xyz_partitions_parts(spark):
+    from ufload_spark.operators.analytics import parts_abc_xyz_matrix
+
+    rows = parts_abc_xyz_matrix(spark, SF_DIR).collect()
+    n_parts = (
+        table(spark, SF_DIR, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    assert {r["abc_class"] for r in rows} <= {"A", "B", "C"}
+    assert {r["xyz_class"] for r in rows} <= {"X", "Y", "Z"}
+    share = sum(r["revenue_share"] for r in rows)
+    assert abs(share - 1.0) < 1e-4  # shares partition total revenue
+
+
+def test_target_encoding_is_convex_combination(spark):
+    from ufload_spark.operators.analytics import features_target_encoding
+
+    te = features_target_encoding(spark, SF_DIR)
+    bounds = (
+        table(spark, SF_DIR, "orders")
+        .agg(
+            F.min(F.floor(F.col("o_totalprice") * 100 + 0.5)).alias("lo"),
+            F.max(F.floor(F.col("o_totalprice") * 100 + 0.5)).alias("hi"),
+        )
+        .collect()[0]
+    )
+    mm = te.agg(F.min("te_cents"), F.max("te_cents")).collect()[0]
+    # LOO + shrinkage is a convex combination of observed targets
+    assert bounds["lo"] - 1 <= mm[0] and mm[1] <= bounds["hi"] + 1
+
+
+def test_entropy_rate_bounds(spark):
+    from ufload_spark.operators.events import events_entropy_rate
+
+    r = events_entropy_rate(spark, SF_DIR).collect()[0]
+    assert r["n_states"] >= 1
+    cap = math.log(r["n_states"]) + 1e-9
+    assert 0.0 <= r["entropy_rate_nats"] <= cap
+    assert 0.0 <= r["marginal_entropy_nats"] <= cap
+
+
+def test_peaks_satisfy_their_own_rule(spark):
+    from ufload_spark.operators.analytics import (
+        PEAK_PCT,
+        PEAK_TRAIL,
+        orders_peak_revenue_days,
+    )
+
+    rows = orders_peak_revenue_days(spark, SF_DIR).collect()
+    for r in rows:
+        assert 100 * PEAK_TRAIL * r["cents"] > PEAK_PCT * r["trail_cents"]
+
+
+def test_croston_null_iff_no_interval_evidence(spark):
+    from ufload_spark.operators.analytics import parts_croston_intermittent
+
+    rows = parts_croston_intermittent(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        degenerate = r["d_months"] < 2 or r["span_months"] == 0
+        assert (r["croston_micro"] is None) == degenerate
+        if not degenerate:
+            assert r["croston_micro"] > 0
+
+
+def test_link_prediction_pairs_nonadjacent_and_ranked(spark):
+    from ufload_spark.operators.graph import LP_TOP_N, graph_link_prediction
+
+    rows = graph_link_prediction(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= LP_TOP_N
+    assert sorted(r["rnk"] for r in rows) == list(range(1, len(rows) + 1))
+    scores = [r["jacc_micro"] for r in sorted(rows, key=lambda r: r["rnk"])]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < r["jacc_micro"] <= 1_000_000 for r in rows)
+    assert all(r["common"] <= min(r["deg_u"], r["deg_v"]) for r in rows)
+
+
+def test_mmr_first_pick_is_top_cosine(spark):
+    from ufload_spark.operators.similarity import (
+        similarity_mmr_rerank,
+        similarity_topk_cosine,
+    )
+
+    mmr = {
+        r["qid"]: r["cid"]
+        for r in similarity_mmr_rerank(spark, SF_DIR).collect()
+        if r["pick"] == 1
+    }
+    top1 = {
+        r["qid"]: r["cid"]
+        for r in similarity_topk_cosine(spark, SF_DIR).collect()
+        if r["rnk"] == 1
+    }
+    assert mmr == top1  # MMR's first pick is pure relevance
+    picks = {}
+    for r in similarity_mmr_rerank(spark, SF_DIR).collect():
+        picks.setdefault(r["qid"], set()).add(r["cid"])
+    assert all(len(s) == 3 for s in picks.values())  # picks are distinct
+
+
+def test_scene_cut_bounds_match_synthesis(spark):
+    from ufload_spark.operators.multimodal import (
+        SC_NF_MOD,
+        SC_NF_OFF,
+        multimodal_video_scene_cuts,
+    )
+
+    rows = multimodal_video_scene_cuts(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_frames"] == r["doc_id"] % SC_NF_MOD + SC_NF_OFF
+        assert 0 <= r["n_cuts"] <= max(r["n_frames"] - 1, 0)
+        assert 0 <= r["max_hamming"] <= 64
+
+
+def test_loudness_moment_relations(spark):
+    from ufload_spark.operators.multimodal import multimodal_audio_loudness
+
+    rows = multimodal_audio_loudness(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["mean_sq"] <= r["peak_abs"] ** 2
+        assert r["peak_abs"] <= 2048
+
+
+def test_reconciliation_conserves_populations(spark):
+    from ufload_spark.operators.quality import quality_reconciliation
+
+    r = quality_reconciliation(spark, SF_DIR).collect()[0]
+    n_orders = table(spark, SF_DIR, "orders").count()
+    n_lines = table(spark, SF_DIR, "lineitem").count()
+    assert r["n_orders"] == n_orders
+    assert r["n_lines"] == n_lines
+    assert r["n_matched_orders"] + r["n_orders_without_lines"] == n_orders
+    assert r["n_amount_match"] <= r["n_matched_orders"]
+
+
+def test_skew_profiler_conserves_rows_and_keys(spark):
+    from ufload_spark.operators.skew import diagnostics_key_skew
+
+    rows = diagnostics_key_skew(spark, SF_DIR).collect()
+    li = table(spark, SF_DIR, "lineitem")
+    n_rows = li.count()
+    for col in ("l_partkey", "l_suppkey"):
+        mine = [r for r in rows if r["key_col"] == col]
+        assert sum(r["rows_covered"] for r in mine) == n_rows
+        assert sum(r["n_keys"] for r in mine) == (
+            li.select(col).distinct().count()
+        )
+        assert all(r["max_rows"] * r["n_keys"] >= r["rows_covered"] for r in mine)
+
+
+def test_novelty_first_seen_partition(spark):
+    from ufload_spark.operators.corpus import corpus_ngram_novelty
+    from ufload_spark.operators.dedup import shingles
+
+    rows = corpus_ngram_novelty(spark, SF_DIR).collect()
+    n_distinct = shingles(spark, SF_DIR, distinct=True).select("shingle").distinct().count()
+    # every distinct shingle is novel in exactly one document
+    assert sum(r["n_novel"] for r in rows) == n_distinct
+    assert all(0 <= r["novelty_micro"] <= 1_000_000 for r in rows)
+    first_doc = min(r["doc_id"] for r in rows)
+    first = next(r for r in rows if r["doc_id"] == first_doc)
+    assert first["novelty_micro"] == 1_000_000  # the first document is all-new
+
+
+def test_bot_detection_covers_all_users(spark):
+    from ufload_spark.operators.events import events_bot_detection
+
+    rows = events_bot_detection(spark, SF_DIR).collect()
+    n_users = table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert len(rows) == n_users
+    for r in rows:
+        assert r["max_hourly"] <= r["n_events"]
+        assert r["active_hours"] >= 1

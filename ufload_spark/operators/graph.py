@@ -482,8 +482,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: BFS frontier-expansion rounds (graph diameter budget for the audit)
 BFS_ROUNDS = 4
-#: seed set: suppliers of this nation
-BFS_SEED_NATION = 0
+#: seed set: suppliers of this nation (3 has members at every fixture SF)
+BFS_SEED_NATION = 3
 
 
 def _bfs_oracle() -> str:
