@@ -2478,3 +2478,207 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_diff_in_diff",
+    """
+WITH cells AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm,
+         CASE WHEN CAST(extract(day FROM ts) AS INT) <= 15
+              THEN 0 ELSE 1 END AS period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT arm, period, n,
+         CAST((CAST(cents AS HUGEINT) * 1000000) // n AS BIGINT) AS mean_micro
+  FROM cells
+)
+SELECT max(CASE WHEN arm = 0 AND period = 0 THEN mean_micro END) AS ctl_pre,
+       max(CASE WHEN arm = 0 AND period = 1 THEN mean_micro END) AS ctl_post,
+       max(CASE WHEN arm = 1 AND period = 0 THEN mean_micro END) AS trt_pre,
+       max(CASE WHEN arm = 1 AND period = 1 THEN mean_micro END) AS trt_post,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       (max(CASE WHEN arm = 1 AND period = 1 THEN mean_micro END)
+        - max(CASE WHEN arm = 1 AND period = 0 THEN mean_micro END))
+       - (max(CASE WHEN arm = 0 AND period = 1 THEN mean_micro END)
+          - max(CASE WHEN arm = 0 AND period = 0 THEN mean_micro END))
+         AS did_micro
+FROM m
+""",
+    doc="difference-in-differences estimator: 2x2 arm x period cell means "
+    "in exact integer micro-cents (one floor division per cell), DiD as "
+    "pure integer arithmetic over the four cells",
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The difference-in-differences estimator — the workhorse causal
+    design when treatment wasn't randomized at the metric's grain:
+    compare the treatment arm's pre→post change against the control
+    arm's, so any shared time trend cancels. Arms follow the engine's
+    assignment convention (``user_id % 2``), periods the mid-month split
+    (``events_ks_drift_binned``). Each of the four cell means is an
+    exact integer micro-cent (decimal128 sum, one floor division), and
+    the estimator itself is pure integer subtraction — no float enters
+    the plan at all.
+
+    Scale shape: ONE hash aggregate to 4 cells (map-side partials), a
+    4-row pivot, a 1-row result. Scan-bound at any corpus size.
+
+    Reference analog: none (extension surface — experimentation family:
+    `events_ab_test_ztest` tests a randomized difference,
+    `orders_bootstrap_ci` intervals it, this de-biases a non-randomized
+    one).
+    """
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("period"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    m = cells.select(
+        "arm",
+        "period",
+        "n",
+        F.expr("CAST(CAST(cents AS decimal(38,0)) * 1000000 AS decimal(38,0)) div n")
+        .cast("bigint")
+        .alias("mean_micro"),
+    )
+
+    def cell(a: int, p: int):
+        return F.max(
+            F.when((F.col("arm") == a) & (F.col("period") == p), F.col("mean_micro"))
+        )
+
+    return m.agg(
+        cell(0, 0).alias("ctl_pre"),
+        cell(0, 1).alias("ctl_post"),
+        cell(1, 0).alias("trt_pre"),
+        cell(1, 1).alias("trt_post"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        ((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0))).alias("did_micro"),
+    )
+
+
+@register(
+    "events_cuped_adjustment",
+    """
+WITH per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         CAST(sum(CASE WHEN CAST(extract(day FROM ts) AS INT) <= 15
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN CAST(extract(day FROM ts) AS INT) > 15
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM per_user
+), arms AS (
+  SELECT CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(sum(CASE WHEN arm = 1 THEN x END) AS HUGEINT) AS sxt,
+         CAST(sum(CASE WHEN arm = 1 THEN y END) AS HUGEINT) AS syt,
+         CAST(sum(CASE WHEN arm = 0 THEN x END) AS HUGEINT) AS sxc,
+         CAST(sum(CASE WHEN arm = 0 THEN y END) AS HUGEINT) AS syc
+  FROM per_user
+)
+SELECT m.n AS n_users,
+       round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+             / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE), 6) + 0.0 AS theta,
+       round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+             * CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+             / (CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                * CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE)), 6) + 0.0
+         AS var_reduction,
+       round((CAST(a.syt AS DOUBLE) / a.nt - CAST(a.syc AS DOUBLE) / (a.n1 - a.nt))
+             - (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE))
+               * (CAST(a.sxt AS DOUBLE) / a.nt
+                  - CAST(a.sxc AS DOUBLE) / (a.n1 - a.nt)), 6) + 0.0
+         AS adjusted_effect_cents
+FROM mom m, arms a
+""",
+    doc="CUPED variance reduction: theta = cov(x,y)/var(x) from exact "
+    "decimal128 per-user pre/post moments, variance-reduction share = rho², "
+    "covariate-adjusted treatment effect — fixed-shape float combination of "
+    "exact integers, single divisions only",
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Existing Data, Deng et al.) —
+    the variance-reduction standard in experimentation platforms: regress
+    each user's post-period metric y on their PRE-period covariate x,
+    and report θ = cov(x,y)/var(x), the achievable variance reduction
+    ρ², and the covariate-adjusted effect (ȳ_T−ȳ_C) − θ(x̄_T−x̄_C). All
+    sufficient statistics are exact decimal128 integer moments over
+    per-user cent totals (the OLS/correlation discipline); floats appear
+    only in the fixed-shape final combination with single divisions, so
+    both engines evaluate the identical IEEE expression tree.
+
+    Scale shape: one per-user aggregate (the metric grain), one 1-row
+    moment rollup with map-side partials — the same two-level shape as
+    `events_ab_test_ztest`, sharing its user_id exchange at 100 TB.
+
+    Reference analog: none (extension surface — experimentation family).
+    """
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    per_user = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, cents).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.dayofmonth("ts") > 15, cents).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    xd, yd = F.col("x").cast(dec), F.col("y").cast(dec)
+    mom = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(xd * xd).cast(dec).alias("sxx"),
+        F.sum(xd * yd).cast(dec).alias("sxy"),
+        F.sum(yd * yd).cast(dec).alias("syy"),
+    )
+    arms = per_user.agg(
+        F.count("*").cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x"))).cast(dec).alias("sxt"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y"))).cast(dec).alias("syt"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x"))).cast(dec).alias("sxc"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y"))).cast(dec).alias("syc"),
+    )
+    n, sx, sy, sxx, sxy, syy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    )
+    cov_n = (n.cast(dec) * sxy - sx * sy).cast("double")
+    varx_n = (n.cast(dec) * sxx - sx * sx).cast("double")
+    vary_n = (n.cast(dec) * syy - sy * sy).cast("double")
+    theta = cov_n / varx_n
+    dy = F.col("syt").cast("double") / F.col("nt") - F.col("syc").cast("double") / (
+        F.col("n1") - F.col("nt")
+    )
+    dx = F.col("sxt").cast("double") / F.col("nt") - F.col("sxc").cast("double") / (
+        F.col("n1") - F.col("nt")
+    )
+    return mom.crossJoin(F.broadcast(arms)).select(
+        F.col("n").alias("n_users"),
+        (F.round(theta, 6) + F.lit(0.0)).alias("theta"),
+        (F.round(cov_n * cov_n / (varx_n * vary_n), 6) + F.lit(0.0)).alias(
+            "var_reduction"
+        ),
+        (F.round(dy - theta * dx, 6) + F.lit(0.0)).alias("adjusted_effect_cents"),
+    )
