@@ -105,3 +105,53 @@ def sql_lateral_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-execution; `.explain` shows a plain join, which is why this scales
     where a literal nested-loop interpretation would not)."""
     return _run(spark, sf_dir, _LATERAL_SQL)
+
+
+_RECURSIVE_BOM_SQL = """
+WITH RECURSIVE walk AS (
+  SELECT p_partkey AS root, p_partkey AS pk, 0 AS depth,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part WHERE p_partkey < 4
+  UNION ALL
+  SELECT w.root, c.p_partkey AS pk, w.depth + 1 AS depth,
+         CAST(floor(c.p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM walk w
+  JOIN part c ON CAST(floor(c.p_partkey / 4.0) AS BIGINT) = w.pk
+             AND c.p_partkey >= 4
+)
+SELECT root, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       CAST(sum(cents) AS BIGINT) AS subtree_cents
+FROM walk GROUP BY root
+"""
+
+
+@register(
+    "sql_recursive_bom",
+    _RECURSIVE_BOM_SQL,
+    doc="OP-SNK-2 SQL executor: WITH RECURSIVE bill-of-materials explosion "
+    "— identical SQL text on spark.sql (Spark 4 recursive CTEs) and DuckDB; "
+    "subtree size/depth/cents rollup per root, exact integers",
+)
+def sql_recursive_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recursive-query surface (Spark 4's ``WITH RECURSIVE``), exercised
+    as a bill-of-materials explosion: a containment forest derived from
+    part keys (parent = ⌊key/4⌋, roots are keys < 4 — every part reduces
+    to a root, so the forest spans the table ~6 levels deep at these key
+    ranges), walked from the roots with depth tracking, then rolled up to
+    per-root subtree size, height and exact retail cents. The SAME query
+    text is the DuckDB oracle — the strongest parity statement this
+    module makes, now extended to iterative SQL.
+
+    Scale shape: Spark executes each recursion step as a join of the
+    previous frontier against the part table — the BFS frontier-expansion
+    shape (`graph_bfs_distances`) expressed declaratively; the engine
+    terminates when a step yields no rows. Depth is data-bounded
+    (log₄ of the key domain), and each step's join keys on the parent
+    expression, so at 100 TB the walk is as partitionable as any
+    equi-join chain.
+
+    Reference analog: none (extension surface — SQL executor family,
+    OP-SNK-2; reference ships literal SQL to PostgreSQL, db.py:73-95).
+    """
+    return _run(spark, sf_dir, _RECURSIVE_BOM_SQL)
