@@ -587,17 +587,12 @@ def streaming_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sketch, output_mode="complete", prefix="countmin")
 
 
-class _UserSpendProcessor:
-    """transformWithState processor: per-user running (count, cents).
-
-    Defined lazily as a StatefulProcessor subclass inside a factory so the
-    module imports even if a future Spark reshapes the API surface; the
-    state tuple is primitives-only (the state-store codec contract the
-    applyInPandasWithState job documents).
-    """
-
-
 def _make_user_spend_processor():
+    """transformWithState processor factory: per-user running (count,
+    cents). The StatefulProcessor subclass is defined inside the factory
+    so the module imports even where the API surface is absent; the state
+    tuple is primitives-only (the state-store codec contract the
+    applyInPandasWithState job documents)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
