@@ -3130,3 +3130,109 @@ def orders_peak_revenue_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(PEAK_PCT) * F.col("trail_cents")
         )
     ).select("day", "cents", F.col("trail_cents").cast("bigint").alias("trail_cents"))
+
+
+@register(
+    "parts_price_index",
+    """
+WITH pm AS (
+  SELECT l_partkey,
+         (year(l_shipdate) * 12 + month(l_shipdate)) AS m_idx,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1, 2
+), priced AS (
+  SELECT l_partkey, m_idx, qty,
+         (CAST(cents AS HUGEINT) * 1000000) // qty AS p_micro
+  FROM pm
+), base AS (
+  SELECT l_partkey, qty AS q0, p_micro AS p0
+  FROM priced WHERE m_idx = (SELECT min(m_idx) FROM priced)
+), matched AS (
+  SELECT t.m_idx,
+         CAST(sum(t.p_micro * b.q0) AS HUGEINT) AS lnum,
+         CAST(sum(b.p0 * b.q0) AS HUGEINT) AS lden,
+         CAST(sum(t.p_micro * t.qty) AS HUGEINT) AS pnum,
+         CAST(sum(b.p0 * t.qty) AS HUGEINT) AS pden,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM priced t JOIN base b USING (l_partkey)
+  GROUP BY t.m_idx
+)
+SELECT m_idx, n_parts,
+       CAST((lnum * 1000000) // lden AS BIGINT) AS laspeyres_micro,
+       CAST((pnum * 1000000) // pden AS BIGINT) AS paasche_micro
+FROM matched
+""",
+    doc="matched-model price indices per month: Laspeyres (base-weighted) "
+    "and Paasche (current-weighted) vs the first month — unit prices and "
+    "indices in exact integer micro-units, decimal128 basket sums",
+)
+def parts_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The economist's price index pair over the part catalog, matched-model
+    form: per month, Laspeyres Σp_t·q₀ / Σp₀·q₀ (what the BASE basket
+    costs now) and Paasche Σp_t·q_t / Σp₀·q_t (what the CURRENT basket
+    would have cost then), both over the parts priced in BOTH months —
+    the matched-model restriction that makes indices well-defined without
+    imputation. Unit prices are exact micro-cents (one floor division per
+    part-month), basket sums are decimal128 products of integers, and
+    each index is one final floor division to micro-units — no float
+    anywhere, so the series is bit-stable.
+
+    Scale shape: one (part, month) aggregate off the raw scan (the same
+    mergeable rollup the XYZ/Croston family rides), a broadcast-sized
+    base-month frame joined back on partkey, and a month-level rollup
+    bounded by the calendar. Index computation never rescans raw data.
+
+    Reference analog: none (extension surface — economic-index family,
+    beside `orders_seasonality_index` and `orders_revenue_growth`).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pm = (
+        li.select(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m_idx"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("c"),
+        )
+        .groupBy("l_partkey", "m_idx")
+        .agg(F.sum("q").alias("qty"), F.sum("c").alias("cents"))
+    )
+    priced = pm.select(
+        "l_partkey",
+        "m_idx",
+        "qty",
+        F.expr("(CAST(cents AS decimal(38,0)) * 1000000) div qty").alias("p_micro"),
+    )
+    base_m = priced.agg(F.min("m_idx").alias("m0"))
+    base = (
+        priced.crossJoin(F.broadcast(base_m))
+        .where(F.col("m_idx") == F.col("m0"))
+        .select(
+            "l_partkey", F.col("qty").alias("q0"), F.col("p_micro").alias("p0")
+        )
+    )
+    dec = "decimal(38,0)"
+    matched = (
+        priced.join(base, "l_partkey")
+        .groupBy("m_idx")
+        .agg(
+            F.sum(F.col("p_micro").cast(dec) * F.col("q0")).cast(dec).alias("lnum"),
+            F.sum(F.col("p0").cast(dec) * F.col("q0")).cast(dec).alias("lden"),
+            F.sum(F.col("p_micro").cast(dec) * F.col("qty")).cast(dec).alias("pnum"),
+            F.sum(F.col("p0").cast(dec) * F.col("qty")).cast(dec).alias("pden"),
+            F.count("*").cast("bigint").alias("n_parts"),
+        )
+    )
+    return matched.select(
+        "m_idx",
+        "n_parts",
+        F.expr("CAST((lnum * 1000000) div lden AS BIGINT)").alias(
+            "laspeyres_micro"
+        ),
+        F.expr("CAST((pnum * 1000000) div pden AS BIGINT)").alias(
+            "paasche_micro"
+        ),
+    )
