@@ -3236,3 +3236,127 @@ def parts_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "paasche_micro"
         ),
     )
+
+
+#: ABC-migration period boundary: orders strictly before this date are
+#: period 1, the rest period 2 (mid-point of the fixture calendar)
+ABC_SPLIT_DATE = "1998-07-01"
+
+
+def _abc_class_sql(period_pred: str) -> str:
+    """Per-customer ABC class CTE text for one period (sub-octave-binned
+    cumulative revenue share — the `orders_abc_analysis` device)."""
+    return f"""(
+  WITH rev AS (
+    SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS cents
+    FROM orders WHERE {period_pred} GROUP BY o_custkey
+  ), binned AS (
+    SELECT o_custkey, cents, {suboctave_bin_sql("cents")} AS bin_id FROM rev
+  ), bins AS (
+    SELECT bin_id, CAST(sum(cents) AS BIGINT) AS bin_cents
+    FROM binned GROUP BY bin_id
+  ), tot AS (SELECT CAST(sum(bin_cents) AS BIGINT) AS total_cents FROM bins),
+  classes AS (
+    SELECT bin_id,
+           CASE WHEN coalesce(sum(bin_cents) OVER (
+                  ORDER BY bin_id DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 5
+                < total_cents * 4 THEN 'A'
+                WHEN coalesce(sum(bin_cents) OVER (
+                  ORDER BY bin_id DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 20
+                < total_cents * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM bins, tot
+  )
+  SELECT b.o_custkey, c.abc_class
+  FROM binned b JOIN classes c USING (bin_id)
+)"""
+
+
+@register(
+    "customers_abc_migration",
+    f"""
+WITH p1 AS {_abc_class_sql(f"o_orderdate < TIMESTAMP '{ABC_SPLIT_DATE}'")},
+p2 AS {_abc_class_sql(f"o_orderdate >= TIMESTAMP '{ABC_SPLIT_DATE}'")}
+SELECT coalesce(p1.abc_class, 'N') AS class_p1,
+       coalesce(p2.abc_class, 'N') AS class_p2,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM p1 FULL OUTER JOIN p2 USING (o_custkey)
+GROUP BY 1, 2
+""",
+    doc="ABC segment migration matrix across the calendar midpoint: two "
+    "independent sub-octave-binned Pareto classifications full-outer "
+    "joined per customer — N marks absence; exact integer cents throughout",
+)
+def customers_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment DYNAMICS, the question the static ABC table can't answer:
+    which customers moved between revenue classes across the calendar
+    midpoint (:data:`ABC_SPLIT_DATE`)? Each period gets its own
+    independent Pareto classification (the `orders_abc_analysis`
+    sub-octave-bin device — no global sort, exact integer cents, class
+    boundaries snapped to bin edges), the two per-customer class maps
+    full-outer join, and absence in a period reads 'N' — so churned-out
+    A-customers (A→N) and newly-acquired whales (N→A) land in their own
+    matrix cells. The ≤16-cell output is the retention team's priority
+    list.
+
+    Scale shape: per period one custkey aggregate + the ≤512-row bin
+    pipeline; the migration join is per-customer on the same custkey
+    hashing both sides already carry, then a ≤16-row rollup.
+
+    Reference analog: none (extension surface — segmentation family,
+    the longitudinal sibling of `orders_abc_analysis`).
+    """
+    o = table(spark, sf_dir, "orders")
+
+    def classify(period_df: DataFrame) -> DataFrame:
+        cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        rev = period_df.groupBy("o_custkey").agg(
+            F.sum(cents).cast("bigint").alias("cents")
+        )
+        binned = rev.select(
+            "o_custkey", "cents", suboctave_bin("cents").alias("bin_id")
+        )
+        bins = binned.groupBy("bin_id").agg(
+            F.sum("cents").cast("bigint").alias("bin_cents")
+        )
+        tot = bins.agg(F.sum("bin_cents").cast("bigint").alias("total_cents"))
+        # SCALE GUARD: partition-less window over the ≤512-row BIN table.
+        w = Window.orderBy(F.desc("bin_id")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        classes = (
+            bins.withColumn(
+                "cum_before",
+                F.coalesce(F.sum("bin_cents").over(w), F.lit(0)).cast("bigint"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "bin_id",
+                F.when(F.col("cum_before") * 5 < F.col("total_cents") * 4, "A")
+                .when(F.col("cum_before") * 20 < F.col("total_cents") * 19, "B")
+                .otherwise("C")
+                .alias("abc_class"),
+            )
+        )
+        return binned.join(F.broadcast(classes), "bin_id").select(
+            "o_custkey", "abc_class"
+        )
+
+    split = F.lit(ABC_SPLIT_DATE).cast("timestamp")
+    p1 = classify(o.where(F.col("o_orderdate") < split)).withColumnRenamed(
+        "abc_class", "c1"
+    )
+    p2 = classify(o.where(F.col("o_orderdate") >= split)).withColumnRenamed(
+        "abc_class", "c2"
+    )
+    return (
+        p1.join(p2, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce(F.col("c1"), F.lit("N")).alias("class_p1"),
+            F.coalesce(F.col("c2"), F.lit("N")).alias("class_p2"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )

@@ -1066,3 +1066,96 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_micro"),
         )
     )
+
+
+@register(
+    "corpus_cross_source_overlap",
+    r"""
+WITH tokens AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM tokens WHERE len(toks) >= 3
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.src_a, p.src_b, p.shared,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST((CAST(p.shared AS HUGEINT) * 1000000)
+            // (sa.n + sb.n - p.shared) AS BIGINT) AS jaccard_micro
+FROM pairs p
+JOIN sizes sa ON sa.source = p.src_a
+JOIN sizes sb ON sb.source = p.src_b
+""",
+    doc="cross-source contamination matrix: pairwise shared-shingle counts "
+    "and Jaccard (micro-units, one floor division) between every source "
+    "pair — which sources copy from which",
+)
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source-provenance audit for a multi-source corpus: for every
+    source pair, how many distinct 3-gram shingles they SHARE and the
+    Jaccard overlap — mirrored content between crawls, syndication, or a
+    source that is just a re-crawl of another shows up as an off-diagonal
+    spike, and the pair list is what a curation pipeline uses to pick
+    which source to keep. The single-benchmark version of this audit is
+    `corpus_contamination_overlap`; this is its all-pairs matrix form.
+
+    Exactness: counts are integers and the Jaccard snaps to micro-units
+    with one floor division — no floats.
+
+    Scale shape: one distinct (source, shingle) aggregate (the dedup
+    family's shingle exchange), per-source sizes as a broadcast-sized
+    frame, and a shingle self-join whose per-key fan-out is bounded by
+    the SOURCE-domain² (sources are a bounded catalog — tens to
+    thousands — never corpus-scale), aggregated straight down to
+    ≤ sources² pair rows.
+
+    Reference analog: none (extension surface — corpus-prep family).
+    """
+    from ufload_spark.operators.dedup import shingles
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = (
+        shingles(spark, sf_dir, distinct=True)
+        .join(d, "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = sh.withColumnRenamed("source", "src_a")
+    b = sh.withColumnRenamed("source", "src_b")
+    pairs = (
+        a.join(b, ["shingle"])
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "src_a", "n": "n_a"})),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "src_b", "n": "n_b"})),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((CAST(shared AS decimal(38,0)) * 1000000)"
+                " div (n_a + n_b - shared) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+    )

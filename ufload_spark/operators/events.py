@@ -2682,3 +2682,120 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.round(dy - theta * dx, 6) + F.lit(0.0)).alias("adjusted_effect_cents"),
     )
+
+
+#: conversion-window sweep, in hours
+FUNNEL_WINDOWS_H = (1, 6, 24, 72)
+
+
+@register(
+    "events_funnel_window_sweep",
+    f"""
+WITH w AS (
+  SELECT unnest(ARRAY{list(FUNNEL_WINDOWS_H)}) AS win_h
+), v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), vw AS (
+  SELECT v.user_id, v.t_view, w.win_h,
+         CAST(w.win_h AS BIGINT) * 3600000000 AS win_us
+  FROM v, w
+), c AS (
+  SELECT vw.user_id, vw.win_h, vw.win_us, min(epoch_us(e.ts)) AS t_click
+  FROM events e
+  JOIN vw ON e.user_id = vw.user_id
+         AND epoch_us(e.ts) > vw.t_view
+         AND epoch_us(e.ts) <= vw.t_view + vw.win_us
+  WHERE e.event_type = 'click' GROUP BY 1, 2, 3
+), p AS (
+  SELECT c.user_id, c.win_h, min(epoch_us(e.ts)) AS t_purchase
+  FROM events e
+  JOIN c ON e.user_id = c.user_id
+        AND epoch_us(e.ts) > c.t_click
+        AND epoch_us(e.ts) <= c.t_click + c.win_us
+  WHERE e.event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT w.win_h,
+       (SELECT CAST(count(*) AS BIGINT) FROM v) AS step_view,
+       (SELECT CAST(count(*) AS BIGINT) FROM c WHERE c.win_h = w.win_h)
+         AS step_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM p WHERE p.win_h = w.win_h)
+         AS step_purchase
+FROM w
+""",
+    doc="conversion-window sensitivity sweep: the ordered funnel evaluated "
+    f"at {len(FUNNEL_WINDOWS_H)} window widths {FUNNEL_WINDOWS_H} in ONE "
+    "plan — exact microsecond interval arithmetic, per-window step counts",
+)
+def events_funnel_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How sensitive is the funnel to the attribution window? The ordered
+    view→click→purchase funnel (`events_funnel`) re-evaluated at every
+    width in :data:`FUNNEL_WINDOWS_H` — a step converts only within W of
+    the previous step — in ONE plan: the window literals explode against
+    the per-user first-view frame and ride the step joins as an extra
+    grouping key. Analysts run this sweep to pick (and defend) the window
+    a dashboard hard-codes; a big 6h→24h jump means slow converters, a
+    flat curve means the choice is safe. All interval arithmetic is exact
+    integer microseconds.
+
+    Scale shape: the same monotone-shrinking per-user min/join chain as
+    the base funnel, ×|windows| on the (already user-grain) step frames —
+    shuffles stay keyed on user_id, and the sweep multiplies only the
+    small side. Output is |windows| rows.
+
+    Reference analog: none (extension surface — event-analytics family).
+    """
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_view"))
+    )
+    w = spark.createDataFrame(
+        [(h,) for h in FUNNEL_WINDOWS_H], "win_h int"
+    ).select("win_h", (F.col("win_h").cast("bigint") * 3600000000).alias("win_us"))
+    vw = v.crossJoin(F.broadcast(w))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", us.alias("t_e")
+    )
+    c = (
+        clicks.join(vw, "user_id")
+        .where(
+            (F.col("t_e") > F.col("t_view"))
+            & (F.col("t_e") <= F.col("t_view") + F.col("win_us"))
+        )
+        .groupBy("user_id", "win_h", "win_us")
+        .agg(F.min("t_e").alias("t_click"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("t_e")
+    )
+    p = (
+        purchases.join(c, "user_id")
+        .where(
+            (F.col("t_e") > F.col("t_click"))
+            & (F.col("t_e") <= F.col("t_click") + F.col("win_us"))
+        )
+        .groupBy("user_id", "win_h")
+        .agg(F.min("t_e").alias("t_purchase"))
+    )
+    nv = v.agg(F.count("*").cast("bigint").alias("step_view"))
+    nc = c.groupBy("win_h").agg(F.count("*").cast("bigint").alias("step_click"))
+    np_ = p.groupBy("win_h").agg(
+        F.count("*").cast("bigint").alias("step_purchase")
+    )
+    return (
+        w.select("win_h")
+        .join(nc, "win_h", "left")
+        .join(np_, "win_h", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "win_h",
+            "step_view",
+            F.coalesce(F.col("step_click"), F.lit(0)).cast("bigint").alias("step_click"),
+            F.coalesce(F.col("step_purchase"), F.lit(0))
+            .cast("bigint")
+            .alias("step_purchase"),
+        )
+    )
