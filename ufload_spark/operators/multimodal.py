@@ -170,10 +170,26 @@ def _synthesize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         )
 
 
+def doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents id frame, repartitioned so the Python decode stages
+    actually parallelize: the fixture is ONE parquet split, and a
+    ``mapInPandas`` chain inherits that single partition — measured as one
+    CPU-pinned worker for the whole table (the r6 bench hang). The
+    up-front doc_id repartition is the `shingles` device; at 100 TB the
+    table arrives in thousands of splits and this exchange disappears
+    into the layout."""
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(n_parts, "doc_id")
+    )
+
+
 def with_binary_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents' ids with an opaque binary image payload column (synthetic
     but structurally-valid PNG/JPEG bytes standing in for stored images)."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = doc_ids(spark, sf_dir)
     return d.mapInPandas(_synthesize_batches, schema="doc_id long, content binary")
 
 
@@ -400,7 +416,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesizer's arithmetic, so a sampler that mis-seeks, off-by-ones the
     length walk, or decodes the wrong frame hash-fails. Narrow map — no
     shuffle; a real codec swaps in at :func:`iter_video_frames` only."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = doc_ids(spark, sf_dir)
     videos = d.mapInPandas(
         _synthesize_video_batches, schema="doc_id long, content binary"
     )
@@ -569,7 +585,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk's byte length; the oracle independently predicts every field from
     the synthesizer's arithmetic, so a parser bug hash-mismatches. Narrow
     map — scales linearly, no shuffle."""
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = doc_ids(spark, sf_dir)
     audio = d.mapInPandas(
         _synthesize_audio_batches, schema="doc_id long, content binary"
     )
@@ -747,7 +763,7 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (extension surface — multimodal family).
     """
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = doc_ids(spark, sf_dir)
     png = d.mapInPandas(
         _synthesize_pixel_png_batches, schema="doc_id long, content binary"
     )
@@ -835,7 +851,7 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (extension surface — multimodal family).
     """
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = doc_ids(spark, sf_dir)
     png = d.mapInPandas(
         _synthesize_pixel_png_batches, schema="doc_id long, content binary"
     )
@@ -1000,7 +1016,7 @@ def multimodal_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (extension surface — multimodal family).
     """
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = doc_ids(spark, sf_dir)
     audio = d.mapInPandas(
         _synthesize_audio_batches, schema="doc_id long, content binary"
     )
@@ -1137,7 +1153,7 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (extension surface — multimodal family).
     """
-    d = table(spark, sf_dir, "documents").select("doc_id")
+    d = doc_ids(spark, sf_dir)
     return d.mapInPandas(
         _scene_cut_batches,
         schema="doc_id long, n_frames int, n_cuts int, max_hamming int",
