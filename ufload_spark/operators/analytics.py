@@ -2970,6 +2970,155 @@ def orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Mann-Whitney price-bin width in cents ($1 000): the order-price domain is
+#: bounded (~$850–$600k at every TPC-H SF), so the bin frame stays ≤ ~600
+#: rows regardless of corpus size — the segmented-prefix-sum scale guard.
+MWU_BIN_CENTS = 100_000
+
+
+@register(
+    "orders_mannwhitney_u",
+    f"""
+WITH base AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+           AS is1
+  FROM orders
+), pv AS (
+  SELECT cents, CAST(sum(is1) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS ct
+  FROM base GROUP BY cents
+), cum AS (
+  SELECT cents, c1, ct,
+         CAST(coalesce(sum(ct) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cbefore
+  FROM pv
+), agg AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(ct) AS BIGINT) AS n,
+         CAST(sum(CAST(c1 AS HUGEINT) * (2 * cbefore + ct + 1)) AS HUGEINT)
+           AS r1x2,
+         CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT) AS tie_cubes
+  FROM cum
+)
+SELECT n1, CAST(n - n1 AS BIGINT) AS n2,
+       CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1_twice,
+       CAST(tie_cubes AS BIGINT) AS tie_cubes,
+       round((CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+              - CAST(n1 AS DOUBLE) * (n - n1))
+             / (2 * sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12.0
+                * ((n + 1) - CAST(tie_cubes AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (n - 1))))), 6) + 0.0 AS z_score
+FROM agg
+""",
+    doc="exact Mann-Whitney U rank-sum test (urgent-priority vs normal order "
+    "value): tie-averaged ranks from per-value counts + a segmented prefix "
+    "sum (price-bin offsets broadcast, intra-bin windows) — no global sort; "
+    "U doubled to stay integer, tie-corrected normal z at the end",
+)
+def orders_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) test of whether urgent/high
+    priority orders have a different value distribution than the rest —
+    the nonparametric sibling of `events_ab_test_ztest` (no normality
+    assumption; ranks only).
+
+    The textbook statistic needs a global rank, which distributes badly.
+    Instead ranks come from per-VALUE counts: for a distinct price v with
+    c1 group-1 rows, ct total rows and cbefore rows strictly below it, the
+    tie-averaged rank sum contribution is c1 * (cbefore + (ct+1)/2); the
+    query carries 2× that to stay in exact integers (decimal128 on the
+    Spark side, HUGEINT in the oracle). The cumulative-below count uses a
+    SEGMENTED prefix sum — per-value counts shuffle once on cents, a
+    ≤~600-row price-bin frame (:data:`MWU_BIN_CENTS` wide over the bounded
+    TPC-H price domain) carries exclusive bin offsets through one
+    broadcast, and the intra-bin exclusive running sum is a window
+    PARTITIONED by bin — so no partition-less window ever sees a
+    corpus-sized frame. U1 = R1 − n1(n1+1)/2, and the tie-corrected normal
+    approximation z = (U1 − n1·n2/2) / σ is the single float step, rounded
+    to 6 decimals from exactly-representable integer inputs (u1_twice
+    < 2^53 through sf10 — the doc'd double cliff).
+
+    Scale shape: one shuffle on cents, one bounded broadcast, one
+    partitioned window, one scalar aggregate.
+
+    Reference analog: none (extension surface — experimentation family).
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("is1"),
+    )
+    pv = base.groupBy("cents").agg(
+        F.sum("is1").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("ct"),
+    )
+    binned = pv.withColumn("bin", F.expr(f"cents div {MWU_BIN_CENTS}"))
+    # SCALE GUARD: partition-less window over the price-bin frame only —
+    # bounded by the price domain (~600 rows), not order count.
+    w_bins = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bin_offsets = (
+        binned.groupBy("bin")
+        .agg(F.sum("ct").alias("bt"))
+        .select(
+            "bin",
+            F.coalesce(F.sum("bt").over(w_bins), F.lit(0))
+            .cast("bigint")
+            .alias("bin_before"),
+        )
+    )
+    w_intra = (
+        Window.partitionBy("bin")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = binned.join(F.broadcast(bin_offsets), "bin").select(
+        "c1",
+        "ct",
+        (
+            F.col("bin_before")
+            + F.coalesce(F.sum("ct").over(w_intra), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("cbefore"),
+    )
+    dec = "decimal(38,0)"
+    agg = cum.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("ct").cast("bigint").alias("n"),
+        F.sum(
+            F.col("c1").cast(dec) * (2 * F.col("cbefore") + F.col("ct") + 1)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("ct").cast(dec) * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tie_cubes"),
+    )
+    u1_twice = (F.col("r1x2") - F.col("n1").cast(dec) * (F.col("n1") + 1)).cast(
+        "bigint"
+    )
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    n2d = (F.col("n") - F.col("n1")).cast("double")
+    sigma = F.sqrt(
+        n1d * n2d / 12.0
+        * ((nd + 1) - F.col("tie_cubes").cast("double") / (nd * (nd - 1)))
+    )
+    return agg.select(
+        "n1",
+        (F.col("n") - F.col("n1")).cast("bigint").alias("n2"),
+        u1_twice.alias("u1_twice"),
+        F.col("tie_cubes").cast("bigint").alias("tie_cubes"),
+        (
+            F.round((u1_twice.cast("double") - n1d * n2d) / (2 * sigma), 6)
+            + F.lit(0.0)
+        ).alias("z_score"),
+    )
+
+
 @register(
     "parts_croston_intermittent",
     """

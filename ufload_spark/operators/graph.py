@@ -723,3 +723,123 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("jacc_micro"), "u", "v")
     # SCALE GUARD: partition-less window over the LP_TOP_N-row frame only.
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+#: k-core floor and peel-round budget for the degeneracy audit
+KCORE_K = 8
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+WITH p0 AS (
+  SELECT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)"""
+    ]
+    for k in range(1, KCORE_ROUNDS + 1):
+        prev = f"p{k - 1}"
+        parts.append(
+            f""", p{k} AS (
+  SELECT c, s FROM {prev}
+  WHERE c IN (SELECT c FROM {prev} GROUP BY c HAVING count(*) >= {KCORE_K})
+    AND s IN (SELECT s FROM {prev} GROUP BY s HAVING count(*) >= {KCORE_K})
+)"""
+        )
+    stats = [
+        f"""SELECT CAST({k} AS BIGINT) AS round,
+       CAST(count(DISTINCT c) + count(DISTINCT s) AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM p{k}"""
+        for k in range(KCORE_ROUNDS + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(stats))
+    return "".join(parts)
+
+
+@register(
+    "graph_kcore_peel",
+    _kcore_oracle(),
+    doc=f"k-core degeneracy peel (k={KCORE_K}, {KCORE_ROUNDS} synchronous "
+    "rounds) on the bipartite purchase graph: each round drops nodes with "
+    "fewer than k distinct partners and the edges they carried; emits the "
+    "per-round (nodes, edges) shrinkage curve — exact integers throughout",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Seidman's cores;
+    Batagelj–Zaversnik made sequential, here the Montresor et al.
+    distributed formulation): every round deletes nodes whose degree in
+    the CURRENT graph is below :data:`KCORE_K`, together with their
+    edges, and the per-round (n_nodes, n_edges) curve is the audit
+    output — where it flattens, the k-core has converged; the surviving
+    subgraph is the densely-engaged customer/supplier backbone (the
+    graph-world analog of the RFM "champions" cell).
+
+    The graph is the bipartite purchase graph (distinct customer-supplier
+    pairs, the PageRank/LPA edge set), so degree = distinct trading
+    partners and the two sides peel against the same floor. Synchronous
+    rounds make the trajectory deterministic: each round's degrees are
+    computed from the previous round's edge set only (no within-round
+    cascade order), so both engines walk the identical curve.
+
+    Scale shape, per round: two hash aggregates over the pair frame
+    (per-customer and per-supplier degree, map-side partials) and two
+    LEFT SEMI joins restricting the pairs to surviving endpoints — all
+    keyed shuffles, no window, no driver-side state. The per-round stats
+    rows are lazy 1-row aggregates unioned at the end (one job). Each
+    round's pair frame gets a lazy ``localCheckpoint``: both the stats
+    row and the next round consume it, and without the cut round k would
+    re-execute the whole peel prefix (the LPA lineage lesson). At cluster
+    scale, bucket the pair table by customer key so the degree aggregate
+    and the first semi-join co-locate shuffle-free.
+
+    Reference analog: none (extension surface — graph family, beside
+    ``graph_label_propagation`` / ``graph_triangle_count``).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    pairs = pairs.localCheckpoint(eager=False)
+
+    def stats(df: DataFrame, rnd: int) -> DataFrame:
+        return df.agg(
+            F.lit(rnd).cast("bigint").alias("round"),
+            (F.countDistinct("c") + F.countDistinct("s"))
+            .cast("bigint")
+            .alias("n_nodes"),
+            F.count("*").cast("bigint").alias("n_edges"),
+        ).select("round", "n_nodes", "n_edges")
+
+    out = [stats(pairs, 0)]
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        keep_c = (
+            pairs.groupBy("c")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= KCORE_K)
+            .select("c")
+        )
+        keep_s = (
+            pairs.groupBy("s")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= KCORE_K)
+            .select("s")
+        )
+        pairs = pairs.join(keep_c, "c", "left_semi").join(
+            keep_s, "s", "left_semi"
+        )
+        # Lineage barrier: stats AND the next round both read this frame.
+        pairs = pairs.localCheckpoint(eager=False)
+        out.append(stats(pairs, rnd))
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionByName(frame)
+    return res

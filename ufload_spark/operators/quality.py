@@ -305,6 +305,106 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DP release parameters: Laplace scale b = Δf/ε with sensitivity 1 (one
+#: customer moves one count) and ε = 0.5; noisy counts below the floor are
+#: suppressed from release.
+DP_LAPLACE_SCALE = 2.0
+DP_RELEASE_MIN = 10.0
+
+
+@register(
+    "privacy_dp_noisy_counts",
+    f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+), u AS (
+  SELECT c_nationkey, c_mktsegment, n,
+         CAST(('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || '|'
+                 || c_mktsegment), 1, 12))::BIGINT AS DOUBLE)
+           / 281474976710656.0 AS u01
+  FROM g
+), noised AS (
+  SELECT c_nationkey, c_mktsegment, n,
+         round(-{DP_LAPLACE_SCALE} * sign(u01 - 0.5)
+               * ln(1.0 - 2.0 * abs(u01 - 0.5)), 6) AS noise
+  FROM u
+)
+SELECT c_nationkey, c_mktsegment,
+       round(n + noise, 6) + 0.0 AS noisy_count,
+       (n + noise) >= {DP_RELEASE_MIN} AS released
+FROM noised
+""",
+    doc=f"differentially-private release counts (Laplace b={DP_LAPLACE_SCALE}, "
+    "sensitivity 1): per (nation, segment) customer counts + inverse-CDF "
+    "Laplace noise drawn from the content-addressed md5 uniform — "
+    f"deterministic cross-engine; noisy counts < {DP_RELEASE_MIN} suppressed",
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Dwork et al.'s Laplace
+    mechanism): per (nation, market segment) customer counts plus
+    Laplace(b = Δf/ε) noise, b = :data:`DP_LAPLACE_SCALE` for ε = 0.5 at
+    sensitivity 1. The noise draw is the engine's content-addressed
+    hash-sampling discipline, not random(): u = md5(group key) mapped to
+    [0, 1) via 12 hex chars / 2^48, pushed through the Laplace inverse CDF
+    −b·sign(u−½)·ln(1−2|u−½|) — every engine, run and cluster layout adds
+    the identical noise, so the release is reproducible AND the DuckDB
+    oracle can verify it bit-for-bit. (A production release would swap the
+    group key for a keyed secret-salted hash; the mechanism and plan shape
+    are identical.) Groups whose noisy count falls below
+    :data:`DP_RELEASE_MIN` are flagged suppressed — the thresholding step
+    every DP release pipeline applies to avoid leaking tiny cohorts.
+
+    Float discipline: the ln argument is an exact dyadic rational
+    (|2h − 2^48|/2^48), the single libm ln is rounded to 6 decimals per
+    row, and the final add re-rounds — the χ²/JSD per-term discipline.
+
+    Scale shape: ONE hash aggregate on the (nation, segment) key with
+    map-side partials, then a row-local noise map over the ≤125-row group
+    frame. No join, no window.
+
+    Reference analog: none (extension surface — governance family, the
+    release half of `privacy_k_anonymity`'s audit).
+    """
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    u01 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("c_nationkey").cast("string"),
+                        F.col("c_mktsegment"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(281474976710656.0)
+    )
+    noise = F.round(
+        F.lit(-DP_LAPLACE_SCALE)
+        * F.signum(u01 - 0.5)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u01 - 0.5)),
+        6,
+    )
+    noised = g.select("c_nationkey", "c_mktsegment", "n", noise.alias("noise"))
+    return noised.select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.round(F.col("n") + F.col("noise"), 6) + F.lit(0.0)).alias(
+            "noisy_count"
+        ),
+        ((F.col("n") + F.col("noise")) >= DP_RELEASE_MIN).alias("released"),
+    )
+
+
 @register(
     "quality_reconciliation",
     """

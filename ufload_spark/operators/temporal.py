@@ -864,6 +864,133 @@ def events_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_survival_km",
+    f"""
+WITH span AS (
+  SELECT user_id,
+         CAST(CAST(min(ts) AS DATE) - DATE '1970-01-01' AS BIGINT) AS first_day,
+         CAST(CAST(max(ts) AS DATE) - DATE '1970-01-01' AS BIGINT) AS last_day
+  FROM events GROUP BY 1
+), horizon AS (
+  SELECT max(last_day) AS max_day FROM span
+), lives AS (
+  SELECT CAST((last_day - first_day) // 7 AS BIGINT) AS week,
+         CASE WHEN last_day <= max_day - {CHURN_QUIET_DAYS} THEN 1 ELSE 0 END
+           AS churned
+  FROM span, horizon
+), weekly AS (
+  SELECT week, CAST(count(*) AS BIGINT) AS n_ending,
+         CAST(sum(churned) AS BIGINT) AS n_churned
+  FROM lives GROUP BY week
+), haz AS (
+  SELECT week, n_churned,
+         CAST(sum(n_ending) OVER (ORDER BY week DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_risk
+  FROM weekly
+), terms AS (
+  SELECT week, n_churned, n_risk,
+         CASE WHEN n_churned >= n_risk THEN 0.0
+              ELSE round(ln(CAST(n_risk - n_churned AS DOUBLE) / n_risk), 12)
+         END AS ln_term,
+         CASE WHEN n_churned >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM haz
+)
+SELECT week, n_churned, n_risk,
+       CASE WHEN max(dead) OVER (ORDER BY week
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+            THEN 0.0
+            ELSE round(exp(sum(ln_term) OVER (ORDER BY week
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) + 0.0
+       END AS km_survival
+FROM terms
+""",
+    doc="Kaplan-Meier survival curve over user lifetimes (the product-limit "
+    "integral of events_churn_hazard): per-week at-risk/churned counts, "
+    "survival as exp of a running sum of per-term-rounded log factors — "
+    "deterministic cross-engine, zero-survival prefix handled exactly",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate of user lifetime, the
+    curve form of :func:`events_churn_hazard`'s life table: S(w) =
+    prod_{i<=w} (1 - d_i / r_i) with d = churned endings and r = the
+    at-risk set (reverse running sum of endings; users censored inside
+    :data:`CHURN_QUIET_DAYS` of the horizon leave the risk set without a
+    death event, exactly KM's right-censoring).
+
+    Float discipline: a running *product* of doubles is
+    association-order-dependent, so each factor's log is rounded to 12
+    decimals FIRST (the chi-square/JSD per-term discipline) and the
+    product becomes exp of a running SUM over the bounded weekly frame —
+    both engines add the identical rounded terms in the identical window
+    order. A week where every at-risk user churns drives S to exactly 0;
+    that case bypasses ln entirely via a flag whose running max pins every
+    later week to 0.0 (Spark ANSI ln(0) would raise, and -inf would poison
+    the sum).
+
+    Scale shape: identical to the hazard table — one user_id shuffle, one
+    week shuffle, then two windows over the per-week frame bounded by the
+    corpus span in weeks, never by user count.
+
+    Reference analog: none (extension surface — experimentation/retention
+    family, beside events_churn_hazard and events_retention_cohorts).
+    """
+    ev = table(spark, sf_dir, "events")
+    day = lambda c: F.datediff(c, F.lit("1970-01-01")).cast("long")  # noqa: E731
+    span = ev.groupBy("user_id").agg(
+        day(F.to_date(F.min("ts"))).alias("first_day"),
+        day(F.to_date(F.max("ts"))).alias("last_day"),
+    )
+    horizon = span.groupBy().agg(F.max("last_day").alias("max_day"))
+    lives = span.crossJoin(F.broadcast(horizon)).select(
+        F.floor((F.col("last_day") - F.col("first_day")) / 7)
+        .cast("bigint")
+        .alias("week"),
+        F.when(F.col("last_day") <= F.col("max_day") - CHURN_QUIET_DAYS, 1)
+        .otherwise(0)
+        .alias("churned"),
+    )
+    weekly = lives.groupBy("week").agg(
+        F.count("*").cast("bigint").alias("n_ending"),
+        F.sum("churned").cast("bigint").alias("n_churned"),
+    )
+    # SCALE GUARD: partition-less windows over the per-week frame only —
+    # bounded by the corpus time span, not user count.
+    w_desc = Window.orderBy(F.col("week").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("week").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    haz = weekly.select(
+        "week",
+        "n_churned",
+        F.sum("n_ending").over(w_desc).cast("bigint").alias("n_risk"),
+    )
+    dead = F.when(F.col("n_churned") >= F.col("n_risk"), 1).otherwise(0)
+    ln_term = F.when(F.col("n_churned") >= F.col("n_risk"), F.lit(0.0)).otherwise(
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("n_churned")).cast("double")
+                / F.col("n_risk")
+            ),
+            12,
+        )
+    )
+    terms = haz.select(
+        "week", "n_churned", "n_risk", ln_term.alias("ln_term"), dead.alias("dead")
+    )
+    return terms.select(
+        "week",
+        "n_churned",
+        "n_risk",
+        F.when(F.max("dead").over(w_asc) == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum("ln_term").over(w_asc)), 6) + F.lit(0.0))
+        .alias("km_survival"),
+    )
+
+
+@register(
     "orders_theilsen_trend",
     """
 WITH daily AS (

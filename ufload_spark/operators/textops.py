@@ -1566,3 +1566,102 @@ def search_fuzzy_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_rank).cast("int"))
         .where(F.col("rank") <= FUZZY_TOP_K)
     )
+
+
+#: RAKE: phrases returned (top-N by score)
+RAKE_TOP_N = 20
+
+
+@register(
+    "text_rake_keywords",
+    f"""
+WITH frag AS (
+  SELECT unnest(string_split(regexp_replace(lower(text),
+           '\\b({_STOP})\\b', '|', 'g'), '|')) AS ph
+  FROM documents
+), phrases AS (
+  SELECT trim(ph) AS phrase FROM frag WHERE trim(ph) <> ''
+), occw AS (
+  SELECT unnest(string_split_regex(phrase, ' +')) AS w,
+         CAST(len(string_split_regex(phrase, ' +')) AS BIGINT) AS plen
+  FROM phrases
+), wstats AS (
+  SELECT w,
+         CAST(sum(plen) AS BIGINT) * 1000000 // count(*) AS w_score_micro
+  FROM occw GROUP BY w
+), dp AS (
+  SELECT DISTINCT phrase FROM phrases
+), dpw AS (
+  SELECT phrase, unnest(string_split_regex(phrase, ' +')) AS w FROM dp
+), scored AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(ws.w_score_micro) AS BIGINT) AS score_micro
+  FROM dpw JOIN wstats ws USING (w) GROUP BY phrase
+)
+SELECT phrase, n_words, score_micro, rnk FROM (
+  SELECT phrase, n_words, score_micro,
+         CAST(row_number() OVER (ORDER BY score_micro DESC, phrase) AS INT)
+           AS rnk
+  FROM scored
+) WHERE rnk <= {RAKE_TOP_N}
+""",
+    doc=f"RAKE keyword extraction: stopword-delimited candidate phrases, "
+    "word score = co-occurrence degree / frequency in exact integer "
+    f"micro-units, phrase score = sum of word scores; top {RAKE_TOP_N} "
+    "phrases corpus-wide",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction, Rose et al.) over the
+    corpus: candidate phrases are the maximal stopword-free runs (text
+    split where a stopword occurs), each word scores degree/frequency —
+    degree sums the lengths of every phrase occurrence containing the
+    word (itself + co-occurring words), frequency counts occurrences —
+    and a candidate phrase scores the sum of its word scores. The
+    division happens once per WORD in exact integer micro-units
+    (degree·10^6 div freq), so phrase scores are exact integer sums and
+    the top-:data:`RAKE_TOP_N` cut is a total order with no float ties.
+
+    Scale shape: phrase extraction is a row-local map (regexp replace +
+    split + explode); word stats are ONE hash aggregate on the word key
+    (vocabulary-sized output); phrase scores re-join the deduped phrase
+    table to the word table on the same key — both sides shuffle once on
+    the word. The ranked cut is orderBy+limit (TakeOrderedAndProject — a
+    per-partition top-N and a single reduce, never a global sort), and
+    the rank window runs over the returned ≤:data:`RAKE_TOP_N`-row frame.
+
+    Reference analog: none (extension surface — text-analysis family,
+    beside `text_tfidf_top_terms`, which ranks single terms by corpus
+    rarity; RAKE ranks multi-word phrases by within-phrase cohesion).
+    """
+    docs = table(spark, sf_dir, "documents")
+    frag = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower("text"), f"\\b({_STOP})\\b", "|"),
+                "\\|",
+            )
+        ).alias("ph")
+    )
+    phrases = frag.select(F.trim("ph").alias("phrase")).where(
+        F.col("phrase") != ""
+    )
+    arr = F.split("phrase", " +")
+    occw = phrases.select(
+        F.explode(arr).alias("w"), F.size(arr).cast("bigint").alias("plen")
+    )
+    wstats = occw.groupBy("w").agg(
+        F.expr("CAST(sum(plen) AS BIGINT) * 1000000 div count(*)").alias(
+            "w_score_micro"
+        )
+    )
+    dp = phrases.distinct()
+    dpw = dp.select("phrase", F.explode(arr).alias("w"))
+    scored = dpw.join(wstats, "w").groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("w_score_micro").cast("bigint").alias("score_micro"),
+    )
+    # TakeOrderedAndProject: top-N, no full sort materializes
+    top = scored.orderBy(F.desc("score_micro"), "phrase").limit(RAKE_TOP_N)
+    # SCALE GUARD: partition-less window over the RAKE_TOP_N-row frame only.
+    w_rank = Window.orderBy(F.desc("score_micro"), "phrase")
+    return top.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
