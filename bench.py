@@ -95,6 +95,9 @@ HEADLINE = [
     "events_outlier_mad",          # two-pass median/MAD over cents histograms (r6)
     "events_countmin_estimate",    # mergeable CM sketch + probe audit (r6)
     "multimodal_video_scene_cuts", # per-video sequential aHash walk, map-only (r6)
+    "orders_mannwhitney_u",        # segmented-prefix-sum exact rank test (r6)
+    "graph_kcore_peel",            # synchronous degeneracy peel rounds (r6)
+    "text_rake_keywords",          # RAKE phrase mining, one vocab shuffle (r6)
 ]
 
 

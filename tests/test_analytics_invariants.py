@@ -774,3 +774,110 @@ def test_bot_detection_covers_all_users(spark):
     for r in rows:
         assert r["max_hourly"] <= r["n_events"]
         assert r["active_hours"] >= 1
+
+
+def test_km_survival_monotone_and_bounded(spark):
+    from ufload_spark.operators.temporal import events_survival_km
+
+    rows = sorted(
+        events_survival_km(spark, SF_DIR).collect(), key=lambda r: r["week"]
+    )
+    assert rows, "KM curve is empty"
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r["km_survival"] <= 1.0
+        assert r["km_survival"] <= prev + 1e-9  # survival never rises
+        assert 0 <= r["n_churned"] <= r["n_risk"]
+        prev = r["km_survival"]
+    # the at-risk set shrinks (weakly) as lifetime weeks grow
+    risks = [r["n_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+
+
+def test_mannwhitney_u_matches_bruteforce(spark):
+    from ufload_spark.operators.analytics import orders_mannwhitney_u
+
+    row = orders_mannwhitney_u(spark, SF_DIR).collect()[0]
+    o = (
+        table(spark, SF_DIR, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is1"),
+        )
+        .collect()
+    )
+    g1 = sorted(r["cents"] for r in o if r["is1"])
+    g2 = sorted(r["cents"] for r in o if not r["is1"])
+    assert row["n1"] == len(g1) and row["n2"] == len(g2)
+    # brute-force 2*U1 = sum over pairs of 2*[x>y] + [x==y]
+    import bisect
+
+    u1_twice = 0
+    for x in g1:
+        lt = bisect.bisect_left(g2, x)
+        eq = bisect.bisect_right(g2, x) - lt
+        u1_twice += 2 * lt + eq
+    assert row["u1_twice"] == u1_twice
+    # U1 + U2 = n1*n2 bound
+    assert 0 <= row["u1_twice"] <= 2 * row["n1"] * row["n2"]
+
+
+def test_dp_noise_is_bounded_and_centered(spark):
+    from ufload_spark.operators.quality import (
+        DP_LAPLACE_SCALE,
+        privacy_dp_noisy_counts,
+    )
+
+    noisy = {
+        (r["c_nationkey"], r["c_mktsegment"]): r["noisy_count"]
+        for r in privacy_dp_noisy_counts(spark, SF_DIR).collect()
+    }
+    true = {
+        (r["c_nationkey"], r["c_mktsegment"]): r["n"]
+        for r in table(spark, SF_DIR, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(noisy) == set(true)  # every group released or suppressed-flagged
+    # Laplace(b) tail: |noise| < b * ln(2^48) ~ 33.3b for the 48-bit uniform
+    cap = DP_LAPLACE_SCALE * 48 * math.log(2) + 1e-6
+    devs = [noisy[k] - true[k] for k in true]
+    assert all(abs(d) <= cap for d in devs)
+    # hash-uniform draws: roughly half the noise is negative (sanity, wide tol)
+    neg = sum(1 for d in devs if d < 0)
+    assert 0.2 <= neg / len(devs) <= 0.8
+
+
+def test_kcore_peel_monotone(spark):
+    from ufload_spark.operators.graph import KCORE_ROUNDS, graph_kcore_peel
+
+    rows = sorted(
+        graph_kcore_peel(spark, SF_DIR).collect(), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == list(range(KCORE_ROUNDS + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"]  # peeling only shrinks
+        assert b["n_edges"] <= a["n_edges"]
+    # a peeled-to-empty graph stays empty
+    for a, b in zip(rows, rows[1:]):
+        if a["n_edges"] == 0:
+            assert b["n_edges"] == 0 and b["n_nodes"] == 0
+
+
+def test_rake_scores_positive_and_ranked(spark):
+    from ufload_spark.operators.textops import RAKE_TOP_N, text_rake_keywords
+
+    rows = sorted(
+        text_rake_keywords(spark, SF_DIR).collect(), key=lambda r: r["rnk"]
+    )
+    assert 0 < len(rows) <= RAKE_TOP_N
+    for r in rows:
+        assert r["score_micro"] > 0
+        assert r["n_words"] == len(r["phrase"].split())
+        # a phrase of n words scores at least n * 1.0 (degree >= freq)
+        assert r["score_micro"] >= r["n_words"] * 1_000_000
+    scores = [r["score_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
