@@ -98,6 +98,8 @@ HEADLINE = [
     "orders_mannwhitney_u",        # segmented-prefix-sum exact rank test (r6)
     "graph_kcore_peel",            # synchronous degeneracy peel rounds (r6)
     "text_rake_keywords",          # RAKE phrase mining, one vocab shuffle (r6)
+    "multimodal_image_phash",      # fixed-point DCT perceptual hash map (r6)
+    "orders_seasonal_decompose",   # integer MA/seasonal/residual split (r6)
 ]
 
 

@@ -881,3 +881,28 @@ def test_rake_scores_positive_and_ranked(spark):
         assert r["score_micro"] >= r["n_words"] * 1_000_000
     scores = [r["score_micro"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_seasonal_decompose_conserves_and_centers(spark):
+    from ufload_spark.operators.temporal import orders_seasonal_decompose
+
+    rows = orders_seasonal_decompose(spark, SF_DIR).collect()
+    assert rows
+    seasonal_by_dow = {}
+    for r in rows:
+        seasonal_by_dow[r["day"] % 7] = r["seasonal_micro"]
+        if r["trend_micro"] is not None:
+            # exact additive identity: cents*1e6 = trend + seasonal + resid
+            assert (
+                r["trend_micro"] + r["seasonal_micro"] + r["resid_micro"]
+                == r["cents"] * 1_000_000
+            )
+        else:
+            assert r["resid_micro"] is None  # edges carry no residual
+    # weekly effects re-centered: observed effects sum to ~0 (div grain)
+    assert abs(sum(seasonal_by_dow.values())) <= len(seasonal_by_dow)
+    # edge days (first/last 3 of the span) have no complete MA window
+    days = sorted(r["day"] for r in rows)
+    by_day = {r["day"]: r for r in rows}
+    for d in days[:3] + days[-3:]:
+        assert by_day[d]["trend_micro"] is None

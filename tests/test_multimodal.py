@@ -166,3 +166,25 @@ def test_pixel_png_roundtrip_and_corruption():
     corrupt = png[:idat_at] + bytes([png[idat_at] ^ 0xFF]) + png[idat_at + 1 :]
     with pytest.raises(ValueError):
         decode_png_pixels(corrupt)
+
+
+def test_phash_bits_shape_and_pattern_identity():
+    from ufload_spark.operators.multimodal import (
+        AH_PATTERN_MOD,
+        decode_png_pixels,
+        make_pixel_png,
+        phash_bits,
+    )
+
+    h7 = phash_bits(decode_png_pixels(make_pixel_png(7)))
+    assert len(h7) == 63 and set(h7) <= {"0", "1"}
+    # strict median threshold: 31 coefficients land above the 32nd order
+    # statistic unless values tie at the median
+    assert h7.count("1") <= 31
+    # identical pattern base → identical hash; distinct bases differ
+    assert h7 == phash_bits(decode_png_pixels(make_pixel_png(7)))
+    others = {
+        phash_bits(decode_png_pixels(make_pixel_png(b)))
+        for b in range(AH_PATTERN_MOD)
+    }
+    assert len(others) > 1  # the DCT actually separates patterns

@@ -1158,3 +1158,174 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scene_cut_batches,
         schema="doc_id long, n_frames int, n_cuts int, max_hamming int",
     )
+
+
+# --- DCT perceptual hash (pHash) over the same real-pixel PNGs --------------
+
+#: pHash geometry: the 16×16 decoded grid folds to an 8×8 integer
+#: block-sum matrix, whose full 8×8 DCT-II yields 1 DC + 63 AC
+#: coefficients; bits compare each AC coefficient to their median.
+PHASH_N = AH_W // AH_BLOCK  # 8
+#: fixed-point grain for each DCT term (the chi-square/JSD discipline:
+#: round BEFORE summation so the reduction is order-free and cross-engine)
+PHASH_SCALE = 12
+
+
+def phash_bits(grid: list[list[int]]) -> str:
+    """63-char bit string: 2D DCT-II of the 8×8 block-sum matrix, each
+    term rounded half-away-from-zero to 12 decimals and accumulated in
+    exact integer 10^-12 units (so the sum is association-order-free and
+    matches the oracle's DECIMAL(38,12) arithmetic bit-for-bit); bit k =
+    AC coefficient k strictly above the median (32nd order statistic) of
+    the 63 AC coefficients, (u, v) row-major."""
+    import math
+
+    n = PHASH_N
+    # 8×8 block SUMS, exact ints (dividing by 4 would only rescale every
+    # coefficient by a constant, leaving the median comparison unchanged)
+    s = [
+        [
+            sum(
+                grid[by * AH_BLOCK + dy][bx * AH_BLOCK + dx]
+                for dy in range(AH_BLOCK)
+                for dx in range(AH_BLOCK)
+            )
+            for bx in range(n)
+        ]
+        for by in range(n)
+    ]
+    # cos tables with the ORACLE's exact expression order:
+    # pi * (2*i + 1) * u / 16.0, evaluated left-to-right
+    cos_t = [
+        [math.cos(math.pi * (2 * i + 1) * u / (2.0 * n)) for i in range(n)]
+        for u in range(n)
+    ]
+    scale = 10 ** PHASH_SCALE
+
+    def q12(t: float) -> int:
+        # DuckDB round(): half away from zero
+        return (
+            int(math.floor(t * scale + 0.5))
+            if t >= 0
+            else -int(math.floor(-t * scale + 0.5))
+        )
+
+    coefs: list[tuple[int, int, int]] = []
+    for u in range(n):
+        for v in range(n):
+            acc = 0
+            for bx in range(n):
+                for by in range(n):
+                    # identical multiply order to the oracle: (s*cu)*cv
+                    acc += q12(s[by][bx] * cos_t[u][bx] * cos_t[v][by])
+            coefs.append((u, v, acc))
+    ac = [c for u, v, c in coefs if (u, v) != (0, 0)]
+    med = sorted(ac)[(len(ac) - 1) // 2]  # 32nd smallest of 63
+    return "".join(
+        "1" if c > med else "0" for u, v, c in coefs if (u, v) != (0, 0)
+    )
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # content-addressed memo: the fixture plants AH_PATTERN_MOD distinct
+    # images, so hashing each unique byte payload once collapses the
+    # 4096-term DCT to one evaluation per distinct image per batch — the
+    # same dedup-before-expensive-work posture as the corpus family
+    memo: dict[bytes, str] = {}
+
+    def one(c: bytes) -> str:
+        h = memo.get(c)
+        if h is None:
+            h = memo[c] = phash_bits(decode_png_pixels(c))
+        return h
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "phash": pdf["content"].map(lambda c: one(bytes(c))),
+            }
+        )
+
+
+@register(
+    "multimodal_image_phash",
+    f"""
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y,
+         (7 * x.x + 13 * y.y + 31 * (d.doc_id % {AH_PATTERN_MOD})) % 256 AS v
+  FROM documents d,
+       (SELECT unnest(range(0, {AH_W})) AS x) x,
+       (SELECT unnest(range(0, {AH_H})) AS y) y
+), blocks AS (
+  SELECT doc_id, x // {AH_BLOCK} AS bx, y // {AH_BLOCK} AS by,
+         CAST(sum(v) AS BIGINT) AS s
+  FROM px GROUP BY 1, 2, 3
+), freq AS (
+  SELECT unnest(range(0, {PHASH_N})) AS f
+), coef AS (
+  SELECT b.doc_id, fu.f AS u, fv.f AS v,
+         sum(CAST(round(b.s * cos(pi() * (2 * b.bx + 1) * fu.f / {2.0 * PHASH_N})
+                            * cos(pi() * (2 * b.by + 1) * fv.f / {2.0 * PHASH_N}),
+                  {PHASH_SCALE}) AS DECIMAL(38,{PHASH_SCALE}))) AS c
+  FROM blocks b, freq fu, freq fv
+  GROUP BY 1, 2, 3
+), ac AS (
+  SELECT doc_id, u, v, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c, u, v) AS rn
+  FROM coef WHERE NOT (u = 0 AND v = 0)
+), med AS (
+  SELECT doc_id, max(CASE WHEN rn = 32 THEN c END) AS m FROM ac GROUP BY doc_id
+), bits AS (
+  SELECT c.doc_id,
+         string_agg(CASE WHEN c.c > m.m THEN '1' ELSE '0' END, ''
+                    ORDER BY c.u, c.v) AS phash
+  FROM coef c JOIN med m USING (doc_id)
+  WHERE NOT (c.u = 0 AND c.v = 0)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, phash, count(*) OVER (PARTITION BY phash) AS n_dupes
+FROM bits
+""",
+    doc="DCT perceptual hash (pHash) over the real-pixel PNGs: full IDAT "
+    "decode → 8×8 block sums → exact fixed-point 2D DCT-II → 63 bits vs "
+    "the AC median; the oracle re-derives every coefficient closed-form",
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash over the same real-pixel PNGs as
+    ``multimodal_image_ahash`` — the spectral upgrade: aHash compares
+    block means (sensitive to global brightness ramps), pHash compares
+    the low-frequency DCT structure, the standard near-dup signature for
+    images (public pHash algorithm: resize → DCT → median-threshold the
+    low-frequency block). Decode is the honest path (chunk CRC walk, zlib
+    inflate, scanline unfilter); the 16×16 grid folds to an 8×8 integer
+    block-SUM matrix (a constant rescale of the mean — the median
+    comparison is scale-invariant, so the matrix stays exact ints), and
+    the 2D DCT-II accumulates per-term fixed-point: each s·cos·cos
+    product is rounded half-away-from-zero to 10^-12 FIRST, summed in
+    exact integer units, so the 64-term reductions are association-free
+    and the UDF's bits match the oracle's DECIMAL(38,12) arithmetic
+    bit-for-bit (both engines call the same libm cos on identical
+    doubles; the 12-decimal grain absorbs ~30 ulp of slack on a ≤1020
+    magnitude term). Bit k = AC coefficient k strictly above the 63-AC
+    median. Identical hashes form duplicate groups — the fixture plants
+    them via ``doc_id % {AH_PATTERN_MOD}``.
+
+    Scale shape: decode + DCT is a narrow Arrow map (content-addressed
+    memo collapses repeated payloads within a batch); ONE exchange groups
+    the 63-bit hashes for dup counts — the ``dedup_exact`` posture.
+    Hamming-radius retrieval at scale would reuse the SimHash pigeonhole
+    bands over these bits, exactly as ``multimodal_image_neardup`` does
+    for aHash.
+
+    Reference analog: none (extension surface — multimodal family).
+    """
+    d = doc_ids(spark, sf_dir)
+    png = d.mapInPandas(
+        _synthesize_pixel_png_batches, schema="doc_id long, content binary"
+    )
+    hashed = png.mapInPandas(_phash_batches, schema="doc_id long, phash string")
+    w = Window.partitionBy("phash")
+    return hashed.select(
+        "doc_id", "phash", F.count("*").over(w).alias("n_dupes")
+    )

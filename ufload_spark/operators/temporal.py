@@ -1259,3 +1259,134 @@ def orders_forecast_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
             + F.lit(0.0)
         ).alias("bias_pct"),
     )
+
+
+@register(
+    "orders_seasonal_decompose",
+    """
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), ma AS (
+  SELECT day, cents,
+         CASE WHEN count(*) OVER w = 7
+              THEN CAST(sum(cents) OVER w AS BIGINT) * 1000000 // 7
+         END AS trend_micro
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT day, cents, trend_micro,
+         cents * 1000000 - trend_micro AS detr, day % 7 AS dow
+  FROM ma
+), seas AS (
+  SELECT dow,
+         CAST(CAST(sum(detr) AS HUGEINT) // count(*) AS BIGINT) AS s_micro
+  FROM det WHERE detr IS NOT NULL GROUP BY dow
+), ctr AS (
+  SELECT CAST(CAST(sum(s_micro) AS HUGEINT) // count(*) AS BIGINT) AS m
+  FROM seas
+), adj AS (
+  SELECT dow, CAST(s_micro - m AS BIGINT) AS seasonal_micro FROM seas, ctr
+)
+SELECT d.day, d.cents, CAST(d.trend_micro AS BIGINT) AS trend_micro,
+       a.seasonal_micro,
+       CAST(d.detr - a.seasonal_micro AS BIGINT) AS resid_micro
+FROM det d JOIN adj a USING (dow)
+""",
+    doc="classical additive seasonal decomposition of daily revenue "
+    "(trend = centered 7-day MA, weekly seasonal = centered per-weekday "
+    "mean of the detrended series, residual = remainder) — exact integer "
+    "micro-cents end to end, windows bounded by the calendar",
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition (the moving-average core of STL,
+    without loess): daily revenue splits into trend + weekly seasonal +
+    residual. Trend is the CENTERED 7-day moving average over a
+    value-based RANGE frame (incomplete edge windows yield NULL, never a
+    shortened average); the seasonal component is the per-weekday mean of
+    the detrended series, re-centered so the observed weekday effects sum
+    to ~0 (one integer division of grain 10^-6, over the classes that
+    actually have complete-window data — tiny fixtures cover < 7); the residual is what
+    remains — the input a forecast or anomaly monitor consumes
+    (``orders_peak_revenue_days``' spike rule applied to resid_micro
+    becomes seasonality-blind).
+
+    Everything stays in exact integer micro-cents: the MA is sum·10^6
+    div 7, weekday means are decimal128 floor divisions, and every
+    subtraction is int64 — no float anywhere, so both engines produce
+    bit-identical components (trunc-toward-zero div semantics confirmed
+    equal: Spark `div` and DuckDB `//`).
+
+    Scale shape: orders aggregate ONCE to the calendar-bounded day frame
+    (one shuffle); the MA window and the 7-row seasonal/centering frames
+    are all bounded by the time span, never order count, and the weekday
+    effects come back via one broadcast join.
+
+    Reference analog: none (extension surface — time-series family,
+    beside `orders_seasonality_index` [multiplicative monthly index] and
+    `orders_acf_daily_revenue`).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    # SCALE GUARD: partition-less windows over the daily frame only —
+    # bounded by the calendar span (~2 400 rows), not order count.
+    w_ma = Window.orderBy("day").rangeBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "cents",
+        F.when(
+            F.count("*").over(w_ma) == 7,
+            F.expr("1").cast("bigint"),
+        ).alias("full_w"),
+        F.sum("cents").over(w_ma).cast("bigint").alias("w_sum"),
+    ).select(
+        "day",
+        "cents",
+        F.when(
+            F.col("full_w").isNotNull(),
+            F.expr("w_sum * 1000000 div 7"),
+        )
+        .cast("bigint")
+        .alias("trend_micro"),
+    )
+    det = ma.select(
+        "day",
+        "cents",
+        "trend_micro",
+        (F.col("cents") * 1000000 - F.col("trend_micro")).alias("detr"),
+        (F.col("day") % 7).alias("dow"),
+    )
+    seas = (
+        det.where(F.col("detr").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.expr(
+                "CAST(CAST(sum(detr) AS decimal(38,0)) div count(*) AS BIGINT)"
+            ).alias("s_micro")
+        )
+    )
+    ctr = seas.agg(
+        F.expr(
+            "CAST(CAST(sum(s_micro) AS decimal(38,0)) div count(*) AS BIGINT)"
+        ).alias("m")
+    )
+    adj = seas.crossJoin(F.broadcast(ctr)).select(
+        "dow", (F.col("s_micro") - F.col("m")).cast("bigint").alias("seasonal_micro")
+    )
+    return det.join(F.broadcast(adj), "dow").select(
+        "day",
+        "cents",
+        "trend_micro",
+        "seasonal_micro",
+        (F.col("detr") - F.col("seasonal_micro")).cast("bigint").alias("resid_micro"),
+    )
