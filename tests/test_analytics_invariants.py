@@ -906,3 +906,18 @@ def test_seasonal_decompose_conserves_and_centers(spark):
     by_day = {r["day"]: r for r in rows}
     for d in days[:3] + days[-3:]:
         assert by_day[d]["trend_micro"] is None
+
+
+def test_quota_apportion_sums_to_budget(spark):
+    from ufload_spark.operators.corpus import QUOTA_BUDGET, corpus_quota_apportion
+
+    rows = corpus_quota_apportion(spark, SF_DIR).collect()
+    assert rows
+    assert sum(r["quota"] for r in rows) == QUOTA_BUDGET  # exact, always
+    total_chars = sum(r["chars"] for r in rows)
+    for r in rows:
+        assert r["extra"] in (0, 1)
+        assert r["quota"] in (r["base_quota"], r["base_quota"] + 1)
+        # quota within 1 of the exact proportional share
+        exact_floor = QUOTA_BUDGET * r["chars"] // total_chars
+        assert exact_floor <= r["quota"] <= exact_floor + 1

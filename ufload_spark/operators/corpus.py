@@ -1159,3 +1159,96 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_micro"),
         )
     )
+
+
+#: apportionment budget: total training tokens to allocate across sources
+QUOTA_BUDGET = 1_000_000
+
+
+@register(
+    "corpus_quota_apportion",
+    f"""
+WITH w AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(chars) AS BIGINT) AS total_chars FROM w
+), base AS (
+  SELECT source, chars,
+         CAST(CAST({QUOTA_BUDGET} AS HUGEINT) * chars // total_chars AS BIGINT)
+           AS base_quota,
+         CAST(CAST({QUOTA_BUDGET} AS HUGEINT) * chars
+              - (CAST({QUOTA_BUDGET} AS HUGEINT) * chars // total_chars)
+                * total_chars AS BIGINT) AS rem_num
+  FROM w, tot
+), leftover AS (
+  SELECT CAST({QUOTA_BUDGET} - sum(base_quota) AS BIGINT) AS l FROM base
+), ranked AS (
+  SELECT source, chars, base_quota, rem_num,
+         row_number() OVER (ORDER BY rem_num DESC, source) AS rr
+  FROM base
+)
+SELECT source, chars, base_quota,
+       CASE WHEN rr <= l THEN 1 ELSE 0 END AS extra,
+       CAST(base_quota + CASE WHEN rr <= l THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM ranked, leftover
+""",
+    doc=f"training-mixture token apportionment (Hamilton largest-remainder): "
+    f"a {QUOTA_BUDGET}-token budget split across sources proportional to "
+    "char mass — floor quotas + the leftover distributed by exact integer "
+    "remainder rank; quotas sum to the budget EXACTLY",
+)
+def corpus_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integer-allocation step every mixture schedule needs and float
+    arithmetic gets wrong: split a token budget across sources
+    proportional to their character mass such that the per-source quotas
+    are integers AND sum to the budget exactly. Hamilton's
+    largest-remainder method (public, the classic apportionment
+    algorithm): each source takes floor(B·w/W), and the leftover
+    L = B − Σ floors (< #sources) goes to the L sources with the largest
+    remainders. The remainder is carried as the exact integer NUMERATOR
+    B·w − floor·W (decimal128) — never a float fraction — and the rank
+    order (remainder DESC, source) is total, so the allocation is
+    bit-identical on both engines. `corpus_mixture_schedule` decides the
+    target PROPORTIONS; this operator turns proportions into exact
+    integer token counts a sampler can execute.
+
+    Scale shape: one source-keyed aggregate (map-side partials), then
+    every window/join runs over the #sources-sized frame (bounded by the
+    catalog of sources, never corpus bytes) with 1-row broadcasts for the
+    total and leftover.
+
+    Reference analog: none (extension surface — corpus-prep family).
+    """
+    d = table(spark, sf_dir, "documents")
+    w = d.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("chars"))
+    tot = w.agg(F.sum("chars").cast("bigint").alias("total_chars"))
+    dec = "decimal(38,0)"
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "chars",
+        F.expr(
+            f"CAST(CAST({QUOTA_BUDGET} AS {dec}) * chars div total_chars"
+            " AS BIGINT)"
+        ).alias("base_quota"),
+        F.expr(
+            f"CAST(CAST({QUOTA_BUDGET} AS {dec}) * chars"
+            f" - (CAST({QUOTA_BUDGET} AS {dec}) * chars div total_chars)"
+            " * total_chars AS BIGINT)"
+        ).alias("rem_num"),
+    )
+    leftover = base.agg(
+        (F.lit(QUOTA_BUDGET) - F.sum("base_quota")).cast("bigint").alias("l")
+    )
+    # SCALE GUARD: partition-less window over the #sources frame only.
+    rr = F.row_number().over(Window.orderBy(F.desc("rem_num"), "source"))
+    ranked = base.withColumn("rr", rr)
+    extra = F.when(F.col("rr") <= F.col("l"), 1).otherwise(0)
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "chars",
+        "base_quota",
+        extra.alias("extra"),
+        (F.col("base_quota") + extra).cast("bigint").alias("quota"),
+    )
