@@ -912,3 +912,59 @@ def test_cohort_ltv_window_is_span_bounded(spark):
         cum = [r["cum_revenue_cents"] for r in rs]
         assert cum == sorted(cum)
         assert all(r["cohort_size"] == rs[0]["n_active"] for r in rs)
+
+
+def test_mannwhitney_windows_are_segmented(spark):
+    """orders_mannwhitney_u must never run a corpus-sized partition-less
+    window: the bounded bin-offset frame BROADCASTS back onto the per-value
+    counts, and the only per-value window is PARTITIONED by bin."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["orders_mannwhitney_u"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert "BroadcastHashJoin [bin" in plan  # bin offsets ride a broadcast
+    # every window over the per-value stream is keyed by bin (the two
+    # windows on the tiny bin frame are partition-less by design and sit
+    # above the bounded aggregate, behind a single-partition exchange)
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln and "cents" in ln]
+    assert win_lines and all("partitionBy=[bin" in ln.replace(" ", "") or "bin" in ln for ln in win_lines)
+
+
+def test_fuzzy_search_verifies_distinct_strings_only(spark):
+    """search_fuzzy_partnames' Levenshtein must run on DISTINCT
+    (probe_text, name) pairs: the per-key version measured 134 s at sf1
+    (quadratic on the small name domain). The champion fan-out joins keys
+    back AFTER the verify."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["search_fuzzy_partnames"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    # dist is BORN in the (probe_text, match_name) distinct aggregate's
+    # result projection — proof the verify runs once per distinct pair
+    # (executedPlan.toString lists aggregate outputs by name, so the pin
+    # anchors on where dist#N first appears, not the expression text)
+    born = [
+        ln
+        for ln in plan.splitlines()
+        if "HashAggregate(keys=[probe_text" in ln and "dist#" in ln
+    ]
+    assert born, "dist not produced by the distinct-pair aggregate"
+    assert not any("probe_key" in ln or "match_key" in ln for ln in born)
+
+
+def test_bootstrap_single_md5_per_row(spark):
+    """orders_bootstrap_ci computes ONE md5 per row (the counter-based
+    mixer derives all replicas): the per-(row, replica) version spent 40
+    of its 80 s at sf1 inside md5."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["orders_bootstrap_ci"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    # md5 appears before the explode fan-out, never keyed by the replica b
+    md5_lines = [ln for ln in plan.splitlines() if "md5(" in ln]
+    assert md5_lines and not any(" b#" in ln or ", b" in ln for ln in md5_lines)
+    # the round-key table rides a broadcast join on b
+    assert "BroadcastHashJoin [b" in plan or "BroadcastHashJoin [cast(b" in plan
