@@ -921,3 +921,42 @@ def test_quota_apportion_sums_to_budget(spark):
         # quota within 1 of the exact proportional share
         exact_floor = QUOTA_BUDGET * r["chars"] // total_chars
         assert exact_floor <= r["quota"] <= exact_floor + 1
+
+
+def test_jl_projection_preserves_distances(spark):
+    """The JL property, loosely: squared distances in the projected space
+    correlate strongly with the originals across random pairs (exact
+    equality is impossible at 16 dims; rank agreement is the contract)."""
+    from ufload_spark.operators.similarity import (
+        JL_OUT,
+        embedding_jl_projection,
+    )
+
+    rows = embedding_jl_projection(spark, SF_DIR).collect()
+    proj = {}
+    for r in rows:
+        proj.setdefault(r["vec_id"], [0] * JL_OUT)[r["out_dim"]] = r["y_micro"]
+    orig = {
+        r["vec_id"]: [round(float(x) * 1e6) for x in r["embedding"]]
+        for r in table(spark, SF_DIR, "embeddings").collect()
+    }
+    assert set(proj) == set(orig)
+    ids = sorted(proj)[:20]
+    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+
+    def d2(v, w):
+        return sum((x - y) ** 2 for x, y in zip(v, w))
+
+    do = [d2(orig[a], orig[b]) for a, b in pairs]
+    # E[d2_proj] = JL_OUT * d2_orig for ±1 projections; normalize
+    dp = [d2(proj[a], proj[b]) / JL_OUT for a, b in pairs]
+    # per-pair distortion bounded (chi²_16 concentration: P(outside
+    # [0.25, 3]) < 1e-3 per pair; synthetic distances CONCENTRATE, so a
+    # correlation test has no signal variance to detect — bounds do)
+    ratios = [p / o for p, o in zip(dp, do) if o > 0]
+    assert ratios and min(ratios) > 0.15 and max(ratios) < 4.0, (
+        f"JL distortion out of band: [{min(ratios):.3f}, {max(ratios):.3f}]"
+    )
+    # unbiasedness: the MEAN ratio is tight even when pairs are noisy
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.7 < mean_ratio < 1.4, f"JL scaling off: {mean_ratio:.3f}"

@@ -950,3 +950,40 @@ def test_restore_expected_rows_gate_skips_short_candidate(spark, tmp_path):
     )
     assert out["published"] == "full.zip"
     assert spark.read.parquet(target).count() == 7
+
+
+def test_compact_published_reduces_files_preserves_rows(spark, tmp_path):
+    """The compaction EXECUTOR: publish orders fragmented into 16 files,
+    compact, and require (a) fewer files, (b) identical row content,
+    (c) the fragmented version retained for time travel, (d) a no-op
+    second pass stays correct."""
+    from ufload_spark.sources.loader import (
+        compact_published,
+        publish_versioned,
+        read_current,
+        read_version,
+        version_history,
+    )
+
+    orders = table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    target = str(tmp_path / "o")
+    publish_versioned(spark, orders.repartition(16), target)
+
+    stats = compact_published(spark, target, target_bytes=1 << 30)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 1  # everything fits one 1 GiB bin
+    assert stats["rows"] == orders.count()
+    # content identical, not just counted: anti-join both ways is empty
+    cur = read_current(spark, target)
+    assert cur.exceptAll(orders).count() == 0
+    assert orders.exceptAll(cur).count() == 0
+    # the fragmented version is still one hop back
+    hist = version_history(spark, target)
+    assert len(hist) == 2 and hist[0]["is_current"]
+    assert read_version(spark, target, 1).count() == stats["rows"]
+    # compacting the compacted table is a clean no-op rewrite
+    again = compact_published(spark, target, target_bytes=1 << 30)
+    assert again["files_before"] == 1 and again["files_after"] == 1
+    assert again["rows"] == stats["rows"]

@@ -2474,3 +2474,108 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(present(p2, 2, "c2", "s2"))
         .unionByName(present(p3, 3, "c3", "s3"))
     )
+
+
+# --- Johnson-Lindenstrauss random projection --------------------------------
+
+#: JL target dimensionality (64 -> 16): the data-INDEPENDENT dimension
+#: reduction — no training pass, unlike PCA; the standard pre-LSH shrink.
+JL_OUT = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    """The ±1 projection matrix, content-addressed: s[d][j] = +1 iff the
+    first md5 hex digit of ``jl:{j}:{d}`` is < 8 — deterministic across
+    engines, runs and cluster layouts, and regenerable from the rule alone
+    (no stored model). Achlioptas (2003, public) proved ±1 entries satisfy
+    the JL lemma with the same guarantees as Gaussians."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl:{j}:{d}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for j in range(1, DIM + 1)
+        ]
+        for d in range(JL_OUT)
+    ]
+
+
+JL_SIGNS = _jl_signs()
+
+
+def _jl_signs_values_sql() -> str:
+    rows = ", ".join(
+        f"({j + 1}, {d}, {JL_SIGNS[d][j]})"
+        for d in range(JL_OUT)
+        for j in range(DIM)
+    )
+    return f"(VALUES {rows}) signs(j, d, s)"
+
+
+@register(
+    "embedding_jl_projection",
+    f"""
+WITH expl AS (
+  SELECT vec_id, i.i AS j,
+         CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+           AS q
+  FROM embeddings, (SELECT unnest(range(1, {DIM + 1})) AS i) i
+)
+SELECT vec_id, CAST(d AS INT) AS out_dim,
+       CAST(sum(s * q) AS BIGINT) AS y_micro
+FROM expl JOIN {_jl_signs_values_sql()} USING (j)
+GROUP BY vec_id, d
+""",
+    doc=f"Johnson-Lindenstrauss random projection {DIM}->{JL_OUT}: "
+    "content-addressed ±1 matrix (Achlioptas), inputs quantized to exact "
+    "integer micro-units so every projected coordinate is an exact "
+    "integer sum — order-free, bit-identical across engines",
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-independent half of the dimension-reduction pair:
+    ``embedding_pca_power`` learns directions from the data (a training
+    pass + an apply pass); JL projects through a FIXED random ±1 matrix
+    (Achlioptas' database-friendly variant of Johnson-Lindenstrauss,
+    public) — no training, distances preserved within the JL distortion
+    bound with high probability, which is exactly what a downstream LSH
+    or ANN index needs from a cheap shrink. The matrix is
+    content-addressed (md5 of ``jl:{{j}}:{{d}}``), so any engine on any
+    layout regenerates it from the rule — the bootstrap/DP-noise
+    hash-determinism discipline applied to a model artifact.
+
+    Float discipline: each input coordinate is quantized ONCE to integer
+    micro-units (round half-away-from-zero of x·10^6 — identical in both
+    engines); every projected coordinate is then an exact ±1-weighted
+    integer sum — no float reduction anywhere, so the output is
+    bit-identical regardless of fold order or parallelism.
+
+    Scale shape: pure columnar map — ``transform`` quantizes the array,
+    :data:`JL_OUT` ``zip_with``/``aggregate`` folds against LITERAL sign
+    arrays compute the coordinates JVM-side with zero joins and zero
+    shuffles; the only row growth is the final explode to long format
+    (×:data:`JL_OUT`, emitted after the folds). The oracle mirrors via a
+    1024-row VALUES sign table; the Spark plan never materializes it.
+
+    Reference analog: none (extension surface — similarity family,
+    beside `embedding_pca_power`/`_project`).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000, 0).cast("bigint"),
+    )
+    qd = e.select("vec_id", q.alias("q"))
+    outs = []
+    for d in range(JL_OUT):
+        sign_arr = F.array(*[F.lit(s) for s in JL_SIGNS[d]])
+        y = F.aggregate(
+            F.zip_with(F.col("q"), sign_arr, lambda a, b: a * b.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        outs.append(F.struct(F.lit(d).cast("int").alias("out_dim"), y.alias("y_micro")))
+    return qd.select(
+        "vec_id", F.explode(F.array(*outs)).alias("o")
+    ).select("vec_id", "o.out_dim", "o.y_micro")

@@ -673,3 +673,65 @@ def loader_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_added", F.lit(0)).alias("n_added"),
         )
     )
+
+
+def compact_published(
+    spark: SparkSession,
+    target: str,
+    *,
+    target_bytes: int = 32 * 1024 * 1024,
+) -> dict:
+    """Execute the small-file compaction the planner
+    (`layout_compaction_plan`, listing.py) plans: rewrite the CURRENT
+    pointer-published version of ``target`` into ceil(bytes/target_bytes)
+    files and commit the rewrite as a new version through the same
+    audit-gated pointer publish — identical rows, fewer files, zero
+    reader-visible gap, and the previous (fragmented) version stays
+    retained for time travel. Returns ``{"files_before", "files_after",
+    "bytes", "rows"}``.
+
+    The audit is the loader's own: the rewrite scan's observed count must
+    match the staged footers, and `publish_versioned` refuses empty or
+    short writes, so a failed compaction leaves the fragmented version
+    live and untouched (the stage→audit→publish discipline; reference
+    ufload/db.py:179-208 posture).
+
+    At cluster scale this is the nightly bin-packing job: the byte size
+    comes from the version's file metadata (no data scan), the rewrite is
+    one ``repartition(n)`` pass, and target_bytes matches
+    ``spark.sql.files.maxPartitionBytes`` so downstream scans get one
+    split per file.
+    """
+    import math
+
+    fs, _, jvm = _fs(spark, target)
+    current = _read_pointer(fs, jvm, target)
+    if current is None:
+        raise AuditError(f"{target} has no published version to compact")
+    version_dir = os.path.join(os.path.dirname(target), current)
+    jdir = jvm.org.apache.hadoop.fs.Path(version_dir)
+    files = [
+        st
+        for st in fs.listStatus(jdir)
+        if st.getPath().getName().endswith(".parquet")
+    ]
+    total_bytes = sum(st.getLen() for st in files)
+    n_out = max(1, math.ceil(total_bytes / target_bytes))
+    df = spark.read.parquet(version_dir)
+    rows = publish_versioned(
+        spark, df.repartition(n_out), target, keep_versions=2
+    )
+    new_current = _read_pointer(fs, jvm, target)
+    new_dir = os.path.join(os.path.dirname(target), new_current)
+    jnew = jvm.org.apache.hadoop.fs.Path(new_dir)
+    files_after = sum(
+        1
+        for st in fs.listStatus(jnew)
+        if st.getPath().getName().endswith(".parquet")
+    )
+    return {
+        "files_before": len(files),
+        "files_after": files_after,
+        "bytes": total_bytes,
+        "rows": rows,
+    }
