@@ -960,3 +960,74 @@ def test_jl_projection_preserves_distances(spark):
     # unbiasedness: the MEAN ratio is tight even when pairs are noisy
     mean_ratio = sum(ratios) / len(ratios)
     assert 0.7 < mean_ratio < 1.4, f"JL scaling off: {mean_ratio:.3f}"
+
+
+def test_emd_drift_bounds_and_population(spark):
+    from ufload_spark.operators.events import EMD_BIN_CENTS, events_emd_drift
+
+    row = events_emd_drift(spark, SF_DIR).collect()[0]
+    total = table(spark, SF_DIR, "events").count()
+    assert row["n_a"] + row["n_b"] == total  # the split is a partition
+    assert row["emd_micro"] >= 0
+    # EMD can never exceed the full binned span (CDF gap <= 1 per bin)
+    assert row["emd_micro"] <= row["n_bins"] * EMD_BIN_CENTS * 10_000
+
+
+def test_holt_backtest_matches_bruteforce(spark):
+    from ufload_spark.operators.temporal import (
+        HOLT_H,
+        HOLT_W,
+        orders_forecast_holt_backtest,
+    )
+
+    row = orders_forecast_holt_backtest(spark, SF_DIR).collect()[0]
+    daily = {
+        r["day"]: r["cents"]
+        for r in table(spark, SF_DIR, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .collect()
+    }
+    days = sorted(daily)
+
+    # integer div semantics: Spark/DuckDB truncate toward zero; Python
+    # floors — mirror with explicit trunc
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    slopes = {
+        d: tdiv((daily[d] - daily[p]) * 1_000_000, d - p)
+        for p, d in zip(days, days[1:])
+    }
+    sae_h = sae_n = n_eval = 0
+    for t in days:
+        if t + HOLT_H not in daily:
+            continue
+        num = den = 0
+        for k, w in enumerate(HOLT_W):
+            if t - k in daily:
+                num += w * daily[t - k]
+                den += w
+        level = tdiv(num * 1_000_000, den)
+        snum = sden = 0
+        for k, w in enumerate(HOLT_W):
+            if t - k in slopes:
+                snum += w * slopes[t - k]
+                sden += w
+        trend = tdiv(snum, sden) if sden else 0
+        yhat = level + HOLT_H * trend
+        n_eval += 1
+        sae_h += abs(daily[t + HOLT_H] * 1_000_000 - yhat)
+        sae_n += abs(daily[t + HOLT_H] - daily[t]) * 1_000_000
+    assert row["n_eval"] == n_eval
+    assert row["mae_holt_micro"] == tdiv(sae_h, n_eval)
+    assert row["mae_naive_micro"] == tdiv(sae_n, n_eval)

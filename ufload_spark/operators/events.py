@@ -2799,3 +2799,111 @@ def events_funnel_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("step_purchase"),
         )
     )
+
+
+#: EMD drift: uniform bin width in cents ($1) — the value domain is bounded
+#: (fixture caps near $600), so the bin frame stays ≤ ~600 rows at any SF
+EMD_BIN_CENTS = 100
+
+
+@register(
+    "events_emd_drift",
+    f"""
+WITH vals AS (
+  SELECT CASE WHEN CAST(extract(day FROM ts) AS INT) <= 15 THEN 0 ELSE 1 END
+           AS side,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) // {EMD_BIN_CENTS} AS b
+  FROM events
+), wide AS (
+  SELECT b,
+         CAST(coalesce(sum(CASE WHEN side = 0 THEN 1 END), 0) AS BIGINT) AS ca,
+         CAST(coalesce(sum(CASE WHEN side = 1 THEN 1 END), 0) AS BIGINT) AS cb
+  FROM vals GROUP BY b
+), cum AS (
+  SELECT
+    CAST(sum(ca) OVER (ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+    CAST(sum(cb) OVER (ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+    CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+    CAST(sum(cb) OVER () AS BIGINT) AS n_b
+  FROM wide
+), gaps AS (
+  SELECT n_a, n_b,
+         CAST(abs(cum_a * n_b - cum_b * n_a) AS DECIMAL(38, 0)) AS dnum
+  FROM cum
+)
+SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(CAST(sum(dnum) AS DECIMAL(38, 0)) * {EMD_BIN_CENTS} * 10000
+            // (CAST(max(n_a) AS DECIMAL(38, 0)) * max(n_b)) AS BIGINT)
+         AS emd_micro
+FROM gaps
+""",
+    doc="1-D earth-mover (Wasserstein-1) drift over uniform $1 value bins, "
+    "first-half vs second-half of month: EMD = Σ|CDF gaps|·width — exact "
+    "integer cross-multiplied numerators, ONE floor division to micro-cents",
+)
+def events_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integral companion of `events_ks_drift_binned`: KS reports the
+    WORST CDF gap (sensitive to one sharp shift, blind to how much mass
+    moved how far); the 1-D earth-mover distance integrates |CDF_a −
+    CDF_b| over the value axis, measuring the total transport cost of the
+    drift in value units — the metric monitoring pipelines alarm on when
+    they care about magnitude, not just existence, of a shift
+    (Wasserstein-1's closed form on the line: EMD = ∫|F_a − F_b|, public).
+
+    Exactness: per uniform bin, the gap numerator |cum_a·n_b − cum_b·n_a|
+    is an exact decimal128 integer (the KS discipline); EMD sums them —
+    a SUM of exact integers is as order-free as their max — scales by the
+    bin width, and performs ONE floor division by n_a·n_b to land on
+    exact micro-cents. No float until nothing is left to compute.
+
+    Scale shape: one shuffle to the (side, $1-bin) table; the running-sum
+    window and the final aggregate run over the ≤~600-row bin frame
+    (bounded by the value domain, never event count).
+
+    Reference analog: none (extension surface — drift-monitoring family,
+    beside events_ks_drift_binned / text_js_divergence_by_lang).
+    """
+    ev = table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.when(F.dayofmonth("ts") <= 15, 0).otherwise(1).alias("side"),
+        F.expr(
+            f"CAST(floor(value * 100 + 0.5) AS BIGINT) div {EMD_BIN_CENTS}"
+        ).alias("b"),
+    )
+    wide = vals.groupBy("b").agg(
+        F.coalesce(F.sum(F.when(F.col("side") == 0, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.coalesce(F.sum(F.when(F.col("side") == 1, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    # SCALE GUARD: partition-less windows over the $1-bin frame only —
+    # bounded by the value domain, not event count.
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = wide.select(
+        F.sum("ca").over(w_cum).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(w_cum).cast("bigint").alias("cum_b"),
+        F.sum("ca").over(w_all).cast("bigint").alias("n_a"),
+        F.sum("cb").over(w_all).cast("bigint").alias("n_b"),
+    )
+    dnum = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+    )
+    gaps = cum.select("n_a", "n_b", dnum.alias("dnum"))
+    return gaps.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.expr(
+            f"CAST(CAST(sum(dnum) AS decimal(38,0)) * {EMD_BIN_CENTS} * 10000"
+            " div (CAST(max(n_a) AS decimal(38,0)) * max(n_b)) AS BIGINT)"
+        ).alias("emd_micro"),
+    )

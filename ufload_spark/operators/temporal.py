@@ -1390,3 +1390,203 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal_micro",
         (F.col("detr") - F.col("seasonal_micro")).cast("bigint").alias("resid_micro"),
     )
+
+
+#: Holt smoothing: level weight alpha = 0.3, truncated to HOLT_LAGS lags
+#: (tail mass (1-a)^28 < 5e-5 — below the 1e-12 weight grain's relevance);
+#: forecast horizon 7 days
+HOLT_LAGS = 28
+HOLT_H = 7
+
+
+def _holt_weights() -> list[int]:
+    """w_k = round(0.3 * 0.7^k * 1e12) — exact integers shared by both
+    engines (computed once here; no runtime float powers anywhere)."""
+    a = 0.3
+    return [round(a * ((1 - a) ** k) * 1_000_000_000_000) for k in range(HOLT_LAGS)]
+
+
+HOLT_W = _holt_weights()
+
+
+def _holt_weights_values_sql() -> str:
+    rows = ", ".join(f"({k}, {w})" for k, w in enumerate(HOLT_W))
+    return f"(VALUES {rows}) lags(k, w)"
+
+
+@register(
+    "orders_forecast_holt_backtest",
+    f"""
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), slopes AS (
+  SELECT day,
+         (cents - lag(cents) OVER (ORDER BY day)) * 1000000
+           / (day - lag(day) OVER (ORDER BY day)) AS s_micro
+  FROM daily
+), lvl AS (
+  SELECT d.day,
+         CAST(CAST(sum(CAST(lags.w AS HUGEINT) * y.cents) AS HUGEINT)
+              * 1000000 // sum(CAST(lags.w AS HUGEINT)) AS BIGINT)
+           AS level_micro
+  FROM daily d
+  JOIN {_holt_weights_values_sql()} ON TRUE
+  JOIN daily y ON y.day = d.day - lags.k
+  GROUP BY d.day
+), trd AS (
+  SELECT d.day,
+         CAST(CAST(sum(CAST(l2.w AS HUGEINT) * s.s_micro) AS HUGEINT)
+              // sum(CAST(l2.w AS HUGEINT)) AS BIGINT) AS trend_micro
+  FROM daily d
+  JOIN {_holt_weights_values_sql().replace('lags(k, w)', 'l2(k, w)')} ON TRUE
+  JOIN slopes s ON s.day = d.day - l2.k AND s.s_micro IS NOT NULL
+  GROUP BY d.day
+), evald AS (
+  SELECT a.cents AS actual, o.cents AS last_y,
+         lvl.level_micro + {HOLT_H} * coalesce(trd.trend_micro, 0) AS yhat_micro
+  FROM daily o
+  JOIN daily a ON a.day = o.day + {HOLT_H}
+  JOIN lvl ON lvl.day = o.day
+  LEFT JOIN trd ON trd.day = o.day
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(abs(actual * 1000000 - yhat_micro)) AS HUGEINT) AS sae_h,
+         CAST(sum(CAST(abs(actual - last_y) AS HUGEINT) * 1000000) AS HUGEINT)
+           AS sae_n
+  FROM evald
+)
+SELECT n_eval,
+       CAST(sae_h // n_eval AS BIGINT) AS mae_holt_micro,
+       CAST(sae_n // n_eval AS BIGINT) AS mae_naive_micro,
+       round(CAST(sae_n - sae_h AS DOUBLE) * 100.0 / CAST(sae_n AS DOUBLE), 6)
+         + 0.0 AS improvement_pct
+FROM agg
+""",
+    doc=f"Holt linear-trend forecast backtest at horizon {HOLT_H} days: "
+    "exponential-smoothing level + trend from PRE-COMPUTED integer weights "
+    f"(alpha 0.3, {HOLT_LAGS} lags), forecasts and MAEs in exact integer "
+    "micro-cents, persistence-naive baseline alongside",
+)
+def orders_forecast_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (public, Holt 1957),
+    backtested against the persistence forecast — the model tier above
+    `orders_forecast_naive_backtest`'s seasonal baseline. The recursive
+    smoother is unrolled into its closed WEIGHTED-SUM form truncated at
+    :data:`HOLT_LAGS` lags (tail mass < 5e-5): level(t) = Σ w_k·y_{{t−k}}
+    / Σ w_k over the PRESENT lags, trend(t) = the same smoother over
+    day-gap-normalized first differences, forecast = level + H·trend.
+    The weights are integers precomputed ONCE in Python (round(α(1−α)^k
+    ·10^12)) and shipped as literals to both engines — no runtime float
+    powers, so level/trend/forecast/MAE are all exact integer micro-cent
+    arithmetic (decimal128 numerators, one floor division each); the only
+    float is the final improvement percentage.
+
+    Scale shape: orders aggregate once to the calendar-bounded day frame;
+    the lag joins fan that frame ×:data:`HOLT_LAGS` against a broadcast
+    weight table and re-aggregate — bounded by calendar × lags, never
+    order count. The slope window is the established partition-less
+    day-frame guard.
+
+    Reference analog: none (extension surface — forecasting family,
+    beside naive/Croston/Theil-Sen).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    # SCALE GUARD: partition-less window over the daily frame only.
+    w_day = Window.orderBy("day")
+    slopes = daily.select(
+        "day",
+        (
+            (F.col("cents") - F.lag("cents").over(w_day)) * 1000000
+            / (F.col("day") - F.lag("day").over(w_day))
+        ).cast("bigint").alias("s_micro"),
+    )
+    lags = spark.createDataFrame(
+        list(enumerate(HOLT_W)), "k bigint, w bigint"
+    )
+    dec = "decimal(38,0)"
+    lvl = (
+        daily.select("day")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            daily.withColumnsRenamed({"day": "yday", "cents": "y"}),
+            F.expr("yday = day - k"),
+        )
+        .groupBy("day")
+        .agg(
+            F.expr(
+                f"CAST(CAST(sum(CAST(w AS {dec}) * y) AS {dec}) * 1000000"
+                f" div sum(CAST(w AS {dec})) AS BIGINT)"
+            ).alias("level_micro")
+        )
+    )
+    trd = (
+        daily.select("day")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            slopes.where(F.col("s_micro").isNotNull()).withColumnsRenamed(
+                {"day": "sday"}
+            ),
+            F.expr("sday = day - k"),
+        )
+        .groupBy("day")
+        .agg(
+            F.expr(
+                f"CAST(CAST(sum(CAST(w AS {dec}) * s_micro) AS {dec})"
+                f" div sum(CAST(w AS {dec})) AS BIGINT)"
+            ).alias("trend_micro")
+        )
+    )
+    evald = (
+        daily.withColumnsRenamed({"day": "oday", "cents": "last_y"})
+        .join(daily.selectExpr("day + 0 AS aday", "cents AS actual"),
+              F.expr(f"aday = oday + {HOLT_H}"))
+        .join(lvl.withColumnsRenamed({"day": "lday"}), F.expr("lday = oday"))
+        .join(
+            trd.withColumnsRenamed({"day": "tday"}),
+            F.expr("tday = oday"),
+            "left",
+        )
+        .select(
+            "actual",
+            "last_y",
+            (
+                F.col("level_micro")
+                + HOLT_H * F.coalesce(F.col("trend_micro"), F.lit(0))
+            ).alias("yhat_micro"),
+        )
+    )
+    agg = evald.agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.sum(F.abs(F.col("actual") * 1000000 - F.col("yhat_micro")))
+        .cast(dec)
+        .alias("sae_h"),
+        F.sum(F.abs(F.col("actual") - F.col("last_y")).cast(dec) * 1000000)
+        .cast(dec)
+        .alias("sae_n"),
+    )
+    return agg.select(
+        "n_eval",
+        F.expr("CAST(sae_h div n_eval AS BIGINT)").alias("mae_holt_micro"),
+        F.expr("CAST(sae_n div n_eval AS BIGINT)").alias("mae_naive_micro"),
+        (
+            F.round(
+                (F.col("sae_n") - F.col("sae_h")).cast("double")
+                * 100.0
+                / F.col("sae_n").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("improvement_pct"),
+    )
