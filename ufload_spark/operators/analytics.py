@@ -3560,3 +3560,120 @@ def customers_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_customers"))
     )
+
+
+@register(
+    "lineitem_price_elasticity",
+    """
+WITH obs AS (
+  SELECT p.p_brand,
+         CAST(round(ln(CAST(
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS HUGEINT)
+           // CAST(sum(CAST(l.l_quantity AS BIGINT)) AS HUGEINT)
+         AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(sum(CAST(l.l_quantity AS BIGINT)) AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey,
+           extract(year FROM l.l_shipdate) * 12 + extract(month FROM l.l_shipdate)
+), s AS (
+  SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM obs GROUP BY p_brand
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_obs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS elasticity,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 AS r2
+FROM s
+WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+    doc="price elasticity of demand per brand: log-log OLS over (part, "
+    "month) observations — unit price by exact integer division, both "
+    "logs snapped to fixed-point micro-units, exact decimal128 sufficient "
+    "statistics, slope/R² as single rounded divisions",
+)
+def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The econometric workhorse on the sales data: elasticity = d ln(qty)
+    / d ln(price), estimated per brand by OLS over (part, month) demand
+    observations. Unit price is an exact integer floor division of cent
+    and quantity sums; ln(price) and ln(qty) are snapped to fixed-point
+    micro-units IMMEDIATELY (the Zipf-fit discipline — one libm ln per
+    observation, rounded to 10^-6 where ~10^-13 of cross-engine slack
+    lives), so the OLS sufficient statistics are exact decimal128
+    integers and the slope/R² are single IEEE divisions rounded at the
+    end. Degenerate brands (under 3 observations or zero variance in
+    either axis) are excluded on both engines by the same exact integer
+    predicates.
+
+    Scale shape: one shuffle to the (brand, part, month) observation
+    frame (map-side partials), one to the per-brand statistics; the part
+    dimension joins in before the first aggregate (broadcastable at
+    dimension scale, unhinted per the round-6 policy — AQE decides).
+
+    Reference analog: none (extension surface — statistics/mining family,
+    beside `lineitem_ols_price_model` [levels-on-levels within return
+    flags] — elasticity is the log-log slope economists actually read).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    month = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+    dec = "decimal(38,0)"
+    obs = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "l_partkey", month)
+        .agg(
+            F.expr(
+                "CAST(round(ln(CAST("
+                "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))"
+                " AS decimal(38,0))"
+                " div CAST(sum(CAST(l_quantity AS BIGINT)) AS decimal(38,0))"
+                " AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+            ).alias("x"),
+            F.round(
+                F.log(F.sum(qty).cast("double")) * 1000000, 0
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = obs.groupBy("p_brand").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        s.where((F.col("n") >= 3) & (varx_n > 0) & (vary_n > 0))
+        .select(
+            "p_brand",
+            F.col("n").cast("bigint").alias("n_obs"),
+            (
+                F.round(cov_n.cast("double") / varx_n.cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("elasticity"),
+            (
+                F.round(
+                    cov_n.cast("double")
+                    * cov_n.cast("double")
+                    / (varx_n.cast("double") * vary_n.cast("double")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("r2"),
+        )
+    )

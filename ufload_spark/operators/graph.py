@@ -843,3 +843,120 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in out[1:]:
         res = res.unionByName(frame)
     return res
+
+
+@register(
+    "graph_degree_powerlaw",
+    """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT c AS node FROM pairs UNION ALL SELECT s FROM pairs)
+  GROUP BY node
+), hist AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d
+), pts AS (
+  SELECT CAST(round(ln(CAST(d AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(n_nodes AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+  FROM hist
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_degree,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS alpha,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 AS r2
+FROM s
+""",
+    doc="degree-distribution power-law fit on the purchase graph: degree "
+    "histogram → log-log OLS slope (alpha) + R² from fixed-point micro "
+    "logs and exact decimal128 sufficient statistics",
+)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The structural audit behind every graph-operator sizing decision in
+    this module: is the degree distribution heavy-tailed, and how heavy?
+    ln(#nodes with degree d) regressed on ln(d) — the classic power-law
+    diagnostic (Barabási-Albert scale-free exponent, public; the honest
+    caveat that binned log-log OLS is a diagnostic, not an MLE, is part
+    of the docstring contract). A steep negative alpha with high R² says
+    hub nodes exist, which is exactly when the triangle count's
+    degree-ordered orientation and the skew-salting machinery earn their
+    keep; a flat fit says the graph is degree-regular and simpler plans
+    win.
+
+    Float discipline: one libm ln per HISTOGRAM row (bounded by max
+    degree, not node count), snapped to micro-units immediately; OLS
+    sufficient statistics in exact decimal128; two rounded divisions at
+    the end (the Zipf/elasticity pattern).
+
+    Scale shape: one shuffle to distinct pairs, one to per-node degrees,
+    one to the degree histogram — each with map-side partials; the
+    regression runs on the ≤max-degree-row histogram frame.
+
+    Reference analog: none (extension surface — graph family).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("c").alias("node"))
+        .unionAll(pairs.select(F.col("s").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count("*").cast("bigint").alias("n_nodes"))
+    pts = hist.select(
+        F.round(F.log(F.col("d").cast("double")) * 1000000, 0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("n_nodes").cast("double")) * 1000000, 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = pts.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    mx = deg.agg(F.max("d").cast("bigint").alias("max_degree"))
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.crossJoin(F.broadcast(mx)).select(
+        F.col("n").cast("bigint").alias("n_points"),
+        "max_degree",
+        (F.round(cov_n.cast("double") / varx_n.cast("double"), 6) + F.lit(0.0)).alias(
+            "alpha"
+        ),
+        (
+            F.round(
+                cov_n.cast("double")
+                * cov_n.cast("double")
+                / (varx_n.cast("double") * vary_n.cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("r2"),
+    )

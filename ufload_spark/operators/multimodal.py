@@ -1329,3 +1329,128 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select(
         "doc_id", "phash", F.count("*").over(w).alias("n_dupes")
     )
+
+
+# --- spectral analysis: fixed-point DFT probe bins --------------------------
+
+#: DFT probe bins (cycles over the whole interleaved sample stream)
+SPECTRUM_BINS = (1, 3, 5, 7)
+#: fixed-point grain for each DFT term (the pHash discipline: round BEFORE
+#: summation so the reduction is order-free; the 1e-6 grain on a ≤2048
+#: magnitude term absorbs ~9 decimal orders of cos() implementation slack)
+SPECTRUM_SCALE = 1_000_000
+
+
+def spectrum_rows(doc_id: int, samples: np.ndarray) -> list[tuple]:
+    """Per-bin DFT of the interleaved int16 stream, every s·cos / s·sin
+    term rounded half-away-from-zero to 10^-6 and accumulated in exact
+    integer units; amplitude via IEEE double sqrt of the exact integer
+    components (each < 2^53, so exactly representable)."""
+    n = samples.size
+    out = []
+    i = np.arange(n, dtype=np.float64)
+    s = samples.astype(np.float64)
+    for k in SPECTRUM_BINS:
+        arg = 2 * np.pi * k * i / n
+        tre = s * np.cos(arg)
+        tim = s * np.sin(arg)
+
+        def q(t: np.ndarray) -> int:
+            scaled = np.where(
+                t >= 0,
+                np.floor(t * SPECTRUM_SCALE + 0.5),
+                -np.floor(-t * SPECTRUM_SCALE + 0.5),
+            )
+            return int(scaled.sum())
+
+        re, im = q(tre), q(tim)
+        amp = round((float(re) ** 2 + float(im) ** 2) ** 0.5)
+        out.append((doc_id, k, re, im, amp))
+    return out
+
+
+SPECTRUM_SCHEMA = (
+    "doc_id long, k_bin int, re_micro long, im_micro long, amp_micro long"
+)
+
+
+def _audio_spectrum_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            rows.extend(spectrum_rows(int(doc_id), decode_wav_samples(bytes(content))))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "k_bin", "re_micro", "im_micro", "amp_micro"],
+        ).astype(
+            {
+                "doc_id": "int64",
+                "k_bin": "int32",
+                "re_micro": "int64",
+                "im_micro": "int64",
+                "amp_micro": "int64",
+            }
+        )
+
+
+@register(
+    "multimodal_audio_spectrum",
+    f"""
+WITH geom AS (
+  SELECT doc_id,
+         CAST((doc_id % 1000 + 100) * (doc_id % 2 + 1) AS BIGINT) AS n
+  FROM documents
+), bins AS (
+  SELECT unnest(ARRAY{list(SPECTRUM_BINS)}) AS k_bin
+), terms AS (
+  SELECT g.doc_id, b.k_bin, g.n, i.i,
+         CAST((g.doc_id * 31 + i.i * 7919) % 4096 - 2048 AS DOUBLE) AS s
+  FROM geom g, bins b, LATERAL (SELECT unnest(range(g.n)) AS i) i
+), summed AS (
+  SELECT doc_id, k_bin,
+         CAST(sum(round(s * cos(2 * pi() * k_bin * i / n), 6)
+                  * {SPECTRUM_SCALE}) AS BIGINT) AS re_micro,
+         CAST(sum(round(s * sin(2 * pi() * k_bin * i / n), 6)
+                  * {SPECTRUM_SCALE}) AS BIGINT) AS im_micro
+  FROM terms GROUP BY 1, 2
+)
+SELECT doc_id, CAST(k_bin AS INT) AS k_bin, re_micro, im_micro,
+       CAST(round(sqrt(CAST(re_micro AS DOUBLE) * re_micro
+                       + CAST(im_micro AS DOUBLE) * im_micro), 0) AS BIGINT)
+         AS amp_micro
+FROM summed
+""",
+    doc=f"audio spectral probe: fixed-point DFT at bins {SPECTRUM_BINS} over "
+    "the REAL decoded PCM stream — every term rounded to 1e-6 before exact "
+    "integer summation (order-free, engine-identical); oracle re-derives "
+    "each term closed-form from the waveform arithmetic",
+)
+def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequency-domain sibling of ``multimodal_audio_loudness``: probe
+    the decoded PCM stream's DFT at :data:`SPECTRUM_BINS` whole-stream
+    cycles — the plumbing (and the float discipline) of any spectral
+    feature extractor (spectral centroid, band energy, chroma), with the
+    codec-grade decode path in front (RIFF walk, pad rule, int16
+    little-endian frombuffer). Terms s·cos / s·sin are rounded
+    half-away-from-zero to 10^-6 BEFORE accumulation (the pHash DCT
+    discipline), so the per-bin sums are exact integers no matter the
+    fold order, numpy's SIMD cos vs the oracle's libm cos differ at
+    ~10^-13 absolute on a ≤2048-magnitude term — nine orders below the
+    grain — and both engines land on identical integers. The amplitude is
+    the IEEE-exact sqrt of two exactly-representable (< 2^53) integer
+    components, rounded to the integer grain.
+
+    Scale shape: a narrow Arrow map over the audio payloads (vectorized
+    per doc, linear in samples), no shuffle at all — the per-doc DFT at a
+    FIXED bin count is O(N·|bins|), not the O(N log N) full transform a
+    real pipeline would reach for past a handful of bins.
+
+    Reference analog: none (extension surface — multimodal family).
+    """
+    d = doc_ids(spark, sf_dir)
+    audio = d.mapInPandas(
+        _synthesize_audio_batches, schema="doc_id long, content binary"
+    )
+    return audio.mapInPandas(_audio_spectrum_batches, schema=SPECTRUM_SCHEMA)
