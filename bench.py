@@ -100,6 +100,11 @@ HEADLINE = [
     "text_rake_keywords",          # RAKE phrase mining, one vocab shuffle (r6)
     "multimodal_image_phash",      # fixed-point DCT perceptual hash map (r6)
     "orders_seasonal_decompose",   # integer MA/seasonal/residual split (r6)
+    "embedding_jl_projection",     # columnar zip_with sign-fold, no shuffle (r6)
+    "orders_forecast_holt_backtest",  # 28-lag broadcast-weight smoother (r6)
+    "events_emd_drift",            # Wasserstein-1 over the bounded bin frame (r6)
+    "multimodal_audio_spectrum",   # vectorized fixed-point DFT Arrow map (r6)
+    "lineitem_price_elasticity",   # grouped log-log OLS, two exchanges (r6)
 ]
 
 
