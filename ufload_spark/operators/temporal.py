@@ -1569,9 +1569,13 @@ def orders_forecast_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     agg = evald.agg(
         F.count("*").cast("bigint").alias("n_eval"),
-        F.sum(F.abs(F.col("actual") * 1000000 - F.col("yhat_micro")))
-        .cast(dec)
-        .alias("sae_h"),
+        # cast BEFORE the sum: per-day errors reach ~1e16 micro at sf1 and
+        # a long accumulator overflows around 2 400 of them (ANSI raises;
+        # measured at sf1) — the decimal128 accumulator matches the
+        # oracle's HUGEINT sum
+        F.sum(
+            F.abs(F.col("actual") * 1000000 - F.col("yhat_micro")).cast(dec)
+        ).alias("sae_h"),
         F.sum(F.abs(F.col("actual") - F.col("last_y")).cast(dec) * 1000000)
         .cast(dec)
         .alias("sae_n"),
