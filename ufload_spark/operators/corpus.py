@@ -1252,3 +1252,117 @@ def corpus_quota_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.alias("extra"),
         (F.col("base_quota") + extra).cast("bigint").alias("quota"),
     )
+
+
+#: URL canonicalization fixture: hosts differ only in case/www, params mix
+#: one content param (id) with tracking debris, fragments vary per doc
+_URL_RAW_SQL = """concat(
+  'https://', CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+                   WHEN doc_id % 3 = 1 THEN 'www.example.com'
+                   ELSE 'EXAMPLE.com' END,
+  '/Product/', CAST(doc_id % 50 AS STRING),
+  '?utm_source=feed', CASE WHEN doc_id % 2 = 0 THEN '&ref=partner' ELSE '' END,
+  '&id=', CAST(doc_id % 50 AS STRING),
+  '&utm_campaign=q', CAST(doc_id % 4 AS STRING),
+  '#sec', CAST(doc_id % 4 AS STRING))"""
+
+
+@register(
+    "corpus_url_canonicalize",
+    f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents
+), nofrag AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+), parts AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(u, '^https://([^/?]+)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_extract(u, '^https://[^/?]+([^?]*)', 1) AS path,
+         regexp_extract(u, '\\?(.*)$', 1) AS q
+  FROM nofrag
+), cleaned AS (
+  SELECT doc_id, host, path,
+         regexp_replace(regexp_replace(
+           regexp_replace(q, '(utm_[a-z]+|ref|fbclid)=[^&]*', '', 'g'),
+           '&&+', '&', 'g'), '^&|&$', '', 'g') AS qc
+  FROM parts
+), canon AS (
+  SELECT doc_id,
+         concat('https://', host, path,
+                CASE WHEN qc = '' THEN '' ELSE concat('?', qc) END)
+           AS canonical_url
+  FROM cleaned
+)
+SELECT doc_id, canonical_url,
+       CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_dupes
+FROM canon
+""",
+    doc="web-pipeline URL canonicalization: drop fragment, lowercase host, "
+    "strip www. and tracking params (utm_*/ref/fbclid), keep content "
+    "params — canonical-URL duplicate groups out; pure row-local regex "
+    "maps + ONE canonical-key exchange",
+)
+def corpus_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first stage of every web-crawl dedup pipeline: URLs that differ
+    only in host case, a ``www.`` prefix, tracking parameters
+    (``utm_*``, ``ref``, ``fbclid``) or a fragment are the SAME document,
+    and canonicalizing before any fetch/dedup collapses the crawl
+    frontier by the duplication factor. The fixture synthesizes the mess
+    closed-form from doc_id (three host spellings × tracking debris ×
+    fragments; the multimodal render-then-decode pattern applied to
+    URLs), and the operator recovers the planted groups: docs sharing
+    ``doc_id % 50`` canonicalize identically across all three host
+    spellings.
+
+    Engine parity: every step is a simple regex (no lookaround, no
+    backrefs) with identical semantics in Java regex and RE2 — extract
+    host/path/query, strip ``key=value`` debris, tidy separators. One
+    recorded trap: Spark's regexp_replace replaces ALL matches, DuckDB's
+    only the FIRST unless passed the ``'g'`` flag — the oracle carries
+    the flag explicitly (sibling of the DuckDB-^-is-power xor trap).
+
+    Scale shape: row-local maps end to end; the only exchange groups
+    canonical URLs for the duplicate count (the ``dedup_exact`` posture —
+    at crawl scale this is the shuffle that replaces refetching
+    duplicates).
+
+    Reference analog: none (extension surface — corpus-prep family,
+    upstream sibling of `corpus_pii_scrub`).
+    """
+    d = table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.expr(_URL_RAW_SQL).alias("url"))
+    u = F.regexp_replace("url", "#.*$", "")
+    nofrag = raw.select("doc_id", u.alias("u"))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("u", "^https://([^/?]+)", 1)), "^www\\.", ""
+    )
+    path = F.regexp_extract("u", "^https://[^/?]+([^?]*)", 1)
+    q = F.regexp_extract("u", "\\?(.*)$", 1)
+    parts = nofrag.select(
+        "doc_id", host.alias("host"), path.alias("path"), q.alias("q")
+    )
+    qc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("q", "(utm_[a-z]+|ref|fbclid)=[^&]*", ""),
+            "&&+",
+            "&",
+        ),
+        "^&|&$",
+        "",
+    )
+    canon = parts.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(qc == "", F.lit("")).otherwise(F.concat(F.lit("?"), qc)),
+        ).alias("canonical_url"),
+    )
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id",
+        "canonical_url",
+        F.count("*").over(w).cast("bigint").alias("n_dupes"),
+    )

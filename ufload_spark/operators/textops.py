@@ -1707,3 +1707,70 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SCALE GUARD: partition-less window over the RAKE_TOP_N-row frame only.
     w_rank = Window.orderBy(F.desc("score_micro"), "phrase")
     return top.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+
+
+#: domain router lexicon (database jargon) and the routing floor:
+#: docs whose lexicon density crosses 30% route to the domain corpus
+_DOMAIN_LEX = "select|join|table|query|scan|sort|merge|agg|hash|window"
+DOMAIN_ROUTE_PCT = 30
+
+
+@register(
+    "text_domain_route",
+    rf"""
+WITH stats AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(len(regexp_extract_all(lower(text),
+              '\b({_DOMAIN_LEX})\b')) AS BIGINT) AS n_hits
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, n_hits,
+       n_hits * 100 >= n_tokens * {DOMAIN_ROUTE_PCT} AS route_domain
+FROM stats
+""",
+    doc=f"corpus routing by domain-lexicon density: database-jargon hits "
+    f"per token, route when hits*100 >= tokens*{DOMAIN_ROUTE_PCT} — integer "
+    "cross-multiplied threshold, one row-local map",
+)
+def text_domain_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus ROUTER every mixture pipeline runs before the mixture
+    math: classify each document against a domain lexicon (here database
+    jargon — which the synthetic fixture is genuinely rich in, so the
+    routing decision is non-degenerate) and flag documents whose lexicon
+    density crosses the floor for the domain-specific corpus. The same
+    shape with a code lexicon routes code vs prose; with a science
+    lexicon, papers vs web — the lexicon is the parameter, the plan is
+    identical. Downstream, `corpus_quota_apportion` turns the routed
+    populations into exact token budgets.
+
+    The decision is an integer cross-multiplied comparison
+    (hits·100 ≥ tokens·floor) — the Gopher-filter discipline: no float
+    ratio, no rounding boundary to disagree on.
+
+    Scale shape: one narrow row-local map (two regexp passes per doc),
+    no exchange at all — the cheapest possible tier of the text family,
+    meant to run inline with ingestion.
+
+    Reference analog: none (extension surface — text family, beside
+    `text_gopher_filters` / `text_lang_id`).
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast(
+        "bigint"
+    )
+    n_hits = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(rf"\b({_DOMAIN_LEX})\b"), 0
+        )
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_hits.alias("n_hits"),
+        (F.col("n_hits") * 100 >= F.col("n_tokens") * DOMAIN_ROUTE_PCT).alias(
+            "route_domain"
+        ),
+    ).select("doc_id", "lang", "n_tokens", "n_hits", "route_domain")
