@@ -3677,3 +3677,95 @@ def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r2"),
         )
     )
+
+
+@register(
+    "lineitem_anova_linenumber",
+    """
+WITH g AS (
+  SELECT l_linenumber,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS HUGEINT) AS s,
+         CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS HUGEINT)
+                  * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS HUGEINT) AS ss
+  FROM lineitem GROUP BY l_linenumber
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n) AS HUGEINT) AS nn,
+         CAST(sum(s) AS HUGEINT) AS st,
+         CAST(sum(ss) AS HUGEINT) AS sst,
+         CAST(sum(CAST(s * s AS HUGEINT) * 1000000 // n) AS HUGEINT)
+           AS between_num_micro
+  FROM g
+)
+SELECT k AS n_groups, CAST(nn AS BIGINT) AS n_rows,
+       round((CAST(between_num_micro AS DOUBLE) / 1e6
+              - CAST(st AS DOUBLE) * st / CAST(nn AS DOUBLE))
+             / (k - 1)
+             / ((CAST(sst AS DOUBLE)
+                 - CAST(between_num_micro AS DOUBLE) / 1e6)
+                / (CAST(nn AS DOUBLE) - k)), 6) + 0.0 AS f_stat
+FROM tot
+""",
+    doc="one-way ANOVA of line price across line numbers: per-group exact "
+    "integer moments (decimal128 squares), between/within sums of squares "
+    "combined in fixed double order, F as one rounded expression",
+)
+def lineitem_anova_linenumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA — the multi-group member of the experimentation
+    family (t/z compare two arms; ANOVA asks whether ANY of the 7 ship
+    modes differs in mean line price). Sufficient statistics are exact:
+    per-group n, Σcents, Σcents² in decimal128, plus Σ(s²·10⁶ div n) —
+    the between-groups raw term kept integer by a micro-scaled floor
+    division per group (7 divisions total, each exact). The F statistic
+    assembles those exact integers in ONE fixed double expression:
+    F = [Σs²/n − (Σs)²/N] / (k−1) ÷ [Σx² − Σs²/n] / (N−k), rounded at
+    the end — both engines evaluate the identical operation sequence on
+    identical integers.
+
+    Scale shape: ONE hash aggregate keyed by line number (map-side
+    partials), then a 7-row reduction. Nothing else.
+
+    Reference analog: none (extension surface — experimentation family,
+    beside events_ab_test_ztest / orders_mannwhitney_u).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    dec = "decimal(38,0)"
+    g = li.groupBy("l_linenumber").agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(cents).cast(dec).alias("s"),
+        F.sum(cents.cast(dec) * cents).alias("ss"),
+    )
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast(dec).alias("nn"),
+        F.sum("s").cast(dec).alias("st"),
+        F.sum("ss").cast(dec).alias("sst"),
+        # decimal floor-division, NOT `div`: Spark's div returns LONG and
+        # s^2*1e6/n exceeds int64 at every SF (ANSI raises); operands are
+        # positive so floor == the oracle's HUGEINT // truncation
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(s * s AS decimal(38,0)) * 1000000 / n)"
+                " AS decimal(38,0))"
+            )
+        ).alias("between_num_micro"),
+    )
+    bn = F.col("between_num_micro").cast("double") / 1e6
+    nn = F.col("nn").cast("double")
+    k = F.col("k")
+    f_stat = F.round(
+        (bn - F.col("st").cast("double") * F.col("st").cast("double") / nn)
+        / (k - 1)
+        / ((F.col("sst").cast("double") - bn) / (nn - k)),
+        6,
+    )
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").cast("bigint").alias("n_rows"),
+        (f_stat + F.lit(0.0)).alias("f_stat"),
+    )

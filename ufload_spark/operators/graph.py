@@ -960,3 +960,117 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("r2"),
     )
+
+
+@register(
+    "graph_assortativity",
+    """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT c AS node FROM pairs UNION ALL SELECT s FROM pairs)
+  GROUP BY node
+), ends AS (
+  SELECT dc.d AS x, ds.d AS y
+  FROM pairs p JOIN deg dc ON p.c = dc.node JOIN deg ds ON p.s = ds.node
+), sym AS (
+  SELECT x, y FROM ends UNION ALL SELECT y AS x, x AS y FROM ends
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM sym
+)
+SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0
+         AS assortativity
+FROM m
+""",
+    doc="degree assortativity of the purchase graph (Newman): Pearson "
+    "correlation of endpoint degrees over the symmetrized edge list — "
+    "exact decimal128 sufficient statistics, one rounded expression",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman's degree assortativity coefficient (public): do high-degree
+    nodes attach to other high-degree nodes (r > 0, social-network-like)
+    or to low-degree ones (r < 0, hub-and-spoke — the expected signature
+    of a bipartite commerce graph)? It is the Pearson correlation of the
+    two endpoint degrees over the edge list, SYMMETRIZED (each undirected
+    edge contributes both orientations — the standard estimator; without
+    it the customer/supplier sides would land on arbitrary axes). With
+    `graph_degree_powerlaw` this completes the structure-audit pair: the
+    power-law fit says whether hubs exist, assortativity says how they
+    wire.
+
+    Exactness: degrees are exact integers riding a two-join attach onto
+    the pair list (the triangle-count device — no global rank), the
+    correlation's sufficient statistics are decimal128 integer sums, and
+    the single float expression (one sqrt, one division) is evaluated in
+    the same fixed order on both engines and rounded once.
+
+    Scale shape: one shuffle to distinct pairs, one to degrees, two
+    degree-attach joins keyed by node, a row-local symmetrizing explode,
+    ONE scalar aggregate. At cluster scale the degree table is
+    node-sized — broadcastable long before the edge list is.
+
+    Reference analog: none (extension surface — graph family).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("c").alias("node"))
+        .unionAll(pairs.select(F.col("s").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    ends = (
+        pairs.join(deg.withColumnsRenamed({"node": "c", "d": "x"}), "c")
+        .join(deg.withColumnsRenamed({"node": "s", "d": "y"}), "s")
+        .select("x", "y")
+    )
+    # row-local symmetrize (the explode device, not a plan-doubling union)
+    sym = ends.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x"), F.col("y")),
+                F.struct(F.col("y").alias("x"), F.col("x").alias("y")),
+            )
+        ).alias("e")
+    ).select("e.x", "e.y")
+    dec = "decimal(38,0)"
+    m = sym.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.expr("CAST(n div 2 AS BIGINT)").alias("n_edges"),
+        (
+            F.round(
+                cov_n.cast("double")
+                / F.sqrt(varx_n.cast("double") * vary_n.cast("double")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("assortativity"),
+    )
