@@ -3769,3 +3769,92 @@ def lineitem_anova_linenumber(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").cast("bigint").alias("n_rows"),
         (f_stat + F.lit(0.0)).alias("f_stat"),
     )
+
+
+#: newsvendor economics: underage cost 3, overage cost 1 → critical
+#: fractile cu/(cu+co) = 3/4; parts need this many observed demand months
+NV_CU, NV_CO = 3, 1
+NV_MIN_MONTHS = 8
+
+
+@register(
+    "parts_newsvendor_stock",
+    f"""
+WITH monthly AS (
+  SELECT l_partkey,
+         CAST(extract(year FROM l_shipdate) * 12
+              + extract(month FROM l_shipdate) AS BIGINT) AS m_idx,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS mq
+  FROM lineitem GROUP BY 1, 2
+), ranked AS (
+  SELECT l_partkey, mq,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY mq, m_idx) AS r,
+         count(*) OVER (PARTITION BY l_partkey) AS n
+  FROM monthly
+)
+SELECT l_partkey, CAST(n AS BIGINT) AS n_months,
+       CAST(min(mq) AS BIGINT) AS stock_qty,
+       CAST(min(r) * 1000000 // n AS BIGINT) AS service_micro
+FROM ranked
+WHERE n >= {NV_MIN_MONTHS} AND r * {NV_CU + NV_CO} >= n * {NV_CU}
+GROUP BY l_partkey, n
+""",
+    doc=f"newsvendor stocking quantity per part: smallest monthly demand "
+    f"whose empirical CDF clears the cu/(cu+co) = {NV_CU}/{NV_CU + NV_CO} "
+    "critical fractile — integer cross-multiplied rank test, exact "
+    "micro-unit achieved service level; per-part bounded windows",
+)
+def parts_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The newsvendor decision (Arrow/Harris, public): stock the demand
+    quantile at the critical fractile cu/(cu+co) — with underage cost
+    :data:`NV_CU` and overage cost :data:`NV_CO`, the 75th percentile of
+    observed monthly demand. The quantile is the EMPIRICAL order
+    statistic, located by an integer cross-multiplied rank test
+    (r·(cu+co) ≥ n·cu — no float CDF, no percentile interpolation to
+    disagree on), with (demand, month) total tie order. Parts with fewer
+    than :data:`NV_MIN_MONTHS` observed months are excluded — a quantile
+    from 3 points is noise, and the croston operator owns the
+    intermittent tail. The achieved service level (the fractile actually
+    reached, ≥ the target by at most one order statistic) rides along in
+    exact micro-units.
+
+    Scale shape: one shuffle to the (part, month) demand frame; the rank
+    window is PARTITIONED by part (frames bounded by the calendar month
+    span, ~80 rows); one more part-keyed aggregate picks the crossing
+    order statistic. This is `lineitem_leadtime_quartiles`' histogram
+    discipline upgraded to a per-group DECISION output.
+
+    Reference analog: none (extension surface — inventory/operations
+    family, beside parts_abc_xyz_matrix / parts_croston_intermittent).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("m_idx"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("mq"))
+    w_rank = Window.partitionBy("l_partkey").orderBy("mq", "m_idx")
+    w_all = Window.partitionBy("l_partkey")
+    ranked = monthly.select(
+        "l_partkey",
+        "mq",
+        F.row_number().over(w_rank).alias("r"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    crossing = ranked.where(
+        (F.col("n") >= NV_MIN_MONTHS)
+        & (F.col("r") * (NV_CU + NV_CO) >= F.col("n") * NV_CU)
+    )
+    return crossing.groupBy("l_partkey", "n").agg(
+        F.min("mq").cast("bigint").alias("stock_qty"),
+        F.expr("CAST(min(r) * 1000000 div n AS BIGINT)").alias(
+            "service_micro"
+        ),
+    ).select(
+        "l_partkey",
+        F.col("n").cast("bigint").alias("n_months"),
+        "stock_qty",
+        "service_micro",
+    )

@@ -1774,3 +1774,87 @@ def text_domain_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             "route_domain"
         ),
     ).select("doc_id", "lang", "n_tokens", "n_hits", "route_domain")
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+WITH pred AS (
+  SELECT lang AS true_lang,
+         CASE WHEN len(regexp_extract_all(lower(text), '({_TRIGRAM_RE})'))
+                   / nullif(CAST(length(text) AS DOUBLE), 0) > 0.02
+              THEN 'en' ELSE 'unk' END AS pred_lang
+  FROM documents
+), cells AS (
+  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN (true_lang = 'en') = (pred_lang = 'en')
+                       THEN n ELSE 0 END) AS BIGINT) AS agree
+  FROM cells
+)
+SELECT c.true_lang, c.pred_lang, c.n,
+       CAST(c.n * 1000000 // t.total AS BIGINT) AS share_micro,
+       CAST(t.agree * 1000000 // t.total AS BIGINT) AS accuracy_micro
+FROM cells c, tot t
+""",
+    doc="language-ID model evaluation: true-vs-predicted confusion cells "
+    "with exact micro-unit shares and overall binary (en vs not-en) "
+    "accuracy — one aggregate, one |langs|²-bounded frame",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EVALUATION tier for the language-ID classifiers (the sibling of
+    `similarity_quantized_recall_eval` and `similarity_knn_label_vote`'s
+    accuracy audit): cross-tabulate the n-gram classifier's prediction
+    against the fixture's labeled lang, emit every confusion cell with
+    its exact micro-unit share, and carry the overall binary accuracy
+    (classifier only separates en vs not-en, so agreement is scored on
+    that axis) on every row for the dashboard join. The heuristic's
+    failure modes become visible per true language — exactly the table a
+    pipeline owner reads before trusting `corpus_language_rebalance`'s
+    input.
+
+    Exactness: cells are exact integers; shares and accuracy are single
+    integer floor divisions to micro-units — no float anywhere.
+
+    Scale shape: ONE hash aggregate on the (true, pred) pair (bounded by
+    |langs|², never docs), a 1-row broadcast for the totals, row-local
+    division. The classifier expression is inlined, so the corpus is
+    scanned ONCE.
+
+    Reference analog: none (extension surface — text family).
+    """
+    d = table(spark, sf_dir, "documents")
+    hits = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(f"({_TRIGRAM_RE})"), 0)
+    ).cast("double")
+    density = hits / F.nullif(F.length("text").cast("double"), F.lit(0.0))
+    pred = d.select(
+        F.col("lang").alias("true_lang"),
+        F.when(density > 0.02, F.lit("en")).otherwise(F.lit("unk")).alias(
+            "pred_lang"
+        ),
+    )
+    cells = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    agree = F.sum(
+        F.when(
+            (F.col("true_lang") == "en") == (F.col("pred_lang") == "en"),
+            F.col("n"),
+        ).otherwise(0)
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        agree.cast("bigint").alias("agree"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.expr("CAST(n * 1000000 div total AS BIGINT)").alias("share_micro"),
+        F.expr("CAST(agree * 1000000 div total AS BIGINT)").alias(
+            "accuracy_micro"
+        ),
+    )
