@@ -2907,3 +2907,116 @@ def events_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(max(n_a) AS decimal(38,0)) * max(n_b)) AS BIGINT)"
         ).alias("emd_micro"),
     )
+
+
+#: power analysis at alpha = 0.05 two-sided, power = 0.80: z quantiles as
+#: fixed literals (both engines share the exact doubles)
+POWER_Z_ALPHA = 1.959963984540054
+POWER_Z_BETA = 0.8416212335729143
+#: minimum detectable effects to size, as % of the pooled mean
+POWER_MDE_PCTS = (1, 2, 5, 10)
+
+
+@register(
+    "events_power_analysis",
+    f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS HUGEINT) AS cents
+  FROM events GROUP BY 1
+), mom AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS sx,
+         CAST(sum(cents * cents) AS HUGEINT) AS sxx
+  FROM per_user
+), base AS (
+  SELECT CAST(n AS BIGINT) AS n_users,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+         CAST(n * sxx - sx * sx AS DOUBLE)
+           / CAST(n * (n - 1) AS DOUBLE) AS var_cents
+  FROM mom
+)
+SELECT n_users, CAST(mde_pct AS INT) AS mde_pct,
+       CAST(ceil(2.0 * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                 * ({POWER_Z_ALPHA} + {POWER_Z_BETA}) * var_cents
+                 / ((mde_pct / 100.0) * mean_cents
+                    * (mde_pct / 100.0) * mean_cents)) AS BIGINT)
+         AS n_per_arm,
+       round(sqrt(2.0 * var_cents / (n_users / 2.0))
+             * ({POWER_Z_ALPHA} + {POWER_Z_BETA}) * 100.0
+             / mean_cents, 6) + 0.0 AS mde_now_pct
+FROM base, (SELECT unnest(ARRAY{list(POWER_MDE_PCTS)}) AS mde_pct)
+""",
+    doc="experiment power analysis: per-user spend moments → required n "
+    "per arm for 1/2/5/10% MDEs and the MDE the CURRENT population "
+    "already supports (alpha .05 two-sided, power .80; z quantiles as "
+    "shared literals, moments exact decimal128)",
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The question every experiment asks BEFORE `events_ab_test_ztest`
+    runs: how many users per arm does a given minimum detectable effect
+    need, and what MDE does the population on hand already support? The
+    standard two-sample normal approximation (public):
+    n/arm = 2(z_{{α/2}}+z_β)²σ²/Δ², inverted for the current-n MDE. The
+    z quantiles are FIXED double literals shared by both engines (no
+    erf-inverse at runtime); σ² and the mean come from exact decimal128
+    per-user spend moments, so the only float work is one fixed-shape
+    expression per target MDE row.
+
+    Scale shape: one user_id shuffle for per-user spend, one 1-row moment
+    reduction, then a ×|:data:`POWER_MDE_PCTS`| row-local literal explode.
+
+    Reference analog: none (extension surface — experimentation family:
+    power → test (z/t, MWU) → correction (CUPED) → interval (bootstrap)).
+    """
+    ev = table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    cents = F.sum(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint"),
+        ).otherwise(0)
+    ).cast(dec)
+    per_user = ev.groupBy("user_id").agg(cents.alias("cents"))
+    mom = per_user.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("cents").cast(dec).alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+    )
+    base = mom.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cents"
+        ),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+        ).alias("var_cents"),
+    )
+    zsum = POWER_Z_ALPHA + POWER_Z_BETA
+    mde = F.explode(
+        F.array(*[F.lit(p) for p in POWER_MDE_PCTS])
+    ).alias("mde_pct")
+    rows = base.select("n_users", "mean_cents", "var_cents", mde)
+    delta = (F.col("mde_pct") / 100.0) * F.col("mean_cents")
+    return rows.select(
+        "n_users",
+        F.col("mde_pct").cast("int").alias("mde_pct"),
+        F.ceil(2.0 * zsum * zsum * F.col("var_cents") / (delta * delta))
+        .cast("bigint")
+        .alias("n_per_arm"),
+        (
+            F.round(
+                F.sqrt(2.0 * F.col("var_cents") / (F.col("n_users") / 2.0))
+                * zsum
+                * 100.0
+                / F.col("mean_cents"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("mde_now_pct"),
+    )

@@ -1454,3 +1454,80 @@ def multimodal_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synthesize_audio_batches, schema="doc_id long, content binary"
     )
     return audio.mapInPandas(_audio_spectrum_batches, schema=SPECTRUM_SCHEMA)
+
+
+# --- image luminance histogram over real pixels -----------------------------
+
+#: luminance buckets: 256 values folded to 8 bands of 32
+LUMA_BANDS = 8
+
+
+def _image_histogram_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    memo: dict[bytes, list[int]] = {}
+
+    def hist(c: bytes) -> list[int]:
+        h = memo.get(c)
+        if h is None:
+            grid = decode_png_pixels(c)
+            counts = [0] * LUMA_BANDS
+            for row in grid:
+                for v in row:
+                    counts[v // (256 // LUMA_BANDS)] += 1
+            h = memo[c] = counts
+        return h
+
+    for pdf in batches:
+        rows = []
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            for band, n in enumerate(hist(bytes(content))):
+                rows.append((int(doc_id), band, n))
+        yield pd.DataFrame(rows, columns=["doc_id", "band", "n_px"]).astype(
+            {"doc_id": "int64", "band": "int32", "n_px": "int64"}
+        )
+
+
+@register(
+    "multimodal_image_histogram",
+    f"""
+WITH px AS (
+  SELECT d.doc_id,
+         (7 * x.x + 13 * y.y + 31 * (d.doc_id % {AH_PATTERN_MOD})) % 256 AS v
+  FROM documents d,
+       (SELECT unnest(range(0, {AH_W})) AS x) x,
+       (SELECT unnest(range(0, {AH_H})) AS y) y
+)
+SELECT doc_id, CAST(v // {256 // LUMA_BANDS} AS INT) AS band,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM px GROUP BY 1, 2
+""",
+    doc=f"image luminance histogram over REAL decoded pixels: {LUMA_BANDS} "
+    "bands of the 8-bit range per image — exact integer counts, the "
+    "exposure/contrast feature a visual-quality filter thresholds on; "
+    "oracle predicts every count closed-form from the render arithmetic",
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first non-hash image ANALYSIS operator: an 8-band luminance
+    histogram per image, computed from the honestly-decoded pixel grid
+    (chunk CRC walk, zlib inflate, scanline unfilter — the aHash/pHash
+    path). This is the feature a visual-quality curation filter reads:
+    an all-dark or blown-out image concentrates mass in the end bands; a
+    dithered gradient (the fixture) spreads it — and the oracle predicts
+    every band count closed-form from the render arithmetic, so a decode
+    bug shifts counts and hash-mismatches.
+
+    Scale shape: a narrow Arrow map (content-addressed memo collapses
+    repeated payloads), emitting ≤:data:`LUMA_BANDS` rows per image; no
+    shuffle at all — histogram aggregation happens inside the decode
+    batch, the cheapest place for a per-item bounded reduction.
+
+    Reference analog: none (extension surface — multimodal family).
+    """
+    d = doc_ids(spark, sf_dir)
+    png = d.mapInPandas(
+        _synthesize_pixel_png_batches, schema="doc_id long, content binary"
+    )
+    return png.mapInPandas(
+        _image_histogram_batches, schema="doc_id long, band int, n_px long"
+    )
