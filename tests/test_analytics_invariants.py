@@ -1031,3 +1031,49 @@ def test_holt_backtest_matches_bruteforce(spark):
     assert row["n_eval"] == n_eval
     assert row["mae_holt_micro"] == tdiv(sae_h, n_eval)
     assert row["mae_naive_micro"] == tdiv(sae_n, n_eval)
+
+
+def test_power_analysis_monotone(spark):
+    from ufload_spark.operators.events import events_power_analysis
+
+    rows = sorted(
+        events_power_analysis(spark, SF_DIR).collect(),
+        key=lambda r: r["mde_pct"],
+    )
+    assert [r["mde_pct"] for r in rows] == [1, 2, 5, 10]
+    ns = [r["n_per_arm"] for r in rows]
+    assert ns == sorted(ns, reverse=True)  # bigger effect, fewer users
+    # quadratic law: halving the MDE ~ 4x the sample (ceil slack)
+    assert 3.9 <= ns[0] / ns[1] <= 4.1
+    assert all(r["mde_now_pct"] > 0 for r in rows)
+
+
+def test_assortativity_in_range_and_disassortative(spark):
+    from ufload_spark.operators.graph import graph_assortativity
+
+    row = graph_assortativity(spark, SF_DIR).collect()[0]
+    assert -1.0 <= row["assortativity"] <= 1.0
+    assert row["n_edges"] > 0
+
+
+def test_anova_f_nonnegative(spark):
+    from ufload_spark.operators.analytics import lineitem_anova_linenumber
+
+    row = lineitem_anova_linenumber(spark, SF_DIR).collect()[0]
+    assert row["n_groups"] >= 2 and row["f_stat"] >= 0.0
+
+
+def test_newsvendor_service_meets_fractile(spark):
+    from ufload_spark.operators.analytics import (
+        NV_CU,
+        NV_CO,
+        NV_MIN_MONTHS,
+        parts_newsvendor_stock,
+    )
+
+    rows = parts_newsvendor_stock(spark, SF_DIR).collect()
+    target = NV_CU * 1_000_000 // (NV_CU + NV_CO)
+    for r in rows:
+        assert r["n_months"] >= NV_MIN_MONTHS
+        assert r["service_micro"] >= target  # fractile reached, never under
+        assert r["stock_qty"] > 0

@@ -968,3 +968,30 @@ def test_bootstrap_single_md5_per_row(spark):
     assert md5_lines and not any(" b#" in ln or ", b" in ln for ln in md5_lines)
     # the round-key table rides a broadcast join on b
     assert "BroadcastHashJoin [b" in plan or "BroadcastHashJoin [cast(b" in plan
+
+
+def test_jl_projection_has_no_exchange(spark):
+    """embedding_jl_projection is a pure columnar fold: literal sign
+    arrays, no joins, no shuffle — the executed plan must contain zero
+    exchanges (the VALUES sign table exists only in the oracle)."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["embedding_jl_projection"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert "Exchange" not in plan
+
+
+def test_image_histogram_has_no_exchange(spark):
+    """multimodal_image_histogram reduces inside the Arrow decode batch —
+    beyond the doc_ids parallelism repartition, no aggregate exchange may
+    appear (the histogram is per-item bounded, never grouped corpus-wide)."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["multimodal_image_histogram"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    # exactly the doc_ids round-robin/hash repartition, nothing keyed by band
+    assert len(exchanges) <= 1
+    assert not any("band" in ln for ln in exchanges)
