@@ -2805,6 +2805,86 @@ def events_funnel_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (fixture caps near $600), so the bin frame stays ≤ ~600 rows at any SF
 EMD_BIN_CENTS = 100
 
+#: The Wasserstein-1 statistic over per-(side, $1-bin) counts, shared by
+#: the batch operator and the streaming monitor (streaming/jobs.py) so the
+#: two can never drift apart. Each populated bin's CDF gap persists until
+#: the NEXT populated bin, so the gap is weighted by that span (empty
+#: intermediate bins are covered without materializing them; after the
+#: last bin both CDFs are 1 and the gap is 0). Output is exact integer
+#: MICRO-CENTS: sum(gap_num * span) * width * 1e6 // (n_a * n_b).
+EMD_ORACLE_TAIL = f"""), wide AS (
+  SELECT b,
+         CAST(coalesce(sum(CASE WHEN side = 0 THEN c END), 0) AS BIGINT) AS ca,
+         CAST(coalesce(sum(CASE WHEN side = 1 THEN c END), 0) AS BIGINT) AS cb
+  FROM counts GROUP BY b
+), cum AS (
+  SELECT b,
+         coalesce(lead(b) OVER (ORDER BY b), b) - b AS span,
+         CAST(sum(ca) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY b
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_b,
+         CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+         CAST(sum(cb) OVER () AS BIGINT) AS n_b
+  FROM wide
+), gaps AS (
+  SELECT n_a, n_b,
+         CAST(abs(cum_a * n_b - cum_b * n_a) AS DECIMAL(38, 0))
+           * CAST(span AS DECIMAL(38, 0)) AS dnum
+  FROM cum
+)
+SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(CAST(sum(dnum) AS DECIMAL(38, 0)) * {EMD_BIN_CENTS} * 1000000
+            // (CAST(max(n_a) AS DECIMAL(38, 0)) * max(n_b)) AS BIGINT)
+         AS emd_micro
+FROM gaps"""
+
+
+def emd_from_side_bin_counts(counts: DataFrame) -> DataFrame:
+    """The Spark half of the shared statistic: ``counts`` carries
+    (side, b, c); returns the 1-row (n_a, n_b, n_bins, emd_micro) frame.
+    SCALE GUARD: every window runs over the $1-bin frame only — bounded
+    by the value domain, not event count."""
+    wide = counts.groupBy("b").agg(
+        F.coalesce(F.sum(F.when(F.col("side") == 0, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.coalesce(F.sum(F.when(F.col("side") == 1, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_lead = Window.orderBy("b")
+    cum = wide.select(
+        (F.coalesce(F.lead("b").over(w_lead), F.col("b")) - F.col("b")).alias(
+            "span"
+        ),
+        F.sum("ca").over(w_cum).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(w_cum).cast("bigint").alias("cum_b"),
+        F.sum("ca").over(w_all).cast("bigint").alias("n_a"),
+        F.sum("cb").over(w_all).cast("bigint").alias("n_b"),
+    )
+    dnum = F.abs(
+        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
+        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
+    ) * F.col("span").cast("decimal(38,0)")
+    gaps = cum.select("n_a", "n_b", dnum.alias("dnum"))
+    return gaps.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.count("*").cast("bigint").alias("n_bins"),
+        F.expr(
+            f"CAST(CAST(sum(dnum) AS decimal(38,0)) * {EMD_BIN_CENTS} * 1000000"
+            " div (CAST(max(n_a) AS decimal(38,0)) * max(n_b)) AS BIGINT)"
+        ).alias("emd_micro"),
+    )
+
 
 @register(
     "events_emd_drift",
@@ -2814,35 +2894,14 @@ WITH vals AS (
            AS side,
          CAST(floor(value * 100 + 0.5) AS BIGINT) // {EMD_BIN_CENTS} AS b
   FROM events
-), wide AS (
-  SELECT b,
-         CAST(coalesce(sum(CASE WHEN side = 0 THEN 1 END), 0) AS BIGINT) AS ca,
-         CAST(coalesce(sum(CASE WHEN side = 1 THEN 1 END), 0) AS BIGINT) AS cb
-  FROM vals GROUP BY b
-), cum AS (
-  SELECT
-    CAST(sum(ca) OVER (ORDER BY b
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
-    CAST(sum(cb) OVER (ORDER BY b
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
-    CAST(sum(ca) OVER () AS BIGINT) AS n_a,
-    CAST(sum(cb) OVER () AS BIGINT) AS n_b
-  FROM wide
-), gaps AS (
-  SELECT n_a, n_b,
-         CAST(abs(cum_a * n_b - cum_b * n_a) AS DECIMAL(38, 0)) AS dnum
-  FROM cum
-)
-SELECT max(n_a) AS n_a, max(n_b) AS n_b,
-       CAST(count(*) AS BIGINT) AS n_bins,
-       CAST(CAST(sum(dnum) AS DECIMAL(38, 0)) * {EMD_BIN_CENTS} * 10000
-            // (CAST(max(n_a) AS DECIMAL(38, 0)) * max(n_b)) AS BIGINT)
-         AS emd_micro
-FROM gaps
+), counts AS (
+  SELECT side, b, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2
+{EMD_ORACLE_TAIL}
 """,
     doc="1-D earth-mover (Wasserstein-1) drift over uniform $1 value bins, "
-    "first-half vs second-half of month: EMD = Σ|CDF gaps|·width — exact "
-    "integer cross-multiplied numerators, ONE floor division to micro-cents",
+    "first-half vs second-half of month: EMD = Σ|CDF gap|·span (gaps "
+    "persist across empty bins) — exact integer cross-multiplied "
+    "numerators, ONE floor division to micro-cents",
 )
 def events_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The integral companion of `events_ks_drift_binned`: KS reports the
@@ -2853,15 +2912,19 @@ def events_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     they care about magnitude, not just existence, of a shift
     (Wasserstein-1's closed form on the line: EMD = ∫|F_a − F_b|, public).
 
-    Exactness: per uniform bin, the gap numerator |cum_a·n_b − cum_b·n_a|
-    is an exact decimal128 integer (the KS discipline); EMD sums them —
-    a SUM of exact integers is as order-free as their max — scales by the
-    bin width, and performs ONE floor division by n_a·n_b to land on
-    exact micro-cents. No float until nothing is left to compute.
+    Exactness and the empty-bin subtlety: per populated bin, the gap
+    numerator |cum_a·n_b − cum_b·n_a| is an exact decimal128 integer (the
+    KS discipline) — and because a CDF gap PERSISTS until the next
+    populated bin, each gap is weighted by that span (a lead() over the
+    bin frame), so value distributions with holes integrate correctly
+    without materializing empty bins. One floor division lands on exact
+    integer micro-cents. No float until nothing is left to compute. The
+    statistic (oracle SQL tail + Spark builder) is SHARED with
+    `streaming_emd_monitor`, so the batch and live forms cannot drift.
 
     Scale shape: one shuffle to the (side, $1-bin) table; the running-sum
-    window and the final aggregate run over the ≤~600-row bin frame
-    (bounded by the value domain, never event count).
+    and lead windows and the final aggregate run over the ≤~600-row bin
+    frame (bounded by the value domain, never event count).
 
     Reference analog: none (extension surface — drift-monitoring family,
     beside events_ks_drift_binned / text_js_divergence_by_lang).
@@ -2873,40 +2936,10 @@ def events_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(floor(value * 100 + 0.5) AS BIGINT) div {EMD_BIN_CENTS}"
         ).alias("b"),
     )
-    wide = vals.groupBy("b").agg(
-        F.coalesce(F.sum(F.when(F.col("side") == 0, 1)), F.lit(0))
-        .cast("bigint")
-        .alias("ca"),
-        F.coalesce(F.sum(F.when(F.col("side") == 1, 1)), F.lit(0))
-        .cast("bigint")
-        .alias("cb"),
+    counts = vals.groupBy("side", "b").agg(
+        F.count("*").cast("bigint").alias("c")
     )
-    # SCALE GUARD: partition-less windows over the $1-bin frame only —
-    # bounded by the value domain, not event count.
-    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = wide.select(
-        F.sum("ca").over(w_cum).cast("bigint").alias("cum_a"),
-        F.sum("cb").over(w_cum).cast("bigint").alias("cum_b"),
-        F.sum("ca").over(w_all).cast("bigint").alias("n_a"),
-        F.sum("cb").over(w_all).cast("bigint").alias("n_b"),
-    )
-    dnum = F.abs(
-        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
-        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
-    )
-    gaps = cum.select("n_a", "n_b", dnum.alias("dnum"))
-    return gaps.agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.count("*").cast("bigint").alias("n_bins"),
-        F.expr(
-            f"CAST(CAST(sum(dnum) AS decimal(38,0)) * {EMD_BIN_CENTS} * 10000"
-            " div (CAST(max(n_a) AS decimal(38,0)) * max(n_b)) AS BIGINT)"
-        ).alias("emd_micro"),
-    )
+    return emd_from_side_bin_counts(counts)
 
 
 #: power analysis at alpha = 0.05 two-sided, power = 0.80: z quantiles as

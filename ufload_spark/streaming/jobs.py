@@ -695,7 +695,11 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-from ufload_spark.operators.events import EMD_BIN_CENTS as _EMD_W
+from ufload_spark.operators.events import (
+    EMD_BIN_CENTS as _EMD_W,
+    EMD_ORACLE_TAIL as _EMD_TAIL,
+    emd_from_side_bin_counts as _emd_stat,
+)
 
 
 @register(
@@ -706,36 +710,14 @@ WITH vals AS (
            AS side,
          CAST(floor(value * 100 + 0.5) AS BIGINT) // {_EMD_W} AS b
   FROM events
-), wide AS (
-  SELECT b,
-         CAST(coalesce(sum(CASE WHEN side = 0 THEN 1 END), 0) AS BIGINT) AS ca,
-         CAST(coalesce(sum(CASE WHEN side = 1 THEN 1 END), 0) AS BIGINT) AS cb
-  FROM vals GROUP BY b
-), cum AS (
-  SELECT
-    CAST(sum(ca) OVER (ORDER BY b
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
-    CAST(sum(cb) OVER (ORDER BY b
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
-    CAST(sum(ca) OVER () AS BIGINT) AS n_a,
-    CAST(sum(cb) OVER () AS BIGINT) AS n_b
-  FROM wide
-), gaps AS (
-  SELECT n_a, n_b,
-         CAST(abs(cum_a * n_b - cum_b * n_a) AS DECIMAL(38, 0)) AS dnum
-  FROM cum
-)
-SELECT max(n_a) AS n_a, max(n_b) AS n_b,
-       CAST(count(*) AS BIGINT) AS n_bins,
-       CAST(CAST(sum(dnum) AS DECIMAL(38, 0)) * {_EMD_W} * 10000
-            // (CAST(max(n_a) AS DECIMAL(38, 0)) * max(n_b)) AS BIGINT)
-         AS emd_micro
-FROM gaps
+), counts AS (
+  SELECT side, b, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY 1, 2
+{_EMD_TAIL}
 """,
     doc="streaming drift monitor: the $1-bin value histograms maintained BY "
     "the streaming engine (additive complete-mode state, micro-batch-split-"
     "invariant), the Wasserstein-1 statistic evaluated over the bounded "
-    "sink — equals the batch events_emd_drift exactly",
+    "sink via the SHARED batch helper — equals events_emd_drift exactly",
 )
 def streaming_emd_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`events_emd_drift` as a LIVE monitor: the streaming engine maintains
@@ -743,15 +725,11 @@ def streaming_emd_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Count-Min job the sink is bit-identical under any micro-batching,
     and state is bounded by the value domain (~1 200 counters), never
     event cardinality. The Wasserstein-1 statistic itself is evaluated on
-    demand over the bounded sink table with the exact integer arithmetic
-    of the batch operator (cross-multiplied CDF gaps, one floor
-    division) — the evaluate-on-read split every metrics store makes:
-    the stream pays for counter maintenance, the alert rule reads a
-    ~600-row table.
-
-    The registered oracle IS the batch EMD query, so a streaming-path
-    divergence (double count on retry, dropped batch) shifts a counter
-    and hash-mismatches the final statistic.
+    demand over the bounded sink table by the SAME helper the batch
+    operator uses (`events.emd_from_side_bin_counts`; the oracle embeds
+    the same shared SQL tail) — the evaluate-on-read split every metrics
+    store makes, with the batch/live drift risk engineered away: there is
+    one statistic implementation, not two copies.
 
     At 100 TB: the histogram aggregate shuffles once on (side, bin) with
     map-side partials and constant state; complete-mode emission of a
@@ -769,36 +747,4 @@ def streaming_emd_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("c")
     )
     sink = run_to_memory(counts, output_mode="complete", prefix="emd_monitor")
-    # evaluate the statistic over the bounded sink (batch, exact integers)
-    wide = sink.groupBy("b").agg(
-        F.coalesce(F.sum(F.when(F.col("side") == 0, F.col("c"))), F.lit(0))
-        .cast("bigint")
-        .alias("ca"),
-        F.coalesce(F.sum(F.when(F.col("side") == 1, F.col("c"))), F.lit(0))
-        .cast("bigint")
-        .alias("cb"),
-    )
-    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = wide.select(
-        F.sum("ca").over(w_cum).cast("bigint").alias("cum_a"),
-        F.sum("cb").over(w_cum).cast("bigint").alias("cum_b"),
-        F.sum("ca").over(w_all).cast("bigint").alias("n_a"),
-        F.sum("cb").over(w_all).cast("bigint").alias("n_b"),
-    )
-    dnum = F.abs(
-        F.col("cum_a").cast("decimal(38,0)") * F.col("n_b")
-        - F.col("cum_b").cast("decimal(38,0)") * F.col("n_a")
-    )
-    gaps = cum.select("n_a", "n_b", dnum.alias("dnum"))
-    return gaps.agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.count("*").cast("bigint").alias("n_bins"),
-        F.expr(
-            f"CAST(CAST(sum(dnum) AS decimal(38,0)) * {_EMD_W} * 10000"
-            " div (CAST(max(n_a) AS decimal(38,0)) * max(n_b)) AS BIGINT)"
-        ).alias("emd_micro"),
-    )
+    return _emd_stat(sink)
