@@ -235,13 +235,15 @@ def main() -> None:
             "p90": round(spreads[int(len(spreads) * 0.9)], 3),
         }
 
-    # Emission contract (r5 lesson: the 50-query × 2-SF line outgrew the
-    # driver's captured output tail and BENCH_r05.json recorded
-    # "parsed": null). The FULL result — both per-query maps, spreads,
-    # tier annotation — goes to a committed sidecar, BENCH_DETAIL.json;
-    # stdout gets ONE SMALL line: the headline metric, the sf0.1 per-query
-    # map (the documented contract), and sf1 totals WITHOUT its per-query
-    # map. Printed last so nothing can scroll it out of the tail.
+    # Emission contract (r5/r6 lesson: the driver's captured stdout tail
+    # is ~2,048 bytes — BENCH_r05/r06.json both recorded "parsed": null
+    # because even the sf0.1-only per-query map of 76 entries outgrew it).
+    # The FULL result — both per-query maps, spreads, tier annotation —
+    # goes to a committed sidecar, BENCH_DETAIL.json; stdout gets ONE
+    # SMALL line (< 1,500 bytes, pinned by test_bench_contract.py): the
+    # headline metric, the 10 SLOWEST sf0.1 queries (the contract's
+    # "queries" key, truncated to what a reader triages first), counts,
+    # and sf1 totals. Printed last so nothing can scroll it out.
     detail = dict(result)
     detail["ann_tiers"] = {
         # train-included entries charge k-means training to every run;
@@ -261,6 +263,10 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: the stdout line still stands alone
     result.pop("sf1_queries", None)
+    result["n_queries"] = len(timings)
+    result["queries"] = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     spark.stop()
     print(json.dumps(result), flush=True)
 

@@ -16,7 +16,13 @@ from pyspark.sql import SparkSession
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.driver.memory", "8g")
@@ -28,6 +34,12 @@ def main() -> int:
     from tests.oracle import compare
 
     qs, os_ = e.queries(), e.oracle_sql()
+    if only is not None:
+        missing = only - set(qs)
+        if missing:
+            print(f"UNKNOWN {sorted(missing)}", flush=True)
+            return 2
+        qs = {k: v for k, v in qs.items() if k in only}
     t0 = time.time()
     fails = []
     for name in sorted(qs):

@@ -963,14 +963,40 @@ def test_jl_projection_preserves_distances(spark):
 
 
 def test_emd_drift_bounds_and_population(spark):
+    from collections import Counter
+
     from ufload_spark.operators.events import EMD_BIN_CENTS, events_emd_drift
 
     row = events_emd_drift(spark, SF_DIR).collect()[0]
-    total = table(spark, SF_DIR, "events").count()
+    rows = table(spark, SF_DIR, "events").select("ts", "value").collect()
+    total = len(rows)
     assert row["n_a"] + row["n_b"] == total  # the split is a partition
     assert row["emd_micro"] >= 0
-    # EMD can never exceed the full binned span (CDF gap <= 1 per bin)
-    assert row["emd_micro"] <= row["n_bins"] * EMD_BIN_CENTS * 10_000
+    # exact integer recompute of the documented statistic: per-bin CDF
+    # gaps persist until the NEXT populated bin, so each gap is weighted
+    # by that span — empty intermediate bins are covered implicitly
+    cnt: Counter = Counter()
+    for r in rows:
+        side = 0 if r["ts"].day <= 15 else 1
+        b = int(math.floor(float(r["value"]) * 100 + 0.5)) // EMD_BIN_CENTS
+        cnt[(side, b)] += 1
+    bins = sorted({b for (_, b) in cnt})
+    n_a = sum(c for (s, _), c in cnt.items() if s == 0)
+    n_b = total - n_a
+    cum_a = cum_b = num = 0
+    for i, b in enumerate(bins):
+        cum_a += cnt.get((0, b), 0)
+        cum_b += cnt.get((1, b), 0)
+        span = (bins[i + 1] - b) if i + 1 < len(bins) else 0
+        num += abs(cum_a * n_b - cum_b * n_a) * span
+    assert row["n_bins"] == len(bins)
+    assert row["emd_micro"] == num * EMD_BIN_CENTS * 1_000_000 // (n_a * n_b)
+    # sound upper bound: the per-unit-span CDF gap is <= 1 and the spans
+    # sum to (max_b - min_b) — NOT n_bins, the populated count, because
+    # gaps persist across empty bins (the statistic's own semantics)
+    assert (
+        row["emd_micro"] <= (bins[-1] - bins[0]) * EMD_BIN_CENTS * 1_000_000
+    )
 
 
 def test_holt_backtest_matches_bruteforce(spark):

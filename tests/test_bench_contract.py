@@ -53,13 +53,20 @@ def test_bench_emission_contract(tmp_path):
     assert result["sf"] == 0.001
     from bench import HEADLINE
 
-    assert set(result["queries"]) == set(HEADLINE)
+    # the stdout "queries" map is TRUNCATED to the 10 slowest (r6 lesson:
+    # the driver's capture tail is ~2,048 bytes; the full 76-entry map
+    # alone outgrew it three rounds running) — the full map lives in the
+    # sidecar, which is asserted complete below
+    assert set(result["queries"]) <= set(HEADLINE)
+    assert len(result["queries"]) == min(10, len(HEADLINE))
     assert all(t >= 0 for t in result["queries"].values())
+    assert result["n_queries"] == len(HEADLINE)
     # the sf1 per-query map must NOT ride the stdout line (the r5 lesson);
     # sf1 totals are allowed when that section ran (off here)
     assert "sf1_queries" not in result
-    # stdout line stays well under any sane capture tail
-    assert len(lines[-1]) < 8192
+    # stdout line must fit the driver's observed ~2,048-byte capture tail
+    # with headroom
+    assert len(lines[-1]) < 1500
     # sidecar detail stays in sync with the emitted headline
     detail = json.load(open(result["detail_file"]))
     assert detail["value"] == result["value"]

@@ -2837,8 +2837,8 @@ EMD_ORACLE_TAIL = f"""), wide AS (
 )
 SELECT max(n_a) AS n_a, max(n_b) AS n_b,
        CAST(count(*) AS BIGINT) AS n_bins,
-       CAST(CAST(sum(dnum) AS DECIMAL(38, 0)) * {EMD_BIN_CENTS} * 1000000
-            // (CAST(max(n_a) AS DECIMAL(38, 0)) * max(n_b)) AS BIGINT)
+       CAST(CAST(sum(dnum) AS HUGEINT) * {EMD_BIN_CENTS} * 1000000
+            // (CAST(max(n_a) AS HUGEINT) * max(n_b)) AS BIGINT)
          AS emd_micro
 FROM gaps"""
 
