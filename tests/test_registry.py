@@ -71,3 +71,32 @@ def test_registry_names_unique_and_nonempty():
     reg = load_all()
     assert len(reg) >= 110
     assert all(n and n == q.name for n, q in reg.items())
+
+
+def test_no_oracle_floor_divides_decimal_operands():
+    """Engine-parity trap (r6 VERDICT): DuckDB's `//` on DECIMAL operands
+    returns DOUBLE, and a subsequent CAST(... AS BIGINT) ROUNDS half-up
+    instead of flooring — the exact defect that broke the two EMD oracles
+    (78200883.8 rounded to ...884 while Spark's decimal `div` floored to
+    ...883). On HUGEINT (and plain integer) operands `//` is exact integer
+    truncating division, matching Spark's `div`. So the repo convention:
+    every oracle floor division over wide intermediates goes through
+    HUGEINT, never DECIMAL. This test greps each registered oracle for a
+    `//` whose nearest preceding wide-type CAST on the same statement
+    chunk is DECIMAL."""
+    import re
+
+    offenders = []
+    for name, q in load_all().items():
+        sql = q.oracle or ""
+        for m in re.finditer(r"//", sql):
+            # a DECIMAL cast adjacent to the division is the trap; HUGEINT
+            # (or uncast integer columns) is the sanctioned form — scan a
+            # window around the `//` for the operand casts
+            near = (
+                sql[max(0, m.start() - 120) : m.start()]
+                + sql[m.start() : m.start() + 120]
+            )
+            if re.search(r"AS\s+DECIMAL\s*\(", near, re.IGNORECASE):
+                offenders.append((name, near.strip()[:160]))
+    assert offenders == [], offenders

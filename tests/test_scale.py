@@ -928,7 +928,21 @@ def test_mannwhitney_windows_are_segmented(spark):
     # windows on the tiny bin frame are partition-less by design and sit
     # above the bounded aggregate, behind a single-partition exchange)
     win_lines = [ln for ln in plan.splitlines() if "Window [" in ln and "cents" in ln]
-    assert win_lines and all("partitionBy=[bin" in ln.replace(" ", "") or "bin" in ln for ln in win_lines)
+    assert win_lines
+    for ln in win_lines:
+        flat = ln.replace(" ", "")
+        # every cents-ORDERED window spec must be PARTITIONED by bin: in
+        # the executed-plan string a spec reads
+        # windowspecdefinition(<partition cols>, <order col> ASC...), so a
+        # cents ordering whose spec does not LEAD with bin# is a
+        # corpus-sized partition-less window — the regression this test
+        # exists to catch (the old `or "bin" in ln` fallback passed for
+        # any line that merely projected a bin column)
+        for spec in flat.split("windowspecdefinition(")[1:]:
+            if "cents#" in spec.split("specifiedwindowframe")[0]:
+                assert spec.startswith("bin#"), (
+                    f"partition-less cents window: {ln}"
+                )
 
 
 def test_fuzzy_search_verifies_distinct_strings_only(spark):

@@ -3716,8 +3716,8 @@ FROM tot
 )
 def lineitem_anova_linenumber(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA — the multi-group member of the experimentation
-    family (t/z compare two arms; ANOVA asks whether ANY of the 7 ship
-    modes differs in mean line price). Sufficient statistics are exact:
+    family (t/z compare two arms; ANOVA asks whether ANY of the 7 line
+    numbers differs in mean line price). Sufficient statistics are exact:
     per-group n, Σcents, Σcents² in decimal128, plus Σ(s²·10⁶ div n) —
     the between-groups raw term kept integer by a micro-scaled floor
     division per group (7 divisions total, each exact). The F statistic

@@ -1425,7 +1425,7 @@ WITH daily AS (
 ), slopes AS (
   SELECT day,
          (cents - lag(cents) OVER (ORDER BY day)) * 1000000
-           / (day - lag(day) OVER (ORDER BY day)) AS s_micro
+           // (day - lag(day) OVER (ORDER BY day)) AS s_micro
   FROM daily
 ), lvl AS (
   SELECT d.day,

@@ -680,6 +680,7 @@ def compact_published(
     target: str,
     *,
     target_bytes: int = 32 * 1024 * 1024,
+    keep_versions: int = 2,
 ) -> dict:
     """Execute the small-file compaction the planner
     (`layout_compaction_plan`, listing.py) plans: rewrite the CURRENT
@@ -687,8 +688,10 @@ def compact_published(
     files and commit the rewrite as a new version through the same
     audit-gated pointer publish — identical rows, fewer files, zero
     reader-visible gap, and the previous (fragmented) version stays
-    retained for time travel. Returns ``{"files_before", "files_after",
-    "bytes", "rows"}``.
+    retained for time travel. ``keep_versions`` passes through to
+    `publish_versioned` so compaction can never silently shrink a table
+    whose owner retains more history than the default 2. Returns
+    ``{"files_before", "files_after", "bytes", "rows"}``.
 
     The audit is the loader's own: the rewrite scan's observed count must
     match the staged footers, and `publish_versioned` refuses empty or
@@ -719,7 +722,7 @@ def compact_published(
     n_out = max(1, math.ceil(total_bytes / target_bytes))
     df = spark.read.parquet(version_dir)
     rows = publish_versioned(
-        spark, df.repartition(n_out), target, keep_versions=2
+        spark, df.repartition(n_out), target, keep_versions=keep_versions
     )
     new_current = _read_pointer(fs, jvm, target)
     new_dir = os.path.join(os.path.dirname(target), new_current)
