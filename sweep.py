@@ -4,7 +4,15 @@ at sf0.01 (the verification driver's comparison scale), under a plain
 driver-style session and the repo's TYPE-STRICT comparator.
 
 Run from the repo root (Spark's Python workers import ufload_spark from
-the working directory): ``python sweep.py [sf_dir]``.
+the working directory): ``python sweep.py [sf_dir] [--only a,b]
+[--family fixedpoint]``.
+
+The ``fixedpoint`` family is the round-close sf0.1 tier (r6 VERDICT ask
+#8): the exact-integer statistics queries whose rounding/floor-division
+edges only appear at scale — the EMD defect was invisible at sf0.001 and
+fatal at sf0.01; the next one may be invisible at sf0.01 and fatal at
+sf0.1. Close ritual: ``python sweep.py /root/testdata/sf0.1 --family
+fixedpoint`` after the full sf0.01 sweep.
 """
 
 from __future__ import annotations
@@ -14,6 +22,42 @@ import time
 
 from pyspark.sql import SparkSession
 
+#: exact-integer / fixed-point statistics whose oracle parity depends on
+#: floor-division and rounding edges that shift with data volume
+FIXEDPOINT = [
+    "events_ab_test_ztest",
+    "events_burstiness_fano",
+    "events_chi2_independence",
+    "events_cuped_adjustment",
+    "events_cusum_drift",
+    "events_diff_in_diff",
+    "events_emd_drift",
+    "events_entropy_rate",
+    "events_ks_drift_binned",
+    "events_markov_stationary",
+    "events_outlier_mad",
+    "events_power_analysis",
+    "events_survival_km",
+    "customer_spend_gini",
+    "graph_assortativity",
+    "lineitem_anova_linenumber",
+    "lineitem_correlation_matrix",
+    "lineitem_ols_price_model",
+    "lineitem_price_elasticity",
+    "orders_acf_daily_revenue",
+    "orders_benford_digits",
+    "orders_bootstrap_ci",
+    "orders_forecast_holt_backtest",
+    "orders_forecast_naive_backtest",
+    "orders_mannwhitney_u",
+    "orders_seasonal_decompose",
+    "orders_theilsen_trend",
+    "parts_croston_intermittent",
+    "streaming_emd_monitor",
+    "supplier_concentration_hhi",
+    "text_zipf_fit",
+]
+
 
 def main() -> int:
     args = sys.argv[1:]
@@ -22,6 +66,14 @@ def main() -> int:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
+    if "--family" in args:
+        i = args.index("--family")
+        fam = args[i + 1]
+        del args[i : i + 2]
+        if fam != "fixedpoint":
+            print(f"UNKNOWN FAMILY {fam!r}", flush=True)
+            return 2
+        only = (only or set()) | set(FIXEDPOINT)
     sf = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[32]")
