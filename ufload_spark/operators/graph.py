@@ -414,13 +414,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers and the argmax order is total, so the trajectory is
     bit-identical across engines — no float scores, no random tie flips.
 
-    Scale shape: per round, ONE shuffle joins the label vector to the
-    edges on src and aggregates (dst, label) weight sums map-side, and
-    one window picks the per-node argmax — the same two-exchange
-    iteration as PageRank, with the same cluster-scale note: bucket the
-    edge table by src once and every round reuses the layout shuffle-free
-    on the edge side. The (node, label) aggregate is bounded by the
-    distinct incident-label count per node, never the corpus.
+    Scale shape: per round, the broadcast label vector joins the
+    persisted edges on src shuffle-free, one hash aggregate sums
+    (dst, label) vote weights map-side, and one partial-aggregatable
+    max_by picks the per-node argmax — two exchanges per round, same as
+    PageRank, with the same cluster-scale note: bucket the edge table by
+    src once and every round reuses the layout shuffle-free on the edge
+    side. The self-vote unions into the raw contribution stream BEFORE
+    the vote aggregate, so no third aggregate exists. The (node, label)
+    aggregate is bounded by the distinct incident-label count per node,
+    never the corpus.
 
     Reference analog: none — extension surface (the labeled sibling of
     ``dedup_connected_components``; components merge everything reachable,
@@ -453,16 +456,26 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # PageRank's rank vector, so it gets the same pinned broadcast
         # (edges never shuffle; beyond broadcastable label vectors at
         # cluster scale: drop the hint, bucket edges by src).
-        inflow = (
-            edges.join(
-                F.broadcast(labels.withColumnRenamed("node", "src")), "src"
+        # The unit self-vote joins the RAW contribution stream BEFORE the
+        # vote aggregate (node-sized rows unioned into an edge-sized
+        # stream), so one hash aggregate sums neighbor and self votes
+        # together — bit-identical to aggregating inflow first and
+        # re-summing after a union, but one aggregate and one exchange
+        # fewer per round (the r6 shape ran inflow agg -> union -> re-agg).
+        contrib = edges.join(
+            F.broadcast(labels.withColumnRenamed("node", "src")), "src"
+        ).select(F.col("dst").alias("node"), "label", "w")
+        votes = (
+            contrib.unionByName(
+                labels.select(
+                    "node",
+                    "label",
+                    F.lit(LPA_SELF_W).cast("bigint").alias("w"),
+                )
             )
-            .groupBy(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
             .agg(F.sum("w").cast("bigint").alias("wsum"))
         )
-        votes = inflow.unionByName(
-            labels.select("node", "label", F.lit(LPA_SELF_W).cast("bigint").alias("wsum"))
-        ).groupBy("node", "label").agg(F.sum("wsum").cast("bigint").alias("wsum"))
         # argmax by (wsum DESC, label ASC) as a partial-aggregatable
         # max_by instead of a rank window: one exchange per round, no sort.
         labels = votes.groupBy("node").agg(
