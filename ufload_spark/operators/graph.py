@@ -823,35 +823,52 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = pairs.localCheckpoint(eager=False)
 
-    def stats(df: DataFrame, rnd: int) -> DataFrame:
-        return df.agg(
+    def stats_from(deg_c: DataFrame, deg_s: DataFrame, rnd: int) -> DataFrame:
+        # (n_nodes, n_edges) straight off the NODE-sized degree frames
+        # the peel computes anyway: distinct-c = deg_c rows, edges =
+        # Σdegree — no countDistinct over the pair frame (which Catalyst
+        # plans as an Expand that doubles the widest stream, the same
+        # trap de-Expanded out of text_repetition_ratio).
+        a = deg_c.agg(
+            F.count("*").cast("bigint").alias("n_c"),
+            F.sum("d").cast("bigint").alias("n_edges"),
+        )
+        b = deg_s.agg(F.count("*").cast("bigint").alias("n_s"))
+        return a.crossJoin(b).select(
             F.lit(rnd).cast("bigint").alias("round"),
-            (F.countDistinct("c") + F.countDistinct("s"))
-            .cast("bigint")
-            .alias("n_nodes"),
-            F.count("*").cast("bigint").alias("n_edges"),
-        ).select("round", "n_nodes", "n_edges")
+            (F.col("n_c") + F.col("n_s")).cast("bigint").alias("n_nodes"),
+            "n_edges",
+        )
 
-    out = [stats(pairs, 0)]
-    for rnd in range(1, KCORE_ROUNDS + 1):
-        keep_c = (
-            pairs.groupBy("c")
-            .agg(F.count("*").alias("d"))
-            .where(F.col("d") >= KCORE_K)
-            .select("c")
+    out = []
+    for rnd in range(KCORE_ROUNDS + 1):
+        # ONE degree aggregate shape per side serves BOTH the round's
+        # stats row and the keep list for the next peel. The two
+        # consumers recompute it from the CHECKPOINTED pair frame (one
+        # cheap map-side-partial shuffle each) — measured faster than
+        # checkpointing the node-sized degree frames themselves, whose
+        # 2-per-round materializations cost more than the recompute.
+        deg_c = pairs.groupBy("c").agg(
+            F.count("*").cast("bigint").alias("d")
         )
-        keep_s = (
-            pairs.groupBy("s")
-            .agg(F.count("*").alias("d"))
-            .where(F.col("d") >= KCORE_K)
-            .select("s")
+        deg_s = pairs.groupBy("s").agg(
+            F.count("*").cast("bigint").alias("d")
         )
-        pairs = pairs.join(keep_c, "c", "left_semi").join(
-            keep_s, "s", "left_semi"
+        out.append(stats_from(deg_c, deg_s, rnd))
+        if rnd == KCORE_ROUNDS:
+            break
+        # The keep lists are NODE-sized (<< pair-sized) — broadcast them
+        # so the pair frame never shuffles for the semi joins; per round
+        # the only exchanges are the two degree aggregates' partials.
+        # Beyond broadcastable node lists at cluster scale: drop the
+        # hints and bucket the pair table by c (the docstring note).
+        keep_c = deg_c.where(F.col("d") >= KCORE_K).select("c")
+        keep_s = deg_s.where(F.col("d") >= KCORE_K).select("s")
+        pairs = pairs.join(F.broadcast(keep_c), "c", "left_semi").join(
+            F.broadcast(keep_s), "s", "left_semi"
         )
         # Lineage barrier: stats AND the next round both read this frame.
         pairs = pairs.localCheckpoint(eager=False)
-        out.append(stats(pairs, rnd))
     res = out[0]
     for frame in out[1:]:
         res = res.unionByName(frame)
