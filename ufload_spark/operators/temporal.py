@@ -1504,14 +1504,16 @@ def orders_forecast_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("cents")
     )
     # SCALE GUARD: partition-less window over the daily frame only.
+    # Integer `div` end-to-end (r6 ADVICE): the old double `/` + bigint
+    # cast was exact only below 2^53 — daily micro-slopes pass that around
+    # sf100 — while DuckDB's `//` on BIGINT is always exact; both engines
+    # now truncate identical integers toward zero at any scale.
     w_day = Window.orderBy("day")
     slopes = daily.select(
         "day",
-        (
-            (F.col("cents") - F.lag("cents").over(w_day)) * 1000000
-            / (F.col("day") - F.lag("day").over(w_day))
-        ).cast("bigint").alias("s_micro"),
-    )
+        (F.col("cents") - F.lag("cents").over(w_day)).alias("dc"),
+        (F.col("day") - F.lag("day").over(w_day)).alias("dd"),
+    ).select("day", F.expr("(dc * 1000000) div dd").alias("s_micro"))
     lags = spark.createDataFrame(
         list(enumerate(HOLT_W)), "k bigint, w bigint"
     )
@@ -1593,4 +1595,141 @@ def orders_forecast_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame
             )
             + F.lit(0.0)
         ).alias("improvement_pct"),
+    )
+
+
+#: changepoint detection: minimum segment length (days) on either side
+CHGPT_MIN_SEG = 30
+
+_DAILY_CENTS_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+)"""
+
+
+@register(
+    "orders_changepoint_binseg",
+    _DAILY_CENTS_SQL
+    + f""", cum AS (
+  SELECT day,
+         row_number() OVER (ORDER BY day) AS i,
+         CAST(sum(cents) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sl,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(cents) OVER () AS BIGINT) AS s
+  FROM daily
+), scored AS (
+  SELECT day, i AS n_left, n - i AS n_right, sl AS sum_left, s - sl AS sum_right,
+         CAST(CAST(sl AS HUGEINT) * (n - i) - CAST(s - sl AS HUGEINT) * i
+              AS HUGEINT) AS gap_num
+  FROM cum
+  WHERE i >= {CHGPT_MIN_SEG} AND n - i >= {CHGPT_MIN_SEG}
+)
+, keyed AS (
+  SELECT *, gap_num * 1000 // (CAST(n_left AS HUGEINT) * n_right) AS d_milli
+  FROM scored
+)
+SELECT day AS split_day, n_left, n_right,
+       CAST(CAST(sum_left AS HUGEINT) * 1000000 // n_left AS BIGINT)
+         AS mean_left_micro,
+       CAST(CAST(sum_right AS HUGEINT) * 1000000 // n_right AS BIGINT)
+         AS mean_right_micro
+FROM keyed
+ORDER BY d_milli * d_milli * n_left * n_right DESC, split_day
+LIMIT 1
+""",
+    doc="single-changepoint binary segmentation on daily revenue: argmax "
+    "of the between-segment SS via the milli-cent-quantized mean gap — "
+    "d = (S_L*n_R - S_R*n_L)*1000 // (n_L*n_R) exact in both engines, "
+    "key = d^2*n_L*n_R in wide integers (internal, never emitted), "
+    "min-segment guard on both sides, deterministic day tie-break",
+)
+def orders_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first split of binary segmentation (Scott & Knott / the
+    CUSUM-adjacent changepoint family): over the daily revenue series,
+    pick the day whose prefix/suffix split maximizes the between-segment
+    sum of squares, via its mean-gap form BSS(k) = (n_L·n_R/n)·(μ_L−μ_R)²
+    — maximized exactly as the integer key (S_L·n_R − S_R·n_L)² //
+    (n_L·n_R) (HUGEINT/decimal128 cross-multiplication, one floor
+    division per candidate, ties broken by earliest day — a total order,
+    so both engines pick the identical split; the wide key is INTERNAL
+    to the ORDER BY and never emitted, keeping every output column
+    int64). Where `events_cusum_drift` ALARMS on drift, this LOCATES the
+    structural break; running it recursively on each side yields the
+    full binseg tree.
+
+    Scale shape: orders aggregate once to the calendar-bounded day frame
+    (the only corpus-sized shuffle); cumulative sums, the candidate
+    scores, and the top-1 cut all run over that ≤~2,400-row frame
+    (partition-less windows over the bounded day frame — the established
+    stats-family guard), with the top-1 a TakeOrderedAndProject, never a
+    global sort of data rows.
+
+    Reference analog: none (extension surface — drift/monitoring family,
+    beside events_cusum_drift / events_emd_drift; the day-domain member
+    of the segmentation tier).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    # SCALE GUARD: partition-less windows over the bounded daily frame.
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("i"),
+        F.sum("cents").over(w_cum).cast("bigint").alias("sl"),
+        F.count("*").over(w_all).cast("bigint").alias("n"),
+        F.sum("cents").over(w_all).cast("bigint").alias("s"),
+    )
+    dec = "decimal(38,0)"
+    scored = cum.where(
+        (F.col("i") >= CHGPT_MIN_SEG) & (F.col("n") - F.col("i") >= CHGPT_MIN_SEG)
+    ).select(
+        F.col("day").alias("split_day"),
+        F.col("i").alias("n_left"),
+        (F.col("n") - F.col("i")).alias("n_right"),
+        F.col("sl").alias("sum_left"),
+        (F.col("s") - F.col("sl")).alias("sum_right"),
+        F.expr(
+            f"CAST(sl AS {dec}) * (n - i) - CAST(s - sl AS {dec}) * i"
+        ).alias("gap_num"),
+    )
+    # The mean gap floors to MILLI-cents first (fits int64 at any SF —
+    # it's a mean, not a sum), then squares back up in decimal128 for the
+    # BSS-proportional key d²·n_L·n_R. Spark's `div` returns LONG, so the
+    # quotient must be the int64-sized quantity (the repo's wide-quotient
+    # trap: gap²//(n_L·n_R) wrapped negative at sf0.01 and flipped the
+    # argmax). Quantization can reorder candidates only when their BSS
+    # differ by < 1 milli-cent of mean gap; the day tie-break keeps the
+    # choice total and cross-engine identical either way.
+    keyed = scored.withColumn(
+        "d_milli",
+        F.expr(f"(gap_num * 1000) div (CAST(n_left AS {dec}) * n_right)"),
+    )
+    key = F.expr(f"CAST(d_milli AS {dec}) * d_milli * n_left * n_right")
+    top = keyed.orderBy(key.desc(), "split_day").limit(1)
+    return top.select(
+        "split_day",
+        "n_left",
+        "n_right",
+        F.expr(
+            f"CAST(CAST(sum_left AS {dec}) * 1000000 div n_left AS BIGINT)"
+        ).alias("mean_left_micro"),
+        F.expr(
+            f"CAST(CAST(sum_right AS {dec}) * 1000000 div n_right AS BIGINT)"
+        ).alias("mean_right_micro"),
     )
