@@ -1223,3 +1223,17 @@ def test_negative_sampling_complete_and_self_free(spark):
         assert (r["doc_id"], r["k"]) not in seen
         seen.add((r["doc_id"], r["k"]))
         assert r["neg_doc_id"] in doc_ids or True  # negatives are real docs
+
+
+def test_nb_classifier_confusion_is_a_partition(spark):
+    from ufload_spark.operators.textops import text_nb_lang_classifier
+
+    rows = text_nb_lang_classifier(spark, SF_DIR).collect()
+    d = table(spark, SF_DIR, "documents")
+    langs = {r["lang"] for r in d.select("lang").distinct().collect()}
+    assert {r["lang"] for r in rows} <= langs
+    assert {r["predicted"] for r in rows} <= langs  # model can't invent
+    # every scoreable doc (>= 1 vocab token) lands in exactly one cell;
+    # with the fixtures' whitespace text every doc has vocab tokens
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    assert all(r["n_docs"] > 0 for r in rows)

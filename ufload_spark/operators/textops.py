@@ -1872,3 +1872,180 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accuracy_micro"
         ),
     )
+
+
+#: Naive Bayes language classifier: vocabulary cap (top words by corpus
+#: frequency, deterministic (count DESC, word) order) and Laplace +1
+NB_VOCAB = 512
+
+
+@register(
+    "text_nb_lang_classifier",
+    rf"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents
+), toks_ne AS (
+  SELECT * FROM toks WHERE w <> ''
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks_ne GROUP BY w
+  ) ORDER BY cnt DESC, w LIMIT {NB_VOCAB}
+), vsize AS (
+  SELECT CAST(count(*) AS BIGINT) AS v FROM vocab
+), dt AS (
+  SELECT t.doc_id, t.lang, t.w, CAST(count(*) AS BIGINT) AS m
+  FROM toks_ne t SEMI JOIN vocab USING (w)
+  GROUP BY 1, 2, 3
+), classes AS (
+  SELECT lang AS c, CAST(count(*) AS BIGINT) AS d_c FROM documents GROUP BY 1
+), dtotal AS (
+  SELECT CAST(count(*) AS BIGINT) AS d FROM documents
+), cwc AS (
+  SELECT lang AS c, w, CAST(sum(m) AS BIGINT) AS cnt FROM dt GROUP BY 1, 2
+), nc AS (
+  SELECT c, CAST(sum(cnt) AS BIGINT) AS n_c FROM cwc GROUP BY c
+), model AS (
+  SELECT vo.w, cl.c,
+         CAST(round(ln(CAST(coalesce(cw.cnt, 0) + 1 AS DOUBLE)
+                       / (nc.n_c + vs.v)), 12) AS DECIMAL(38, 12)) AS term
+  FROM vocab vo
+  CROSS JOIN classes cl
+  CROSS JOIN vsize vs
+  JOIN nc ON nc.c = cl.c
+  LEFT JOIN cwc cw ON cw.c = cl.c AND cw.w = vo.w
+), priors AS (
+  SELECT cl.c,
+         CAST(round(ln(CAST(cl.d_c AS DOUBLE) / dt2.d), 12)
+              AS DECIMAL(38, 12)) AS prior
+  FROM classes cl CROSS JOIN dtotal dt2
+), scores AS (
+  SELECT d.doc_id, d.lang, mo.c,
+         sum(CAST(d.m AS DECIMAL(18, 0)) * mo.term) AS loglik
+  FROM dt d JOIN model mo ON mo.w = d.w
+  GROUP BY 1, 2, 3
+), full_scores AS (
+  SELECT s.doc_id, s.lang, s.c, s.loglik + p.prior AS score
+  FROM scores s JOIN priors p ON p.c = s.c
+), pred AS (
+  SELECT doc_id, lang, c AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, c) AS rn
+    FROM full_scores
+  ) WHERE rn = 1
+)
+SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+""",
+    doc=f"trained multinomial Naive Bayes language classifier (top-"
+    f"{NB_VOCAB} vocab, Laplace +1): train + score + confusion matrix in "
+    "one plan; per-term logs rounded to 12dp and summed in decimal "
+    "(order-free), argmax ties broken by class name",
+)
+def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED-model tier of the language-ID family: where
+    `text_lang_id`/`text_ngram_lang_id` apply fixed heuristics and
+    `text_langid_confusion` audits them, this one TRAINS a multinomial
+    Naive Bayes model on the corpus's own labels and scores every
+    document with it, emitting the (true, predicted) confusion matrix —
+    train + inference as one declarative plan, the pattern a fasttext-
+    style quality/language classifier pipeline runs at corpus scale.
+
+    Determinism discipline: each per-(word, class) log-likelihood term
+    ln((c_wc+1)/(n_c+V)) is computed from IEEE-identical doubles (exact
+    integer operands, one division), rounded to 12dp, and cast to
+    decimal(38,12) — so each document's score is an ORDER-FREE decimal
+    sum (the chi2/JSD discipline) and the per-doc argmax (score DESC,
+    class ASC) is a total order both engines walk identically.
+
+    Scale shape: the model is VOCABULARY×CLASSES-sized (top-
+    :data:`NB_VOCAB` words by corpus frequency — a TakeOrderedAndProject
+    cut, deterministic (count DESC, word) order — dense via a vocab ×
+    classes cross join, ≤ 512×|langs| rows) and BROADCASTS onto the
+    (doc, word, multiplicity) stream; scoring shuffles once on
+    (doc, class) for the decimal sum and once per doc for the argmax.
+    Class fan-out is |langs| (bounded); nothing ever shuffles on the
+    unbounded raw-token key except the one vocabulary-count aggregate.
+
+    Reference analog: none (extension surface — text-analysis family,
+    beside text_langid_confusion / text_unigram_logprob).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(NB_VOCAB)
+        .select("w")
+    )
+    vocab = vocab.localCheckpoint(eager=False)
+    dt = (
+        toks.join(F.broadcast(vocab), "w", "left_semi")
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").cast("bigint").alias("m"))
+    )
+    classes = d.groupBy(F.col("lang").alias("c")).agg(
+        F.count("*").cast("bigint").alias("d_c")
+    )
+    dtotal = d.agg(F.count("*").cast("bigint").alias("dn"))
+    cwc = dt.groupBy(F.col("lang").alias("c"), "w").agg(
+        F.sum("m").cast("bigint").alias("cnt")
+    )
+    nc = cwc.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("n_c"))
+    vsize = vocab.agg(F.count("*").cast("bigint").alias("v"))
+    model = (
+        vocab.crossJoin(classes.select("c"))
+        .crossJoin(F.broadcast(vsize))
+        .join(F.broadcast(nc), "c")
+        .join(F.broadcast(cwc), ["c", "w"], "left")
+        .select(
+            "w",
+            "c",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n_c") + F.col("v"))
+                ),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("term"),
+        )
+    )
+    priors = classes.crossJoin(F.broadcast(dtotal)).select(
+        "c",
+        F.round(
+            F.log(F.col("d_c").cast("double") / F.col("dn")), 12
+        )
+        .cast("decimal(38,12)")
+        .alias("prior"),
+    )
+    scores = (
+        dt.join(F.broadcast(model), "w")
+        .groupBy("doc_id", "lang", "c")
+        .agg(
+            F.sum(F.col("m").cast("decimal(18,0)") * F.col("term")).alias(
+                "loglik"
+            )
+        )
+    )
+    full = scores.join(F.broadcast(priors), "c").select(
+        "doc_id",
+        "lang",
+        "c",
+        (F.col("loglik") + F.col("prior")).alias("score"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    pred = (
+        full.withColumn("rn", F.row_number().over(w_doc))
+        .where(F.col("rn") == 1)
+        .select("lang", F.col("c").alias("predicted"))
+    )
+    return pred.groupBy("lang", "predicted").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
