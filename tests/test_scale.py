@@ -1009,3 +1009,115 @@ def test_image_histogram_has_no_exchange(spark):
     # exactly the doc_ids round-robin/hash repartition, nothing keyed by band
     assert len(exchanges) <= 1
     assert not any("band" in ln for ln in exchanges)
+
+
+def test_modularity_label_joins_broadcast(spark):
+    """graph_modularity's label vector must ride BROADCAST joins onto the
+    persisted edges (src and dst side) — an edge-edge shuffle join here
+    would re-shuffle the widest frame twice per metric evaluation."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["graph_modularity"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # both label-side joins and the 1-row total are broadcasts
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row tw cross join
+
+
+def test_item_cf_popularity_broadcast_and_partitioned_rank(spark):
+    """part_similarity_cosine: the part-popularity table broadcasts onto
+    the scored pairs, and the top-N window is PARTITIONED by part_a —
+    never a global rank over the pair stream."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["part_similarity_cosine"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # na and nb sides
+    for ln in plan.splitlines():
+        if "row_number()" in ln:
+            flat = ln.replace(" ", "")
+            # Spark 4 pushes the rank<=N filter into WindowGroupLimit
+            # ([partition keys] leads the node) — either node form must
+            # be keyed by part_a
+            assert "windowspecdefinition(part_a" in flat or (
+                "WindowGroupLimit[part_a" in flat
+            )
+
+
+def test_changepoint_top1_never_global_sorts(spark):
+    """orders_changepoint_binseg's argmax is a TakeOrderedAndProject over
+    the bounded day frame — no Sort node over data rows."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["orders_changepoint_binseg"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_negative_sampling_single_bucket_window(spark):
+    """corpus_negative_sampling's as-of pick is ONE window partitioned by
+    ring bucket over the interleaved stream — no per-probe candidate
+    join (the shape that would go quadratic in bucket size)."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["corpus_negative_sampling"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines
+    for ln in win_lines:
+        flat = ln.replace(" ", "")
+        if "first_value" in flat or "first(" in flat:
+            assert "windowspecdefinition(b#" in flat
+    # wrap-around fallback and top-2 guard ride broadcasts
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_nb_classifier_model_broadcasts_and_vocab_is_topn(spark):
+    """text_nb_lang_classifier: the vocab cut is a TakeOrderedAndProject
+    (per-partition top-N, no global token sort — pinned on the vocab
+    subtree directly since the lazy checkpoint hides it from the outer
+    plan) and the dense model broadcasts onto the doc-token stream."""
+    from ufload_spark.operators.textops import NB_VOCAB
+    from ufload_spark.plans.registry import load_all
+
+    d = table(spark, SF_DIR, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    ).where(F.col("w") != "")
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(NB_VOCAB)
+        .select("w")
+    )
+    assert "TakeOrderedAndProject" in _plan(vocab)
+    df = load_all()["text_nb_lang_classifier"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no global sort anywhere in the scoring plan (a range exchange would
+    # mean some stream is being totally ordered)
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_mutual_information_single_corpus_aggregate(spark):
+    """lineitem_mutual_information touches the data exactly once: one
+    hash aggregate to the 36-cell table; every window runs on that
+    bounded frame behind a single-partition exchange."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["lineitem_mutual_information"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    # exactly one scan of lineitem feeds the plan
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") >= 1
+    scans = [ln for ln in plan.splitlines() if "lineitem" in ln and "Scan" in ln]
+    assert len(scans) == 1
