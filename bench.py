@@ -105,6 +105,13 @@ HEADLINE = [
     "events_emd_drift",            # Wasserstein-1 over the bounded bin frame (r6)
     "multimodal_audio_spectrum",   # vectorized fixed-point DFT Arrow map (r6)
     "lineitem_price_elasticity",   # grouped log-log OLS, two exchanges (r6)
+    # r7 additions
+    "graph_modularity",            # LPA partition quality, exact integer Q (r7)
+    "part_similarity_cosine",      # item-item CF, whale-capped pair join (r7)
+    "orders_changepoint_binseg",   # binseg split over the bounded day frame (r7)
+    "lineitem_mutual_information", # 36-cell contingency MI, one scan (r7)
+    "corpus_negative_sampling",    # ring-bucket as-of negatives, one window (r7)
+    "text_nb_lang_classifier",     # NB train+score, broadcast model (r7)
 ]
 
 
