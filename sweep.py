@@ -54,6 +54,7 @@ FIXEDPOINT = [
     "orders_seasonal_decompose",
     "orders_theilsen_trend",
     "parts_croston_intermittent",
+    "streaming_changepoint_monitor",
     "streaming_emd_monitor",
     "supplier_concentration_hhi",
     "text_zipf_fit",

@@ -1237,3 +1237,48 @@ def test_nb_classifier_confusion_is_a_partition(spark):
     # with the fixtures' whitespace text every doc has vocab tokens
     assert sum(r["n_docs"] for r in rows) == d.count()
     assert all(r["n_docs"] > 0 for r in rows)
+
+
+def test_uplift_segments_partition_users(spark):
+    from ufload_spark.operators.events import events_uplift_by_segment
+
+    rows = events_uplift_by_segment(spark, SF_DIR).collect()
+    assert {r["segment"] for r in rows} <= {"low", "mid", "high"}
+    n_users = (
+        table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_t"] + r["n_c"] for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r["conv_t"] <= r["n_t"]
+        assert 0 <= r["conv_c"] <= r["n_c"]
+        # uplift equals the exact floored rate difference
+        assert r["uplift_micro"] == (
+            r["conv_t"] * 1_000_000 // r["n_t"]
+            - r["conv_c"] * 1_000_000 // r["n_c"]
+        )
+
+
+def test_streaming_changepoint_equals_batch_statistic(spark):
+    """The streaming monitor's sink statistic must equal the same binseg
+    helper applied to a BATCH hourly aggregate — one statistic, two
+    drivers (the EMD-monitor parity discipline)."""
+    from ufload_spark.operators.temporal import changepoint_from_daily
+    from ufload_spark.streaming.jobs import streaming_changepoint_monitor
+
+    live = streaming_changepoint_monitor(spark, SF_DIR).collect()
+    hourly = (
+        table(spark, SF_DIR, "events")
+        .groupBy(
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT)"
+                " div 3600"
+            ).alias("day")
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    batch = changepoint_from_daily(hourly).collect()
+    assert [r.asDict() for r in live] == [r.asDict() for r in batch]

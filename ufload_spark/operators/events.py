@@ -3053,3 +3053,108 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("mde_now_pct"),
     )
+
+
+#: uplift segmentation: activity-tier thresholds on per-user event count
+UPLIFT_LOW = 10
+UPLIFT_MID = 30
+
+
+@register(
+    "events_uplift_by_segment",
+    f"""
+WITH per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+         CAST(count(*) AS BIGINT) AS n_ev,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS INT) AS converted
+  FROM events GROUP BY 1
+), seg AS (
+  SELECT CASE WHEN n_ev < {UPLIFT_LOW} THEN 'low'
+              WHEN n_ev < {UPLIFT_MID} THEN 'mid'
+              ELSE 'high' END AS segment,
+         arm, converted
+  FROM per_user
+), cells AS (
+  SELECT segment,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_t,
+         CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+           AS conv_c
+  FROM seg GROUP BY 1
+)
+SELECT segment, n_t, n_c, conv_t, conv_c,
+       CAST(CAST(conv_t AS HUGEINT) * 1000000 // n_t
+            - CAST(conv_c AS HUGEINT) * 1000000 // n_c AS BIGINT)
+         AS uplift_micro
+FROM cells
+""",
+    doc="uplift (treatment-effect heterogeneity) by activity segment: "
+    "per-user conversion rolled up per (segment, arm), uplift = "
+    "p_t - p_c in exact integer micro-rates, one floor division per arm",
+)
+def events_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift segmentation — the heterogeneity member of the
+    experimentation family: `events_ab_test_ztest` answers whether the
+    treatment moved the aggregate; this one splits users into activity
+    tiers (event count < :data:`UPLIFT_LOW` / < :data:`UPLIFT_MID` /
+    above) and reports the per-segment treatment-minus-control conversion
+    gap — the table an uplift-targeting policy reads to decide WHO to
+    treat (treat the 'mid' tier if that's where the lift concentrates).
+    Rates are exact integer micro-units, one floor division per arm per
+    segment; everything upstream is counts.
+
+    Scale shape: one user-keyed aggregate off the raw scan (map-side
+    partials), then a 3-row segment rollup of those partials. Same
+    two-level shape as the RFM and stickiness queries; nothing shuffles
+    twice.
+
+    Reference analog: none (extension surface — experimentation family,
+    beside events_ab_test_ztest / events_cuped_adjustment /
+    events_diff_in_diff).
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_ev"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("converted"),
+    )
+    seg = per_user.select(
+        F.when(F.col("n_ev") < UPLIFT_LOW, "low")
+        .when(F.col("n_ev") < UPLIFT_MID, "mid")
+        .otherwise("high")
+        .alias("segment"),
+        (F.col("user_id") % 2).cast("int").alias("arm"),
+        "converted",
+    )
+    cells = seg.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_c"),
+    )
+    dec = "decimal(38,0)"
+    return cells.select(
+        "segment",
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.expr(
+            f"CAST(CAST(conv_t AS {dec}) * 1000000 div n_t"
+            f" - CAST(conv_c AS {dec}) * 1000000 div n_c AS BIGINT)"
+        ).alias("uplift_micro"),
+    )

@@ -1609,11 +1609,10 @@ WITH daily AS (
   FROM orders GROUP BY 1
 )"""
 
-
-@register(
-    "orders_changepoint_binseg",
-    _DAILY_CENTS_SQL
-    + f""", cum AS (
+#: the binseg statistic over any (day, cents) frame — SHARED by the batch
+#: operator and the streaming monitor (streaming/jobs.py) so the two can
+#: never drift apart (the EMD-tail discipline). Expects a `daily` CTE.
+CHGPT_TAIL_SQL = f""", cum AS (
   SELECT day,
          row_number() OVER (ORDER BY day) AS i,
          CAST(sum(cents) OVER (ORDER BY day
@@ -1641,7 +1640,12 @@ SELECT day AS split_day, n_left, n_right,
 FROM keyed
 ORDER BY d_milli * d_milli * n_left * n_right DESC, split_day
 LIMIT 1
-""",
+"""
+
+
+@register(
+    "orders_changepoint_binseg",
+    _DAILY_CENTS_SQL + CHGPT_TAIL_SQL,
     doc="single-changepoint binary segmentation on daily revenue: argmax "
     "of the between-segment SS via the milli-cent-quantized mean gap — "
     "d = (S_L*n_R - S_R*n_L)*1000 // (n_L*n_R) exact in both engines, "
@@ -1683,6 +1687,16 @@ def orders_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
+    return changepoint_from_daily(daily)
+
+
+def changepoint_from_daily(daily: DataFrame) -> DataFrame:
+    """The Spark half of the shared binseg statistic: ``daily`` carries
+    (day, cents); returns the 1-row best-split frame. SHARED with
+    `streaming_changepoint_monitor` (the oracle side shares
+    :data:`CHGPT_TAIL_SQL`), so batch and live can never drift apart.
+    SCALE GUARD: every window runs over the calendar-bounded day frame
+    only."""
     # SCALE GUARD: partition-less windows over the bounded daily frame.
     w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.rowsBetween(

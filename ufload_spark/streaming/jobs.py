@@ -748,3 +748,57 @@ def streaming_emd_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_to_memory(counts, output_mode="complete", prefix="emd_monitor")
     return _emd_stat(sink)
+
+
+from ufload_spark.operators.temporal import (
+    CHGPT_TAIL_SQL as _CHGPT_TAIL,
+    changepoint_from_daily as _chgpt_stat,
+)
+
+
+@register(
+    "streaming_changepoint_monitor",
+    f"""
+WITH daily AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1
+){_CHGPT_TAIL}
+""",
+    doc="streaming structural-break monitor: hourly value-cents counters "
+    "maintained BY the streaming engine (additive complete-mode state), "
+    "the binseg argmax evaluated over the bounded sink via the SHARED "
+    "batch statistic (CHGPT_TAIL_SQL) — the EMD-monitor discipline on "
+    "the time axis",
+)
+def streaming_changepoint_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`orders_changepoint_binseg`'s statistic as a LIVE monitor over the
+    event stream: the streaming engine maintains per-HOUR revenue-cents
+    counters — purely additive, so the sink is bit-identical under any
+    micro-batching and state is bounded by the time axis (~720 counters
+    for the fixtures' month), never event cardinality. The binseg argmax
+    (milli-cent-quantized mean gap, exact wide-integer key, min-segment
+    guard) is evaluated on demand over the bounded sink by the SAME
+    helper the batch operator uses (`temporal.changepoint_from_daily`;
+    the oracle embeds the shared :data:`CHGPT_TAIL_SQL`) — where the EMD
+    monitor alarms on VALUE-distribution drift, this one locates WHEN
+    the level shifted. The axis is hours here and days in the batch twin;
+    the statistic is axis-agnostic (any ordered integer key).
+
+    At 100 TB: one (hour) shuffle with map-side partials and constant
+    state; complete-mode emission of a bounded table per micro-batch;
+    checkpoint replay lands in the same additive counters.
+    """
+    sdf = events_readstream(spark, sf_dir)
+    hourly = sdf.groupBy(
+        F.expr(
+            "CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) div 3600"
+        ).alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    sink = run_to_memory(hourly, output_mode="complete", prefix="chgpt_monitor")
+    return _chgpt_stat(sink)
