@@ -297,6 +297,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sup") >= TRI_EDGE_MINSUP)
         .select("u", "v")
     )
+    # Lineage barrier: the co-purchase self-join above is the expensive
+    # subtree and feeds FIVE consumers (deg, both wedge sides, the
+    # closing probe, n_edges). ReuseExchange catches some duplicates,
+    # but a lazy cut guarantees one execution regardless of how AQE
+    # carves the downstream stages.
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -313,6 +319,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     )
+    # the oriented edge list is read three times (two wedge sides + the
+    # closing probe) — cut it once too
+    o = o.localCheckpoint(eager=False)
     o1 = o.alias("o1")
     o2 = o.alias("o2")
     o3 = o.alias("o3")
