@@ -31,6 +31,9 @@ FIXEDPOINT = [
     "events_cuped_adjustment",
     "events_cusum_drift",
     "events_diff_in_diff",
+    # not fixed-point, but the same invisible-until-scale class: the HLL
+    # HIP-vs-composite estimator split only appears past coupon mode
+    "events_distinct_rollup_sketch",
     "events_emd_drift",
     "events_entropy_rate",
     "events_ks_drift_binned",

@@ -354,13 +354,19 @@ def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     ad-hoc date range the same way.
 
     Two contracts are checked in-query (the estimates themselves are
-    engine-specific, so the oracle pins the flags): (a) union
-    losslessness — the merged-from-hours estimate must EQUAL the estimate
-    of a sketch built directly on the day's raw rows, since HLL register
-    merge at equal lgConfigK is exact (this is what makes sketch rollups
-    sound — no drift however many levels you cascade); (b) the accuracy
-    bound — the estimate lands within 3× the default rsd of the exact
-    count (exact is verification cost only, not the scale path).
+    engine-specific, so the oracle pins the flags): (a) merge agreement —
+    the merged-from-hours estimate agrees with the direct day sketch's
+    estimate within the estimator envelope. NOT exact equality: a fresh
+    sketch estimates with the insertion-ordered HIP accumulator while a
+    union result must fall back to the composite estimator, so once
+    sketches leave coupon mode the two estimates of the SAME register
+    content legitimately differ (r7 lesson: equality held at sf0.01 —
+    coupon mode is exact both ways — and broke 29/30 days at sf0.1;
+    measured max gap 1.05% of exact vs the ~1.6% lgK=12 rsd). Union
+    still adds no accuracy loss — that is the mergeability that makes
+    sketch rollups sound. (b) the accuracy bound — the estimate lands
+    within 3× the default rsd of the exact count (exact is verification
+    cost only, not the scale path).
 
     Reference analog: none (extension surface — sketch family).
     """
@@ -377,10 +383,14 @@ def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count_distinct("user_id").alias("exact"),
     )
     err = F.abs(F.col("est_merged") - F.col("exact")) / F.col("exact")
+    gap = F.abs(F.col("est_merged") - F.col("est_direct")) / F.col("exact")
     return merged.join(direct, "day").select(
         "day",
         "n_hours",
-        (F.col("est_merged") == F.col("est_direct")).alias("merge_consistent"),
+        # HIP (direct) vs composite (union) estimators of the same
+        # registers: agreement within 2x the 3-rsd envelope, never
+        # exact equality past coupon mode (docstring)
+        (gap <= 0.05).alias("merge_consistent"),
         # default lgConfigK=12 → rsd ~1.6%; 3x margin mirrors
         # approx_distinct_parts' contract envelope
         (err <= 0.05).alias("within_bound"),
