@@ -1282,3 +1282,25 @@ def test_streaming_changepoint_equals_batch_statistic(spark):
     )
     batch = changepoint_from_daily(hourly).collect()
     assert [r.asDict() for r in live] == [r.asDict() for r in batch]
+
+
+def test_markov_absorption_bounds_and_target(spark):
+    from ufload_spark.operators.events import (
+        ABSORB_TARGET,
+        events_markov_absorption,
+    )
+
+    rows = {r["event_type"]: r for r in events_markov_absorption(spark, SF_DIR).collect()}
+    assert ABSORB_TARGET in rows
+    assert rows[ABSORB_TARGET]["absorb_micro"] == 1_000_000  # clamped
+    for r in rows.values():
+        assert 0 <= r["absorb_micro"] <= 1_000_000  # probabilities
+        assert r["n_out"] >= 0
+        # a state with outgoing mass and any edge into the target must
+        # have strictly positive absorption within the horizon
+    # floor division only LOSES mass: non-target states stay below 1
+    assert all(
+        r["absorb_micro"] < 1_000_000
+        for k, r in rows.items()
+        if k != ABSORB_TARGET
+    )

@@ -3158,3 +3158,134 @@ def events_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - CAST(conv_c AS {dec}) * 1000000 div n_c AS BIGINT)"
         ).alias("uplift_micro"),
     )
+
+
+#: absorption horizon (steps) and the absorbing target state
+ABSORB_STEPS = 4
+ABSORB_TARGET = "purchase"
+
+
+def _absorption_oracle() -> str:
+    steps = [
+        f""", allstates AS (
+  SELECT DISTINCT s FROM (
+    SELECT p AS s FROM pairs UNION ALL SELECT nxt FROM pairs
+  )
+), a0 AS (
+  SELECT s, CAST(CASE WHEN s = '{ABSORB_TARGET}' THEN 1000000 ELSE 0 END
+                 AS BIGINT) AS a
+  FROM allstates
+)"""
+    ]
+    for i in range(1, ABSORB_STEPS + 1):
+        steps.append(
+            f""", c{i} AS (
+  SELECT e.p AS s, CAST(sum((e.n * a.a) // o.wout) AS BIGINT) AS inflow
+  FROM pairs e
+  JOIN a{i - 1} a ON e.nxt = a.s
+  JOIN outw o ON e.p = o.p
+  GROUP BY e.p
+), a{i} AS (
+  SELECT st.s,
+         CAST(CASE WHEN st.s = '{ABSORB_TARGET}' THEN 1000000
+                   ELSE coalesce(c.inflow, 0) END AS BIGINT) AS a
+  FROM allstates st LEFT JOIN c{i} c ON c.s = st.s
+)"""
+        )
+    return (
+        "WITH "
+        + _MARKOV_PAIRS_CTE
+        + "".join(steps)
+        + f"""
+SELECT a.s AS event_type,
+       CAST(coalesce(o.wout, 0) AS BIGINT) AS n_out,
+       a.a AS absorb_micro
+FROM a{ABSORB_STEPS} a LEFT JOIN outw o ON o.p = a.s
+"""
+    )
+
+
+@register(
+    "events_markov_absorption",
+    _absorption_oracle(),
+    doc=f"{ABSORB_STEPS}-step absorption probability into "
+    f"'{ABSORB_TARGET}' from every event type, exact integer micro-units "
+    "over the same transition matrix as the stationary query (per-edge "
+    "floor division, order-free inflow sums)",
+)
+def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECISION member of the Markov family: where
+    `events_markov_stationary` says where behavior settles, this one
+    answers the growth team's actual question — what is the probability
+    a user starting from each event type reaches ``purchase`` within
+    :data:`ABSORB_STEPS` transitions? Backward induction with an
+    absorbing target: a₀ = 1 on the target, aₖ(s) = Σ_t P(s→t)·aₖ₋₁(t)
+    with the target clamped to 1 every step (absorption without editing
+    the matrix). All masses are exact integer micro-units — each edge
+    contribution floors once ((n·a) div wout), so inflow sums are
+    reduction-order-free and bit-identical across engines. States that
+    never emit a transition (pure sinks) keep probability 0 (or 1 on the
+    target) — the honest semantics for end-of-trace types.
+
+    Scale shape: identical to the stationary query — ONE corpus-touching
+    exchange (the per-user lag window) reduces to the |types|² persisted
+    count matrix; each of the :data:`ABSORB_STEPS` steps joins a
+    |types|-row vector against it via broadcast. Only the reduction is
+    corpus-scaled.
+
+    Reference analog: none (extension surface — event-analytics family,
+    beside events_markov_stationary / events_funnel).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("nxt"),
+            F.lag("event_type").over(w).alias("p"),
+        )
+        .where(F.col("p").isNotNull())
+        .groupBy("p", "nxt")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn(
+            "wout", F.sum("n").over(Window.partitionBy("p")).cast("bigint")
+        )
+        .persist()  # |types|² rows; spares re-running the user exchange per step
+    )
+    allstates = (
+        pairs.select(F.col("p").alias("s"))
+        .unionAll(pairs.select(F.col("nxt").alias("s")))
+        .distinct()
+    )
+    a = allstates.select(
+        "s",
+        F.when(F.col("s") == ABSORB_TARGET, F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("a"),
+    )
+    for _ in range(ABSORB_STEPS):
+        inflow = (
+            pairs.join(
+                F.broadcast(a.withColumnRenamed("s", "nxt")), "nxt"
+            )
+            .select(F.col("p").alias("s"), F.expr("(n * a) div wout").alias("c"))
+            .groupBy("s")
+            .agg(F.sum("c").cast("bigint").alias("inflow"))
+        )
+        a = allstates.join(F.broadcast(inflow), "s", "left").select(
+            "s",
+            F.when(F.col("s") == ABSORB_TARGET, F.lit(1000000))
+            .otherwise(F.coalesce("inflow", F.lit(0)))
+            .cast("bigint")
+            .alias("a"),
+        )
+        a = a.localCheckpoint(eager=False)
+    outw = pairs.groupBy(F.col("p").alias("s")).agg(
+        F.max("wout").cast("bigint").alias("n_out")
+    )
+    return a.join(F.broadcast(outw), "s", "left").select(
+        F.col("s").alias("event_type"),
+        F.coalesce("n_out", F.lit(0)).cast("bigint").alias("n_out"),
+        F.col("a").alias("absorb_micro"),
+    )
