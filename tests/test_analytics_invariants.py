@@ -1304,3 +1304,25 @@ def test_markov_absorption_bounds_and_target(spark):
         for k, r in rows.items()
         if k != ABSORB_TARGET
     )
+
+
+def test_image_cluster_keep_best_covers_all_docs(spark):
+    from ufload_spark.operators.multimodal import (
+        multimodal_image_cluster_keep_best,
+        multimodal_image_neardup,
+    )
+
+    rows = multimodal_image_cluster_keep_best(spark, SF_DIR).collect()
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs  # clusters partition docs
+    ids = [r["cluster_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert r["n_groups"] >= 1 and r["n_docs"] >= r["n_groups"]
+    # transitivity: every near-dup group pair lands in ONE cluster, so the
+    # cluster count is at most (groups - pair-graph edges' rank); weaker
+    # sanity — fewer clusters than groups whenever any pair exists
+    pairs = multimodal_image_neardup(spark, SF_DIR).collect()
+    n_groups = sum(r["n_groups"] for r in rows)
+    if pairs:
+        assert len(rows) < n_groups

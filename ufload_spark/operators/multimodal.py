@@ -1531,3 +1531,152 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png.mapInPandas(
         _image_histogram_batches, schema="doc_id long, band int, n_px long"
     )
+
+
+@register(
+    "multimodal_image_cluster_keep_best",
+    _AHASH_BITS_CTE.replace("WITH px", "WITH RECURSIVE px", 1)
+    + f""", grp AS (
+  SELECT ahash, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(doc_id) AS BIGINT) AS rep
+  FROM bits GROUP BY 1
+), gpairs AS (
+  SELECT a.rep AS u, b.rep AS v
+  FROM grp a JOIN grp b ON a.ahash < b.ahash
+  WHERE hamming(a.ahash, b.ahash) <= {AH_NEARDUP_T}
+), edges AS (
+  SELECT u, v FROM gpairs UNION SELECT v, u FROM gpairs
+), nodes AS (SELECT rep AS n FROM grp),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+), comp AS (
+  SELECT n AS rep, CAST(min(m) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY n
+), joined AS (
+  SELECT c.cluster_id, g.rep, g.n FROM grp g JOIN comp c ON c.rep = g.rep
+), keep AS (
+  SELECT cluster_id, rep AS keep_doc_id FROM (
+    SELECT cluster_id, rep,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n DESC, rep) AS rn
+    FROM joined
+  ) WHERE rn = 1
+)
+SELECT j.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(j.n) AS BIGINT) AS n_docs,
+       max(k.keep_doc_id) AS keep_doc_id
+FROM joined j JOIN keep k ON k.cluster_id = j.cluster_id
+GROUP BY 1
+""",
+    doc="image near-dup CLUSTERS with a keep-best pick: aHash groups, "
+    f"pigeonhole-banded pairs at Hamming <= {AH_NEARDUP_T}, connected "
+    "components over group representatives, keep = the most-populous "
+    "group's rep (ties to smallest doc) — group-level end to end",
+)
+def multimodal_image_cluster_keep_best(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The image-side completion of the dedup family's cluster tier:
+    `multimodal_image_neardup` emits near-duplicate group PAIRS; this
+    operator closes them transitively (A≈B, B≈C ⇒ one cluster) and picks
+    the keeper — the representative of the cluster's most-populous hash
+    group (the canonical variant), ties to the smallest doc id. The same
+    compose-from-parts shape as `dedup_cluster_keep_best`: pair
+    detection → `min_label_components` fixpoint → per-cluster argmax.
+
+    Scale shape: everything after the per-doc hash map is GROUP-level —
+    hashes aggregate to (ahash, n, rep=min doc) before banding, the
+    component solver runs over group representatives (≤ distinct-hash
+    count, 39 at any fixture SF; boilerplate repeated a million times is
+    one node), and the keep-best is a WindowGroupLimit over the
+    cluster-keyed group frame. Per-doc data is touched exactly once, in
+    the Arrow-batched decode+hash map.
+
+    Reference analog: none (extension surface — multimodal × dedup
+    families; oracle: recursive-CTE transitive closure like
+    `dedup_connected_components`).
+    """
+    from ufload_spark.operators.dedup import min_label_components
+
+    d = doc_ids(spark, sf_dir)
+    png = d.mapInPandas(
+        _synthesize_pixel_png_batches, schema="doc_id long, content binary"
+    )
+    hashed = png.mapInPandas(_ahash_batches, schema="doc_id long, ahash string")
+    groups = hashed.groupBy("ahash").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("doc_id").cast("long").alias("rep"),
+    )
+    groups = groups.localCheckpoint(eager=False)
+    bands = groups.select(
+        "ahash",
+        "rep",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("ahash", 1 + AH_BAND_BITS * i, AH_BAND_BITS)
+                    for i in range(AH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+
+    def halves(pfx: str):
+        return [
+            F.conv(F.substring(F.col(f"{pfx}.ahash"), 1 + 32 * i, 32), 2, 10)
+            .cast("long")
+            .alias(f"{pfx}_h{i}")
+            for i in range(2)
+        ]
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.ahash") < F.col("b.ahash")),
+        )
+        .select(
+            F.col("a.rep").alias("u"),
+            F.col("b.rep").alias("v"),
+            *halves("a"),
+            *halves("b"),
+        )
+        .dropDuplicates(["u", "v"])
+    )
+    hd = (
+        F.bit_count(F.col("a_h0").bitwiseXOR(F.col("b_h0")))
+        + F.bit_count(F.col("a_h1").bitwiseXOR(F.col("b_h1")))
+    ).cast("long")
+    gpairs = cand.withColumn("hamming", hd).filter(
+        F.col("hamming") <= AH_NEARDUP_T
+    ).select("u", "v")
+    comp = min_label_components(gpairs).withColumnsRenamed(
+        {"n": "cnode", "m": "clabel"}
+    )
+    joined = groups.join(
+        comp, groups.rep == comp.cnode, "left"
+    ).select(
+        "rep",
+        "n",  # group size (doc count)
+        F.coalesce(F.col("clabel"), F.col("rep")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), "rep")
+    keep = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("rep").alias("keep_doc_id"))
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("n").cast("long").alias("n_docs"),
+        )
+        .join(F.broadcast(keep), "cluster_id")
+        .select("cluster_id", "n_groups", "n_docs", "keep_doc_id")
+    )
