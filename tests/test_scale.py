@@ -852,8 +852,11 @@ def test_triangle_count_joins_are_equi(spark):
         plan.count(j)
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
-    # two degree attachments + the wedge join + the closing join
-    assert equi >= 4
+    # the wedge join + the closing join (the degree attachments sit
+    # behind the r7 lazy localCheckpoint cuts, which truncate the visible
+    # plan — the checkpointed subtree is the same equi-join shape, pinned
+    # before the cuts landed)
+    assert equi >= 2
     row = df.collect()[0]
     # each triangle closes exactly one ORIENTED wedge but 3 degree-wedges
     assert row["n_wedges"] >= 3 * row["n_triangles"]
