@@ -1326,3 +1326,21 @@ def test_image_cluster_keep_best_covers_all_docs(spark):
     n_groups = sum(r["n_groups"] for r in rows)
     if pairs:
         assert len(rows) < n_groups
+
+
+def test_hw_backtest_internally_consistent(spark):
+    from ufload_spark.operators.temporal import (
+        orders_forecast_holt_backtest,
+        orders_forecast_hw_backtest,
+    )
+
+    hw = orders_forecast_hw_backtest(spark, SF_DIR).collect()[0]
+    holt = orders_forecast_holt_backtest(spark, SF_DIR).collect()[0]
+    # identical eval windows (same lag structure, same horizon)
+    assert hw["n_eval"] == holt["n_eval"] > 0
+    assert hw["mae_hw_micro"] > 0 and hw["mae_snaive_micro"] > 0
+    # improvement is exactly the floored-MAE relation it claims, up to
+    # the two floor divisions (1 micro each side of the ratio)
+    sn, h = hw["mae_snaive_micro"], hw["mae_hw_micro"]
+    approx = (sn - h) * 100.0 / sn
+    assert abs(hw["improvement_pct"] - approx) < 0.01

@@ -1757,3 +1757,258 @@ def changepoint_from_daily(daily: DataFrame) -> DataFrame:
             f"CAST(CAST(sum_right AS {dec}) * 1000000 div n_right AS BIGINT)"
         ).alias("mean_right_micro"),
     )
+
+
+_HW_SEAS_CTES = """, ma AS (
+  SELECT day, cents,
+         CASE WHEN count(*) OVER w = 7
+              THEN CAST(sum(cents) OVER w AS BIGINT) * 1000000 // 7
+         END AS trend_micro
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT day, cents * 1000000 - trend_micro AS detr, day % 7 AS dow
+  FROM ma
+), seas AS (
+  SELECT dow,
+         CAST(CAST(sum(detr) AS HUGEINT) // count(*) AS BIGINT) AS s_micro
+  FROM det WHERE detr IS NOT NULL GROUP BY dow
+), ctr AS (
+  SELECT CAST(CAST(sum(s_micro) AS HUGEINT) // count(*) AS BIGINT) AS m
+  FROM seas
+), adj AS (
+  SELECT dow, CAST(s_micro - m AS BIGINT) AS seasonal_micro FROM seas, ctr
+)"""
+
+
+@register(
+    "orders_forecast_hw_backtest",
+    _DAILY_CENTS_SQL
+    + _HW_SEAS_CTES
+    + f""", deseas AS (
+  SELECT d.day, CAST(d.cents * 1000000 - a.seasonal_micro AS BIGINT) AS ym
+  FROM daily d JOIN adj a ON d.day % 7 = a.dow
+), slopes AS (
+  SELECT day,
+         (ym - lag(ym) OVER (ORDER BY day))
+           // (day - lag(day) OVER (ORDER BY day)) AS s_micro
+  FROM deseas
+), lvl AS (
+  SELECT d.day,
+         CAST(CAST(sum(CAST(lags.w AS HUGEINT) * y.ym) AS HUGEINT)
+              // sum(CAST(lags.w AS HUGEINT)) AS BIGINT) AS level_micro
+  FROM deseas d
+  JOIN {_holt_weights_values_sql()} ON TRUE
+  JOIN deseas y ON y.day = d.day - lags.k
+  GROUP BY d.day
+), trd AS (
+  SELECT d.day,
+         CAST(CAST(sum(CAST(l2.w AS HUGEINT) * s.s_micro) AS HUGEINT)
+              // sum(CAST(l2.w AS HUGEINT)) AS BIGINT) AS trend_micro
+  FROM deseas d
+  JOIN {_holt_weights_values_sql().replace('lags(k, w)', 'l2(k, w)')} ON TRUE
+  JOIN slopes s ON s.day = d.day - l2.k AND s.s_micro IS NOT NULL
+  GROUP BY d.day
+), evald AS (
+  SELECT a.cents AS actual, sn.cents AS snaive,
+         lvl.level_micro + {HOLT_H} * coalesce(trd.trend_micro, 0)
+           + sa.seasonal_micro AS yhat_micro
+  FROM daily o
+  JOIN daily a ON a.day = o.day + {HOLT_H}
+  JOIN daily sn ON sn.day = o.day + {HOLT_H} - 7
+  JOIN lvl ON lvl.day = o.day
+  LEFT JOIN trd ON trd.day = o.day
+  JOIN adj sa ON (o.day + {HOLT_H}) % 7 = sa.dow
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(abs(actual * 1000000 - yhat_micro)) AS HUGEINT) AS sae_hw,
+         CAST(sum(CAST(abs(actual - snaive) AS HUGEINT) * 1000000) AS HUGEINT)
+           AS sae_sn
+  FROM evald
+)
+SELECT n_eval,
+       CAST(sae_hw // n_eval AS BIGINT) AS mae_hw_micro,
+       CAST(sae_sn // n_eval AS BIGINT) AS mae_snaive_micro,
+       round(CAST(sae_sn - sae_hw AS DOUBLE) * 100.0 / CAST(sae_sn AS DOUBLE), 6)
+         + 0.0 AS improvement_pct
+FROM agg
+""",
+    doc="Holt-Winters additive backtest: deseasonalize by the centered "
+    "weekly index (the seasonal_decompose statistic), run the unrolled "
+    "integer-weight Holt smoother on the deseasonalized series, "
+    "re-seasonalize the forecast, score MAE vs the seasonal-naive "
+    "baseline — exact integer micro-cents end to end",
+)
+def orders_forecast_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seasonality-aware top of the forecasting ladder (naive →
+    Croston → Theil-Sen → Holt → HOLT-WINTERS): additive HW as
+    deseasonalize → Holt → re-seasonalize, with every stage in the
+    family's exact-integer discipline — the weekly index is
+    `orders_seasonal_decompose`'s centered per-weekday mean of the
+    detrended series (one floor division per weekday), the smoother is
+    `orders_forecast_holt_backtest`'s unrolled weighted sum with the
+    SAME precomputed integer weights (:data:`HOLT_W`), and the forecast
+    adds back the target day-of-week's index. Scored against the
+    honest baseline for a weekly-seasonal series: seasonal-naive
+    (y_{{t+H−7}}), not plain persistence.
+
+    Scale shape: orders aggregate once to the calendar-bounded day frame;
+    everything after — the 7-day MA window, the weekday index, the
+    ±:data:`HOLT_LAGS` lag joins against the broadcast weight table, the
+    backtest join — runs on frames bounded by calendar × lags, never
+    order count. The slope window is the established partition-less
+    day-frame guard; slopes divide with integer `div` end to end (the
+    r7 Holt lesson: double division loses exactness past 2^53).
+
+    Reference analog: none (extension surface — forecasting family).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    daily = daily.localCheckpoint(eager=False)
+    # SCALE GUARD: all windows below run over the bounded daily frame.
+    w_ma = Window.orderBy("day").rangeBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "cents",
+        F.when(
+            F.count("*").over(w_ma) == 7,
+            (F.sum("cents").over(w_ma).cast("bigint") * 1000000).cast(
+                "bigint"
+            ),
+        ).alias("masum"),
+    )
+    det = ma.select(
+        "day",
+        (
+            F.col("cents") * 1000000 - F.expr("masum div 7")
+        ).alias("detr"),
+        (F.col("day") % 7).alias("dow"),
+    )
+    dec = "decimal(38,0)"
+    seas = (
+        det.where(F.col("detr").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.expr(
+                f"CAST(CAST(sum(detr) AS {dec}) div count(*) AS BIGINT)"
+            ).alias("s_micro")
+        )
+    )
+    ctr = seas.agg(
+        F.expr(
+            f"CAST(CAST(sum(s_micro) AS {dec}) div count(*) AS BIGINT)"
+        ).alias("m")
+    )
+    adj = seas.crossJoin(F.broadcast(ctr)).select(
+        "dow", (F.col("s_micro") - F.col("m")).cast("bigint").alias("seasonal_micro")
+    )
+    adj = F.broadcast(adj)
+    deseas = daily.join(adj, daily.day % 7 == adj.dow).select(
+        "day",
+        (F.col("cents") * 1000000 - F.col("seasonal_micro"))
+        .cast("bigint")
+        .alias("ym"),
+    )
+    deseas = deseas.localCheckpoint(eager=False)
+    w_day = Window.orderBy("day")
+    slopes = deseas.select(
+        "day",
+        (F.col("ym") - F.lag("ym").over(w_day)).alias("dy"),
+        (F.col("day") - F.lag("day").over(w_day)).alias("dd"),
+    ).select("day", F.expr("dy div dd").alias("s_micro"))
+    lags = spark.createDataFrame(
+        list(enumerate(HOLT_W)), "k bigint, w bigint"
+    )
+    lvl = (
+        deseas.select("day")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            deseas.withColumnsRenamed({"day": "yday", "ym": "y"}),
+            F.expr("yday = day - k"),
+        )
+        .groupBy("day")
+        .agg(
+            F.expr(
+                f"CAST(CAST(sum(CAST(w AS {dec}) * y) AS {dec})"
+                f" div sum(CAST(w AS {dec})) AS BIGINT)"
+            ).alias("level_micro")
+        )
+    )
+    trd = (
+        deseas.select("day")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            slopes.where(F.col("s_micro").isNotNull()).withColumnsRenamed(
+                {"day": "sday"}
+            ),
+            F.expr("sday = day - k"),
+        )
+        .groupBy("day")
+        .agg(
+            F.expr(
+                f"CAST(CAST(sum(CAST(w AS {dec}) * s_micro) AS {dec})"
+                f" div sum(CAST(w AS {dec})) AS BIGINT)"
+            ).alias("trend_micro")
+        )
+    )
+    sa = F.broadcast(
+        adj.withColumnsRenamed({"dow": "tdow", "seasonal_micro": "tseas"})
+    )
+    evald = (
+        daily.withColumnsRenamed({"day": "oday", "cents": "ocents"})
+        .join(
+            daily.selectExpr("day + 0 AS aday", "cents AS actual"),
+            F.expr(f"aday = oday + {HOLT_H}"),
+        )
+        .join(
+            daily.selectExpr("day + 0 AS snday", "cents AS snaive"),
+            F.expr(f"snday = oday + {HOLT_H} - 7"),
+        )
+        .join(lvl.withColumnsRenamed({"day": "lday"}), F.expr("lday = oday"))
+        .join(
+            trd.withColumnsRenamed({"day": "tday"}),
+            F.expr("tday = oday"),
+            "left",
+        )
+        .join(sa, F.expr(f"(oday + {HOLT_H}) % 7 = tdow"))
+        .select(
+            "actual",
+            "snaive",
+            (
+                F.col("level_micro")
+                + HOLT_H * F.coalesce(F.col("trend_micro"), F.lit(0))
+                + F.col("tseas")
+            ).alias("yhat_micro"),
+        )
+    )
+    agg = evald.agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.sum(
+            F.abs(F.col("actual") * 1000000 - F.col("yhat_micro")).cast(dec)
+        ).alias("sae_hw"),
+        F.sum(F.abs(F.col("actual") - F.col("snaive")).cast(dec) * 1000000)
+        .cast(dec)
+        .alias("sae_sn"),
+    )
+    return agg.select(
+        "n_eval",
+        F.expr("CAST(sae_hw div n_eval AS BIGINT)").alias("mae_hw_micro"),
+        F.expr("CAST(sae_sn div n_eval AS BIGINT)").alias("mae_snaive_micro"),
+        (
+            F.round(
+                (F.col("sae_sn") - F.col("sae_hw")).cast("double")
+                * 100.0
+                / F.col("sae_sn").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("improvement_pct"),
+    )
