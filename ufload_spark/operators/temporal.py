@@ -1786,8 +1786,10 @@ _HW_SEAS_CTES = """, ma AS (
     _DAILY_CENTS_SQL
     + _HW_SEAS_CTES
     + f""", deseas AS (
-  SELECT d.day, CAST(d.cents * 1000000 - a.seasonal_micro AS BIGINT) AS ym
-  FROM daily d JOIN adj a ON d.day % 7 = a.dow
+  SELECT d.day,
+         CAST(d.cents * 1000000 - coalesce(a.seasonal_micro, 0) AS BIGINT)
+           AS ym
+  FROM daily d LEFT JOIN adj a ON d.day % 7 = a.dow
 ), slopes AS (
   SELECT day,
          (ym - lag(ym) OVER (ORDER BY day))
@@ -1812,13 +1814,13 @@ _HW_SEAS_CTES = """, ma AS (
 ), evald AS (
   SELECT a.cents AS actual, sn.cents AS snaive,
          lvl.level_micro + {HOLT_H} * coalesce(trd.trend_micro, 0)
-           + sa.seasonal_micro AS yhat_micro
+           + coalesce(sa.seasonal_micro, 0) AS yhat_micro
   FROM daily o
   JOIN daily a ON a.day = o.day + {HOLT_H}
   JOIN daily sn ON sn.day = o.day + {HOLT_H} - 7
   JOIN lvl ON lvl.day = o.day
   LEFT JOIN trd ON trd.day = o.day
-  JOIN adj sa ON (o.day + {HOLT_H}) % 7 = sa.dow
+  LEFT JOIN adj sa ON (o.day + {HOLT_H}) % 7 = sa.dow
 ), agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n_eval,
          CAST(sum(abs(actual * 1000000 - yhat_micro)) AS HUGEINT) AS sae_hw,
@@ -1911,9 +1913,12 @@ def orders_forecast_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow", (F.col("s_micro") - F.col("m")).cast("bigint").alias("seasonal_micro")
     )
     adj = F.broadcast(adj)
-    deseas = daily.join(adj, daily.day % 7 == adj.dow).select(
+    deseas = daily.join(adj, daily.day % 7 == adj.dow, "left").select(
         "day",
-        (F.col("cents") * 1000000 - F.col("seasonal_micro"))
+        (
+            F.col("cents") * 1000000
+            - F.coalesce("seasonal_micro", F.lit(0))
+        )
         .cast("bigint")
         .alias("ym"),
     )
@@ -1978,14 +1983,14 @@ def orders_forecast_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("tday = oday"),
             "left",
         )
-        .join(sa, F.expr(f"(oday + {HOLT_H}) % 7 = tdow"))
+        .join(sa, F.expr(f"(oday + {HOLT_H}) % 7 = tdow"), "left")
         .select(
             "actual",
             "snaive",
             (
                 F.col("level_micro")
                 + HOLT_H * F.coalesce(F.col("trend_micro"), F.lit(0))
-                + F.col("tseas")
+                + F.coalesce("tseas", F.lit(0))
             ).alias("yhat_micro"),
         )
     )
