@@ -112,6 +112,8 @@ HEADLINE = [
     "lineitem_mutual_information", # 36-cell contingency MI, one scan (r7)
     "corpus_negative_sampling",    # ring-bucket as-of negatives, one window (r7)
     "text_nb_lang_classifier",     # NB train+score, broadcast model (r7)
+    "orders_forecast_hw_backtest", # Holt-Winters over the bounded day frame (r7)
+    "events_markov_absorption",    # K-step conversion probability, micro-exact (r7)
 ]
 
 

@@ -52,6 +52,7 @@ FIXEDPOINT = [
     "orders_bootstrap_ci",
     "orders_changepoint_binseg",
     "orders_forecast_holt_backtest",
+    "orders_forecast_hw_backtest",
     "orders_forecast_naive_backtest",
     "orders_mannwhitney_u",
     "orders_seasonal_decompose",
