@@ -1344,3 +1344,22 @@ def test_hw_backtest_internally_consistent(spark):
     sn, h = hw["mae_snaive_micro"], hw["mae_hw_micro"]
     approx = (sn - h) * 100.0 / sn
     assert abs(hw["improvement_pct"] - approx) < 0.01
+
+
+def test_tokenizer_fertility_conserves_counts(spark):
+    from ufload_spark.operators.textops import (
+        text_bpe_encode,
+        text_tokenizer_fertility,
+    )
+
+    rows = text_tokenizer_fertility(spark, SF_DIR).collect()
+    enc = text_bpe_encode(spark, SF_DIR).collect()
+    # fertility's language rollup conserves the encode query's totals
+    assert sum(r["n_words"] for r in rows) == sum(e["n_words"] for e in enc)
+    assert sum(r["n_bpe_tokens"] for r in rows) == sum(
+        e["n_bpe_tokens"] for e in enc
+    )
+    for r in rows:
+        # BPE can only SPLIT whitespace words, never merge across spaces
+        assert r["fertility_micro"] >= 1_000_000
+        assert r["bytes_per_token_micro"] > 0

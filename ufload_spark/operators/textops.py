@@ -2049,3 +2049,93 @@ def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang", "predicted").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+@register(
+    "text_tokenizer_fertility",
+    _bpe_oracle_ctes()
+    + f""",
+dw AS (
+  SELECT d.lang, unnest(string_split_regex(lower(trim(d.text)), '\\s+')) AS w,
+         octet_length(encode(d.text)) AS _b, d.doc_id
+  FROM documents d
+), perdoc AS (
+  SELECT lang, doc_id, max(_b) AS n_bytes,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(string_split(v.s, ' '))) AS BIGINT) AS n_tok
+  FROM dw JOIN words{BPE_LEARN_ROUNDS} v ON dw.w = v.word
+  WHERE dw.w <> ''
+  GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+       CAST(CAST(sum(n_tok) AS HUGEINT) * 1000000 // sum(n_words) AS BIGINT)
+         AS fertility_micro,
+       CAST(CAST(sum(n_bytes) AS HUGEINT) * 1000000 // sum(n_tok) AS BIGINT)
+         AS bytes_per_token_micro
+FROM perdoc GROUP BY lang
+""",
+    doc="tokenizer-quality eval per language: BPE tokens per whitespace "
+    "word (fertility) and UTF-8 bytes per token under the corpus-trained "
+    "merges — exact integer micro-ratios, one floor division each",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EVALUATION member of the BPE lifecycle (learn → encode →
+    FERTILITY): per language, how many tokens does the trained tokenizer
+    spend per whitespace word (fertility — the standard multilingual
+    tokenizer-equity metric) and how many UTF-8 bytes ride in each token
+    (compression). A tokenizer trained on a skewed language mix shows
+    high fertility on the under-represented languages — the number a
+    data-mixture pipeline reads before rebalancing (`corpus_language_
+    rebalance` is the actuator; this is the sensor).
+
+    Exactness: token counts come from the same word-level vocabulary
+    join as `text_bpe_encode` (the corpus is never re-tokenized per
+    document); the two ratios are single floor divisions of exact
+    HUGEINT/decimal128 sums to integer micro-units.
+
+    Scale shape: the per-doc aggregate shuffles once on (lang, doc_id)
+    after the broadcast vocabulary join; the language rollup is a
+    |langs|-row re-aggregate of those partials. Training lineage rides
+    lazily as in `text_bpe_learn`; production reads the persisted merge
+    table.
+
+    Reference analog: none (extension surface — text/tokenizer family,
+    beside text_bpe_learn / text_bpe_encode / corpus_language_rebalance).
+    """
+    final_words, _ = _bpe_train(spark, sf_dir)
+    vocab = final_words.select(
+        "word", F.size(F.split("s", " ")).cast("bigint").alias("n_sym")
+    )
+    d = table(spark, sf_dir, "documents")
+    dw = d.select(
+        "lang",
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("_b"),
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    perdoc = (
+        dw.join(vocab, "word")
+        .groupBy("lang", "doc_id")
+        .agg(
+            F.max("_b").alias("n_bytes"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_tok"),
+        )
+    )
+    dec = "decimal(38,0)"
+    return perdoc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+        F.expr(
+            f"CAST(CAST(sum(n_tok) AS {dec}) * 1000000"
+            f" div sum(n_words) AS BIGINT)"
+        ).alias("fertility_micro"),
+        F.expr(
+            f"CAST(CAST(sum(n_bytes) AS {dec}) * 1000000"
+            f" div sum(n_tok) AS BIGINT)"
+        ).alias("bytes_per_token_micro"),
+    )
