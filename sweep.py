@@ -35,6 +35,7 @@ FIXEDPOINT = [
     # HIP-vs-composite estimator split only appears past coupon mode
     "events_distinct_rollup_sketch",
     "events_emd_drift",
+    "events_retention_decay_fit",
     "events_entropy_rate",
     "events_ks_drift_binned",
     "events_markov_stationary",

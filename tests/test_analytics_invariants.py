@@ -1363,3 +1363,36 @@ def test_tokenizer_fertility_conserves_counts(spark):
         # BPE can only SPLIT whitespace words, never merge across spaces
         assert r["fertility_micro"] >= 1_000_000
         assert r["bytes_per_token_micro"] > 0
+
+
+def test_retention_decay_fit_consistency(spark):
+    from ufload_spark.operators.events import (
+        events_retention_cohorts,
+        events_retention_decay_fit,
+    )
+
+    row = events_retention_decay_fit(spark, SF_DIR).collect()[0]
+    assert row["n_points"] >= 1
+    if row["n_points"] == 1:
+        # degenerate single-point fit: all ratios are NULL by contract
+        assert row["decay_per_week"] is None and row["r2"] is None
+        return
+    assert 0.0 <= row["r2"] <= 1.0 + 1e-9
+    # retention rates are probabilities, so the fitted decay can't be
+    # positive unless the data genuinely re-engages; with any decay the
+    # half-life must be the ln2 relation
+    if row["decay_per_week"] < 0:
+        assert (
+            abs(
+                row["half_life_weeks"]
+                - 0.6931471805599453 / (-row["decay_per_week"])
+            )
+            < 0.01 * row["half_life_weeks"] + 1e-6
+        )
+    # the fit's point count never exceeds the cohort table's offsets
+    offs = {
+        r["week_offset"]
+        for r in events_retention_cohorts(spark, SF_DIR).collect()
+        if r["week_offset"] >= 1
+    }
+    assert row["n_points"] <= len(offs)

@@ -3289,3 +3289,223 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_out", F.lit(0)).cast("bigint").alias("n_out"),
         F.col("a").alias("absorb_micro"),
     )
+
+
+@register(
+    "events_retention_decay_fit",
+    """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), cohorts AS (
+  SELECT f.cohort_week,
+         CAST((epoch(a.week) - epoch(f.cohort_week)) // 604800 AS BIGINT)
+           AS wk,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM activity a JOIN firsts f ON a.user_id = f.user_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, n_users AS base FROM cohorts WHERE wk = 0
+), maxw AS (
+  SELECT max(week) AS mw FROM activity
+), horizon AS (
+  SELECT s.cohort_week, s.base,
+         CAST((epoch(m.mw) - epoch(s.cohort_week)) // 604800 AS BIGINT)
+           AS max_off
+  FROM sizes s CROSS JOIN maxw m
+), offsets AS (
+  SELECT DISTINCT wk FROM cohorts WHERE wk >= 1
+), eligible AS (
+  SELECT o.wk, CAST(sum(h.base) AS BIGINT) AS at_risk
+  FROM offsets o JOIN horizon h ON h.max_off >= o.wk
+  GROUP BY o.wk
+), retained AS (
+  SELECT c.wk, CAST(sum(c.n_users) AS BIGINT) AS ret
+  FROM cohorts c JOIN horizon h ON h.cohort_week = c.cohort_week
+  WHERE c.wk >= 1 AND h.max_off >= c.wk
+  GROUP BY c.wk
+), pts AS (
+  SELECT e.wk * 1000000 AS x,
+         CAST(floor(ln(CAST(r.ret AS DOUBLE) / e.at_risk) * 1000000 + 0.5)
+              AS BIGINT) AS y,
+         CAST(CAST(r.ret AS HUGEINT) * 1000000 // e.at_risk AS BIGINT)
+           AS rate_micro
+  FROM eligible e JOIN retained r ON r.wk = e.wk
+  WHERE r.ret > 0
+), sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x*y) AS HUGEINT) AS sxy,
+         CAST(sum(x*x) AS HUGEINT) AS sxx, CAST(sum(y*y) AS HUGEINT) AS syy
+  FROM pts
+), comps AS (
+  SELECT n,
+         CAST(n*sxy - sx*sy AS DOUBLE) AS cov_n,
+         CAST(n*sxx - sx*sx AS DOUBLE) AS varx_n,
+         CAST(n*syy - sy*sy AS DOUBLE) AS vary_n
+  FROM sums
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round(CASE WHEN varx_n > 0 THEN cov_n / varx_n END, 6) + 0.0
+         AS decay_per_week,
+       round(CASE WHEN varx_n > 0 AND cov_n < 0
+                  THEN 0.6931471805599453 / (-(cov_n / varx_n)) END, 6)
+         + 0.0 AS half_life_weeks,
+       round(CASE WHEN varx_n > 0 AND vary_n > 0
+                  THEN cov_n * cov_n / (varx_n * vary_n) END, 6) + 0.0 AS r2
+FROM comps
+""",
+    doc="exponential retention-decay fit: right-censored pooled weekly "
+    "retention rates (life-table at-risk denominators), log-linear OLS "
+    "in exact fixed-point micro-units (the zipf discipline), half-life "
+    "in weeks when decay is negative",
+)
+def events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODEL on top of `events_retention_cohorts`' table: fit
+    ln(retention rate) = λ·week + c pooled across cohorts and report the
+    decay rate, half-life (ln2/−λ), and R² — the single number a growth
+    team tracks where the cohort triangle is the diagnostic detail.
+    Right-censoring is handled life-table style (the `events_survival_km`
+    discipline): week-k's denominator counts only users whose cohort is
+    at least k weeks old at the data's horizon, so young cohorts never
+    deflate old-age retention.
+
+    Exactness: pooled rates are exact integer micro-units (one floor
+    division per offset); the regression inputs snap ln to fixed-point
+    micro BEFORE the exact-HUGEINT/decimal128 moment sums (the
+    `text_zipf_fit` discipline), so both engines regress identical
+    integers and the only floats are the final three reported ratios.
+
+    Scale shape: the same two corpus-touching aggregates as the cohort
+    query (first-seen per user, distinct user-weeks); everything after —
+    horizons, at-risk sums, the fit — runs on the weeks×cohorts-bounded
+    frame. Nothing shuffles twice on user_id.
+
+    Reference analog: none (extension surface — growth-analytics family,
+    beside events_retention_cohorts / events_survival_km /
+    events_churn_hazard).
+    """
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    cohorts = (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp("week")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / 604800
+            )
+            .cast("bigint")
+            .alias("wk"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+    cohorts = cohorts.localCheckpoint(eager=False)
+    sizes = cohorts.where(F.col("wk") == 0).select(
+        "cohort_week", F.col("n_users").alias("base")
+    )
+    maxw = activity.agg(F.max("week").alias("mw"))
+    horizon = sizes.crossJoin(F.broadcast(maxw)).select(
+        "cohort_week",
+        "base",
+        (
+            (F.unix_timestamp("mw") - F.unix_timestamp("cohort_week"))
+            / 604800
+        )
+        .cast("bigint")
+        .alias("max_off"),
+    )
+    offsets = cohorts.where(F.col("wk") >= 1).select("wk").distinct()
+    eligible = (
+        offsets.join(F.broadcast(horizon), F.col("max_off") >= F.col("wk"))
+        .groupBy("wk")
+        .agg(F.sum("base").cast("bigint").alias("at_risk"))
+    )
+    retained = (
+        cohorts.where(F.col("wk") >= 1)
+        .join(
+            F.broadcast(horizon.select("cohort_week", "max_off")),
+            "cohort_week",
+        )
+        .where(F.col("max_off") >= F.col("wk"))
+        .groupBy("wk")
+        .agg(F.sum("n_users").cast("bigint").alias("ret"))
+    )
+    pts = (
+        eligible.join(retained, "wk")
+        .where(F.col("ret") > 0)
+        .select(
+            (F.col("wk") * 1000000).cast("bigint").alias("x"),
+            F.floor(
+                F.log(F.col("ret").cast("double") / F.col("at_risk"))
+                * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    dec = "decimal(38,0)"
+    sums = pts.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+    )
+    comps = sums.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("cov_n"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("varx_n"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("vary_n"),
+    )
+    # degenerate fits (one point, or zero x/y variance) emit NULL in
+    # BOTH engines: ANSI Spark raises on the division and DuckDB would
+    # produce inf/nan — the CASE guards keep the engines identical
+    slope = F.col("cov_n") / F.col("varx_n")
+    ok_x = F.col("varx_n") > 0
+    return comps.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        (F.round(F.when(ok_x, slope), 6) + F.lit(0.0)).alias(
+            "decay_per_week"
+        ),
+        (
+            F.round(
+                F.when(
+                    ok_x & (F.col("cov_n") < 0),
+                    F.lit(0.6931471805599453) / (-slope),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("half_life_weeks"),
+        (
+            F.round(
+                F.when(
+                    ok_x & (F.col("vary_n") > 0),
+                    F.col("cov_n")
+                    * F.col("cov_n")
+                    / (F.col("varx_n") * F.col("vary_n")),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("r2"),
+    )
