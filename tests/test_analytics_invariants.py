@@ -1377,11 +1377,14 @@ def test_retention_decay_fit_consistency(spark):
         # degenerate single-point fit: all ratios are NULL by contract
         assert row["decay_per_week"] is None and row["r2"] is None
         return
-    assert 0.0 <= row["r2"] <= 1.0 + 1e-9
+    # r2 is NULL when the snapped micro-logs have zero variance (tiny
+    # fixtures can land every retention rate on the same value)
+    if row["r2"] is not None:
+        assert 0.0 <= row["r2"] <= 1.0 + 1e-9
     # retention rates are probabilities, so the fitted decay can't be
     # positive unless the data genuinely re-engages; with any decay the
     # half-life must be the ln2 relation
-    if row["decay_per_week"] < 0:
+    if row["decay_per_week"] is not None and row["decay_per_week"] < 0:
         assert (
             abs(
                 row["half_life_weeks"]
