@@ -1184,8 +1184,9 @@ def test_changepoint_split_is_exact_argmax(spark):
             continue
         d_milli = (sl * (n - i) - (s - sl) * i) * 1000
         den = i * (n - i)
-        d_milli = int(d_milli / den) if d_milli >= 0 else -(-d_milli // den)
-        # trunc toward zero, matching div/'//'
+        d_milli = d_milli // den if d_milli >= 0 else -(-d_milli // den)
+        # trunc toward zero, matching div/'//' (floor == trunc for >= 0;
+        # exact int arithmetic — numerator exceeds 2^53 at modest SF)
         key = d_milli * d_milli * i * (n - i)
         cand = (key, -day)
         if best is None or cand > best:

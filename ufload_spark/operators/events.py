@@ -3086,9 +3086,10 @@ WITH per_user AS (
   FROM seg GROUP BY 1
 )
 SELECT segment, n_t, n_c, conv_t, conv_c,
-       CAST(CAST(conv_t AS HUGEINT) * 1000000 // n_t
-            - CAST(conv_c AS HUGEINT) * 1000000 // n_c AS BIGINT)
-         AS uplift_micro
+       CASE WHEN n_t > 0 AND n_c > 0 THEN
+         CAST(CAST(conv_t AS HUGEINT) * 1000000 // n_t
+              - CAST(conv_c AS HUGEINT) * 1000000 // n_c AS BIGINT)
+       ELSE NULL END AS uplift_micro
 FROM cells
 """,
     doc="uplift (treatment-effect heterogeneity) by activity segment: "
@@ -3104,7 +3105,9 @@ def events_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap — the table an uplift-targeting policy reads to decide WHO to
     treat (treat the 'mid' tier if that's where the lift concentrates).
     Rates are exact integer micro-units, one floor division per arm per
-    segment; everything upstream is counts.
+    segment; everything upstream is counts. A segment whose users all
+    landed in one arm emits a NULL uplift row (CASE-guarded in both
+    engines) instead of raising DIVIDE_BY_ZERO under ANSI mode.
 
     Scale shape: one user-keyed aggregate off the raw scan (map-side
     partials), then a 3-row segment rollup of those partials. Same
@@ -3154,8 +3157,10 @@ def events_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_t",
         "conv_c",
         F.expr(
+            "CASE WHEN n_t > 0 AND n_c > 0 THEN "
             f"CAST(CAST(conv_t AS {dec}) * 1000000 div n_t"
             f" - CAST(conv_c AS {dec}) * 1000000 div n_c AS BIGINT)"
+            " ELSE NULL END"
         ).alias("uplift_micro"),
     )
 

@@ -388,8 +388,9 @@ def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         "day",
         "n_hours",
         # HIP (direct) vs composite (union) estimators of the same
-        # registers: agreement within 2x the 3-rsd envelope, never
-        # exact equality past coupon mode (docstring)
+        # registers: agreement within 1x the 3-rsd envelope (same 0.05
+        # bound as within_bound), never exact equality past coupon
+        # mode (docstring)
         (gap <= 0.05).alias("merge_consistent"),
         # default lgConfigK=12 → rsd ~1.6%; 3x margin mirrors
         # approx_distinct_parts' contract envelope

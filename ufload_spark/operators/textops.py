@@ -1908,7 +1908,7 @@ WITH toks AS (
 ), model AS (
   SELECT vo.w, cl.c,
          CAST(round(ln(CAST(coalesce(cw.cnt, 0) + 1 AS DOUBLE)
-                       / (nc.n_c + vs.v)), 12) AS DECIMAL(38, 12)) AS term
+                       / (nc.n_c + vs.v)), 12) AS DECIMAL(25, 12)) AS term
   FROM vocab vo
   CROSS JOIN classes cl
   CROSS JOIN vsize vs
@@ -1921,7 +1921,7 @@ WITH toks AS (
   FROM classes cl CROSS JOIN dtotal dt2
 ), scores AS (
   SELECT d.doc_id, d.lang, mo.c,
-         sum(CAST(d.m AS DECIMAL(18, 0)) * mo.term) AS loglik
+         sum(CAST(d.m AS DECIMAL(12, 0)) * mo.term) AS loglik
   FROM dt d JOIN model mo ON mo.w = d.w
   GROUP BY 1, 2, 3
 ), full_scores AS (
@@ -1954,9 +1954,15 @@ def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism discipline: each per-(word, class) log-likelihood term
     ln((c_wc+1)/(n_c+V)) is computed from IEEE-identical doubles (exact
     integer operands, one division), rounded to 12dp, and cast to
-    decimal(38,12) — so each document's score is an ORDER-FREE decimal
-    sum (the chi2/JSD discipline) and the per-doc argmax (score DESC,
-    class ASC) is a total order both engines walk identically.
+    decimal(25,12); the per-word contribution m·term multiplies a
+    decimal(12,0) count by that decimal(25,12) term, so the product is
+    EXACT at scale 12 in BOTH engines (Spark 12+25+1 = 38 digits, DuckDB
+    12+25 = 37 — neither truncates the scale) and each document's score
+    is an ORDER-FREE decimal sum (the chi2/JSD discipline); the per-doc
+    argmax (score DESC, class ASC) is a total order both engines walk
+    identically. (decimal(18,0)·decimal(38,12) would NOT be exact:
+    Spark demotes that product to decimal(38,6), flipping near-tie
+    argmaxes at the 1e-6 level.)
 
     Scale shape: the model is VOCABULARY×CLASSES-sized (top-
     :data:`NB_VOCAB` words by corpus frequency — a TakeOrderedAndProject
@@ -2013,7 +2019,7 @@ def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 12,
             )
-            .cast("decimal(38,12)")
+            .cast("decimal(25,12)")
             .alias("term"),
         )
     )
@@ -2029,7 +2035,7 @@ def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt.join(F.broadcast(model), "w")
         .groupBy("doc_id", "lang", "c")
         .agg(
-            F.sum(F.col("m").cast("decimal(18,0)") * F.col("term")).alias(
+            F.sum(F.col("m").cast("decimal(12,0)") * F.col("term")).alias(
                 "loglik"
             )
         )
