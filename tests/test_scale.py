@@ -1124,3 +1124,23 @@ def test_mutual_information_single_corpus_aggregate(spark):
     assert plan.count("FileScan parquet") + plan.count("Scan parquet") >= 1
     scans = [ln for ln in plan.splitlines() if "lineitem" in ln and "Scan" in ln]
     assert len(scans) == 1
+
+
+def test_vocab_cuts_avoid_partitionless_windows(spark):
+    """text_pmi_cooccurrence and text_js_divergence_by_lang: the top-N
+    vocabulary cut must plan as TakeOrderedAndProject (distributed
+    per-partition top-k merge), never a partition-less rank window — a
+    web-scale corpus has 10^8-10^9 distinct whitespace tokens and a
+    `Window.orderBy(...)` with no partition spec sorts ALL of them on
+    ONE partition (Spark fires `WindowExec: No Partition Defined`)."""
+    from ufload_spark.operators.textops import (
+        text_js_divergence_by_lang,
+        text_pmi_cooccurrence,
+    )
+
+    for fn in (text_pmi_cooccurrence, text_js_divergence_by_lang):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+        # neither query has ANY window operator left: the only one was
+        # the vocabulary rank
+        assert "Window" not in plan, fn.__name__

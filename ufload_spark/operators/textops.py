@@ -1164,12 +1164,14 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     nd = d.agg(F.count("*").alias("n_docs"))
     df_ = toks.groupBy("term").agg(F.count("*").alias("df"))
-    w = Window.orderBy(F.desc("df"), "term")
-    # SCALE GUARD: the partition-less rank window runs over the
-    # vocabulary-sized df table (Heaps' law), never the corpus
+    # SCALE GUARD: vocabulary cut via orderBy+limit =
+    # TakeOrderedAndProject, a distributed per-partition top-k merge —
+    # NOT a partition-less rank window, which would sort every distinct
+    # token (10^8-10^9 web-scale) on one partition. (df DESC, term) is
+    # a total order, so the cut is deterministic.
     vocab = (
-        df_.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= PMI_VOCAB)
+        df_.orderBy(F.desc("df"), "term")
+        .limit(PMI_VOCAB)
         .select("term", "df")
     )
     pruned = toks.join(F.broadcast(vocab), "term")
@@ -1385,8 +1387,8 @@ def text_js_divergence_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     undercount the divergence — contributed by an anti-join branch.
 
     Scale shape: one (lang, term) count shuffle, a top-N vocabulary
-    (partition-less rank over the Heaps-bounded term table, the
-    ``text_pmi_cooccurrence`` SCALE GUARD), broadcast vocabulary joins,
+    via orderBy+limit (TakeOrderedAndProject — distributed top-k, the
+    ``text_rake_keywords`` SCALE GUARD), broadcast vocabulary joins,
     and per-language sums over ≤ |langs|·|vocab| rows.
 
     Reference analog: none (extension surface — text-analysis family).
@@ -1401,13 +1403,14 @@ def text_js_divergence_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = toks.groupBy("lang", "term").agg(
         F.count("*").cast("bigint").alias("n")
     )
-    # SCALE GUARD: the rank window runs over the vocabulary-sized term
-    # table (Heaps' law), never the corpus
+    # SCALE GUARD: vocabulary cut via orderBy+limit =
+    # TakeOrderedAndProject (distributed per-partition top-k merge),
+    # never a partition-less rank window sorting every distinct token
+    # on one partition. (cn DESC, term) is a total order.
     df_ = tc.groupBy("term").agg(F.sum("n").cast("bigint").alias("cn"))
-    wv = Window.orderBy(F.desc("cn"), "term")
     vocab = (
-        df_.withColumn("rnk", F.row_number().over(wv))
-        .where(F.col("rnk") <= JSD_VOCAB)
+        df_.orderBy(F.desc("cn"), "term")
+        .limit(JSD_VOCAB)
         .select("term", "cn")
     )
     vtc = tc.join(F.broadcast(vocab), "term")
