@@ -56,6 +56,20 @@ class Config:
     exclude: list[str] = field(default_factory=list)  # -exclude patterns
     db_prefix: str = "pfx"
     dry_run: bool = False  # -n: no real work, only show what would happen
+    # restore entry points (reference cli/main.py:174-208,809-810): a single
+    # local archive / a directory of archives instead of the cloud listing
+    file: str | None = None
+    dir: str | None = None
+    # de-live knobs (reference cli/main.py:811-835); each one gates steps of
+    # the composed clean() chain — see restore_e2e.DELIVE_STEPS
+    pwlist: str | None = None  # login:pw overrides for the password stomp
+    createusers: str | None = None  # user:group specs → create_users step on
+    logo: str | None = None  # new company logo path → logo_banner input
+    banner: str | None = None  # banner text → logo_banner input
+    hidegroups: bool = False  # -hidegroups: run the group-hiding steps
+    nopwreset: bool = False  # -nopwreset: skip the password stomp
+    live: bool = False  # -live: skip the whole de-live suite
+    noclean: bool = False  # -no-clean: skip the stale-catalog pass
 
 
 #: the reference merges these global sections plus the command's own section
@@ -80,7 +94,7 @@ def read_ini_defaults(path: str, command: str | None = None) -> dict:
 
 
 _LIST_FIELDS = ("instances", "exclude")
-_BOOL_FIELDS = ("dry_run",)
+_BOOL_FIELDS = ("dry_run", "hidegroups", "nopwreset", "live", "noclean")
 
 
 def make_config(defaults: dict | None = None, **overrides) -> Config:
@@ -114,32 +128,141 @@ def ls(spark: SparkSession, cfg: Config) -> DataFrame:
     return _apply_patterns(latest_backup_per_instance(spark, cfg.sf_dir), cfg)
 
 
+def delive_steps_for(cfg: Config) -> tuple[str, ...]:
+    """Map the reference's de-live knobs onto the composed clean() chain
+    (reference cli/main.py:811-835 → db.clean, db.py:342-537): ``-live``
+    skips the whole suite; ``-nopwreset`` drops the password stomp;
+    the group-hiding steps run only under ``-hidegroups``; user creation
+    only when ``-createusers`` supplies specs — the same conditionality
+    the reference's clean() applies per flag."""
+    from ufload_spark.operators.restore_e2e import DELIVE_STEPS
+
+    if cfg.live:
+        return ()
+    steps = list(DELIVE_STEPS)
+    if cfg.nopwreset:
+        steps.remove("password_stomp")
+    if not cfg.hidegroups:
+        steps.remove("hide_groups")
+        steps.remove("ilike_groups")
+    if not cfg.createusers:
+        steps.remove("create_users")
+    return tuple(steps)
+
+
+def matched_instances(spark: SparkSession, cfg: Config) -> list[str]:
+    """Distinct listing instances after include/exclude patterns — the
+    reference's 'Instances to be restored' set (cli/main.py:283-285).
+    Control plane: ≤ |instances| rows (20 in the fixtures)."""
+    from ufload_spark.operators.listing import backups
+
+    rows = _apply_patterns(
+        backups(spark, cfg.sf_dir).select("instance").distinct(), cfg
+    ).collect()
+    return sorted(r["instance"] for r in rows)
+
+
+def restore_paths(
+    spark: SparkSession, paths: list[str], target_root: str, db_prefix: str
+) -> DataFrame:
+    """``-file`` / ``-dir`` restore (reference _fileRestore/_dirRestore,
+    cli/main.py:140-208): each local archive goes through the same
+    audit-gated extract→stage→publish; a corrupt or multi-member archive
+    is reported failed and the loop continues (the reference's posture —
+    report, don't abort the batch). DB names derive from the file name
+    via OP-FN-1."""
+    from ufload_spark.functions.names import file_to_db
+    from ufload_spark.sources.loader import AuditError, stage_and_publish
+    from ufload_spark.sources.zipsource import zip_extract
+
+    rows = []
+    for p in paths:
+        base = os.path.basename(p)
+        target = os.path.join(target_root, base.removesuffix(".zip") + ".restored")
+        try:
+            n = stage_and_publish(
+                spark, zip_extract(spark, p), target, expected_rows=1
+            )
+            rows.append((base, True, n, target))
+        except AuditError as e:
+            rows.append((base, False, 0, str(e)))
+    rep = spark.createDataFrame(
+        rows, "name string, ok boolean, dump_rows long, detail string"
+    )
+    return rep.select(
+        "name",
+        file_to_db(F.col("name"), db_prefix).alias("db_name"),
+        "ok",
+        "dump_rows",
+        "detail",
+    )
+
+
 def restore(spark: SparkSession, cfg: Config, target_dir: str) -> DataFrame:
-    """``ufload restore``: load the newest candidate per matching instance
-    through stage→audit→atomic-publish, returning the published audit report
-    (instance, backup name, rows loaded). The de-live suite runs as part of
-    the load transform chain in a full deployment; here the candidates table
-    itself is the payload being published.
+    """``ufload restore``: the composed end-to-end lifecycle (SURVEY §3.1)
+    — per matching instance, probe the top-3 candidates newest-first, each
+    through the audit-gated ZIP-extract → stage → publish (a corrupt
+    archive falls through to the next candidate), then run the de-live
+    suite selected by the knobs and the stale-catalog clean; the published
+    report comes back. With ``-file``/``-dir`` the probe list is the local
+    archive(s) instead of the cloud listing (reference
+    cli/main.py:140-208,288-371).
 
     With ``cfg.dry_run`` (the reference's ``-n``, cli/main.py:796 /
-    db.py:13-14) nothing is written: the planned actions come back as a
-    DataFrame (instance, name, the target it WOULD publish to)."""
-    from ufload_spark.sources.loader import stage_and_publish
+    db.py:13-14) nothing is written: the planned probe list comes back as
+    a DataFrame (instance, candidate name, rank, the target it WOULD
+    publish to)."""
+    from ufload_spark.operators.listing import backup_candidates_top3
+    from ufload_spark.operators.restore_e2e import restore_instances
 
-    candidates = _apply_patterns(
-        latest_backup_per_instance(spark, cfg.sf_dir), cfg
-    )
+    if cfg.file or cfg.dir:
+        if cfg.file:
+            paths = [cfg.file]
+        else:
+            paths = sorted(
+                os.path.join(cfg.dir, f)
+                for f in os.listdir(cfg.dir)
+                if f.endswith(".zip")
+            )
+        if cfg.dry_run:
+            return spark.createDataFrame(
+                [(os.path.basename(p), "extract+stage+publish", target_dir) for p in paths],
+                "name string, planned_action string, target string",
+            )
+        return restore_paths(spark, paths, target_dir, cfg.db_prefix)
+
+    instances = matched_instances(spark, cfg)
     if cfg.dry_run:
-        return candidates.select(
-            "instance",
-            "name",
-            F.lit("stage+publish").alias("planned_action"),
-            F.lit(target_dir).alias("target"),
+        return (
+            backup_candidates_top3(spark, cfg.sf_dir)
+            .where(F.col("instance").isin(*instances))
+            .select(
+                "instance",
+                "name",
+                "rn",
+                F.lit("probe:extract+stage+publish").alias("planned_action"),
+                F.lit(target_dir).alias("target"),
+            )
         )
-    n = stage_and_publish(spark, candidates, target_dir)
-    published = spark.read.parquet(target_dir)
-    return published.select("instance", "name").withColumn(
-        "rows_published", F.lit(n)
+    content: dict = {}
+    if cfg.pwlist:
+        # 'login1:pw1,login2:pw2' — logins become the keep/override list
+        content["keep_logins"] = [
+            entry.split(":", 1)[0].strip()
+            for entry in cfg.pwlist.split(",")
+            if entry.strip()
+        ]
+    if cfg.logo:
+        content["logo_prefix"] = os.path.basename(cfg.logo) + "_"
+    if cfg.banner:
+        content["banner_text"] = cfg.banner
+    return restore_instances(
+        spark,
+        cfg.sf_dir,
+        instances,
+        delive_steps=delive_steps_for(cfg),
+        clean_stale=not cfg.noclean,
+        delive_content=content,
     )
 
 
@@ -187,6 +310,24 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("-sf-dir", dest="sf_dir", default=None)
         if name == "restore":
             s.add_argument("-target", dest="target", required=True)
+            # reference cli/main.py:809-810 — local restore entry points
+            s.add_argument("-file", dest="file", default=None)
+            s.add_argument("-dir", dest="dir", default=None)
+            # reference cli/main.py:811-835 — de-live knobs
+            s.add_argument("-pwlist", dest="pwlist", default=None)
+            s.add_argument("-createusers", dest="createusers", default=None)
+            s.add_argument("-logo", dest="logo", default=None)
+            s.add_argument("-banner", dest="banner", default=None)
+            s.add_argument(
+                "-hidegroups", dest="hidegroups", action="store_true", default=None
+            )
+            s.add_argument(
+                "-nopwreset", dest="nopwreset", action="store_true", default=None
+            )
+            s.add_argument("-live", dest="live", action="store_true", default=None)
+            s.add_argument(
+                "-no-clean", dest="noclean", action="store_true", default=None
+            )
     return p
 
 
@@ -201,6 +342,14 @@ def main(argv: Sequence[str], spark: SparkSession) -> DataFrame:
         instances=ns.instances,
         exclude=ns.exclude,
         dry_run=ns.dry_run,
+        **{
+            k: getattr(ns, k)
+            for k in (
+                "file", "dir", "pwlist", "createusers", "logo", "banner",
+                "hidegroups", "nopwreset", "live", "noclean",
+            )
+            if hasattr(ns, k)
+        },
     )
     if ns.command == "restore":
         return restore(spark, cfg, ns.target)

@@ -96,12 +96,17 @@ FROM users
 """,
     doc="§2.11 password stomping / admin rename / deactivation (db.py:442-533)",
 )
-def delive_password_stomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def delive_password_stomp(
+    spark: SparkSession, sf_dir: str, keep_logins=_KEEP_LOGINS
+) -> DataFrame:
     """All-users password stomp, per-user override list, admin reset+rename,
     deactivate everyone not allow-listed — the reference's UPDATE chain on
-    res_users (db.py:442-451,522-525,532-533) as one conditional projection."""
+    res_users (db.py:442-451,522-525,532-533) as one conditional projection.
+    ``keep_logins`` is the reference's ``-pwlist`` override list
+    (cli/main.py:813, db.py:522-525); the registered oracle uses the
+    default."""
     u = users(spark, sf_dir)
-    keep = F.col("login").isin(*_KEEP_LOGINS)
+    keep = F.col("login").isin(*keep_logins)
     is_admin = F.col("id") == 1
     return u.select(
         "id",
@@ -247,17 +252,24 @@ FROM nation
     doc="§2.11 logo/banner injection + platform-dependent backup config "
     "(db.py:426-439); OP-FN-7 base64 encode",
 )
-def delive_logo_banner(spark: SparkSession, sf_dir: str) -> DataFrame:
+def delive_logo_banner(
+    spark: SparkSession,
+    sf_dir: str,
+    logo_prefix: str = "SANDBOX_LOGO_",
+    banner_text: str = "THIS IS A SANDBOX COPY — ",
+) -> DataFrame:
     """Logo injection as a base64 literal column (reference db.py:426), the
     dollar-quoted sandbox banner (db.py:429), and the platform-dependent
     backup path reset (db.py:431-439) — one narrow projection per config
-    row, no shuffle."""
+    row, no shuffle. ``logo_prefix``/``banner_text`` are the reference's
+    ``-logo``/``-banner`` CLI inputs (cli/main.py:834-835); the registered
+    oracle uses the defaults."""
     n = table(spark, sf_dir, "nation")
     return n.select(
         F.col("n_nationkey").alias("id"),
-        F.base64(F.encode(F.concat(F.lit("SANDBOX_LOGO_"), F.col("n_name")), "UTF-8"))
+        F.base64(F.encode(F.concat(F.lit(logo_prefix), F.col("n_name")), "UTF-8"))
         .alias("logo"),
-        F.concat(F.lit("THIS IS A SANDBOX COPY — "), F.col("n_name")).alias("banner"),
+        F.concat(F.lit(banner_text), F.col("n_name")).alias("banner"),
         F.when(F.col("n_regionkey") % 2 == 0, F.lit("d:\\"))
         .otherwise(F.lit("/tmp"))
         .alias("backup_path"),

@@ -101,6 +101,7 @@ def load_all() -> dict[str, Query]:
         names_queries,
         quality,
         pipeline,
+        restore_e2e,
         similarity,
         sql_interface,
         skew,
