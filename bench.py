@@ -114,6 +114,9 @@ HEADLINE = [
     "text_nb_lang_classifier",     # NB train+score, broadcast model (r7)
     "orders_forecast_hw_backtest", # Holt-Winters over the bounded day frame (r7)
     "events_markov_absorption",    # K-step conversion probability, micro-exact (r7)
+    # r8 additions
+    "part_similarity_incremental", # persisted CF co-occurrence: delta-merge probe (r8)
+    "restore_end_to_end",          # composed SURVEY §3.1 restore lifecycle (r8)
 ]
 
 
@@ -260,6 +263,14 @@ def main() -> None:
         # plan-pinned k-means-free). Track round-over-round accordingly.
         "train_included": ["similarity_ivf_topk", "similarity_pq_topk"],
         "persisted_probe": ["similarity_ivf_incremental", "similarity_pq_incremental"],
+    }
+    detail["cf_tiers"] = {
+        # same split for item-item CF (r8): the _cosine entry re-pairs every
+        # basket per run (the train tier, the family's headline cost); the
+        # _incremental entry persists train co-occurrence and charges only
+        # the batch delta + touched-part rescoring per run.
+        "train_included": ["part_similarity_cosine"],
+        "persisted_probe": ["part_similarity_incremental"],
     }
     try:
         override = os.environ.get("SPARK_GRAFT_BENCH_DETAIL")

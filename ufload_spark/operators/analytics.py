@@ -1422,6 +1422,194 @@ def part_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cf_capped_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whale-capped distinct (customer, part) incidence — the shared front
+    half of the item-item CF tiers."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    baskets = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    kept = (
+        baskets.groupBy("cust")
+        .agg(F.count("*").alias("bs"))
+        .where(F.col("bs") <= CF_MAX_BASKET)
+        .select("cust")
+    )
+    return baskets.join(kept, "cust", "left_semi")
+
+
+def _cf_pair_counts(b: DataFrame) -> DataFrame:
+    a_side = b.select("cust", F.col("part").alias("part_a"))
+    c_side = b.select("cust", F.col("part").alias("part_b"))
+    return (
+        a_side.join(c_side, "cust")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("co"))
+    )
+
+
+_CF_BASKET_CTE = f"""
+WITH baskets AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), kept AS (
+  SELECT cust FROM baskets GROUP BY cust
+  HAVING count(*) <= {CF_MAX_BASKET}
+), b AS (
+  SELECT baskets.* FROM baskets SEMI JOIN kept USING (cust)
+)"""
+
+
+@register(
+    "part_similarity_incremental",
+    _CF_BASKET_CTE
+    + f"""
+, train AS (SELECT * FROM b WHERE cust % 4 <> 0),
+batch AS (SELECT * FROM b WHERE cust % 4 = 0),
+co_train AS (
+  SELECT a.part AS part_a, c.part AS part_b, CAST(count(*) AS BIGINT) AS co
+  FROM train a JOIN train c ON a.cust = c.cust AND a.part < c.part
+  GROUP BY 1, 2
+), co_delta AS (
+  SELECT a.part AS part_a, c.part AS part_b, CAST(count(*) AS BIGINT) AS co
+  FROM batch a JOIN batch c ON a.cust = c.cust AND a.part < c.part
+  GROUP BY 1, 2
+), merged AS (
+  SELECT coalesce(t.part_a, d.part_a) AS part_a,
+         coalesce(t.part_b, d.part_b) AS part_b,
+         CAST(coalesce(t.co, 0) + coalesce(d.co, 0) AS BIGINT) AS co
+  FROM co_train t FULL JOIN co_delta d
+    ON t.part_a = d.part_a AND t.part_b = d.part_b
+), touched AS (
+  SELECT DISTINCT part_a AS part FROM co_delta
+  UNION SELECT DISTINCT part_b FROM co_delta
+), npart AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY part
+), floored AS (
+  SELECT * FROM merged WHERE co >= {CF_MIN_CO}
+), sym AS (
+  SELECT part_a, part_b, co FROM floored
+  UNION ALL
+  SELECT part_b, part_a, co FROM floored
+), scored AS (
+  SELECT s.part_a, s.part_b, s.co,
+         CAST(CAST(s.co AS HUGEINT) * s.co * 1000000
+              // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS cos2_micro
+  FROM sym s
+  SEMI JOIN touched t ON s.part_a = t.part
+  JOIN npart na ON na.part = s.part_a
+  JOIN npart nb ON nb.part = s.part_b
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY part_a
+           ORDER BY cos2_micro DESC, co DESC, part_b) AS rank
+  FROM scored
+)
+SELECT part_a, part_b, co, cos2_micro, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {CF_TOP_N}
+""",
+    doc="item-item CF, incremental-maintenance tier (VERDICT r7 #3): the "
+    "train customers' co-occurrence table is persisted through the audited "
+    "sink; a new basket batch computes ONLY its delta pairs, merges them "
+    "into the persisted counts, and rescores ONLY the touched parts' "
+    "neighbor lists",
+)
+def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN treatment applied to item-item CF (the
+    ``similarity_ivf_incremental`` lifecycle): ``part_similarity_cosine``
+    re-pairs every basket on every run — its Σ basket² fan-out is the
+    headline cost of the CF family at sf1 — but co-occurrence counts are
+    ADDITIVE, so production maintains them incrementally. Here 3/4 of the
+    customers ("the corpus") have their pair counts built once and
+    published through stage→audit→atomic-publish; the remaining 1/4 ("the
+    new baskets") computes ONLY its delta pairs (Σ batch-basket² — a
+    quarter of the customers, so ~1/4 the pairing work), full-outer-merges
+    them into the persisted counts on the pair key, and rescores ONLY
+    parts the delta touched. The support floor and top-N ranking apply to
+    the MERGED counts, so an admitted neighbor list is exactly what the
+    batch recompute would produce for those parts.
+
+    Scale shape: the persisted pair table is read back from parquet (at
+    cluster scale it would be BUCKETED by part_a, making the merge a
+    co-located join); the delta pairing shuffles Σ basket² only for batch
+    customers; popularity joins broadcast; the rank window partitions by
+    part_a over floor-filtered candidates of touched parts only.
+
+    Reference analog: none (extension surface — recommender family;
+    lifecycle pattern from the download memo, ufload db.py:695-711).
+    """
+    from ufload_spark.sources.loader import memo_publish
+
+    b = _cf_capped_baskets(spark, sf_dir)
+    train = b.where(F.col("cust") % 4 != 0)
+    batch = b.where(F.col("cust") % 4 == 0)
+
+    co_path = memo_publish(
+        spark, "cf_co_pairs", sf_dir, lambda: _cf_pair_counts(train)
+    )
+    persisted = spark.read.parquet(co_path)
+    delta = _cf_pair_counts(batch)
+    t = persisted.select("part_a", "part_b", F.col("co").alias("co_t"))
+    d = delta.select("part_a", "part_b", F.col("co").alias("co_d"))
+    merged = t.join(d, ["part_a", "part_b"], "full").select(
+        "part_a",
+        "part_b",
+        (F.coalesce("co_t", F.lit(0)) + F.coalesce("co_d", F.lit(0)))
+        .cast("bigint")
+        .alias("co"),
+    )
+    touched = (
+        delta.select(F.col("part_a").alias("part"))
+        .union(delta.select(F.col("part_b").alias("part")))
+        .distinct()
+    )
+    npart = b.groupBy("part").agg(F.count("*").cast("bigint").alias("n"))
+    floored = merged.where(F.col("co") >= CF_MIN_CO)
+    sym = floored.unionByName(
+        floored.select(
+            F.col("part_b").alias("part_a"),
+            F.col("part_a").alias("part_b"),
+            "co",
+        )
+    )
+    na = F.broadcast(
+        npart.select(F.col("part").alias("part_a"), F.col("n").alias("na"))
+    )
+    nb = F.broadcast(
+        npart.select(F.col("part").alias("part_b"), F.col("n").alias("nb"))
+    )
+    scored = (
+        sym.join(
+            F.broadcast(touched.select(F.col("part").alias("part_a"))),
+            "part_a",
+            "left_semi",
+        )
+        .join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            F.expr(
+                "CAST(CAST(co AS decimal(38,0)) * co * 1000000"
+                " div (CAST(na AS decimal(38,0)) * nb) AS BIGINT)"
+            ).alias("cos2_micro"),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.desc("cos2_micro"), F.desc("co"), F.col("part_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= CF_TOP_N)
+        .select("part_a", "part_b", "co", "cos2_micro", "rank")
+    )
+
+
 #: quantile binning: content-addressed sample threshold (buckets of 256)
 #: and number of bins
 QBIN_SAMPLE_BUCKETS = 10
