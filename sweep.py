@@ -11,8 +11,13 @@ The ``fixedpoint`` family is the round-close sf0.1 tier (r6 VERDICT ask
 #8): the exact-integer statistics queries whose rounding/floor-division
 edges only appear at scale — the EMD defect was invisible at sf0.001 and
 fatal at sf0.01; the next one may be invisible at sf0.01 and fatal at
-sf0.1. Close ritual: ``python sweep.py /root/testdata/sf0.1 --family
-fixedpoint`` after the full sf0.01 sweep.
+sf0.1. The ``sketch`` family (r7 VERDICT ask #8) is the same discipline
+for probabilistic/estimator queries: sketch error envelopes, estimator
+mode switches (HLL coupon→register, the HIP-vs-composite split caught at
+sf0.1 in r7), sampling-threshold edges. Close ritual: ``python sweep.py
+/root/testdata/sf0.1 --family fixedpoint --family sketch`` after the
+full sf0.01 sweep (the full-registry sf0.1 sweep covers both; the
+family tiers are the fast re-check loop).
 """
 
 from __future__ import annotations
@@ -65,6 +70,29 @@ FIXEDPOINT = [
     "text_zipf_fit",
 ]
 
+#: probabilistic sketches / estimators / samplers whose contracts (error
+#: envelopes, estimator mode switches, sampling thresholds) only stress at
+#: volume — the HLL HIP-vs-composite split was invisible at sf0.01 and red
+#: at sf0.1 (r7, commit 3cf751b); this tier makes that class systematic
+SKETCH = [
+    "events_distinct_rollup_sketch",  # HLL union vs direct, envelope contract
+    "events_cumulative_distinct_users",
+    "events_countmin_estimate",  # CMS merge + probe audit
+    "streaming_countmin_sketch",  # CMS live vs batch parity
+    "events_survival_km",  # KM product-limit fixed-point ladder
+    "approx_distinct_parts",  # HLL vs exact, rsd contract
+    "distinct_parts_per_flag",
+    "orders_approx_quantiles",  # KLL-style quantile contract
+    "features_quantile_binning",  # content-addressed sample thresholds
+    "corpus_stratified_sample",  # deterministic hash-bucket sampling
+    "corpus_reservoir_per_lang",
+    "corpus_priority_sample",
+    "dedup_bloom_prefilter",  # runtime Bloom FPP behavior
+    "multimodal_frame_sample",
+]
+
+FAMILIES = {"fixedpoint": FIXEDPOINT, "sketch": SKETCH}
+
 
 def main() -> int:
     args = sys.argv[1:]
@@ -73,14 +101,14 @@ def main() -> int:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
-    if "--family" in args:
+    while "--family" in args:
         i = args.index("--family")
         fam = args[i + 1]
         del args[i : i + 2]
-        if fam != "fixedpoint":
+        if fam not in FAMILIES:
             print(f"UNKNOWN FAMILY {fam!r}", flush=True)
             return 2
-        only = (only or set()) | set(FIXEDPOINT)
+        only = (only or set()) | set(FAMILIES[fam])
     sf = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[32]")
