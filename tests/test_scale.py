@@ -1144,3 +1144,33 @@ def test_vocab_cuts_avoid_partitionless_windows(spark):
         # neither query has ANY window operator left: the only one was
         # the vocabulary rank
         assert "Window" not in plan, fn.__name__
+
+
+def test_cf_incremental_probes_persisted_pairs(spark):
+    """part_similarity_incremental: the persisted co-occurrence table must
+    come back as a parquet FileScan (the train pairing never re-runs in
+    the probe plan's persisted branch), popularity joins must broadcast,
+    and the top-N window must be partitioned (never global)."""
+    from ufload_spark.operators.analytics import part_similarity_incremental
+
+    df = part_similarity_incremental(spark, SF_DIR)
+    plan = _plan(df)
+    # persisted pairs are a parquet scan of the published cf_co_pairs dir
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln and "cf_co_pairs" in ln
+    ]
+    assert scans, "persisted co-occurrence table not read from parquet"
+    assert "BroadcastHashJoin" in plan
+    # rank window is partitioned by part_a — no partition-less window
+    assert "Exchange rangepartitioning" not in plan or "Sort" in plan
+    rows = df.collect()
+    assert rows, "incremental tier produced no neighbor lists"
+    by_a: dict = {}
+    for r in rows:
+        by_a.setdefault(r["part_a"], []).append(r)
+    for _, lst in by_a.items():
+        lst.sort(key=lambda r: r["rank"])
+        scores = [r["cos2_micro"] for r in lst]
+        assert scores == sorted(scores, reverse=True)

@@ -405,6 +405,123 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: t-closeness threshold in micro-units of total variation distance
+#: (Li et al. 2007 suggest t ≈ 0.15–0.2 for categorical attributes; the
+#: audit reports the exact distance, the flag applies this floor)
+T_CLOSE_MICRO = 200_000
+
+
+@register(
+    "privacy_t_closeness",
+    f"""
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+         c_mktsegment
+  FROM customer
+), grp AS (
+  SELECT c_nationkey, bal_band, CAST(count(*) AS BIGINT) AS k
+  FROM qi GROUP BY 1, 2
+), gs AS (
+  SELECT c_nationkey, bal_band, c_mktsegment, CAST(count(*) AS BIGINT) AS n_gs
+  FROM qi GROUP BY 1, 2, 3
+), seg AS (
+  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_s FROM customer GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+), dense AS (
+  SELECT g.c_nationkey, g.bal_band, g.k, s.c_mktsegment, s.n_s,
+         coalesce(x.n_gs, 0) AS n_gs
+  FROM grp g CROSS JOIN seg s
+  LEFT JOIN gs x ON x.c_nationkey = g.c_nationkey
+                AND x.bal_band = g.bal_band
+                AND x.c_mktsegment = s.c_mktsegment
+), dist AS (
+  SELECT c_nationkey, bal_band, any_value(k) AS k,
+         CAST(sum(abs(CAST(n_gs AS HUGEINT) * t.n
+                      - CAST(n_s AS HUGEINT) * k)) AS HUGEINT) AS num,
+         any_value(t.n) AS n
+  FROM dense CROSS JOIN tot t
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, bal_band, k,
+       CAST(num * 1000000 // (2 * CAST(k AS HUGEINT) * n) AS BIGINT)
+         AS tvd_micro,
+       num * 1000000 // (2 * CAST(k AS HUGEINT) * n) <= {T_CLOSE_MICRO}
+         AS t_close
+FROM dist
+""",
+    doc=f"privacy audit, t-closeness (Li et al. 2007): per QI group, the "
+    "total variation distance between the group's sensitive-attribute "
+    "distribution and the global one, in exact integer micro-units; "
+    f"flagged when TVD <= {T_CLOSE_MICRO / 1e6:g}",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third classic release-gate audit, completing the
+    k-anonymity / l-diversity pair (`privacy_k_anonymity`): l-diversity
+    is blind to SKEW — a group can hold 3 distinct segments at
+    99/0.5/0.5% and still leak — so t-closeness bounds the DISTANCE
+    between each quasi-identifier group's sensitive distribution and the
+    corpus-wide one. For an unordered categorical attribute the standard
+    distance is total variation, TVD = ½·Σ_s |p_g(s) − p(s)|, computed
+    here entirely in integers: |n_gs·N − n_s·k| summed over the DENSE
+    group×segment grid (absent segments contribute n_s·k — omitting them
+    would understate the distance), then ONE floor division to
+    micro-units per group. Same numeric discipline as the EMD drift
+    family (events_emd_drift), whose HUGEINT-operand floor-division
+    lesson (r7 EMD defect) this inherits.
+
+    Scale shape: two stacked hash aggregates off one scan (QI-group k,
+    QI×segment counts), a ≤|segments|-row broadcast for the global
+    distribution, a bounded 5× dense fan-out of the GROUP table (not the
+    data), and a group-keyed final aggregate. No window, no global sort;
+    at 100 TB this is two shuffles of group-sized partials.
+
+    Reference analog: none (extension surface — governance family).
+    """
+    c = table(spark, sf_dir, "customer")
+    qi = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        "c_mktsegment",
+    )
+    grp = qi.groupBy("c_nationkey", "bal_band").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    gs = qi.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_gs")
+    )
+    seg = c.groupBy("c_mktsegment").agg(F.count("*").cast("bigint").alias("n_s"))
+    tot = c.agg(F.count("*").cast("bigint").alias("n"))
+    dense = (
+        grp.crossJoin(F.broadcast(seg))
+        .join(gs, ["c_nationkey", "bal_band", "c_mktsegment"], "left")
+        .withColumn("n_gs", F.coalesce("n_gs", F.lit(0).cast("bigint")))
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = "decimal(38,0)"
+    dist = dense.groupBy("c_nationkey", "bal_band").agg(
+        F.any_value("k").alias("k"),
+        F.sum(
+            F.abs(
+                F.col("n_gs").cast(dec) * F.col("n")
+                - F.col("n_s").cast(dec) * F.col("k")
+            )
+        ).alias("num"),
+        F.any_value("n").alias("n"),
+    )
+    tvd = F.expr(
+        "CAST(num * 1000000 div (2 * CAST(k AS decimal(38,0)) * n) AS BIGINT)"
+    )
+    return dist.select(
+        "c_nationkey",
+        "bal_band",
+        "k",
+        tvd.alias("tvd_micro"),
+        (tvd <= T_CLOSE_MICRO).alias("t_close"),
+    )
+
+
 @register(
     "quality_reconciliation",
     """

@@ -2148,3 +2148,139 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div sum(n_tok) AS BIGINT)"
         ).alias("bytes_per_token_micro"),
     )
+
+
+#: calibration audit: fixed-width probability bins (no global sort) and the
+#: micro-unit scale shared with the rest of the exact-integer family
+CALIB_BINS = 10
+
+
+@register(
+    "text_quality_calibration",
+    f"""
+WITH sig AS (
+  SELECT {_TOKENS_SQL} AS toks,
+         {_STOPS_SQL} AS stops,
+         {_NONWS_SQL} AS nc,
+         {_DSTOPS_SQL} AS dstops,
+         {_ALPHA_WORDS_SQL} AS alphaw
+  FROM documents
+), scored AS (
+  SELECT CASE WHEN toks = 0 THEN 0
+              ELSE least(1000000, CAST(stops AS BIGINT) * 1000000 // toks)
+         END AS p_micro,
+         CASE WHEN toks BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+               AND nc BETWEEN {GOPHER_MIN_MEANLEN} * toks
+                          AND {GOPHER_MAX_MEANLEN} * toks
+               AND dstops >= {GOPHER_MIN_STOPWORDS}
+               AND 5 * alphaw >= 4 * toks
+              THEN 1 ELSE 0 END AS label
+  FROM sig
+), binned AS (
+  SELECT least({CALIB_BINS - 1}, p_micro // {1000000 // CALIB_BINS}) AS bin,
+         p_micro, label
+  FROM scored
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p_micro) // count(*) AS BIGINT) AS mean_pred_micro,
+       CAST(sum(label) * 1000000 // count(*) AS BIGINT) AS pass_rate_micro,
+       CAST(abs(sum(p_micro) // count(*)
+                - sum(label) * 1000000 // count(*)) AS BIGINT) AS gap_micro
+FROM binned GROUP BY bin
+""",
+    doc="calibration audit of the stopword-ratio quality scorer against the "
+    "Gopher pass label: fixed-width probability bins, per-bin mean "
+    "prediction vs empirical pass rate in exact integer micro-units — the "
+    "reliability-diagram table, no global sort",
+)
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EVALUATION tier for the quality-filter family (the recall-eval
+    discipline applied to scoring): `text_quality_score` emits signals and
+    `text_gopher_filters` a pass/fail gate, but a curation pipeline that
+    THRESHOLDS a score needs to know whether the score is CALIBRATED —
+    does a doc scored 0.7 pass the gate ~70% of the time? This operator
+    bins the stopword-ratio score (min(1, stops/tokens), the scorer's
+    natural-language-confidence proxy) into :data:`CALIB_BINS` fixed-width
+    bins and reports, per bin, the mean prediction vs the empirical
+    Gopher-conjunction pass rate plus their absolute gap — the
+    reliability-diagram table whose n-weighted gap sum is the expected
+    calibration error (ECE, Guo et al. 2017's binned form).
+
+    Numeric discipline: the score is an exact integer micro-ratio (one
+    floor division per doc, clamped at 1e6 — regex stopword hits can
+    exceed whitespace tokens), bins are fixed-width integer cuts (NO
+    quantile pass, so no global sort), and per-bin means/rates are one
+    floor division each over exact sums — bit-identical across engines.
+
+    Scale shape: one narrow projection (token/char/stopword counts), one
+    hash aggregate on the ≤10-key bin — map-side partials collapse
+    everything; at 100 TB this is a single bounded-key shuffle.
+
+    Reference analog: none (extension surface — text-analysis family,
+    evaluation tier beside text_langid_confusion /
+    similarity_quantized_recall_eval).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = token_count(F.col("text")).cast("bigint")
+    stops = stopword_count(F.col("text")).cast("bigint")
+    nc = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    dstops = F.size(
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(f"\\b({_STOP})\\b"), 0
+            )
+        )
+    )
+    alphaw = F.size(F.regexp_extract_all(F.col("text"), F.lit(_ALPHA_WORD), 0))
+    sig = d.select(
+        toks.alias("toks"),
+        stops.alias("stops"),
+        nc.alias("nc"),
+        dstops.alias("dstops"),
+        alphaw.alias("alphaw"),
+    )
+    scored = sig.select(
+        F.when(F.col("toks") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.expr("stops * 1000000 div toks"),
+            )
+        )
+        .alias("p_micro"),
+        F.when(
+            F.col("toks").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & F.col("nc").between(
+                GOPHER_MIN_MEANLEN * F.col("toks"),
+                GOPHER_MAX_MEANLEN * F.col("toks"),
+            )
+            & (F.col("dstops") >= GOPHER_MIN_STOPWORDS)
+            & (5 * F.col("alphaw") >= 4 * F.col("toks")),
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    width = 1000000 // CALIB_BINS
+    binned = scored.select(
+        F.least(
+            F.lit(CALIB_BINS - 1).cast("bigint"),
+            F.expr(f"p_micro div {width}"),
+        ).alias("bin"),
+        "p_micro",
+        "label",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("CAST(sum(p_micro) div count(*) AS BIGINT)").alias(
+            "mean_pred_micro"
+        ),
+        F.expr("CAST(sum(label) * 1000000 div count(*) AS BIGINT)").alias(
+            "pass_rate_micro"
+        ),
+        F.expr(
+            "CAST(abs(sum(p_micro) div count(*)"
+            " - sum(label) * 1000000 div count(*)) AS BIGINT)"
+        ).alias("gap_micro"),
+    )
