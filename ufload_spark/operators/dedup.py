@@ -147,6 +147,70 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_exact_incremental",
+    """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+), existing AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 4 <> 0
+), batch AS (
+  SELECT * FROM fp WHERE doc_id % 4 = 0
+), novel AS (
+  SELECT b.* FROM batch b ANTI JOIN existing e USING (fingerprint)
+)
+SELECT fingerprint,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM novel GROUP BY fingerprint
+""",
+    doc="incremental exact dedup: the corpus fingerprint set is persisted "
+    "through the audited sink; a new batch hashes only ITS text, "
+    "anti-joins the published set, and dedups within itself — the "
+    "admit-or-drop gate every ingest runs before the near-dup tiers",
+)
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the incremental tier matrix (minhash/simhash/substring
+    already have theirs): exact dedup for a GROWING corpus. The corpus's
+    distinct normalized-text fingerprints are published once through
+    stage→audit→atomic-publish and read back from parquet (in production
+    the set is maintained by appending each admitted batch's
+    fingerprints); an incoming batch (doc_id % 4 == 0 stands in) hashes
+    only its own text, LEFT ANTI-joins the persisted set — one shuffle
+    on the 128-bit key, batch-sized — and finally groups within itself
+    (min doc_id keeper) so intra-batch duplicates collapse too. The
+    corpus is never re-hashed; pinned by the same never-rehash
+    discipline as `dedup_minhash_incremental`.
+
+    Scale shape: persisted-set scan + batch-keyed anti-join + one batch
+    hash aggregate. At 100 TB the persisted fingerprint table would be
+    BUCKETED by fingerprint so the anti-join co-locates.
+    """
+    from ufload_spark.sources.loader import memo_publish
+
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+    fp_path = memo_publish(
+        spark,
+        "exact_fingerprints",
+        sf_dir,
+        lambda: fp.where(F.col("doc_id") % 4 != 0)
+        .select("fingerprint")
+        .distinct(),
+    )
+    existing = spark.read.parquet(fp_path)
+    batch = fp.where(F.col("doc_id") % 4 == 0)
+    novel = batch.join(existing, "fingerprint", "left_anti")
+    return novel.groupBy("fingerprint").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signatures via explode + hash-aggregate: one md5 per distinct shingle
     (the K functions are affine mixes of that base hash), then K ``min``
