@@ -914,6 +914,109 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_image_neardup_incremental",
+    _AHASH_BITS_CTE
+    + f"""
+, batch AS (SELECT doc_id, ahash FROM bits WHERE doc_id % 4 = 0),
+existing AS (SELECT DISTINCT ahash FROM bits WHERE doc_id % 4 <> 0),
+collided AS (
+  SELECT DISTINCT b.doc_id
+  FROM batch b JOIN existing e ON hamming(b.ahash, e.ahash) <= {AH_NEARDUP_T}
+)
+SELECT doc_id FROM batch
+WHERE doc_id NOT IN (SELECT doc_id FROM collided)
+""",
+    doc="incremental image near-dup gate: persisted corpus aHash groups, "
+    "new-batch hashes probe them through the pigeonhole band join + "
+    "Hamming verify; survivors are the images safe to ingest",
+)
+def multimodal_image_neardup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ingest-time gate for a GROWING image corpus — the
+    ``dedup_minhash_incremental`` lifecycle on the pixel side: the
+    corpus's distinct aHash groups are published once through the
+    audited sink (in production each admitted batch appends its hashes);
+    an incoming batch decodes and hashes ONLY ITS OWN images, melts its
+    64-bit hashes into :data:`AH_BANDS` pigeonhole bands, equi-joins the
+    persisted band table (lossless at radius :data:`AH_NEARDUP_T` <
+    bands), Hamming-verifies the collided candidates JVM-side, and emits
+    the batch images with NO near-duplicate in the corpus. The corpus is
+    never re-decoded or re-hashed.
+
+    Scale shape: batch-only Arrow decode map, persisted-parquet band
+    scan, band-key equi-join (never all-pairs), bounded verify, one
+    anti-join. The oracle brute-forces the same answer closed-form from
+    the render arithmetic (39 hash groups at any SF).
+
+    Reference analog: none (extension surface — multimodal family,
+    completing the image dedup tier matrix: exact groups → banded
+    near-dup → cluster-keep-best → incremental ingest gate).
+    """
+    from ufload_spark.sources.loader import memo_publish
+
+    d = doc_ids(spark, sf_dir)
+    png = d.mapInPandas(
+        _synthesize_pixel_png_batches, schema="doc_id long, content binary"
+    )
+    hashed = png.mapInPandas(_ahash_batches, schema="doc_id long, ahash string")
+
+    def melt(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[c for c in df.columns],
+            F.posexplode(
+                F.array(
+                    *[
+                        F.substring("ahash", 1 + AH_BAND_BITS * i, AH_BAND_BITS)
+                        for i in range(AH_BANDS)
+                    ]
+                )
+            ).alias("band_idx", "band"),
+        )
+
+    existing_path = memo_publish(
+        spark,
+        "image_ahash_groups",
+        sf_dir,
+        lambda: hashed.where(F.col("doc_id") % 4 != 0)
+        .select("ahash")
+        .distinct(),
+    )
+    existing = spark.read.parquet(existing_path)
+    batch = hashed.where(F.col("doc_id") % 4 == 0)
+
+    def halves(df: DataFrame, pfx: str) -> DataFrame:
+        return df.select(
+            *[c for c in df.columns],
+            *[
+                F.conv(F.substring("ahash", 1 + 32 * i, 32), 2, 10)
+                .cast("long")
+                .alias(f"{pfx}_h{i}")
+                for i in range(2)
+            ],
+        )
+
+    bmelt = melt(halves(batch, "a")).select(
+        "doc_id", "band_idx", "band", "a_h0", "a_h1"
+    )
+    emelt = melt(halves(existing, "b")).select(
+        "band_idx", "band", "b_h0", "b_h1"
+    )
+    hd = (
+        F.bit_count(F.col("a_h0").bitwiseXOR(F.col("b_h0")))
+        + F.bit_count(F.col("a_h1").bitwiseXOR(F.col("b_h1")))
+    ).cast("long")
+    collided = (
+        bmelt.join(emelt, ["band_idx", "band"])
+        .withColumn("hamming", hd)
+        .where(F.col("hamming") <= AH_NEARDUP_T)
+        .select("doc_id")
+        .distinct()
+    )
+    return batch.select("doc_id").join(collided, "doc_id", "left_anti")
+
+
 # --- sample-level PCM analysis ---------------------------------------------
 
 
