@@ -2284,3 +2284,126 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - sum(label) * 1000000 div count(*)) AS BIGINT)"
         ).alias("gap_micro"),
     )
+
+
+@register(
+    "text_perplexity_buckets",
+    r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), toks_ne AS (
+  SELECT * FROM toks WHERE tok <> ''
+), freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks_ne GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS t FROM freq
+), perdoc AS (
+  SELECT doc_id, any_value(lang) AS lang,
+         CAST(sum(CAST(floor(ln(CAST(t AS DOUBLE) / c) * 1000000 + 0.5)
+                       AS BIGINT)) // count(*) AS BIGINT) AS nll_micro
+  FROM toks_ne JOIN freq USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+), hist AS (
+  SELECT lang, nll_micro // 1000 AS key_milli,
+         CAST(count(*) AS BIGINT) AS n
+  FROM perdoc GROUP BY 1, 2
+), cum AS (
+  SELECT lang, key_milli, n,
+         coalesce(sum(n) OVER (PARTITION BY lang ORDER BY key_milli
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         sum(n) OVER (PARTITION BY lang) AS total
+  FROM hist
+), bucketed AS (
+  SELECT lang, key_milli, n,
+         CASE CAST(3 * cum_before // total AS BIGINT)
+           WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM cum
+)
+SELECT lang, bucket,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       min(key_milli) AS min_nll_milli,
+       max(key_milli) AS max_nll_milli
+FROM bucketed GROUP BY 1, 2
+""",
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): per-lang "
+    "head/middle/tail tertiles of the unigram-LM NLL, via the histogram-"
+    "quantile discipline (no per-doc ntile sort) — exact integer micro-"
+    "NLL, milli-keyed histogram, ties share a bucket",
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical CCNet curation step: split each language's documents
+    into head/middle/tail perplexity tertiles (head = most corpus-typical,
+    the slice pretraining keeps or upsamples). The textbook form is a
+    per-language ``ntile(3)`` over doc scores — a per-language TOTAL SORT
+    a distributed engine must refuse; this uses the
+    ``events_rfm_segmentation`` histogram-quantile discipline instead:
+    per-doc NLL snapped to exact integer micro-units (per-token
+    ``floor(ln(t/c)·1e6 + 0.5)`` over IEEE-identical doubles, one integer
+    floor-division per doc), coarsened to a MILLI-keyed value histogram
+    (bounded by the NLL value range, not the corpus), a lang-partitioned
+    cumulative window over that histogram, and the tertile label by
+    integer arithmetic ``3·cum_before div total``. Docs sharing a milli
+    key share a bucket on both engines — no tiebreak ambiguity.
+
+    Scale shape: one token shuffle for the frequency table (the model is
+    Heaps-bounded and broadcasts), one doc-keyed aggregate, then
+    histogram-sized work only. At 100 TB nothing sorts more rows than
+    the histogram.
+
+    Reference analog: none (extension surface — text-analysis family,
+    between text_unigram_logprob [the scorer] and corpus_mixture_schedule
+    [the consumer of the kept slice]).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c"))
+    tot = freq.agg(F.sum("c").cast("bigint").alias("t"))
+    perdoc = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.expr(
+                "CAST(sum(CAST(floor(ln(CAST(t AS DOUBLE) / c) * 1000000"
+                " + 0.5) AS BIGINT)) div count(*) AS BIGINT)"
+            ).alias("nll_micro"),
+        )
+    )
+    hist = perdoc.groupBy(
+        "lang", F.expr("nll_micro div 1000").alias("key_milli")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("key_milli")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wt = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "key_milli",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_before"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    bucketed = cum.select(
+        "lang",
+        "key_milli",
+        "n",
+        F.when(F.expr("3 * cum_before div total") == 0, "head")
+        .when(F.expr("3 * cum_before div total") == 1, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.min("key_milli").alias("min_nll_milli"),
+        F.max("key_milli").alias("max_nll_milli"),
+    )
