@@ -2579,3 +2579,83 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qd.select(
         "vec_id", F.explode(F.array(*outs)).alias("o")
     ).select("vec_id", "o.out_dim", "o.y_micro")
+
+
+#: radius for range search: every corpus vector with cosine >= this is a
+#: hit (FAISS range_search semantics — result count is data-driven, not k)
+RANGE_COS_T = 0.25
+
+
+@register(
+    "similarity_range_search",
+    "WITH "
+    + _PLANES_SQL
+    + f"""
+, qsig AS (SELECT vec_id AS qid, band, sig FROM sigs WHERE vec_id < 5),
+csig AS (SELECT vec_id AS cid, band, sig FROM sigs WHERE vec_id >= 5),
+cand AS (
+  SELECT DISTINCT q.qid, c.cid
+  FROM qsig q JOIN csig c ON q.band = c.band AND q.sig = c.sig
+), scored AS (
+  SELECT cn.qid, cn.cid,
+         round(sum(CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE))
+               / (sqrt(sum(CAST(eq.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(ec.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))), 6)
+           AS cosine
+  FROM cand cn
+  JOIN embeddings eq ON eq.vec_id = cn.qid
+  JOIN embeddings ec ON ec.vec_id = cn.cid,
+  (SELECT unnest(range(1, {DIM + 1})) AS i)
+  GROUP BY cn.qid, cn.cid
+)
+SELECT qid, cid, cosine FROM scored WHERE cosine >= {RANGE_COS_T}
+""",
+    doc=f"range search (FAISS range_search semantics): every banded-LSH "
+    f"candidate within cosine >= {RANGE_COS_T} of the query batch — "
+    "radius retrieval, data-driven result count, no rank window at all",
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RADIUS dual of ``similarity_lsh_topk``: top-k answers "the k
+    nearest whatever their similarity"; range search answers "EVERYTHING
+    at least this similar, however many" — the FAISS ``range_search``
+    API, what dedup-ish retrieval (find all near-copies of this doc) and
+    threshold-gated RAG recall actually want. Same persisted-signature
+    probe (the query batch's band signatures equi-join the corpus table;
+    the corpus is never re-hashed), same exact-cosine rescoring of
+    collided candidates only — but the tail is a plain predicate, so the
+    plan has NO window and NO global ordering anywhere; output size is
+    data-driven.
+
+    Scale shape: identical to the topk probe until the tail; the radius
+    filter is a row-local predicate on the candidate-sized scored frame.
+    Recall is banding-bounded exactly as the topk tier documents (a hit
+    the bands never collide is not surfaced — the measured trade, see
+    ``similarity_quantized_recall_eval`` for the eval harness).
+
+    Reference analog: none (extension surface — similarity family).
+    """
+    sigs = _persisted_band_sigs(spark, sf_dir).hint("shuffle_hash")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < 5)
+            & (F.col("b.vec_id") >= 5),
+        )
+        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("cid"))
+        .distinct()
+    )
+    e = table(spark, sf_dir, "embeddings")
+    eq = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_q"))
+    ec = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("emb_c"))
+    cos = dot(F.col("emb_q"), F.col("emb_c")) / (
+        F.sqrt(sqnorm(F.col("emb_q"))) * F.sqrt(sqnorm(F.col("emb_c")))
+    )
+    return (
+        cand.join(F.broadcast(eq), "qid")
+        .join(ec, "cid")
+        .select("qid", "cid", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= RANGE_COS_T)
+    )
