@@ -327,3 +327,208 @@ def pipeline_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (stage_no, stage, survivors, dropped)"
         )
     )
+
+
+def _ingest_quality_sql() -> str:
+    return (
+        f"{_TOKENS_SQL} >= {MIN_TOKENS}"
+        f" AND coalesce({_PUNCT_RATIO_SQL}, 1.0) < {MAX_PUNCT_RATIO}"
+        f" AND coalesce({_TRIGRAM_DENSITY_SQL}, 0.0) > {MIN_TRIGRAM_DENSITY}"
+    )
+
+
+def _ingest_oracle() -> str:
+    from ufload_spark.operators.dedup import _MINHASH_SIGS_SQL, _band_keys_sql
+
+    return (
+        _MINHASH_SIGS_SQL
+        + f"""
+, meta AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         CASE WHEN {_ingest_quality_sql()} THEN 1 ELSE 0 END AS ok
+  FROM documents
+), batchm AS (
+  SELECT * FROM meta WHERE doc_id % 4 = 0
+), corpus_fp AS (
+  SELECT DISTINCT fp FROM meta WHERE doc_id % 4 <> 0
+), exact_novel AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT q.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM (SELECT * FROM batchm WHERE ok = 1) q
+    ANTI JOIN corpus_fp USING (fp)
+  ) WHERE rn = 1
+), batch_keys AS (
+{_band_keys_sql('(SELECT s.* FROM sigs s SEMI JOIN exact_novel e USING (doc_id))')}
+), existing_keys AS (
+{_band_keys_sql('(SELECT * FROM sigs WHERE doc_id % 4 <> 0)')}
+), collided AS (
+  SELECT DISTINCT bk.doc_id
+  FROM batch_keys bk JOIN existing_keys ek
+    ON bk.band = ek.band AND bk.k1 = ek.k1 AND bk.k2 = ek.k2
+), admitted AS (
+  SELECT e.* FROM exact_novel e
+  WHERE e.doc_id NOT IN (SELECT doc_id FROM collided)
+)
+SELECT b.source,
+       CAST(count(*) AS BIGINT) AS n_submitted,
+       CAST(sum(b.ok) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_novel,
+       CAST(sum(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_admitted,
+       CAST(coalesce(sum(CASE WHEN a.doc_id IS NOT NULL
+                               THEN b.n_tokens END), 0) AS BIGINT)
+         AS admitted_tokens
+FROM batchm b
+LEFT JOIN exact_novel e ON e.doc_id = b.doc_id
+LEFT JOIN admitted a ON a.doc_id = b.doc_id
+GROUP BY b.source
+"""
+    )
+
+
+@register(
+    "pipeline_incremental_ingest",
+    _ingest_oracle(),
+    doc="the ingest-batch funnel, composed from the INCREMENTAL tiers: "
+    "quality gate → persisted exact-fingerprint gate (+ intra-batch "
+    "dedup) → persisted MinHash band gate; per-source census of every "
+    "stage — the nightly admission report of a growing corpus",
+)
+def pipeline_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pipeline_curate_documents` is the BATCH recompute of the whole
+    corpus; this is what actually runs nightly on a growing one — the
+    composed ingest gate for ONE batch, built from the incremental tiers
+    the families already own: the batch's documents pass the quality
+    predicates (same expressions as the curate pipeline), then the exact
+    gate (`dedup_exact_incremental`'s persisted fingerprint set, shared
+    via the same memo-published table, plus intra-batch keep-min-doc_id),
+    then the near-dup gate (`dedup_minhash_incremental`'s band-key
+    anti-join against the corpus signature table; only EXACT-NOVEL batch
+    docs are probed — each stage shrinks the next stage's input). Output
+    is the per-source funnel census: submitted → quality → exact-novel →
+    admitted, with admitted token mass — the admission report a corpus
+    owner reads every morning.
+
+    Scale shape: every stage is batch-sized (the corpus contributes only
+    persisted-table scans); the funnel flags are two left joins on
+    doc_id; the census is one source-keyed aggregate. The corpus is
+    never re-hashed, re-shingled, or re-scanned beyond its indexes.
+
+    Reference analog: none (extension surface — composed pipeline
+    family, the ingest dual of pipeline_curate_documents).
+    """
+    from ufload_spark.operators.dedup import N_BANDS, _minhash_sigs
+    from ufload_spark.sources.loader import memo_publish
+
+    d = table(spark, sf_dir, "documents")
+    punct_ratio = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+    ) / F.nullif(F.length("text").cast("double"), F.lit(0.0))
+    tri_density = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(f"({_TRIGRAM_RE})"), 0)
+    ) / F.nullif(F.length("text").cast("double"), F.lit(0.0))
+    ok = (
+        (token_count(F.col("text")) >= MIN_TOKENS)
+        & (F.coalesce(punct_ratio, F.lit(1.0)) < MAX_PUNCT_RATIO)
+        & (F.coalesce(tri_density, F.lit(0.0)) > MIN_TRIGRAM_DENSITY)
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    meta = d.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.md5(norm).alias("fp"),
+        F.when(ok, 1).otherwise(0).alias("ok"),
+    )
+    batchm = meta.where(F.col("doc_id") % 4 == 0)
+
+    # stage 2: the SAME persisted fingerprint set dedup_exact_incremental
+    # maintains (memo key shared deliberately — one index, two consumers)
+    fp_path = memo_publish(
+        spark,
+        "exact_fingerprints",
+        sf_dir,
+        lambda: meta.where(F.col("doc_id") % 4 != 0)
+        .select("fp")
+        .withColumnRenamed("fp", "fingerprint")
+        .distinct(),
+    )
+    corpus_fp = spark.read.parquet(fp_path).withColumnRenamed(
+        "fingerprint", "fp"
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact_novel = (
+        batchm.where(F.col("ok") == 1)
+        .join(corpus_fp, "fp", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+
+    # stage 3: the corpus band-key table (persisted once), probed by the
+    # exact-novel survivors' own signatures only
+    sigs = _minhash_sigs(spark, sf_dir)
+
+    def melt(df: DataFrame) -> DataFrame:
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.col(f"m{2*b}").alias("k1"),
+                    F.col(f"m{2*b+1}").alias("k2"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+        return df.select("doc_id", F.explode(bands).alias("bk")).select(
+            "doc_id", "bk.band", "bk.k1", "bk.k2"
+        )
+
+    keys_path = memo_publish(
+        spark,
+        "minhash_corpus_band_keys",
+        sf_dir,
+        lambda: melt(sigs.where(F.col("doc_id") % 4 != 0)).select(
+            "band", "k1", "k2"
+        ).distinct(),
+    )
+    existing_keys = spark.read.parquet(keys_path)
+    batch_keys = melt(
+        sigs.join(
+            exact_novel.select("doc_id").hint("broadcast"), "doc_id", "left_semi"
+        )
+    )
+    collided = (
+        batch_keys.join(existing_keys, ["band", "k1", "k2"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    admitted = exact_novel.join(collided, "doc_id", "left_anti")
+
+    e_flag = exact_novel.select("doc_id", F.lit(1).alias("is_exact_novel"))
+    a_flag = admitted.select("doc_id", F.lit(1).alias("is_admitted"))
+    funnel = (
+        batchm.join(e_flag, "doc_id", "left")
+        .join(a_flag, "doc_id", "left")
+    )
+    return funnel.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_submitted"),
+        F.sum("ok").cast("bigint").alias("n_quality"),
+        F.sum(F.coalesce("is_exact_novel", F.lit(0)))
+        .cast("bigint")
+        .alias("n_exact_novel"),
+        F.sum(F.coalesce("is_admitted", F.lit(0)))
+        .cast("bigint")
+        .alias("n_admitted"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("is_admitted") == 1, F.col("n_tokens"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("admitted_tokens"),
+    )
