@@ -1553,7 +1553,27 @@ def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     persisted = spark.read.parquet(co_path)
     delta = _cf_pair_counts(batch)
-    t = persisted.select("part_a", "part_b", F.col("co").alias("co_t"))
+    touched_early = (
+        delta.select(F.col("part_a").alias("part"))
+        .union(delta.select(F.col("part_b").alias("part")))
+        .distinct()
+    )
+    # Push the touched-part filter BELOW the merge: a persisted pair whose
+    # endpoints the delta never touched cannot appear in any rescored
+    # neighbor list (only touched part_a lists are emitted, and the sym
+    # swap only lifts pairs with a touched endpoint), so pruning it here
+    # is output-identical and makes the merge's persisted side
+    # ∝ |touched|, not ∝ |all pairs| — the probe-tier economics at a
+    # production batch fraction. Two broadcast flag joins, no shuffle.
+    pa = touched_early.select(F.col("part").alias("part_a"), F.lit(1).alias("ta"))
+    pb = touched_early.select(F.col("part").alias("part_b"), F.lit(1).alias("tb"))
+    persisted_pruned = (
+        persisted.join(F.broadcast(pa), "part_a", "left")
+        .join(F.broadcast(pb), "part_b", "left")
+        .where((F.col("ta") == 1) | (F.col("tb") == 1))
+        .drop("ta", "tb")
+    )
+    t = persisted_pruned.select("part_a", "part_b", F.col("co").alias("co_t"))
     d = delta.select("part_a", "part_b", F.col("co").alias("co_d"))
     merged = t.join(d, ["part_a", "part_b"], "full").select(
         "part_a",
@@ -1562,11 +1582,7 @@ def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("co"),
     )
-    touched = (
-        delta.select(F.col("part_a").alias("part"))
-        .union(delta.select(F.col("part_b").alias("part")))
-        .distinct()
-    )
+    touched = touched_early
     npart = b.groupBy("part").agg(F.count("*").cast("bigint").alias("n"))
     floored = merged.where(F.col("co") >= CF_MIN_CO)
     sym = floored.unionByName(
