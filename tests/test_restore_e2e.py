@@ -147,3 +147,16 @@ def test_delive_step_gating(spark):
     assert len(full.columns) == len(DELIVE_STEPS)
     with pytest.raises(ValueError):
         delive_audit_facts(spark, SF_DIR, steps=())
+
+
+def test_delive_audit_fold_joins_are_broadcast(spark):
+    """The 12 one-row audit facts fold via broadcast cross joins: the
+    composed audit plan may shuffle INSIDE a step's own aggregate (the
+    groups()/sequence frames legitimately hash-partition), but the fold
+    itself must never plan a shuffled join — no SortMergeJoin and no
+    ShuffledHashJoin anywhere; every join is a broadcast."""
+    df = delive_audit_facts(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
