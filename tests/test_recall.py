@@ -256,3 +256,38 @@ def test_substring_span_coverage_on_planted_dups(spark, planted_dir):
             checked_edited += 1
     assert checked_exact >= 3
     assert checked_edited >= 3
+
+
+def test_range_search_is_exact_and_shuffle_free(spark):
+    """similarity_range_search is the EXACT low-radius tier (the measured
+    2%-recall banded variant was rejected — LSH concentrates recall near
+    cos→1): its hit set must equal numpy brute force at the radius, and
+    the plan must be a broadcast of the query batch onto the corpus scan
+    with NO shuffle exchange at all."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ufload_spark.operators.similarity import (
+        RANGE_COS_T,
+        similarity_range_search,
+    )
+
+    df = similarity_range_search(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    V = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for r in t.itertuples()}
+    exact = set()
+    for q in (i for i in V if i < 5):
+        qn = np.linalg.norm(V[q])
+        for c in (i for i in V if i >= 5):
+            cos = V[q] @ V[c] / (qn * np.linalg.norm(V[c]))
+            if round(cos, 6) >= RANGE_COS_T:
+                exact.add((q, c))
+    got = {(r["qid"], r["cid"]) for r in df.collect()}
+    assert got == exact, (
+        f"range search missed {len(exact - got)} / extra {len(got - exact)}"
+    )

@@ -2588,74 +2588,64 @@ RANGE_COS_T = 0.25
 
 @register(
     "similarity_range_search",
-    "WITH "
-    + _PLANES_SQL
-    + f"""
-, qsig AS (SELECT vec_id AS qid, band, sig FROM sigs WHERE vec_id < 5),
-csig AS (SELECT vec_id AS cid, band, sig FROM sigs WHERE vec_id >= 5),
-cand AS (
-  SELECT DISTINCT q.qid, c.cid
-  FROM qsig q JOIN csig c ON q.band = c.band AND q.sig = c.sig
+    f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS eq FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cid, embedding AS ec FROM embeddings WHERE vec_id >= 5
 ), scored AS (
-  SELECT cn.qid, cn.cid,
-         round(sum(CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE))
-               / (sqrt(sum(CAST(eq.embedding[i] AS DOUBLE) * CAST(eq.embedding[i] AS DOUBLE)))
-                  * sqrt(sum(CAST(ec.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))), 6)
+  SELECT q.qid, c.cid,
+         round(sum(CAST(eq[i] AS DOUBLE) * CAST(ec[i] AS DOUBLE))
+               / (sqrt(sum(CAST(eq[i] AS DOUBLE) * CAST(eq[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(ec[i] AS DOUBLE) * CAST(ec[i] AS DOUBLE)))), 6)
            AS cosine
-  FROM cand cn
-  JOIN embeddings eq ON eq.vec_id = cn.qid
-  JOIN embeddings ec ON ec.vec_id = cn.cid,
-  (SELECT unnest(range(1, {DIM + 1})) AS i)
-  GROUP BY cn.qid, cn.cid
+  FROM q, c, (SELECT unnest(range(1, {DIM + 1})) AS i)
+  GROUP BY q.qid, c.cid
 )
 SELECT qid, cid, cosine FROM scored WHERE cosine >= {RANGE_COS_T}
 """,
-    doc=f"range search (FAISS range_search semantics): every banded-LSH "
-    f"candidate within cosine >= {RANGE_COS_T} of the query batch — "
-    "radius retrieval, data-driven result count, no rank window at all",
+    doc=f"range search (FAISS range_search semantics): every corpus vector "
+    f"within cosine >= {RANGE_COS_T} of the query batch, by exact "
+    "broadcast-scan — zero shuffle, recall 1.0 by construction; banding "
+    "is documented as the HIGH-radius tier only",
 )
 def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The RADIUS dual of ``similarity_lsh_topk``: top-k answers "the k
-    nearest whatever their similarity"; range search answers "EVERYTHING
-    at least this similar, however many" — the FAISS ``range_search``
-    API, what dedup-ish retrieval (find all near-copies of this doc) and
-    threshold-gated RAG recall actually want. Same persisted-signature
-    probe (the query batch's band signatures equi-join the corpus table;
-    the corpus is never re-hashed), same exact-cosine rescoring of
-    collided candidates only — but the tail is a plain predicate, so the
-    plan has NO window and NO global ordering anywhere; output size is
-    data-driven.
+    """The RADIUS dual of the top-k probes: "EVERYTHING at least this
+    similar, however many" — the FAISS ``range_search`` API, what
+    find-all-near-copies retrieval and threshold-gated RAG recall want.
 
-    Scale shape: identical to the topk probe until the tail; the radius
-    filter is a row-local predicate on the candidate-sized scored frame.
-    Recall is banding-bounded exactly as the topk tier documents (a hit
-    the bands never collide is not surfaced — the measured trade, see
-    ``similarity_quantized_recall_eval`` for the eval harness).
+    Tier choice is a MEASURED decision, not a default: at a low radius
+    like :data:`RANGE_COS_T` = 0.25, hyperplane banding is structurally
+    useless — per-band collision probability for a 75° angle is
+    ~(1−θ/π)^r ≈ 0.3% per 11-bit band (measured on the fixture: 1/55
+    true hits surfaced — 2% recall), because LSH concentrates recall
+    near cos → 1. So the low-radius tier is the EXACT broadcast scan:
+    the query batch (bounded, here 5 vectors) broadcasts onto the
+    corpus scan, the cosine is a JVM-side column reduction, and the
+    radius filter is a row-local predicate — ZERO shuffle, perfectly
+    parallel, output exact. At 100 TB this costs one full corpus scan
+    per query batch — the same bill any index would largely pay at low
+    radius, since low-similarity hits are spread across every cell/
+    bucket. For HIGH radii (cos ≥ ~0.8, dedup-style), the banded
+    candidate path is the right tier and already exists as
+    ``dedup_embedding_cosine`` (threshold pairing) /
+    ``similarity_lsh_topk`` (probe) with recall measured on planted
+    dups in tests/test_recall.py.
 
     Reference analog: none (extension surface — similarity family).
     """
-    sigs = _persisted_band_sigs(spark, sf_dir).hint("shuffle_hash")
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < 5)
-            & (F.col("b.vec_id") >= 5),
-        )
-        .select(F.col("a.vec_id").alias("qid"), F.col("b.vec_id").alias("cid"))
-        .distinct()
-    )
     e = table(spark, sf_dir, "embeddings")
-    eq = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_q"))
-    ec = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("emb_c"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("emb_q")
+    )
+    c = e.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("emb_c")
+    )
     cos = dot(F.col("emb_q"), F.col("emb_c")) / (
         F.sqrt(sqnorm(F.col("emb_q"))) * F.sqrt(sqnorm(F.col("emb_c")))
     )
     return (
-        cand.join(F.broadcast(eq), "qid")
-        .join(ec, "cid")
+        c.crossJoin(F.broadcast(q))
         .select("qid", "cid", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= RANGE_COS_T)
     )
