@@ -4,6 +4,7 @@ exercise."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
@@ -251,3 +252,79 @@ def test_upsert_publish_recovers_from_checkpoint(spark, tmp_path):
     g = got.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
     w = batch.agg(F.round(F.sum("value"), 2).alias("s")).first()["s"]
     assert g == w
+
+
+def test_ingest_gate_recovers_from_checkpoint(spark, tmp_path):
+    """Kill the streaming admission gate mid-run (after a publish, before
+    the epoch's offset commit — the worst window) and restart from the
+    checkpoint: the final admitted table must be EXACTLY the batch answer
+    (min doc_id per novel fingerprint), proving the min-wins merge is
+    replay-idempotent and batching-independent."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from ufload_spark.streaming.jobs import ingest_gate_batch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    batch_docs = docs.where(F.col("doc_id") % 4 == 0)
+    src_dir = str(tmp_path / "docs_split")
+    batch_docs.repartition(6).write.parquet(src_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    corpus_fp = (
+        docs.where(F.col("doc_id") % 4 != 0)
+        .select(F.md5(norm).alias("fp"))
+        .distinct()
+        .persist()
+    )
+    target = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+
+    calls: list[int] = []
+
+    def make_admit(crash_at):
+        def admit(b, epoch_id):
+            if b.isEmpty():
+                return
+            calls.append(epoch_id)
+            ingest_gate_batch(b, target, corpus_fp)
+            if crash_at is not None and epoch_id >= crash_at:
+                raise RuntimeError("injected crash after publish")
+
+        return admit
+
+    q = (
+        stream().writeStream.foreachBatch(make_admit(crash_at=1))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    # restart from the same checkpoint, no crash this time
+    q2 = (
+        stream().writeStream.foreachBatch(make_admit(crash_at=None))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    # epoch 1 ran twice (publish landed, offset didn't) — replay happened
+    assert calls.count(1) == 2, calls
+    # and the final table is EXACTLY the batch answer despite the replay
+    expected = (
+        batch_docs.select("doc_id", F.md5(norm).alias("fp"))
+        .join(corpus_fp, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    got = spark.read.parquet(target).select("fp", "doc_id")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected.select("fp", "doc_id")).count() == 0
+    corpus_fp.unpersist()

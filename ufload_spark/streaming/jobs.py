@@ -802,3 +802,151 @@ def streaming_changepoint_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     sink = run_to_memory(hourly, output_mode="complete", prefix="chgpt_monitor")
     return _chgpt_stat(sink)
+
+
+def documents_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents parquet (schema from a batch
+    read, the file-source requirement; same trivial-glob device as
+    :func:`events_readstream`)."""
+    tune(spark)
+    path = f"{sf_dir}/documents.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/documents.[p]arquet"
+    )
+
+
+def ingest_gate_batch(
+    batch: DataFrame, target: str, corpus_fp: DataFrame
+) -> None:
+    """One micro-batch of the streaming admission gate: fingerprint the
+    batch, drop docs whose fingerprint is in the corpus index, and MERGE
+    the survivors into the admitted table under MIN-DOC-ID-WINS conflict
+    resolution. Min-wins makes the final table (a) independent of how
+    the stream was batched and (b) idempotent under epoch replay — the
+    foreachBatch exactly-once contract — because re-merging any subset
+    of already-seen rows cannot change a min."""
+    s = batch.sparkSession
+    from ufload_spark.sources.loader import _fs, stage_and_publish
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    rows = (
+        batch.select(
+            "doc_id", "source", F.md5(norm).alias("fp")
+        )
+        .join(corpus_fp, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min_by(F.struct("doc_id", "source"), "doc_id").alias("d")
+        )
+        .select("fp", "d.doc_id", "d.source")
+    )
+    fs, jt, _ = _fs(s, target)
+    if fs.exists(jt):
+        existing = s.read.parquet(target)
+        merged = (
+            existing.unionByName(rows)
+            .groupBy("fp")
+            .agg(F.min_by(F.struct("doc_id", "source"), "doc_id").alias("d"))
+            .select("fp", "d.doc_id", "d.source")
+        )
+    else:
+        merged = rows
+    if merged.isEmpty():
+        return
+    stage_and_publish(s, merged, target)
+
+
+@register(
+    "streaming_ingest_gate",
+    """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+), existing AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id % 4 <> 0
+), batch AS (
+  SELECT * FROM fp WHERE doc_id % 4 = 0
+), novel AS (
+  SELECT b.* FROM batch b ANTI JOIN existing e USING (fp)
+), kept AS (
+  SELECT fp, min(doc_id) AS keep FROM novel GROUP BY fp
+), admitted AS (
+  SELECT n.* FROM novel n JOIN kept k ON n.fp = k.fp AND n.doc_id = k.keep
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_admitted,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM admitted GROUP BY source
+""",
+    doc="streaming admission gate: document stream → foreachBatch "
+    "fingerprint + anti-join the persisted corpus index + MIN-WINS merge "
+    "into the published admitted table (batching-independent, "
+    "replay-idempotent); per-source admission census read back from the "
+    "published table",
+)
+def streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING end of the ingest story (`dedup_exact_incremental`
+    is the batch gate; `pipeline_incremental_ingest` the composed batch
+    funnel): new documents arrive as a stream, every micro-batch
+    fingerprints ONLY ITSELF, anti-joins the persisted corpus
+    fingerprint index (the same memo-published table the batch gate
+    maintains), and merges survivors into the published admitted table
+    under min-doc-id-wins — so the final table equals the batch answer
+    under ANY batching and under epoch REPLAY (the foreachBatch
+    exactly-once contract; proven by the kill-and-restart test,
+    tests/test_streaming.py::test_ingest_gate_recovers_from_checkpoint).
+    Each merge publishes through stage→audit→atomic-swap, so readers
+    between batches always see a complete audited table.
+
+    Scale shape: per batch — batch-sized fingerprint map, anti-join
+    against the index scan, min-merge shuffled on the 128-bit key. At
+    100 TB the admitted table would be BUCKETED by fp, making the merge
+    co-located; the corpus index only ever appends.
+
+    Reference analog: OP-STR-2 / OP-SNK-1 composed (the reference's
+    skip-if-unchanged memo + staging publish, db.py:97-208,695-711),
+    applied to corpus admission.
+    """
+    import tempfile as _tempfile
+
+    from ufload_spark.sources.loader import _scratch_unique, memo_publish
+    from ufload_spark.sources.tables import table as static_table
+    from ufload_spark.streaming.notify import run_with_notify
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    corpus_fp_path = memo_publish(
+        spark,
+        "exact_fingerprints",
+        sf_dir,
+        lambda: static_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 != 0)
+        .select(F.md5(norm).alias("fingerprint"))
+        .distinct(),
+    )
+    corpus_fp = spark.read.parquet(corpus_fp_path).withColumnRenamed(
+        "fingerprint", "fp"
+    )
+    sdf = documents_readstream(spark, sf_dir).where(F.col("doc_id") % 4 == 0)
+    target = _scratch_unique(
+        f"ingest_admitted_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+
+    def admit(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ingest_gate_batch(batch, target, corpus_fp)
+
+    ckpt = _tempfile.mkdtemp(prefix="ufload-ckpt-ingest-")
+    run_with_notify(sdf, admit, checkpoint_dir=ckpt)
+    return (
+        spark.read.parquet(target)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_admitted"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
