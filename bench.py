@@ -117,6 +117,8 @@ HEADLINE = [
     # r8 additions
     "part_similarity_incremental", # persisted CF co-occurrence: delta-merge probe (r8)
     "restore_end_to_end",          # composed SURVEY §3.1 restore lifecycle (r8)
+    "pipeline_incremental_ingest", # composed nightly ingest funnel, persisted gates (r8)
+    "text_perplexity_buckets",     # CCNet tertiles via histogram quantiles (r8)
 ]
 
 
