@@ -1297,6 +1297,11 @@ def part_recommendations_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 CF_MIN_CO = 2
 CF_TOP_N = 3
 CF_MAX_BASKET = 500
+#: incremental tier: 1-in-CF_BATCH_MOD customers form the "new baskets"
+#: batch (~3%) — a nightly-ingest-sized fraction, so the probe's delta
+#: pairing is ~1/CF_BATCH_MOD of the train tier's Σ basket² fan-out and
+#: the touched-part set stays a strict subset of the catalog at scale
+CF_BATCH_MOD = 32
 
 
 @register(
@@ -1422,11 +1427,22 @@ def part_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cf_capped_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cf_capped_baskets(
+    spark: SparkSession, sf_dir: str, *, batch: bool | None = None
+) -> DataFrame:
     """Whale-capped distinct (customer, part) incidence — the shared front
-    half of the item-item CF tiers."""
+    half of the item-item CF tiers. ``batch=True``/``False`` restricts to
+    the 1-in-:data:`CF_BATCH_MOD` "new baskets" slice / its complement;
+    the customer filter sits on the ORDERS side BEFORE the join so the
+    scan is pruned, not the join output. The whale cap is per-customer
+    and the mod partitions customers, so capping inside a slice equals
+    capping globally then slicing."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
+    if batch is True:
+        o = o.where(F.col("o_custkey") % CF_BATCH_MOD == 0)
+    elif batch is False:
+        o = o.where(F.col("o_custkey") % CF_BATCH_MOD != 0)
     baskets = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
@@ -1439,6 +1455,10 @@ def _cf_capped_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cust")
     )
     return baskets.join(kept, "cust", "left_semi")
+
+
+def _cf_part_popularity(b: DataFrame) -> DataFrame:
+    return b.groupBy("part").agg(F.count("*").cast("bigint").alias("n"))
 
 
 def _cf_pair_counts(b: DataFrame) -> DataFrame:
@@ -1468,8 +1488,8 @@ WITH baskets AS (
     "part_similarity_incremental",
     _CF_BASKET_CTE
     + f"""
-, train AS (SELECT * FROM b WHERE cust % 4 <> 0),
-batch AS (SELECT * FROM b WHERE cust % 4 = 0),
+, train AS (SELECT * FROM b WHERE cust % {CF_BATCH_MOD} <> 0),
+batch AS (SELECT * FROM b WHERE cust % {CF_BATCH_MOD} = 0),
 co_train AS (
   SELECT a.part AS part_a, c.part AS part_b, CAST(count(*) AS BIGINT) AS co
   FROM train a JOIN train c ON a.cust = c.cust AND a.part < c.part
@@ -1513,43 +1533,58 @@ SELECT part_a, part_b, co, cos2_micro, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {CF_TOP_N}
 """,
     doc="item-item CF, incremental-maintenance tier (VERDICT r7 #3): the "
-    "train customers' co-occurrence table is persisted through the audited "
-    "sink; a new basket batch computes ONLY its delta pairs, merges them "
-    "into the persisted counts, and rescores ONLY the touched parts' "
-    "neighbor lists",
+    "train customers' co-occurrence AND popularity tables are persisted "
+    "through the audited sink; a nightly-sized new-basket batch "
+    f"(1/{CF_BATCH_MOD} of customers) computes ONLY its delta pairs, "
+    "merges them into the persisted counts, and rescores ONLY the touched "
+    "parts' neighbor lists",
 )
 def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN treatment applied to item-item CF (the
     ``similarity_ivf_incremental`` lifecycle): ``part_similarity_cosine``
     re-pairs every basket on every run — its Σ basket² fan-out is the
     headline cost of the CF family at sf1 — but co-occurrence counts are
-    ADDITIVE, so production maintains them incrementally. Here 3/4 of the
-    customers ("the corpus") have their pair counts built once and
-    published through stage→audit→atomic-publish; the remaining 1/4 ("the
-    new baskets") computes ONLY its delta pairs (Σ batch-basket² — a
-    quarter of the customers, so ~1/4 the pairing work), full-outer-merges
-    them into the persisted counts on the pair key, and rescores ONLY
-    parts the delta touched. The support floor and top-N ranking apply to
-    the MERGED counts, so an admitted neighbor list is exactly what the
-    batch recompute would produce for those parts.
+    ADDITIVE, so production maintains them incrementally. All but
+    1-in-:data:`CF_BATCH_MOD` customers ("the corpus") have their pair
+    counts AND part-popularity table built once and published through
+    stage→audit→atomic-publish; the ~3% slice ("the new baskets")
+    computes ONLY its delta pairs (Σ batch-basket² — 1/CF_BATCH_MOD of
+    the pairing work), full-outer-merges them into the persisted counts
+    on the pair key, adds its popularity increments to the persisted
+    popularity (counts are additive; the mod partitions customers, so
+    the merged table equals the full-corpus popularity without ever
+    re-scanning the train baskets), and rescores ONLY parts the delta
+    touched. The support floor and top-N ranking apply to the MERGED
+    counts, so an admitted neighbor list is exactly what the batch
+    recompute would produce for those parts.
 
-    Scale shape: the persisted pair table is read back from parquet (at
-    cluster scale it would be BUCKETED by part_a, making the merge a
-    co-located join); the delta pairing shuffles Σ basket² only for batch
-    customers; popularity joins broadcast; the rank window partitions by
-    part_a over floor-filtered candidates of touched parts only.
+    Scale shape: the probe reads the train side purely from parquet —
+    the batch-customer filter sits on the orders scan BELOW the join, so
+    the probe's only corpus-sized work is one pruned scan; the persisted
+    pair table (at cluster scale BUCKETED by part_a, making the merge a
+    co-located join) is pruned to touched endpoints before the merge;
+    the delta pairing shuffles Σ basket² only for batch customers;
+    popularity joins broadcast; the rank window partitions by part_a
+    over floor-filtered candidates of touched parts only.
 
     Reference analog: none (extension surface — recommender family;
     lifecycle pattern from the download memo, ufload db.py:695-711).
     """
     from ufload_spark.sources.loader import memo_publish
 
-    b = _cf_capped_baskets(spark, sf_dir)
-    train = b.where(F.col("cust") % 4 != 0)
-    batch = b.where(F.col("cust") % 4 == 0)
+    batch = _cf_capped_baskets(spark, sf_dir, batch=True)
 
     co_path = memo_publish(
-        spark, "cf_co_pairs", sf_dir, lambda: _cf_pair_counts(train)
+        spark,
+        "cf_co_pairs",
+        sf_dir,
+        lambda: _cf_pair_counts(_cf_capped_baskets(spark, sf_dir, batch=False)),
+    )
+    np_path = memo_publish(
+        spark,
+        "cf_npart_train",
+        sf_dir,
+        lambda: _cf_part_popularity(_cf_capped_baskets(spark, sf_dir, batch=False)),
     )
     persisted = spark.read.parquet(co_path)
     delta = _cf_pair_counts(batch)
@@ -1583,7 +1618,18 @@ def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("co"),
     )
     touched = touched_early
-    npart = b.groupBy("part").agg(F.count("*").cast("bigint").alias("n"))
+    # Part popularity = persisted train popularity ⊕ batch increments:
+    # counts are additive and the mod partitions customers, so this equals
+    # popularity over the full incidence WITHOUT rebuilding it — the probe
+    # never scans the train customers' baskets at all.
+    np_train = spark.read.parquet(np_path).select("part", F.col("n").alias("n_t"))
+    np_batch = _cf_part_popularity(batch).select("part", F.col("n").alias("n_d"))
+    npart = np_train.join(np_batch, "part", "full").select(
+        "part",
+        (F.coalesce("n_t", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+    )
     floored = merged.where(F.col("co") >= CF_MIN_CO)
     sym = floored.unionByName(
         floored.select(
