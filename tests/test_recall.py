@@ -291,3 +291,25 @@ def test_range_search_is_exact_and_shuffle_free(spark):
     assert got == exact, (
         f"range search missed {len(exact - got)} / extra {len(got - exact)}"
     )
+
+
+def test_winnowing_recall_on_planted_dups(spark, planted_dir):
+    """Winnowing's POSITIONAL guarantee: any shared token run of
+    >= W+k-1 = 6 tokens yields a shared fingerprint, so identical copies
+    (whose entire stream is shared) must ALL surface, and 1-2 token edits
+    leave long untouched runs — recall on edited copies should be near
+    total, stronger than the set-similarity tiers on this planting."""
+    sf, _ = planted_dir
+    pairs = _registry()["dedup_winnowing_pairs"].fn(spark, sf).toPandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    identical = [(d, 10000 + d) for i, d in enumerate(DOC_BASES) if i % 3 == 0]
+    edited = [(d, 10000 + d) for i, d in enumerate(DOC_BASES) if i % 3 != 0]
+    missed = [p for p in identical if p not in got]
+    assert not missed, f"identical copies missed by winnowing: {missed}"
+    recall = sum(1 for p in edited if p in got) / len(edited)
+    assert recall >= 0.7, f"winnowing edited-copy recall: {recall}"
+    # identical copies overlap at ~100% of fingerprints
+    ident_rows = pairs[
+        pairs.apply(lambda r: (r.doc_a, r.doc_b) in set(identical), axis=1)
+    ]
+    assert (ident_rows.overlap_micro >= 900_000).all()

@@ -1174,3 +1174,18 @@ def test_cf_incremental_probes_persisted_pairs(spark):
         lst.sort(key=lambda r: r["rank"])
         scores = [r["cos2_micro"] for r in lst]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_winnowing_pairs_scale_shape(spark):
+    """dedup_winnowing_pairs: fingerprint selection windows are PARTITIONED
+    by doc_id (never partition-less), candidates come from a fingerprint
+    equi-join (no cartesian), and the only exchanges are the doc_id /
+    fingerprint hash repartitions — no global sort anywhere."""
+    from ufload_spark.plans.registry import load_all
+
+    df = load_all()["dedup_winnowing_pairs"].fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan

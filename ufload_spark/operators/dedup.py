@@ -1669,3 +1669,173 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return batch.select("doc_id").join(collided, "doc_id", "left_anti")
+
+
+#: Winnowing (MOSS) fingerprint selection: window of consecutive k-gram
+#: hashes; per window keep the minimum hash, rightmost on ties — the
+#: guarantee is that any shared substring of >= W+k-1 tokens yields at
+#: least one shared fingerprint, with expected density 2/(W+1).
+WINNOW_W = 4
+#: position packing modulus: key = hash*2^20 + (2^20-1-pos) makes one
+#: BIGINT `min` implement (smallest hash, rightmost position) exactly in
+#: both engines; docs longer than 2^20 k-grams would need a wider pack
+WINNOW_POSMOD = 1 << 20
+#: stop-fingerprint guard: a fingerprint shared by more than this many
+#: docs is boilerplate (license headers, navigation chrome) — dropping it
+#: bounds the candidate join's per-key fan-out at corpus scale
+WINNOW_MAX_DF = 32
+WINNOW_MIN_SHARED = 2
+
+_WINNOW_FPS_CTE = f"""
+WITH tokens AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), ps AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                i -> {{'pos': i,
+                      'sh': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]}}))
+           AS s
+  FROM tokens WHERE len(toks) >= 3
+), keyed AS (
+  SELECT doc_id, s.pos AS pos,
+         ('0x' || substr(md5(s.sh), 1, 6))::BIGINT * {WINNOW_POSMOD}
+           + ({WINNOW_POSMOD} - 1 - s.pos) AS key
+  FROM ps
+), winmin AS (
+  SELECT doc_id,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+         lead(pos, {WINNOW_W - 1})
+           OVER (PARTITION BY doc_id ORDER BY pos) AS tailpos
+  FROM keyed
+), fps AS (
+  SELECT DISTINCT doc_id, wmin // {WINNOW_POSMOD} AS fp
+  FROM winmin WHERE tailpos IS NOT NULL
+)"""
+
+
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) — the distinct winnowing fingerprints of every doc."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    t = d.repartition(n_parts, "doc_id").select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos0")
+    t3 = F.lead("tok", 2).over(w)
+    sh = (
+        t.select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),  # 1-based, oracle-aligned
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w), t3).alias("shingle"),
+            t3.alias("t3"),
+        )
+        .where(F.col("t3").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.conv(F.substring(F.md5(F.col("shingle")), 1, 6), 16, 10).cast("long")
+                * WINNOW_POSMOD
+                + (F.lit(WINNOW_POSMOD - 1) - F.col("pos"))
+            ).alias("key"),
+        )
+    )
+    ww = Window.partitionBy("doc_id").orderBy("pos")
+    frame = ww.rowsBetween(0, WINNOW_W - 1)
+    return (
+        sh.select(
+            "doc_id",
+            F.min("key").over(frame).alias("wmin"),
+            F.lead("pos", WINNOW_W - 1).over(ww).alias("tailpos"),
+        )
+        .where(F.col("tailpos").isNotNull())
+        .select("doc_id", F.expr(f"wmin div {WINNOW_POSMOD}").alias("fp"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_winnowing_pairs",
+    _WINNOW_FPS_CTE
+    + f"""
+, live AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
+), f AS (SELECT fps.* FROM fps SEMI JOIN live USING (fp)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM f GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS shared_fp
+  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.shared_fp, sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(p.shared_fp * 1000000 // (sa.sz + sb.sz - p.shared_fp) AS BIGINT)
+         AS overlap_micro
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+""",
+    doc="winnowing (MOSS) fingerprint near-dup pairs: per-doc window-min "
+    f"k-gram hash selection (W={WINNOW_W}, rightmost tie-break packed "
+    "into one BIGINT min), stop-fingerprint df cap, candidate pairs from "
+    "a fingerprint equi-join — never all-pairs",
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint dedup — the MOSS/local-fingerprinting tier
+    between exact hashing and MinHash: Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD
+    2003). Each doc's 3-gram hash stream is scanned with a width-
+    :data:`WINNOW_W` window; each full window contributes its minimum
+    hash (rightmost on ties — the robust-winnowing rule). The guarantee:
+    two docs sharing any token run of >= W+k-1 tokens share >= 1
+    fingerprint, so candidate retrieval is an equi-join on fingerprints
+    — like LSH banding but with a POSITIONAL guarantee (detects shared
+    passages, not just globally similar docs).
+
+    Cross-engine exactness: (min hash, rightmost pos) is packed into one
+    BIGINT ``key = h·2^20 + (2^20-1-pos)`` so a plain window ``min``
+    implements the tie-break identically in Spark and DuckDB — no
+    argmin/min_by semantics to reconcile.
+
+    Scale shape: fingerprint selection is one window pass per doc behind
+    the doc_id exchange the whole dedup family shares; the df cap drops
+    boilerplate fingerprints BEFORE the pair join, bounding per-key
+    fan-out to :data:`WINNOW_MAX_DF`²; pairs come from a fingerprint
+    equi-join + pair-key aggregate — the banded-LSH shuffle shape, never
+    all-pairs. Reference analog: none (extension surface, dedup family).
+    """
+    f = _winnow_fingerprints(spark, sf_dir)
+    live = f.groupBy("fp").agg(F.count("*").alias("df")).where(
+        F.col("df") <= WINNOW_MAX_DF
+    ).select("fp")
+    kept = f.join(live, "fp", "left_semi")
+    sizes = kept.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("shared_fp"))
+        .where(F.col("shared_fp") >= WINNOW_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            "sz_a",
+            "sz_b",
+            F.expr(
+                "CAST(shared_fp * 1000000 div (sz_a + sz_b - shared_fp) AS BIGINT)"
+            ).alias("overlap_micro"),
+        )
+    )
