@@ -1400,3 +1400,23 @@ def test_retention_decay_fit_consistency(spark):
         if r["week_offset"] >= 1
     }
     assert row["n_points"] <= len(offs)
+
+
+def test_hits_mass_conservation_and_coupling(spark):
+    """graph_hits_scores: each renormalized vector carries HITS_MASS
+    micro-units up to per-node floor loss (< 1 unit/node), scores are
+    positive, and both node types are present (the coupling never
+    collapses one side to zero)."""
+    from ufload_spark.operators.graph import HITS_MASS, graph_hits_scores
+
+    rows = graph_hits_scores(spark, SF_DIR).collect()
+    hubs = [r for r in rows if r["node_type"] == "customer"]
+    auths = [r for r in rows if r["node_type"] == "supplier"]
+    assert hubs and auths
+    for side in (hubs, auths):
+        total = sum(r["score_micro"] for r in side)
+        assert HITS_MASS - len(side) <= total <= HITS_MASS
+        assert all(r["score_micro"] >= 0 for r in side)
+    # scores differentiate (not uniform): HITS on a weighted graph must
+    # spread mass unevenly
+    assert len({r["score_micro"] for r in auths}) > 1

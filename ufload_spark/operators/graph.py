@@ -1325,3 +1325,146 @@ def graph_strong_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_suppliers"),
     )
+
+
+#: HITS: score mass per vector in micro-units, mutual-reinforcement rounds
+HITS_MASS = 1_000_000_000
+HITS_ITERS = 2
+
+
+def _hits_oracle() -> str:
+    parts = [
+        """
+WITH de AS (
+  SELECT o.o_custkey AS c, l.l_suppkey AS s, CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), custs AS (
+  SELECT DISTINCT c FROM de
+), nc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM custs
+)""",
+        f""", h0 AS (
+  SELECT c, ({HITS_MASS} // n) AS h FROM custs, nc
+)""",
+    ]
+    for k in range(1, HITS_ITERS + 1):
+        parts.append(
+            f""", araw{k} AS (
+  SELECT de.s, CAST(sum(h.h * de.w) AS BIGINT) AS a
+  FROM de JOIN h{k - 1} h ON de.c = h.c GROUP BY de.s
+), at{k} AS (SELECT CAST(sum(a) AS HUGEINT) AS t FROM araw{k}),
+a{k} AS (
+  SELECT s, CAST((CAST(a AS HUGEINT) * {HITS_MASS}) // t AS BIGINT) AS a
+  FROM araw{k}, at{k}
+), hraw{k} AS (
+  SELECT de.c, CAST(sum(a.a * de.w) AS BIGINT) AS h
+  FROM de JOIN a{k} a ON de.s = a.s GROUP BY de.c
+), ht{k} AS (SELECT CAST(sum(h) AS HUGEINT) AS t FROM hraw{k}),
+h{k} AS (
+  SELECT c, CAST((CAST(h AS HUGEINT) * {HITS_MASS}) // t AS BIGINT) AS h
+  FROM hraw{k}, ht{k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT 'customer' AS node_type, c AS entity_key, h AS score_micro
+FROM h{HITS_ITERS}
+UNION ALL
+SELECT 'supplier' AS node_type, s AS entity_key, a AS score_micro
+FROM a{HITS_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_hits_scores",
+    _hits_oracle(),
+    doc=f"HITS hubs/authorities on the bipartite purchase graph, "
+    f"{HITS_ITERS} mutual-reinforcement rounds in exact integer "
+    "micro-units with per-vector mass renormalization",
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg's HITS on the directed customer→supplier purchase graph:
+    a customer is a good HUB if it buys from authoritative suppliers, a
+    supplier a good AUTHORITY if authoritative hubs buy from it —
+    ``a = Eᵀh``, ``h = E·a``, renormalized to :data:`HITS_MASS` integer
+    micro-units after each half-step (the L1 analog of the classical L2
+    normalization — scale-free like HITS itself, and exact in integers).
+    PageRank's sibling: PageRank propagates one importance score through
+    a stochastic matrix; HITS couples two scores through the raw
+    adjacency, so spam-heavy high-degree nodes rank differently.
+
+    Exactness: every half-step is integer multiply-sum (order-free) and
+    the renormalization is ``(raw · MASS) div total`` with HUGEINT/
+    decimal(38) intermediates — quotients ≤ MASS fit int64, so results
+    are bit-identical across engines and partitionings.
+
+    Scale shape: the directed edge list is the even-src half of the
+    persisted ``pagerank_edges_w`` table (built once, shared with
+    PageRank/LPA/BFS; bucketed by src at cluster scale); each half-step
+    is one broadcast-rank join + one aggregate shuffle keyed on the
+    receiving side, the identical two-shuffle iteration PageRank pins.
+    The totals are 1-row aggregates broadcast back — never a global
+    sort. Reference analog: none (extension surface, graph family).
+    """
+    from ufload_spark.sources.loader import memo_publish
+
+    edges = (
+        spark.read.parquet(
+            memo_publish(
+                spark,
+                "pagerank_edges_w",
+                sf_dir,
+                lambda: _build_pagerank_edges(spark, sf_dir),
+            )
+        )
+        .where(F.col("src") % 2 == 0)  # directed half: customer -> supplier
+        .select(
+            F.expr("src div 2").alias("c"),
+            F.expr("dst div 2").alias("s"),
+            "w",
+        )
+        .persist()
+    )
+    custs = edges.select("c").distinct()
+    nc = custs.groupBy().agg(F.count("*").alias("n"))
+    hub = custs.crossJoin(F.broadcast(nc)).select(
+        "c", F.expr(f"{HITS_MASS} div n").alias("h")
+    )
+
+    def _normalize(raw: DataFrame, key: str, col: str) -> DataFrame:
+        total = raw.groupBy().agg(F.sum(col).cast("decimal(38,0)").alias("t"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            key,
+            F.expr(f"CAST(CAST({col} AS decimal(38,0)) * {HITS_MASS} div t AS BIGINT)").alias(col),
+        )
+
+    auth = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            edges.join(F.broadcast(hub), "c")
+            .select("s", (F.col("h") * F.col("w")).alias("contrib"))
+            .groupBy("s")
+            .agg(F.sum("contrib").cast("bigint").alias("a"))
+        )
+        auth = _normalize(araw, "s", "a")
+        hraw = (
+            edges.join(F.broadcast(auth), "s")
+            .select("c", (F.col("a") * F.col("w")).alias("contrib"))
+            .groupBy("c")
+            .agg(F.sum("contrib").cast("bigint").alias("h"))
+        )
+        hub = _normalize(hraw, "c", "h")
+    out = hub.select(
+        F.lit("customer").alias("node_type"),
+        F.col("c").alias("entity_key"),
+        F.col("h").alias("score_micro"),
+    ).unionByName(
+        auth.select(
+            F.lit("supplier").alias("node_type"),
+            F.col("s").alias("entity_key"),
+            F.col("a").alias("score_micro"),
+        )
+    )
+    return out
