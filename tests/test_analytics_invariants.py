@@ -1420,3 +1420,24 @@ def test_hits_mass_conservation_and_coupling(spark):
     # scores differentiate (not uniform): HITS on a weighted graph must
     # spread mass unevenly
     assert len({r["score_micro"] for r in auths}) > 1
+
+
+def test_record_linkage_confusion_separation(spark):
+    """customers_record_linkage: blocking + FS weights must (a) never
+    promote a false candidate to 'match', (b) keep every true pair at
+    least in the clerical-review band ('possible'), and (c) the only
+    true pairs below the match threshold are the double-perturbed ones
+    (typo AND wrong nation — custkey % 20), by construction."""
+    from ufload_spark.operators.analytics import customers_record_linkage
+
+    rows = customers_record_linkage(spark, SF_DIR).collect()
+    cells = {(r["decision"], r["is_true_pair"]): r for r in rows}
+    assert ("match", False) not in cells
+    assert ("non_match", True) not in cells
+    assert ("match", True) in cells
+    poss_true = cells.get(("possible", True))
+    if poss_true is not None:
+        # the double-perturbation band: name approx (+2M) + nation
+        # wrong (-2M) + segment (+1M) + balance (+2.5M) = 3.5M exactly
+        assert poss_true["min_score_micro"] == 3_500_000
+        assert poss_true["max_score_micro"] == 3_500_000

@@ -4329,3 +4329,188 @@ def lineitem_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi_nats"
         ),
     )
+
+
+#: Fellegi-Sunter record linkage: fixed integer log-odds weights
+#: (micro-units) per comparison field, and the match/possible thresholds.
+#: The name comparator is THREE-level (exact / approximate = last-6-char
+#: agreement / disagree) — the standard FS refinement that keeps a
+#: single-typo true pair above the match threshold.
+RL_W_NAME = (4_000_000, 2_000_000, -1_000_000)
+RL_W_NATION = (2_000_000, -2_000_000)
+RL_W_SEGMENT = (1_000_000, -3_000_000)
+RL_W_ACCTBAL = (2_500_000, -500_000)
+RL_MATCH_T = 5_000_000
+RL_POSSIBLE_T = 0
+
+_RL_DIRTY_CTE = """
+WITH dirty AS (
+  SELECT c_custkey + 10000000 AS d_key,
+         CASE WHEN c_custkey % 10 = 0
+              THEN replace(c_name, 'Customer', 'Custmer')
+              ELSE c_name END AS d_name,
+         CASE WHEN c_custkey % 20 = 0
+              THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+              ELSE c_nationkey END AS d_nationkey,
+         CASE WHEN c_custkey % 15 = 0 THEN floor(c_acctbal)
+              ELSE c_acctbal END AS d_acctbal,
+         c_mktsegment AS d_mktsegment
+  FROM customer WHERE c_custkey % 5 = 0
+)
+"""
+
+
+@register(
+    "customers_record_linkage",
+    _RL_DIRTY_CTE
+    + f"""
+, p1 AS (
+  SELECT c.c_custkey AS a_key, d.d_key AS b_key
+  FROM customer c JOIN dirty d
+    ON c.c_nationkey = d.d_nationkey
+   AND right(c.c_name, 3) = right(d.d_name, 3)
+), p2 AS (
+  SELECT c.c_custkey AS a_key, d.d_key AS b_key
+  FROM customer c JOIN dirty d
+    ON c.c_mktsegment = d.d_mktsegment
+   AND floor(c.c_acctbal) = floor(d.d_acctbal)
+), cand AS (
+  SELECT DISTINCT a_key, b_key FROM (
+    SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+), scored AS (
+  SELECT cand.a_key, cand.b_key,
+         (CASE WHEN c.c_name = d.d_name THEN {RL_W_NAME[0]}
+               WHEN right(c.c_name, 6) = right(d.d_name, 6)
+               THEN {RL_W_NAME[1]} ELSE {RL_W_NAME[2]} END
+        + CASE WHEN c.c_nationkey = d.d_nationkey
+               THEN {RL_W_NATION[0]} ELSE {RL_W_NATION[1]} END
+        + CASE WHEN c.c_mktsegment = d.d_mktsegment
+               THEN {RL_W_SEGMENT[0]} ELSE {RL_W_SEGMENT[1]} END
+        + CASE WHEN abs(c.c_acctbal - d.d_acctbal) < 1.0
+               THEN {RL_W_ACCTBAL[0]} ELSE {RL_W_ACCTBAL[1]} END)
+           AS score_micro,
+         (cand.b_key = cand.a_key + 10000000) AS is_true_pair
+  FROM cand
+  JOIN customer c ON c.c_custkey = cand.a_key
+  JOIN dirty d ON d.d_key = cand.b_key
+)
+SELECT CASE WHEN score_micro >= {RL_MATCH_T} THEN 'match'
+            WHEN score_micro > {RL_POSSIBLE_T} THEN 'possible'
+            ELSE 'non_match' END AS decision,
+       is_true_pair,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(score_micro) AS BIGINT) AS min_score_micro,
+       CAST(max(score_micro) AS BIGINT) AS max_score_micro
+FROM scored GROUP BY 1, 2
+""",
+    doc="Fellegi-Sunter record linkage: a deterministically-perturbed "
+    "duplicate table (typos, wrong nation, truncated balances) is linked "
+    "back via two blocking passes + integer log-odds field weights; "
+    "output is the decision x ground-truth confusion with score ranges",
+)
+def customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969), the
+    entity-resolution sibling of the text near-dup tiers: a "dirty"
+    registry is derived from ``customer`` with deterministic
+    perturbations (1-in-10 a name typo, 1-in-20 a wrong nation, 1-in-15
+    a truncated balance), then linked back with the production shape —
+    BLOCKING first (two passes: nation+name-suffix, robust to balance
+    noise; segment+dollar-floor, robust to nation noise — their union is
+    the candidate set, so a record survives any single corrupted block
+    key), field-level agreement weights in integer log-odds micro-units,
+    and the three-way match/possible/non-match decision. Ground truth is
+    known by construction (``b_key = a_key + 10^7``), so the output is
+    the decision × truth confusion matrix with per-cell score ranges —
+    a hash-stable audit of precision/recall, not just a pair dump.
+
+    Scale shape: candidates come ONLY from block equi-joins (two
+    shuffle-on-key joins whose per-key fan-out is the block size —
+    nation×suffix and segment×dollar are both bounded), never all-pairs;
+    scoring joins the two dimension tables back by key; the confusion
+    fold is a 6-row aggregate. At 100 TB the blocking keys are the knob:
+    more passes with tighter keys keep block volume linear.
+
+    Reference analog: none (extension surface — data-quality family,
+    beside ``quality_reconciliation`` and ``dedup_editdist_confirm``).
+    """
+    c = table(spark, sf_dir, "customer")
+    dirty = c.where(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("d_key"),
+        F.when(
+            F.col("c_custkey") % 10 == 0,
+            F.regexp_replace("c_name", "Customer", "Custmer"),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.when(
+            F.col("c_custkey") % 20 == 0,
+            ((F.col("c_nationkey") + 1) % 25).cast("int"),
+        )
+        .otherwise(F.col("c_nationkey"))
+        .alias("d_nationkey"),
+        F.when(F.col("c_custkey") % 15 == 0, F.floor("c_acctbal").cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("d_acctbal"),
+        F.col("c_mktsegment").alias("d_mktsegment"),
+    )
+    p1 = c.join(
+        dirty,
+        (c["c_nationkey"] == dirty["d_nationkey"])
+        & (F.expr("right(c_name, 3)") == F.expr("right(d_name, 3)")),
+    ).select(F.col("c_custkey").alias("a_key"), F.col("d_key").alias("b_key"))
+    p2 = c.join(
+        dirty,
+        (c["c_mktsegment"] == dirty["d_mktsegment"])
+        & (F.floor(c["c_acctbal"]) == F.floor(dirty["d_acctbal"])),
+    ).select(F.col("c_custkey").alias("a_key"), F.col("d_key").alias("b_key"))
+    cand = p1.unionByName(p2).distinct()
+    w = {
+        "name": RL_W_NAME,
+        "nation": RL_W_NATION,
+        "segment": RL_W_SEGMENT,
+        "acctbal": RL_W_ACCTBAL,
+    }
+    scored = (
+        cand.join(c, cand["a_key"] == c["c_custkey"])
+        .join(dirty, cand["b_key"] == dirty["d_key"])
+        .select(
+            "a_key",
+            "b_key",
+            (
+                F.when(F.col("c_name") == F.col("d_name"), w["name"][0])
+                .when(
+                    F.expr("right(c_name, 6)") == F.expr("right(d_name, 6)"),
+                    w["name"][1],
+                )
+                .otherwise(w["name"][2])
+                + F.when(
+                    F.col("c_nationkey") == F.col("d_nationkey"), w["nation"][0]
+                ).otherwise(w["nation"][1])
+                + F.when(
+                    F.col("c_mktsegment") == F.col("d_mktsegment"),
+                    w["segment"][0],
+                ).otherwise(w["segment"][1])
+                + F.when(
+                    F.abs(F.col("c_acctbal") - F.col("d_acctbal")) < 1.0,
+                    w["acctbal"][0],
+                ).otherwise(w["acctbal"][1])
+            ).alias("score_micro"),
+            (F.col("b_key") == F.col("a_key") + 10_000_000).alias("is_true_pair"),
+        )
+    )
+    return (
+        scored.select(
+            F.when(F.col("score_micro") >= RL_MATCH_T, "match")
+            .when(F.col("score_micro") > RL_POSSIBLE_T, "possible")
+            .otherwise("non_match")
+            .alias("decision"),
+            "is_true_pair",
+            "score_micro",
+        )
+        .groupBy("decision", "is_true_pair")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("score_micro").cast("bigint").alias("min_score_micro"),
+            F.max("score_micro").cast("bigint").alias("max_score_micro"),
+        )
+    )
