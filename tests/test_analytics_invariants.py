@@ -1441,3 +1441,32 @@ def test_record_linkage_confusion_separation(spark):
         # wrong (-2M) + segment (+1M) + balance (+2.5M) = 3.5M exactly
         assert poss_true["min_score_micro"] == 3_500_000
         assert poss_true["max_score_micro"] == 3_500_000
+
+
+def test_sprt_decisions_consistent_with_llr_walk(spark):
+    """events_sprt_monitor: a decision requires the walk to have crossed
+    the matching boundary no later than the final LLR would suggest; a
+    'continue' day's final LLR must sit strictly inside (B, A); the
+    decision trial index is within [1, n_trials]. With true p~0.2 = H0,
+    most decided days must accept H0."""
+    from ufload_spark.operators.events import (
+        SPRT_A,
+        SPRT_B,
+        events_sprt_monitor,
+    )
+
+    rows = events_sprt_monitor(spark, SF_DIR).collect()
+    assert rows
+    h0 = h1 = 0
+    for r in rows:
+        if r["decision"] == "continue":
+            assert SPRT_B < r["llr_final_micro"] < SPRT_A
+            assert r["decision_trial"] == 0
+        else:
+            assert 1 <= r["decision_trial"] <= r["n_trials"]
+            if r["decision"] == "accept_h0":
+                h0 += 1
+            else:
+                h1 += 1
+    if h0 + h1 >= 5:
+        assert h0 > h1, f"p~0.2 stream should mostly accept H0 ({h0} vs {h1})"

@@ -3514,3 +3514,113 @@ def events_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("r2"),
     )
+
+
+#: Wald SPRT for conversion rate, H0: p=0.20 vs H1: p=0.30, alpha=beta=0.05.
+#: Log-likelihood-ratio increments and boundaries in integer micro-nats,
+#: precomputed so both engines walk the identical integer cumulative sum:
+#: success ln(0.3/0.2), failure ln(0.7/0.8), boundaries +-ln(0.95/0.05).
+SPRT_UP = 405_465
+SPRT_DOWN = -133_531
+SPRT_A = 2_944_439
+SPRT_B = -2_944_439
+
+
+@register(
+    "events_sprt_monitor",
+    f"""
+WITH c AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CASE WHEN event_type = 'purchase'
+              THEN {SPRT_UP} ELSE {SPRT_DOWN} END AS step,
+         sum(CASE WHEN event_type = 'purchase'
+                  THEN {SPRT_UP} ELSE {SPRT_DOWN} END)
+           OVER (PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+         row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), agg AS (
+  SELECT day,
+         CAST(count(*) AS BIGINT) AS n_trials,
+         CAST(sum(CASE WHEN step > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_success,
+         CAST(sum(step) AS BIGINT) AS llr_final_micro,
+         min(CASE WHEN cum >= {SPRT_A} OR cum <= {SPRT_B}
+                  THEN rn * 10 + CASE WHEN cum >= {SPRT_A}
+                                      THEN 1 ELSE 0 END END) AS m
+  FROM c GROUP BY day
+)
+SELECT day, n_trials, n_success, llr_final_micro,
+       CAST(coalesce(m // 10, 0) AS BIGINT) AS decision_trial,
+       CASE WHEN m IS NULL THEN 'continue'
+            WHEN m % 10 = 1 THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM agg
+""",
+    doc="Wald SPRT conversion monitor: per-day sequential test of "
+    "p=0.20 vs p=0.30 in integer micro-nat LLR steps; emits the first "
+    "boundary crossing (decision + trial index) or 'continue'",
+)
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test (1945) as a streaming-
+    style conversion monitor — the sequential sibling of
+    ``events_ab_test_ztest`` (fixed-horizon) and ``events_cusum_drift``
+    (change detection): each day's event stream is walked in (ts,
+    event_id) order accumulating the conversion LLR, and the day's
+    verdict is the FIRST boundary crossing — ``accept_h1`` at
+    +ln((1-β)/α), ``accept_h0`` at ln(β/(1-α)) — with the trial index
+    where the test would have stopped (Wald's point: ~half the sample
+    of the fixed-horizon test at the same error rates).
+
+    Cross-engine exactness: LLR increments and boundaries are integer
+    micro-nat LITERALS (:data:`SPRT_UP` …), the cumulative sum is
+    integer over a total (ts, event_id) order, and the first crossing
+    is ``min(rn·10 + direction_bit)`` — one integer ``min``, no
+    argmin-semantics to reconcile between engines.
+
+    Scale shape: ONE window pass partitioned by day (at 100 TB the
+    partition key becomes (experiment, day) — the monitor is
+    embarrassingly parallel across experiments), then a per-day hash
+    aggregate with map-side partials. No global sort: the window sorts
+    within day partitions only.
+
+    Reference analog: none (extension surface — experimentation
+    family). Streaming twin: the same fold runs incrementally under
+    ``applyInPandasWithState`` in streaming/jobs.py's monitor family.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    step = F.when(F.col("event_type") == "purchase", SPRT_UP).otherwise(
+        SPRT_DOWN
+    )
+    w = Window.partitionBy(F.to_date("ts")).orderBy("ts", "event_id")
+    c = e.select(
+        day,
+        step.alias("step"),
+        F.sum(step).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).alias("rn"),
+    )
+    crossed = (F.col("cum") >= SPRT_A) | (F.col("cum") <= SPRT_B)
+    dirbit = F.when(F.col("cum") >= SPRT_A, 1).otherwise(0)
+    agg = c.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_trials"),
+        F.sum(F.when(F.col("step") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_success"),
+        F.sum("step").cast("bigint").alias("llr_final_micro"),
+        F.min(F.when(crossed, F.col("rn") * 10 + dirbit)).alias("m"),
+    )
+    return agg.select(
+        "day",
+        "n_trials",
+        "n_success",
+        "llr_final_micro",
+        F.coalesce(F.expr("m div 10"), F.lit(0)).cast("bigint").alias(
+            "decision_trial"
+        ),
+        F.when(F.col("m").isNull(), "continue")
+        .when(F.col("m") % 10 == 1, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+    )
