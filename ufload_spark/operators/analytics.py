@@ -429,11 +429,25 @@ SELECT instance, db_name, rn FROM (
 """,
     doc="OP-JOIN-5 catalog clean: drop all but the newest DB per instance",
 )
-def stale_dbs_to_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stale_dbs_to_drop(
+    spark: SparkSession, sf_dir: str, instances=None
+) -> DataFrame:
     """The reference's post-restore cleanup: derive each DB's instance, keep
     the newest, drop the rest (db.py:193-199,660-677). Composition of
-    OP-FN-1 → OP-FN-2 → OP-WIN-1 over the catalog."""
+    OP-FN-1 → OP-FN-2 → OP-WIN-1 over the catalog.
+
+    ``instances`` pre-filters the LISTING's instance column (the cheap
+    concat, pushable to the scan) instead of the caller filtering the
+    DERIVED instance after the window: a ``.where(derived.isin(...))``
+    on the output makes Catalyst inline the whole
+    ``db_to_instance∘file_to_db`` expression tree into a per-source-row
+    filter — measured 25 s vs 4 s on the sf1 fixture for the same
+    5-instance result. The derived and listing instance agree on every
+    well-formed name by construction, which is what the oracles assume
+    too."""
     b = backups(spark, sf_dir)
+    if instances is not None:
+        b = b.where(F.col("instance").isin(*list(instances)))
     dbs = b.select(
         file_to_db(F.col("name"), "pfx").alias("db_name"), "mtime", "name"
     )

@@ -363,8 +363,7 @@ def restore_instances(
     out = spark.createDataFrame(report_rows, _REPORT_SCHEMA)
     if clean_stale:
         stale = (
-            stale_dbs_to_drop(spark, sf_dir)
-            .where(F.col("instance").isin(*instances))
+            stale_dbs_to_drop(spark, sf_dir, instances=instances)
             .groupBy("instance")
             .agg(F.count("*").cast("bigint").alias("stale_dropped"))
         )
