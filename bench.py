@@ -119,6 +119,10 @@ HEADLINE = [
     "restore_end_to_end",          # composed SURVEY §3.1 restore lifecycle (r8)
     "pipeline_incremental_ingest", # composed nightly ingest funnel, persisted gates (r8)
     "text_perplexity_buckets",     # CCNet tertiles via histogram quantiles (r8)
+    "dedup_winnowing_pairs",       # MOSS window-min fingerprints + fp equi-join (r8)
+    "graph_hits_scores",           # HITS coupled iterations, integer mass (r8)
+    "events_hmm_viterbi",          # grouped Arrow DP kernel, per-user lattice (r8)
+    "customers_record_linkage",    # blocked FS linkage + confusion fold (r8)
 ]
 
 
