@@ -63,6 +63,10 @@ FIXEDPOINT = [
     "orders_mannwhitney_u",
     "orders_seasonal_decompose",
     "orders_theilsen_trend",
+    "orders_mann_kendall_trend",
+    "events_sprt_monitor",
+    "events_hmm_viterbi",
+    "graph_hits_scores",
     "parts_croston_intermittent",
     "streaming_changepoint_monitor",
     "streaming_emd_monitor",

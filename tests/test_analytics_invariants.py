@@ -1527,3 +1527,25 @@ def test_viterbi_matches_brute_force_enumeration(spark):
         assert r["final_state"] == best[1][-1], uid
         checked += 1
     assert checked >= 10
+
+
+def test_mann_kendall_agrees_with_theilsen_direction(spark):
+    """orders_mann_kendall_trend: S and z share a sign; |z| is finite;
+    the tie-corrected variance never exceeds the untied n(n-1)(2n+5);
+    and the trend DIRECTION agrees with the Theil-Sen slope estimate on
+    the same daily frame (both nonparametric, same kernel of pairwise
+    comparisons)."""
+    from ufload_spark.operators.temporal import (
+        orders_mann_kendall_trend,
+        orders_theilsen_trend,
+    )
+
+    mk = orders_mann_kendall_trend(spark, SF_DIR).collect()[0]
+    n = mk["n_days"]
+    assert mk["var_s_x18"] <= n * (n - 1) * (2 * n + 5)
+    assert abs(mk["s_stat"]) <= n * (n - 1) // 2
+    if mk["s_stat"] != 0:
+        assert mk["z_stat"] * mk["s_stat"] > 0 or mk["z_stat"] == 0
+    ts = orders_theilsen_trend(spark, SF_DIR).collect()[0]
+    if abs(mk["z_stat"]) > 1.96:  # only when MK calls the trend significant
+        assert ts["slope_cents_per_day"] * mk["s_stat"] > 0

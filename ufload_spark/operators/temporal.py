@@ -2018,3 +2018,130 @@ def orders_forecast_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("improvement_pct"),
     )
+
+
+@register(
+    "orders_mann_kendall_trend",
+    """
+WITH daily AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily
+), s AS (
+  SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM daily a JOIN daily b ON b.day > a.day
+), ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_corr
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY cents)
+  WHERE t > 1
+), v AS (
+  SELECT CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_corr AS BIGINT)
+           AS var_s_x18
+  FROM nd, ties
+)
+SELECT n_days, s_stat, var_s_x18,
+       round(CASE WHEN var_s_x18 <= 0 THEN 0.0
+                  WHEN s_stat > 0
+                  THEN (s_stat - 1) / sqrt(var_s_x18 / 18.0)
+                  WHEN s_stat < 0
+                  THEN (s_stat + 1) / sqrt(var_s_x18 / 18.0)
+                  ELSE 0.0 END, 6) + 0.0 AS z_stat
+FROM nd, s, v
+""",
+    doc="Mann-Kendall trend test on daily revenue: integer S over all "
+    "day pairs, tie-corrected variance in exact x18 units, continuity-"
+    "corrected z — the significance partner of orders_theilsen_trend",
+)
+def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test over daily revenue — the
+    nonparametric significance test whose slope estimate is
+    ``orders_theilsen_trend`` (the pair is the standard hydrology/
+    econometrics kit): S counts concordant minus discordant day pairs,
+    Var(S) carries the tie correction, and the continuity-corrected
+    ``z = (S∓1)/√Var(S)`` is the test statistic.
+
+    Determinism: S and the tie-corrected variance are EXACT integers
+    (variance kept in ×18 units so the only float ops are one sqrt and
+    one division, single-expression, engine-identical); degenerate
+    frames (all days tied) CASE-guard to z = 0 on both sides rather
+    than dividing by zero under ANSI mode.
+
+    Scale shape: identical to Theil-Sen — one orders aggregate to the
+    calendar-bounded day frame, then the pair join and tie histogram
+    run on that bounded frame (pairs ≈ days²/2, bounded by time span,
+    never corpus size).
+
+    Reference analog: none (extension surface — robust-statistics
+    family).
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    nd = daily.groupBy().agg(F.count("*").cast("bigint").alias("n_days"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(b, F.col("b.day") > F.col("a.day")).agg(
+        F.sum(
+            F.when(F.col("b.cents") > F.col("a.cents"), 1)
+            .when(F.col("b.cents") < F.col("a.cents"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_corr")
+        )
+    )
+    v = nd.crossJoin(F.broadcast(ties)).select(
+        F.expr("CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_corr AS BIGINT)")
+        .alias("var_s_x18")
+    )
+    return (
+        nd.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(v))
+        .select(
+            "n_days",
+            "s_stat",
+            "var_s_x18",
+            (
+                F.round(
+                    F.expr(
+                        "CASE WHEN var_s_x18 <= 0 THEN 0.0"
+                        " WHEN s_stat > 0"
+                        " THEN (s_stat - 1) / sqrt(var_s_x18 / 18.0)"
+                        " WHEN s_stat < 0"
+                        " THEN (s_stat + 1) / sqrt(var_s_x18 / 18.0)"
+                        " ELSE 0.0 END"
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("z_stat"),
+        )
+    )
