@@ -1189,3 +1189,30 @@ def test_winnowing_pairs_scale_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_new_r8_operators_scale_shapes(spark):
+    """Second-pass r8 operators: HITS joins broadcast the node-sized
+    vectors (edges never shuffle mid-iteration), the SPRT walk's windows
+    are partitioned by day (never partition-less), and Viterbi's grouped
+    kernel plan contains exactly one user_id exchange feeding
+    FlatMapGroupsInPandas — no global sort anywhere."""
+    from ufload_spark.plans.registry import load_all
+
+    reg = load_all()
+    hits = reg["graph_hits_scores"].fn(spark, SF_DIR)
+    hits.write.format("noop").mode("overwrite").save()
+    p = _plan(hits)
+    assert "BroadcastHashJoin" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+
+    sprt = reg["events_sprt_monitor"].fn(spark, SF_DIR)
+    p = _plan(sprt)
+    assert "Exchange rangepartitioning" not in p
+    assert "Window" in p  # partitioned by day
+
+    vit = reg["events_hmm_viterbi"].fn(spark, SF_DIR)
+    p = _plan(vit)
+    assert "FlatMapGroupsInPandas" in p
+    assert "Exchange rangepartitioning" not in p
