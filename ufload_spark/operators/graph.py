@@ -450,25 +450,28 @@ def _lpa_edges_and_labels(
     """The shared LPA core: the persisted weighted directed edge frame
     and the converged (node, label) vector after :data:`LPA_ITERS`
     synchronous rounds — consumed by `graph_label_propagation` (sizes)
-    and `graph_modularity` (partition quality)."""
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
-            (F.col("o_custkey") * 2).alias("c_node"),
-            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+    and `graph_modularity` (partition quality).
+
+    Edges come from the SAME published ``pagerank_edges_w`` table
+    PageRank/BFS read (r8 — previously this rebuilt the lineitem⋈orders
+    aggregate per run; the published table is the identical
+    bidirectional weighted edge list, wout dropped): one parquet scan
+    instead of a corpus join, and at cluster scale the bucketed layout
+    is shared by every graph consumer."""
+    from ufload_spark.sources.loader import memo_publish
+
+    edges = (
+        spark.read.parquet(
+            memo_publish(
+                spark,
+                "pagerank_edges_w",
+                sf_dir,
+                lambda: _build_pagerank_edges(spark, sf_dir),
+            )
         )
-        .agg(F.count("*").cast("bigint").alias("w"))
+        .select("src", "dst", "w")
+        .persist()
     )
-    both = F.explode(
-        F.array(
-            F.struct(F.col("c_node").alias("src"), F.col("s_node").alias("dst")),
-            F.struct(F.col("s_node").alias("src"), F.col("c_node").alias("dst")),
-        )
-    ).alias("e")
-    edges = pairs.select(both, "w").select("e.src", "e.dst", "w")
-    edges = edges.persist()
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -589,7 +592,16 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ufload_spark.sources.loader import memo_publish
 
-    edges, _ = _lpa_edges_and_labels(spark, sf_dir)
+    # ONE pass over the published edge table — no persist (the cache
+    # would be materialized for a single consumer and then dropped)
+    edges = spark.read.parquet(
+        memo_publish(
+            spark,
+            "pagerank_edges_w",
+            sf_dir,
+            lambda: _build_pagerank_edges(spark, sf_dir),
+        )
+    ).select("src", "dst", "w")
     labels = spark.read.parquet(
         memo_publish(
             spark,
@@ -608,22 +620,24 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").cast("bigint").alias("n_members")
     )
-    degc = (
-        edges.join(lab_src, "src")
-        .groupBy(F.col("la").alias("community"))
-        .agg(F.sum("w").cast("bigint").alias("deg_w"))
-    )
-    win = (
+    # ONE edge pass for both statistics (r8 — previously deg_w and w_in
+    # each re-scanned the edge table): both label vectors broadcast onto
+    # a single scan; w_in is the conditional sum inside the same
+    # aggregate. Every node is labeled, so the inner joins drop nothing.
+    both_stats = (
         edges.join(lab_src, "src")
         .join(lab_dst, "dst")
-        .where(F.col("la") == F.col("lb"))
         .groupBy(F.col("la").alias("community"))
-        .agg(F.sum("w").cast("bigint").alias("w_in"))
+        .agg(
+            F.sum("w").cast("bigint").alias("deg_w"),
+            F.sum(F.when(F.col("la") == F.col("lb"), F.col("w")).otherwise(0))
+            .cast("bigint")
+            .alias("w_in"),
+        )
     )
     dec = "decimal(38,0)"
     joined = (
-        sizes.join(degc, "community")
-        .join(win, "community", "left")
+        sizes.join(both_stats, "community")
         .crossJoin(F.broadcast(tot))
         .select(
             "community",
@@ -1453,6 +1467,11 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _normalize(raw: DataFrame, key: str, col: str) -> DataFrame:
+        # Lineage cut per half-step (the LPA discipline): the normalized
+        # vector feeds the next half-step's broadcast AND the total's
+        # 1-row aggregate — without the cut each broadcast subtree
+        # re-executes the whole prior chain (measured 38 s -> ~6 s sf1).
+        raw = raw.localCheckpoint(eager=False)
         total = raw.groupBy().agg(F.sum(col).cast("decimal(38,0)").alias("t"))
         return raw.crossJoin(F.broadcast(total)).select(
             key,
