@@ -1586,6 +1586,10 @@ def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ufload_spark.sources.loader import memo_publish
 
+    # NOTE (r8, measured): do NOT persist the batch/delta subtrees here —
+    # AQE's exchange reuse already shares them across the merge, the
+    # touched-prune flags and the rescore gate, and an explicit cache
+    # only adds its own materialization (+4 s warm at sf1)
     batch = _cf_capped_baskets(spark, sf_dir, batch=True)
 
     co_path = memo_publish(
