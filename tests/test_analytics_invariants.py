@@ -1549,3 +1549,93 @@ def test_mann_kendall_agrees_with_theilsen_direction(spark):
     ts = orders_theilsen_trend(spark, SF_DIR).collect()[0]
     if abs(mk["z_stat"]) > 1.96:  # only when MK calls the trend significant
         assert ts["slope_cents_per_day"] * mk["s_stat"] > 0
+
+
+def test_published_lpa_labels_equal_fresh_compute(spark):
+    """The modularity memoization contract: the PUBLISHED label table
+    (memo_publish('lpa_labels')) must equal a fresh 4-round LPA compute
+    row-for-row — the guarantee that lets the audit read the artifact
+    instead of re-running the rounds."""
+    from ufload_spark.operators.graph import _lpa_edges_and_labels
+    from ufload_spark.sources.loader import memo_publish
+
+    _, fresh_df = _lpa_edges_and_labels(spark, SF_DIR)
+    fresh = sorted((r["node"], r["label"]) for r in fresh_df.collect())
+    path = memo_publish(
+        spark,
+        "lpa_labels",
+        SF_DIR,
+        lambda: _lpa_edges_and_labels(spark, SF_DIR)[1],
+    )
+    published = sorted(
+        (r["node"], r["label"]) for r in spark.read.parquet(path).collect()
+    )
+    assert fresh == published
+
+
+def test_hits_matches_numpy_reference(spark):
+    """graph_hits_scores vs an independent integer HITS walked in numpy
+    from the raw edge list — the same engine-external check the Viterbi
+    brute-force test provides: every score must match bit-for-bit."""
+    import numpy as np
+
+    from ufload_spark.operators.graph import (
+        HITS_ITERS,
+        HITS_MASS,
+        graph_hits_scores,
+    )
+    from ufload_spark.sources.tables import table
+    from pyspark.sql import functions as F
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    custs = sorted({r["c"] for r in edges})
+    supps = sorted({r["s"] for r in edges})
+    ci = {c: i for i, c in enumerate(custs)}
+    si = {s: i for i, s in enumerate(supps)}
+    E = np.zeros((len(custs), len(supps)), dtype=object)  # exact ints
+    for r in edges:
+        E[ci[r["c"]], si[r["s"]]] = int(r["w"])
+    h = np.array([HITS_MASS // len(custs)] * len(custs), dtype=object)
+    a = None
+    for _ in range(HITS_ITERS):
+        araw = h @ E
+        t = int(araw.sum())
+        a = np.array([int(x) * HITS_MASS // t for x in araw], dtype=object)
+        hraw = E @ a
+        t = int(hraw.sum())
+        h = np.array([int(x) * HITS_MASS // t for x in hraw], dtype=object)
+    got = graph_hits_scores(spark, SF_DIR).collect()
+    want = {("customer", c): int(h[ci[c]]) for c in custs}
+    want.update({("supplier", s): int(a[si[s]]) for s in supps})
+    assert len(got) == len(want)
+    for r in got:
+        assert want[(r["node_type"], r["entity_key"])] == r["score_micro"], r
+
+
+def test_winnowing_key_packing_is_order_exact():
+    """The winnowing BIGINT pack key = h*2^20 + (2^20-1-pos) must order
+    exactly like the robust-winnowing rule: smaller hash wins, and on
+    hash ties the RIGHTMOST (largest pos) wins — for every (h, pos)
+    combination in range."""
+    from itertools import product
+
+    from ufload_spark.operators.dedup import WINNOW_POSMOD
+
+    def key(h, pos):
+        return h * WINNOW_POSMOD + (WINNOW_POSMOD - 1 - pos)
+
+    hs = [0, 1, 7, 2**24 - 1]
+    ps = [1, 2, 500, WINNOW_POSMOD - 1]
+    for (h1, p1), (h2, p2) in product(product(hs, ps), repeat=2):
+        winner_is_1 = (h1, -p1) < (h2, -p2)  # the MOSS preference order
+        if (h1, p1) == (h2, p2):
+            assert key(h1, p1) == key(h2, p2)
+        else:
+            assert (key(h1, p1) < key(h2, p2)) == winner_is_1
