@@ -1639,3 +1639,90 @@ def test_winnowing_key_packing_is_order_exact():
             assert key(h1, p1) == key(h2, p2)
         else:
             assert (key(h1, p1) < key(h2, p2)) == winner_is_1
+
+
+def test_sprt_matches_python_walk(spark):
+    """events_sprt_monitor vs a pure-Python walk of the same per-day
+    (ts, event_id)-ordered stream: n, successes, final LLR, decision and
+    the stopping trial must all match exactly."""
+    from ufload_spark.operators.events import (
+        SPRT_A,
+        SPRT_B,
+        SPRT_DOWN,
+        SPRT_UP,
+        events_sprt_monitor,
+    )
+    from ufload_spark.sources.tables import table
+
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select("ts", "event_id", "event_type")
+        .collect()
+    )
+    by_day: dict = {}
+    for r in ev:
+        by_day.setdefault(r["ts"].date().isoformat(), []).append(r)
+    got = {r["day"]: r for r in events_sprt_monitor(spark, SF_DIR).collect()}
+    assert set(got) == set(by_day)
+    for day, rows in by_day.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        cum, dec, dec_t = 0, "continue", 0
+        succ = 0
+        for t, r in enumerate(rows, start=1):
+            step = SPRT_UP if r["event_type"] == "purchase" else SPRT_DOWN
+            succ += 1 if step > 0 else 0
+            cum += step
+            if dec == "continue" and (cum >= SPRT_A or cum <= SPRT_B):
+                dec = "accept_h1" if cum >= SPRT_A else "accept_h0"
+                dec_t = t
+        g = got[day]
+        assert g["n_trials"] == len(rows)
+        assert g["n_success"] == succ
+        assert g["llr_final_micro"] == cum
+        assert g["decision"] == dec, day
+        assert g["decision_trial"] == dec_t, day
+
+
+def test_mann_kendall_matches_python_reference(spark):
+    """orders_mann_kendall_trend vs a pure-Python S / tie-corrected
+    variance computed from the collected daily cents — exact integers,
+    and the z within 1e-6 of the same float expression."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ufload_spark.operators.temporal import orders_mann_kendall_trend
+    from ufload_spark.sources.tables import table
+
+    o = table(spark, SF_DIR, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .alias("cents")
+        )
+        .collect()
+    )
+    xs = [r["cents"] for r in sorted(daily, key=lambda r: r["day"])]
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(xs)
+    tie_corr = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - tie_corr
+    got = orders_mann_kendall_trend(spark, SF_DIR).collect()[0]
+    assert got["n_days"] == n
+    assert got["s_stat"] == s
+    assert got["var_s_x18"] == var18
+    if var18 > 0 and s != 0:
+        z = (s - 1 if s > 0 else s + 1) / math.sqrt(var18 / 18.0)
+        assert abs(got["z_stat"] - round(z, 6)) < 1e-9
