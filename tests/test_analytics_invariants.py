@@ -1726,3 +1726,118 @@ def test_mann_kendall_matches_python_reference(spark):
     if var18 > 0 and s != 0:
         z = (s - 1 if s > 0 else s + 1) / math.sqrt(var18 / 18.0)
         assert abs(got["z_stat"] - round(z, 6)) < 1e-9
+
+
+def test_winnowing_fingerprints_match_python_reference(spark):
+    """The Spark fingerprint selection vs a direct Python implementation
+    of robust winnowing (md5 k-gram hashes, window min, rightmost
+    tie-break) over the raw fixture text — set-equal per document."""
+    import hashlib
+
+    from ufload_spark.operators.dedup import (
+        WINNOW_W,
+        _winnow_fingerprints,
+    )
+    from ufload_spark.sources.tables import table
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    want: dict = {}
+    for r in docs:
+        toks = r["text"].strip().lower().split()
+        if len(toks) < 3:
+            continue
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + 3]).encode()
+                ).hexdigest()[:6],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        ]
+        fps = set()
+        for s in range(0, len(hs) - WINNOW_W + 1):
+            win = hs[s : s + WINNOW_W]
+            m = min(win)
+            # rightmost occurrence of the min in the window
+            j = max(i for i, h in enumerate(win) if h == m)
+            fps.add(hs[s + j])
+        if fps:
+            want[r["doc_id"]] = fps
+    got: dict = {}
+    for r in _winnow_fingerprints(spark, SF_DIR).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert got == want
+
+
+def test_record_linkage_matches_python_reference(spark):
+    """The full blocking + scoring pipeline vs a direct Python replay
+    over the collected customer rows: identical confusion cells."""
+    from collections import defaultdict
+
+    from ufload_spark.operators.analytics import (
+        RL_MATCH_T,
+        RL_POSSIBLE_T,
+        RL_W_ACCTBAL,
+        RL_W_NAME,
+        RL_W_NATION,
+        RL_W_SEGMENT,
+        customers_record_linkage,
+    )
+    from ufload_spark.sources.tables import table
+
+    import math
+
+    cust = table(spark, SF_DIR, "customer").collect()
+    dirty = []
+    for r in cust:
+        k = r["c_custkey"]
+        if k % 5 != 0:
+            continue
+        name = r["c_name"].replace("Customer", "Custmer") if k % 10 == 0 else r["c_name"]
+        nat = (r["c_nationkey"] + 1) % 25 if k % 20 == 0 else r["c_nationkey"]
+        bal = float(math.floor(r["c_acctbal"])) if k % 15 == 0 else r["c_acctbal"]
+        dirty.append((k + 10_000_000, name, nat, bal, r["c_mktsegment"]))
+    cand = set()
+    for c in cust:
+        for d in dirty:
+            if c["c_nationkey"] == d[2] and c["c_name"][-3:] == d[1][-3:]:
+                cand.add((c["c_custkey"], d[0]))
+            if c["c_mktsegment"] == d[4] and math.floor(c["c_acctbal"]) == math.floor(d[3]):
+                cand.add((c["c_custkey"], d[0]))
+    dmap = {d[0]: d for d in dirty}
+    cmap = {c["c_custkey"]: c for c in cust}
+    cells = defaultdict(lambda: [0, None, None])
+    for a, b in cand:
+        c, d = cmap[a], dmap[b]
+        s = (
+            RL_W_NAME[0]
+            if c["c_name"] == d[1]
+            else RL_W_NAME[1]
+            if c["c_name"][-6:] == d[1][-6:]
+            else RL_W_NAME[2]
+        )
+        s += RL_W_NATION[0] if c["c_nationkey"] == d[2] else RL_W_NATION[1]
+        s += RL_W_SEGMENT[0] if c["c_mktsegment"] == d[4] else RL_W_SEGMENT[1]
+        s += RL_W_ACCTBAL[0] if abs(c["c_acctbal"] - d[3]) < 1.0 else RL_W_ACCTBAL[1]
+        dec = (
+            "match"
+            if s >= RL_MATCH_T
+            else "possible"
+            if s > RL_POSSIBLE_T
+            else "non_match"
+        )
+        key = (dec, b == a + 10_000_000)
+        cell = cells[key]
+        cell[0] += 1
+        cell[1] = s if cell[1] is None else min(cell[1], s)
+        cell[2] = s if cell[2] is None else max(cell[2], s)
+    got = {
+        (r["decision"], r["is_true_pair"]): (
+            r["n_pairs"],
+            r["min_score_micro"],
+            r["max_score_micro"],
+        )
+        for r in customers_record_linkage(spark, SF_DIR).collect()
+    }
+    assert got == {k: tuple(v) for k, v in cells.items()}
