@@ -100,3 +100,24 @@ def test_no_oracle_floor_divides_decimal_operands():
             if re.search(r"AS\s+DECIMAL\s*\(", near, re.IGNORECASE):
                 offenders.append((name, near.strip()[:160]))
     assert offenders == [], offenders
+
+
+def test_sweep_family_lists_are_registered_names():
+    """sweep.py's FIXEDPOINT / SKETCH close-ritual tiers must reference
+    real registry names — a typo would silently shrink the scale-edge
+    re-check loop (the tier that caught the EMD and HLL defects)."""
+    import importlib.util
+    import os
+
+    from ufload_spark.plans.registry import load_all
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "sweep_mod", os.path.join(root, "sweep.py")
+    )
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+    names = set(load_all())
+    for fam in ("FIXEDPOINT", "SKETCH"):
+        missing = [q for q in getattr(sweep, fam) if q not in names]
+        assert not missing, f"{fam} names not in registry: {missing}"
