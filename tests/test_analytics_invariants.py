@@ -1506,7 +1506,8 @@ def test_viterbi_matches_brute_force_enumeration(spark):
         rows.sort(key=lambda r: (r["ts"], r["event_id"]))
         obs = [r["event_type"] for r in rows][:HMM_MAX_T]
         n = len(obs)
-        best = None
+        best_score = None
+        optimal: list = []
         for path in product((0, 1), repeat=n):
             s = HMM_PI + (
                 HMM_E_IDLE[obs[0]] if path[0] == 0 else HMM_E_ENGAGED[obs[0]]
@@ -1514,17 +1515,27 @@ def test_viterbi_matches_brute_force_enumeration(spark):
             for t in range(1, n):
                 s += HMM_T[path[t - 1]][path[t]]
                 s += HMM_E_IDLE[obs[t]] if path[t] == 0 else HMM_E_ENGAGED[obs[t]]
-            # tie-break: the kernel's backward >= preferences resolve to
-            # the path that is lexicographically SMALLEST scanned from
-            # the front among score-ties (idle preferred at each argmax)
-            key = (s, tuple(-p for p in path))
-            if best is None or key > best[0]:
-                best = (key, path)
+            if best_score is None or s > best_score:
+                best_score, optimal = s, [path]
+            elif s == best_score:
+                optimal.append(path)
         r = got[uid]
-        assert r["best_score_micro"] == best[0][0], uid
+        assert r["best_score_micro"] == best_score, uid
         assert r["seq_len"] == n
-        assert r["n_engaged"] == sum(best[1]), uid
-        assert r["final_state"] == best[1][-1], uid
+        # The DP's tie-break (forward: final state 0 on v0==v1; backward:
+        # prev state 0 on cost ties) selects SOME optimal path, but which
+        # one is not the front-lexicographic minimum in general (e.g. a
+        # (0,1,...) vs (1,0,...) score tie resolves by FINAL state, i.e.
+        # the front-larger path). So assert exact path stats only when
+        # the argmax is unique; on ties require membership in the optimal
+        # set — flake-proof on any fixture (r8 advice).
+        if len(optimal) == 1:
+            assert r["n_engaged"] == sum(optimal[0]), uid
+            assert r["final_state"] == optimal[0][-1], uid
+        else:
+            assert (r["final_state"], r["n_engaged"]) in {
+                (p[-1], sum(p)) for p in optimal
+            }, uid
         checked += 1
     assert checked >= 10
 
@@ -1620,7 +1631,7 @@ def test_hits_matches_numpy_reference(spark):
 
 
 def test_winnowing_key_packing_is_order_exact():
-    """The winnowing BIGINT pack key = h*2^20 + (2^20-1-pos) must order
+    """The winnowing BIGINT pack key = h*2^32 + (2^32-1-pos) must order
     exactly like the robust-winnowing rule: smaller hash wins, and on
     hash ties the RIGHTMOST (largest pos) wins — for every (h, pos)
     combination in range."""

@@ -1676,10 +1676,15 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: guarantee is that any shared substring of >= W+k-1 tokens yields at
 #: least one shared fingerprint, with expected density 2/(W+1).
 WINNOW_W = 4
-#: position packing modulus: key = hash*2^20 + (2^20-1-pos) makes one
+#: position packing modulus: key = hash*2^32 + (2^32-1-pos) makes one
 #: BIGINT `min` implement (smallest hash, rightmost position) exactly in
-#: both engines; docs longer than 2^20 k-grams would need a wider pack
-WINNOW_POSMOD = 1 << 20
+#: both engines. The pack is 24 hash bits * 2^32 + 32 pos bits = 56 bits,
+#: comfortably inside BIGINT; and the position side can never overflow
+#: structurally — a doc's k-gram count is bounded by its text length, and
+#: a single Spark/Parquet string cell caps at 2 GiB < 2^31 tokens, so
+#: pos < 2^31 < 2^32 for ANY representable document (r8 advice: the old
+#: 2^20 pack went silently negative past ~1M k-grams).
+WINNOW_POSMOD = 1 << 32
 #: stop-fingerprint guard: a fingerprint shared by more than this many
 #: docs is boilerplate (license headers, navigation chrome) — dropping it
 #: bounds the candidate join's per-key fan-out at corpus scale
@@ -1797,7 +1802,7 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     passages, not just globally similar docs).
 
     Cross-engine exactness: (min hash, rightmost pos) is packed into one
-    BIGINT ``key = h·2^20 + (2^20-1-pos)`` so a plain window ``min``
+    BIGINT ``key = h·2^32 + (2^32-1-pos)`` so a plain window ``min``
     implements the tie-break identically in Spark and DuckDB — no
     argmin/min_by semantics to reconcile.
 

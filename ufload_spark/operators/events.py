@@ -3645,6 +3645,9 @@ HMM_E_ENGAGED = {
     "signup": -2_302_585,    # .1
     "error": -2_995_732,     # .05
 }
+#: emission for any event type outside the trained vocabulary — the
+#: CASE ... ELSE bucket in both engines' SQL and the kernel's fillna
+HMM_E_ELSE = -2_995_732
 #: decode the first K events of each user: bounds the DP depth (and the
 #: oracle's recursion) independent of corpus size
 HMM_MAX_T = 16
@@ -3687,8 +3690,19 @@ def _viterbi_block(pdf: pd.DataFrame) -> pd.DataFrame:
     nu = len(starts)
     pos = np.arange(n) - starts[gidx]
 
-    e0r = pdf["event_type"].map(HMM_E_IDLE).to_numpy(np.int64)
-    e1r = pdf["event_type"].map(HMM_E_ENGAGED).to_numpy(np.int64)
+    # unseen event types take the same ELSE emission bucket as the
+    # registered SQL / oracle CASE (r8 advice: a bare .map() yields NaN
+    # and the int64 cast raises instead of matching the CASE ... ELSE)
+    e0r = (
+        pdf["event_type"].map(HMM_E_IDLE).fillna(HMM_E_ELSE).astype(np.int64).to_numpy()
+    )
+    e1r = (
+        pdf["event_type"]
+        .map(HMM_E_ENGAGED)
+        .fillna(HMM_E_ELSE)
+        .astype(np.int64)
+        .to_numpy()
+    )
     E0 = np.zeros((nu, HMM_MAX_T), np.int64)
     E1 = np.zeros((nu, HMM_MAX_T), np.int64)
     valid = np.zeros((nu, HMM_MAX_T), bool)

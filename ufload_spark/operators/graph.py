@@ -445,7 +445,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_edges_and_labels(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, persist_edges: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """The shared LPA core: the persisted weighted directed edge frame
     and the converged (node, label) vector after :data:`LPA_ITERS`
@@ -460,18 +460,20 @@ def _lpa_edges_and_labels(
     is shared by every graph consumer."""
     from ufload_spark.sources.loader import memo_publish
 
-    edges = (
-        spark.read.parquet(
-            memo_publish(
-                spark,
-                "pagerank_edges_w",
-                sf_dir,
-                lambda: _build_pagerank_edges(spark, sf_dir),
-            )
+    edges = spark.read.parquet(
+        memo_publish(
+            spark,
+            "pagerank_edges_w",
+            sf_dir,
+            lambda: _build_pagerank_edges(spark, sf_dir),
         )
-        .select("src", "dst", "w")
-        .persist()
-    )
+    ).select("src", "dst", "w")
+    # persist only for the multi-consumer iterative path; the one-shot
+    # publish lambda (graph_modularity -> memo_publish('lpa_labels'))
+    # materializes labels exactly once, so a cache would leak for the
+    # process lifetime with no second reader (r8 advice)
+    if persist_edges:
+        edges = edges.persist()
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -607,7 +609,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             "lpa_labels",
             sf_dir,
-            lambda: _lpa_edges_and_labels(spark, sf_dir)[1],
+            lambda: _lpa_edges_and_labels(spark, sf_dir, persist_edges=False)[1],
         )
     )
     lab_src = F.broadcast(
