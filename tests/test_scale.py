@@ -1220,3 +1220,67 @@ def test_new_r8_operators_scale_shapes(spark):
     assert "Exchange rangepartitioning" not in p
     # exactly one hash exchange (the window's user_id partitioning)
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_density_knobs_self_bound_across_sf(spark):
+    """r9: the three density knobs the r8 verdict flagged as fixed
+    constants are now corpus-count-derived (the lsh_r discipline), and
+    their governed volumes stay ~FLAT when the corpus grows 10x
+    (sf0.01 -> sf0.1):
+
+    - quantile binning samples a constant SIZE (~QBIN_SAMPLE_TARGET
+      rows), not a constant fraction;
+    - record-linkage block keys gain a hash bucket whose count grows
+      with the corpus, so candidate volume per dirty record is constant;
+    - the winnowing df cap grows with log2(corpus) instead of freezing.
+    """
+    from ufload_spark.operators.analytics import (
+        QBIN_SAMPLE_TARGET,
+        _qbin_threshold,
+        _rl_buckets,
+    )
+    from ufload_spark.operators.dedup import (
+        WINNOW_DF_FLOOR,
+        _winnow_maxdf,
+    )
+    from ufload_spark.sources.tables import corpus_count
+
+    big = "/root/testdata/sf0.1"
+
+    # --- quantile-bin sample: constant size, not constant fraction ---
+    sizes = {}
+    for d in (SF_DIR_MID, big):
+        th = _qbin_threshold(corpus_count(spark, d, "orders"))
+        bucket = F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        sizes[d] = table(spark, d, "orders").where(bucket < F.lit(th)).count()
+    for d, n in sizes.items():
+        assert QBIN_SAMPLE_TARGET / 2 <= n <= QBIN_SAMPLE_TARGET * 2, (d, n)
+    # corpus grew 10x, sample did not
+    assert sizes[big] < sizes[SF_DIR_MID] * 2
+
+    # --- record linkage: candidate volume per dirty record stays flat ---
+    def rl_cand_per_dirty(d: str) -> float:
+        from ufload_spark.operators.analytics import customers_record_linkage
+
+        n_dirty = (
+            table(spark, d, "customer").where(F.col("c_custkey") % 5 == 0).count()
+        )
+        pairs = customers_record_linkage(spark, d).agg(F.sum("n_pairs")).first()[0]
+        return pairs / n_dirty
+
+    r_mid, r_big = rl_cand_per_dirty(SF_DIR_MID), rl_cand_per_dirty(big)
+    # the corpus grew 10x; with the fixed r8 keys candidates/dirty grew
+    # ~10x too — with the bucketed keys the ratio must stay ~flat
+    assert r_big < r_mid * 3, (r_mid, r_big)
+    # buckets actually engaged (not the degenerate B=1 case)
+    assert _rl_buckets(corpus_count(spark, big, "customer")) >= 10 * _rl_buckets(
+        corpus_count(spark, SF_DIR_MID, "customer")
+    ) > 1
+
+    # --- winnowing df cap: grows with log2(n), never below the floor ---
+    n_mid = corpus_count(spark, SF_DIR_MID, "documents")
+    n_big = corpus_count(spark, big, "documents")
+    assert _winnow_maxdf(n_big) >= _winnow_maxdf(n_mid) >= WINNOW_DF_FLOOR
+    assert _winnow_maxdf(1 << 30) == 4 * 30  # O(log n), not O(n)

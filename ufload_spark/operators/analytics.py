@@ -1690,10 +1690,27 @@ def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: quantile binning: content-addressed sample threshold (buckets of 256)
-#: and number of bins
-QBIN_SAMPLE_BUCKETS = 10
+#: quantile binning: the boundary sample targets a CONSTANT ROW COUNT,
+#: not a constant fraction (r8 verdict) — a row is sampled when its
+#: 24-bit md5 bucket falls under a threshold derived from the corpus
+#: count, ``th(n) = clamp(ceil(2^24 * QBIN_SAMPLE_TARGET / n), 1, 2^24)``
+#: (exact integer ceiling in both engines), so the expected sample is
+#: ~QBIN_SAMPLE_TARGET rows at ANY scale factor (until n > 2^24 * target
+#: ≈ 3.4e10 orders, where the 24-bit bucket floor makes it n/2^24 — still
+#: only ~2k rows per 34 billion; widen the substring to re-bound).
+#: Boundary error shrinks as 1/sqrt(sample) (DKW), independent of n.
+QBIN_SAMPLE_TARGET = 2048
+QBIN_HASH_SPACE = 16**6
 QBIN_BINS = 10
+
+
+def _qbin_threshold(n_orders: int) -> int:
+    """clamp(ceil-div(2^24 * target, n), 1, 2^24) — integer arithmetic so
+    Python and DuckDB derive bit-identical thresholds."""
+    return min(
+        QBIN_HASH_SPACE,
+        max(1, (QBIN_HASH_SPACE * QBIN_SAMPLE_TARGET + n_orders - 1) // n_orders),
+    )
 
 _QBIN_SUM = " + ".join(
     f"(CASE WHEN o_totalprice > b[{k}] THEN 1 ELSE 0 END)"
@@ -1704,11 +1721,16 @@ _QBIN_SUM = " + ".join(
 @register(
     "features_quantile_binning",
     f"""
-WITH sample AS (
+WITH qknob AS (
+  SELECT least({QBIN_HASH_SPACE}, greatest(1,
+           ({QBIN_HASH_SPACE * QBIN_SAMPLE_TARGET} + count(*) - 1)
+             // count(*))) AS th
+  FROM orders
+), sample AS (
   SELECT o_totalprice AS p, o_orderkey AS k
   FROM orders
-  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))::INT
-        < {QBIN_SAMPLE_BUCKETS}
+  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6))::BIGINT
+        < (SELECT th FROM qknob)
 ), ranked AS (
   SELECT p, row_number() OVER (ORDER BY p, k) AS rn,
          count(*) OVER () AS ns
@@ -1751,20 +1773,26 @@ def features_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one sample scan (bounded output), one window over the
     SAMPLE only, one broadcast, then one full-scan projection + grouped
-    aggregate with map-side partials. The sample fraction is the knob: at
-    100 TB the md5 threshold drops so the sample stays
-    single-partition-sortable; boundary error shrinks as 1/√sample
-    (Dvoretzky–Kiefer–Wolfowitz), independent of corpus size.
+    aggregate with map-side partials. The md5 threshold is SELF-BOUNDING
+    (r9): derived from the corpus count so the expected sample is
+    ~:data:`QBIN_SAMPLE_TARGET` rows at any scale factor — a constant
+    SIZE, not a constant fraction — keeping the sample sort
+    single-partition forever; boundary error shrinks as 1/√sample
+    (Dvoretzky–Kiefer–Wolfowitz), independent of corpus size. The oracle
+    derives the identical threshold in its ``qknob`` scalar CTE.
 
     Reference analog: none — extension surface (feature-engineering
     family: quantile bins are the standard preprocessing for decision
     trees and for leakage-robust WOE/target encodings).
     """
+    from ufload_spark.sources.tables import corpus_count
+
     o = table(spark, sf_dir, "orders")
+    th = _qbin_threshold(corpus_count(spark, sf_dir, "orders"))
     bucket = F.conv(
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2), 16, 10
-    ).cast("int")
-    sample = o.where(bucket < QBIN_SAMPLE_BUCKETS).select(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6), 16, 10
+    ).cast("bigint")
+    sample = o.where(bucket < F.lit(th)).select(
         F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
     )
     ws = Window.orderBy("p", "k")
@@ -4360,6 +4388,23 @@ RL_W_SEGMENT = (1_000_000, -3_000_000)
 RL_W_ACCTBAL = (2_500_000, -500_000)
 RL_MATCH_T = 5_000_000
 RL_POSSIBLE_T = 0
+#: self-bounding block fan-out (r8 verdict: the raw nation×suffix and
+#: segment×dollar keys have a FIXED key space, so block membership grows
+#: linearly with the corpus and within-block pairing quadratically).
+#: Both blocking passes therefore append a hash bucket of the record's
+#: STABLE identity token (the 9-digit name suffix — untouched by every
+#: perturbation: the typo edits the word, truncation edits the balance,
+#: the nation flip edits the nation), with the bucket count derived from
+#: the corpus count: B(n) = max(1, ceil(n / RL_BLOCK_TARGET)). Key space
+#: then grows WITH the corpus, expected block size stays constant, and a
+#: true pair can never be split across buckets because its token is
+#: identical on both sides. Oracle twin: the ``bknob`` scalar CTE.
+RL_BLOCK_TARGET = 512
+
+
+def _rl_buckets(n_customers: int) -> int:
+    """max(1, ceil-div(n, RL_BLOCK_TARGET)) in exact integers."""
+    return max(1, (n_customers + RL_BLOCK_TARGET - 1) // RL_BLOCK_TARGET)
 
 _RL_DIRTY_CTE = """
 WITH dirty AS (
@@ -4382,16 +4427,30 @@ WITH dirty AS (
     "customers_record_linkage",
     _RL_DIRTY_CTE
     + f"""
-, p1 AS (
+, bknob AS (
+  SELECT greatest(1, (count(*) + {RL_BLOCK_TARGET - 1}) // {RL_BLOCK_TARGET})
+           AS b
+  FROM customer
+), cb AS (
+  SELECT c.*, ('0x' || substr(md5(right(c_name, 9)), 1, 6))::BIGINT
+              % (SELECT b FROM bknob) AS hb
+  FROM customer c
+), db AS (
+  SELECT d.*, ('0x' || substr(md5(right(d_name, 9)), 1, 6))::BIGINT
+              % (SELECT b FROM bknob) AS hb
+  FROM dirty d
+), p1 AS (
   SELECT c.c_custkey AS a_key, d.d_key AS b_key
-  FROM customer c JOIN dirty d
+  FROM cb c JOIN db d
     ON c.c_nationkey = d.d_nationkey
    AND right(c.c_name, 3) = right(d.d_name, 3)
+   AND c.hb = d.hb
 ), p2 AS (
   SELECT c.c_custkey AS a_key, d.d_key AS b_key
-  FROM customer c JOIN dirty d
+  FROM cb c JOIN db d
     ON c.c_mktsegment = d.d_mktsegment
    AND floor(c.c_acctbal) = floor(d.d_acctbal)
+   AND c.hb = d.hb
 ), cand AS (
   SELECT DISTINCT a_key, b_key FROM (
     SELECT * FROM p1 UNION ALL SELECT * FROM p2)
@@ -4442,11 +4501,17 @@ def customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash-stable audit of precision/recall, not just a pair dump.
 
     Scale shape: candidates come ONLY from block equi-joins (two
-    shuffle-on-key joins whose per-key fan-out is the block size —
-    nation×suffix and segment×dollar are both bounded), never all-pairs;
-    scoring joins the two dimension tables back by key; the confusion
-    fold is a 6-row aggregate. At 100 TB the blocking keys are the knob:
-    more passes with tighter keys keep block volume linear.
+    shuffle-on-key joins whose per-key fan-out is the block size), never
+    all-pairs; scoring joins the two dimension tables back by key; the
+    confusion fold is a 6-row aggregate. The block keys are SELF-BOUNDING
+    (r9): both passes append a hash bucket of the stable identity token
+    with the bucket count derived from the corpus count
+    (:func:`_rl_buckets` — key space grows with the corpus, expected
+    block size constant, candidate volume linear at ANY scale factor;
+    pinned by the flat-candidate-volume test in
+    tests/test_scale.py). A true pair can never split across buckets:
+    every perturbation leaves the 9-digit name suffix intact, and the
+    oracle derives the identical bucket count in its ``bknob`` CTE.
 
     Reference analog: none (extension surface — data-quality family,
     beside ``quality_reconciliation`` and ``dedup_editdist_confirm``).
@@ -4471,15 +4536,30 @@ def customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d_acctbal"),
         F.col("c_mktsegment").alias("d_mktsegment"),
     )
-    p1 = c.join(
-        dirty,
-        (c["c_nationkey"] == dirty["d_nationkey"])
-        & (F.expr("right(c_name, 3)") == F.expr("right(d_name, 3)")),
+    from ufload_spark.sources.tables import corpus_count
+
+    nb = _rl_buckets(corpus_count(spark, sf_dir, "customer"))
+
+    def hb(name_col: str):
+        return (
+            F.conv(F.substring(F.md5(F.expr(f"right({name_col}, 9)")), 1, 6), 16, 10)
+            .cast("bigint")
+            % F.lit(nb)
+        )
+
+    cb = c.withColumn("hb", hb("c_name"))
+    db = dirty.withColumn("hb", hb("d_name"))
+    p1 = cb.join(
+        db,
+        (cb["c_nationkey"] == db["d_nationkey"])
+        & (F.expr("right(c_name, 3)") == F.expr("right(d_name, 3)"))
+        & (cb["hb"] == db["hb"]),
     ).select(F.col("c_custkey").alias("a_key"), F.col("d_key").alias("b_key"))
-    p2 = c.join(
-        dirty,
-        (c["c_mktsegment"] == dirty["d_mktsegment"])
-        & (F.floor(c["c_acctbal"]) == F.floor(dirty["d_acctbal"])),
+    p2 = cb.join(
+        db,
+        (cb["c_mktsegment"] == db["d_mktsegment"])
+        & (F.floor(cb["c_acctbal"]) == F.floor(db["d_acctbal"]))
+        & (cb["hb"] == db["hb"]),
     ).select(F.col("c_custkey").alias("a_key"), F.col("d_key").alias("b_key"))
     cand = p1.unionByName(p2).distinct()
     w = {

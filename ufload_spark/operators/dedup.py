@@ -1685,11 +1685,23 @@ WINNOW_W = 4
 #: pos < 2^31 < 2^32 for ANY representable document (r8 advice: the old
 #: 2^20 pack went silently negative past ~1M k-grams).
 WINNOW_POSMOD = 1 << 32
-#: stop-fingerprint guard: a fingerprint shared by more than this many
-#: docs is boilerplate (license headers, navigation chrome) — dropping it
-#: bounds the candidate join's per-key fan-out at corpus scale
-WINNOW_MAX_DF = 32
+#: stop-fingerprint guard: a fingerprint shared by more than the df cap
+#: is boilerplate (license headers, navigation chrome) — dropping it
+#: bounds the candidate join's per-key fan-out at corpus scale. The cap
+#: is SELF-BOUNDING (r9, the lsh_r discipline): real duplicate clusters
+#: grow with the corpus, so a fixed cap silently sheds recall at 100×;
+#: maxdf(n) = max(32, 4*ceil(log2 n)) grows logarithmically — fan-out
+#: stays O(log² n) per fingerprint (120² at a billion docs) while cluster
+#: headroom tracks corpus growth. Oracle twin: the ``wknob`` scalar CTE.
+WINNOW_DF_FLOOR = 32
+WINNOW_DF_SLOPE = 4
 WINNOW_MIN_SHARED = 2
+
+
+def _winnow_maxdf(n_docs: int) -> int:
+    import math
+
+    return max(WINNOW_DF_FLOOR, WINNOW_DF_SLOPE * math.ceil(math.log2(max(n_docs, 2))))
 
 _WINNOW_FPS_CTE = f"""
 WITH tokens AS (
@@ -1767,8 +1779,14 @@ def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_winnowing_pairs",
     _WINNOW_FPS_CTE
     + f"""
-, live AS (
-  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
+, wknob AS (
+  SELECT greatest({WINNOW_DF_FLOOR},
+                  {WINNOW_DF_SLOPE} * CAST(ceil(log2(count(*))) AS INT))
+           AS maxdf
+  FROM documents
+), live AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING count(*) <= (SELECT maxdf FROM wknob)
 ), f AS (SELECT fps.* FROM fps SEMI JOIN live USING (fp)),
 sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM f GROUP BY doc_id),
 pairs AS (
@@ -1809,13 +1827,17 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: fingerprint selection is one window pass per doc behind
     the doc_id exchange the whole dedup family shares; the df cap drops
     boilerplate fingerprints BEFORE the pair join, bounding per-key
-    fan-out to :data:`WINNOW_MAX_DF`²; pairs come from a fingerprint
+    fan-out to :func:`_winnow_maxdf`² (corpus-derived, O(log² n) — the
+    knob formula lives in BOTH engines); pairs come from a fingerprint
     equi-join + pair-key aggregate — the banded-LSH shuffle shape, never
     all-pairs. Reference analog: none (extension surface, dedup family).
     """
+    from ufload_spark.sources.tables import corpus_count
+
+    maxdf = _winnow_maxdf(corpus_count(spark, sf_dir, "documents"))
     f = _winnow_fingerprints(spark, sf_dir)
     live = f.groupBy("fp").agg(F.count("*").alias("df")).where(
-        F.col("df") <= WINNOW_MAX_DF
+        F.col("df") <= F.lit(maxdf)
     ).select("fp")
     kept = f.join(live, "fp", "left_semi")
     sizes = kept.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))

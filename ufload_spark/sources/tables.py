@@ -86,6 +86,29 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (sf_dir, name) → row count. Corpus counts parameterize the
+#: self-bounding density knobs (LSH bits-per-band, record-linkage block
+#: fan-out, quantile-sample threshold, winnowing df cap): fixtures are
+#: immutable within a session, and a parquet count is a metadata-only
+#: footer scan, so one count per (dir, table) is the whole cost of making
+#: every knob scale-aware instead of a constant that is wrong at 100x.
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def corpus_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Cached row count of one fixture table — the plan-build-time input
+    to every corpus-derived knob (the ``lsh_r`` discipline: the Python
+    side derives a literal from this count; the oracle computes the
+    IDENTICAL formula in a scalar CTE over ``count(*)``, so both engines
+    agree at any scale factor)."""
+    import os as _os
+
+    key = (_os.path.abspath(sf_dir), name)
+    if key not in _COUNT_CACHE:
+        _COUNT_CACHE[key] = table(spark, sf_dir, name).count()
+    return _COUNT_CACHE[key]
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql() use."""
     for name in TABLES:
