@@ -123,6 +123,8 @@ HEADLINE = [
     "graph_hits_scores",           # HITS coupled iterations, integer mass (r8)
     "events_hmm_viterbi",          # grouped Arrow DP kernel, per-user lattice (r8)
     "customers_record_linkage",    # blocked FS linkage + confusion fold (r8)
+    # r9 additions
+    "graph_pagerank_bucketed",     # src-bucketed edge table, exchange-free edge side (r9)
 ]
 
 

@@ -1284,3 +1284,47 @@ def test_density_knobs_self_bound_across_sf(spark):
     n_big = corpus_count(spark, big, "documents")
     assert _winnow_maxdf(n_big) >= _winnow_maxdf(n_mid) >= WINNOW_DF_FLOOR
     assert _winnow_maxdf(1 << 30) == 4 * 30  # O(log n), not O(n)
+
+
+def test_bucketed_pagerank_iteration_join_no_edge_exchange(spark):
+    """r9: the bucketed cluster fallback for the shared graph edge table
+    is real, not documented — one PageRank iteration join against the
+    src-bucketed table, with broadcast disabled (the regime where the
+    fallback matters: rank vector too big to broadcast), must read the
+    edge side straight from its buckets (SelectedBucketsCount in the
+    scan, NO exchange between scan and join); the only shuffles are the
+    node-sized rank vector and the inflow aggregate."""
+    from ufload_spark.operators.graph import _bucketed_edges_table
+
+    name = _bucketed_edges_table(spark, SF_DIR)
+    edges = spark.table(name)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ranks = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("r", F.lit(1000))
+        )
+        inflow = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * w) div wout").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("fl"))
+        )
+        plan = _plan(inflow)
+        assert "SelectedBucketsCount" in plan  # bucket spec reached the scan
+        assert "BroadcastHashJoin" not in plan  # the fallback regime
+        # the edge-side scan feeds the join with no exchange: every
+        # hashpartitioning exchange in the plan is on the rank/aggregate
+        # key 'node', never on the edge table's 'src'
+        import re
+
+        for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", plan):
+            assert "node" in m.group(1), plan
+        assert inflow.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
