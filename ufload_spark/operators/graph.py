@@ -1085,15 +1085,25 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (extension surface — graph family, beside
     ``graph_label_propagation`` / ``graph_triangle_count``).
     """
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
+    from ufload_spark.sources.loader import memo_publish
+
+    # The pair set IS the published shared edge table (r9 — previously
+    # this re-ran the lineitem⋈orders join + distinct per invocation):
+    # pagerank_edges_w holds every undirected pair in both directions, so
+    # the customer-side rows (src even) are exactly the distinct (c, s)
+    # pairs. One pruned parquet scan replaces the corpus join — the same
+    # shared-artifact discipline as PageRank/LPA/BFS.
     pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("c"),
-            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        spark.read.parquet(
+            memo_publish(
+                spark,
+                "pagerank_edges_w",
+                sf_dir,
+                lambda: _build_pagerank_edges(spark, sf_dir),
+            )
         )
-        .distinct()
+        .where(F.col("src") % 2 == 0)
+        .select(F.col("src").alias("c"), F.col("dst").alias("s"))
     )
     pairs = pairs.localCheckpoint(eager=False)
 
