@@ -1328,3 +1328,114 @@ def test_bucketed_pagerank_iteration_join_no_edge_exchange(spark):
         assert inflow.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+#: r9 registry-wide partition-less-window allowlist (r8 verdict ask #4):
+#: every registered query whose OPTIMIZED plan contains a window with no
+#: partition spec must be listed here WITH the bound that makes the
+#: single-reducer sort safe. A new corpus-sized offender cannot land
+#: silently: it fails the scan below until someone states its bound here
+#: — and a stale entry (query fixed or renamed) fails the reverse check.
+PARTITIONLESS_WINDOW_BOUNDS = {
+    "corpus_priority_sample": "PRIO_K+1-row limit result (rank + tau min)",
+    "corpus_quota_apportion": "#sources-row quota frame",
+    "customer_spend_gini": "<=512-row spend-bin table",
+    "customers_abc_migration": "bounded bin-id tables (one per period)",
+    "delive_create_users": "config-sized login list (reference -createusers)",
+    "delive_hide_groups": "config-sized group-name list",
+    "delive_ilike_groups": "config-sized group-name list",
+    "delive_user_dept_join": "config-sized name list",
+    "events_chi2_independence": "event_type x segment contingency cells",
+    "events_churn_hazard": "calendar-bounded week frame",
+    "events_cumulative_distinct_users": "calendar-bounded day frame",
+    "events_emd_drift": "<=512-row value-bin frame",
+    "events_ks_drift_binned": "<=512-row value-bin frame",
+    "events_rfm_segmentation": "histogram-quantile bin frames",
+    "events_survival_km": "calendar-bounded week frame",
+    "features_quantile_binning": (
+        "corpus-count-bounded ~QBIN_SAMPLE_TARGET-row sample (r9 knob)"
+    ),
+    "graph_link_prediction": "LP_TOP_N-row limit result",
+    "lineitem_mutual_information": "36-cell contingency frame",
+    "orders_abc_analysis": "<=512-row bin table",
+    "orders_bootstrap_ci": "B-row bootstrap replica table",
+    "orders_changepoint_binseg": "calendar-bounded day frame",
+    "orders_exact_quartiles_select": "<=512-row bin cumsum frames",
+    "orders_forecast_holt_backtest": "calendar-bounded day frame",
+    "orders_forecast_hw_backtest": "calendar-bounded day frame",
+    "orders_mannwhitney_u": "value-bin frame",
+    "orders_peak_revenue_days": "calendar-bounded day frame",
+    "orders_revenue_growth": "calendar-bounded month frame",
+    "orders_seasonal_decompose": "calendar-bounded day frame",
+    "orders_theilsen_trend": "calendar-bounded day-pair slope frame",
+    "parts_abc_xyz_matrix": "bounded bin tables",
+    "parts_skyline_price_size": "price-bin frame",
+    "similarity_ivf_topk": "k-row hash-ordered k-means seed frames",
+    "similarity_pq_topk": "PQ_K-row hash-ordered seed frames",
+    "streaming_changepoint_monitor": "calendar-bounded day frame",
+    "streaming_emd_monitor": "<=512-row bin frame",
+    "text_bm25_search": "BM25_TOPK-row limit result",
+    "text_rake_keywords": "RAKE_TOP_N-row frame",
+    "text_zipf_fit": "top-vocab frame (orderBy+limit cut feeds the rank)",
+    "version_sort": (
+        "reference version-listing semantics: control-plane file list,"
+        " single-reducer sort by design"
+    ),
+}
+
+
+def _bracket_groups(s: str) -> list:
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _has_partitionless_window(plan: str) -> bool:
+    import re
+
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        gs = _bracket_groups(m.group(1))
+        if len(gs) >= 3:
+            continue  # [exprs], [partition], [order]
+        if len(gs) == 2 and not re.search(r"\b(ASC|DESC|NULLS)\b", gs[1]):
+            continue  # [exprs], [partition] (no order)
+        return True
+    return False
+
+
+def test_every_partitionless_window_is_allowlisted_with_a_bound(spark):
+    """r9, registry-wide (r8 verdict: the guard covered only two named
+    queries): scan EVERY registered query's optimized plan; a window with
+    no partition spec is legal only for queries listed in
+    :data:`PARTITIONLESS_WINDOW_BOUNDS` with an explicit input bound.
+    Also fails on stale allowlist entries, so the list can only ever
+    track reality."""
+    from ufload_spark.plans.registry import load_all
+
+    offenders = set()
+    for name, q in sorted(load_all().items()):
+        plan = q.fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+        if _has_partitionless_window(plan):
+            offenders.add(name)
+    unlisted = offenders - set(PARTITIONLESS_WINDOW_BOUNDS)
+    stale = set(PARTITIONLESS_WINDOW_BOUNDS) - offenders
+    assert not unlisted, (
+        "partition-less window with NO stated bound — either partition the "
+        f"window or add the bound to the allowlist: {sorted(unlisted)}"
+    )
+    assert not stale, f"allowlist entries no longer needed: {sorted(stale)}"
