@@ -987,3 +987,84 @@ def test_compact_published_reduces_files_preserves_rows(spark, tmp_path):
     again = compact_published(spark, target, target_bytes=1 << 30)
     assert again["files_before"] == 1 and again["files_after"] == 1
     assert again["rows"] == stats["rows"]
+
+
+def test_concurrent_pointer_publish_single_writer(spark, tmp_path):
+    """r9 (r8 verdict ask #5): the pointer publish's single-writer
+    contract is enforced by a lease, not assumed — a second concurrent
+    publisher fails cleanly with ConcurrentPublishError BEFORE writing a
+    version, instead of silently last-winning the pointer swap. The
+    reference analog is connection fencing before DDL (reference
+    ufload/db.py:573-597)."""
+    import threading
+
+    from ufload_spark.sources import loader
+    from ufload_spark.sources.loader import ConcurrentPublishError
+
+    target = str(tmp_path / "t")
+    df = table(spark, SF_DIR, "region")
+    n1 = loader.publish_versioned(spark, df, target)
+    assert loader.read_current(spark, target).count() == n1
+
+    # writer A mid-publish: its lease is live, so writer B must refuse
+    fs, _, jvm = loader._fs(spark, target)
+    token = loader._acquire_lease(fs, jvm, target, ttl_s=3600)
+    versions_before = {p for p in os.listdir(tmp_path) if ".v." in p}
+    with pytest.raises(ConcurrentPublishError):
+        loader.publish_versioned(spark, df.limit(2), target)
+    # the loser wrote NOTHING: no new version dir, pointer untouched
+    assert {p for p in os.listdir(tmp_path) if ".v." in p} == versions_before
+    assert loader.read_current(spark, target).count() == n1
+    loader._release_lease(fs, jvm, target, token)
+
+    # after release the next writer proceeds normally
+    assert loader.publish_versioned(spark, df.limit(2), target) == 2
+
+    # a real two-thread race: at least one publish commits; any loser
+    # fails with ConcurrentPublishError (never a silent interleave); the
+    # pointer resolves to a COMPLETE committed version either way
+    barrier = threading.Barrier(2)
+    results: dict = {}
+
+    def racer(tag: str, n: int) -> None:
+        barrier.wait()
+        try:
+            results[tag] = ("ok", loader.publish_versioned(spark, df.limit(n), target))
+        except ConcurrentPublishError as ex:
+            results[tag] = ("fenced", str(ex))
+        except Exception as ex:  # pragma: no cover - would fail the assert
+            results[tag] = ("error", repr(ex))
+
+    t1 = threading.Thread(target=racer, args=("a", 3))
+    t2 = threading.Thread(target=racer, args=("b", 4))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    outcomes = {tag: r[0] for tag, r in results.items()}
+    assert "error" not in outcomes.values(), results
+    assert list(outcomes.values()).count("ok") >= 1, results
+    winners = {r[1] for r in results.values() if r[0] == "ok"}
+    assert loader.read_current(spark, target).count() in winners
+    # no lease debris: the winner released, the loser never held
+    assert not os.path.exists(loader._lease_path(target))
+
+
+def test_stale_lease_broken_and_zombie_fenced(spark, tmp_path):
+    """A crashed holder's lease is broken after the TTL; the zombie
+    holder is then FENCED — its pre-swap token check fails instead of
+    clobbering the breaker's commit."""
+    from ufload_spark.sources import loader
+    from ufload_spark.sources.loader import ConcurrentPublishError
+
+    target = str(tmp_path / "t")
+    df = table(spark, SF_DIR, "region")
+    fs, _, jvm = loader._fs(spark, target)
+
+    # writer A acquires, then "crashes" (never releases)
+    zombie_token = loader._acquire_lease(fs, jvm, target, ttl_s=3600)
+    # writer B: with the lease inside its TTL it must refuse ...
+    with pytest.raises(ConcurrentPublishError):
+        loader.publish_versioned(spark, df, target)
+    # ... and with ttl=0 (lease deemed stale) it breaks the lease and wins
+    assert loader.publish_versioned(spark, df, target, lease_ttl_s=0.0) == 5
+    # the zombie comes back: its token is gone, the fence stops it
+    with pytest.raises(ConcurrentPublishError):
+        loader._check_lease(fs, jvm, target, zombie_token)

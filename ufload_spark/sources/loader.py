@@ -60,6 +60,17 @@ class AuditError(RuntimeError):
     """Staged data failed its pre-publish audit; nothing was published."""
 
 
+class ConcurrentPublishError(AuditError):
+    """A second writer holds the publish lease for this target. The
+    single-writer contract of the pointer publish is ENFORCED, not
+    assumed (r8 verdict): the loser fails cleanly before writing
+    anything, instead of silently last-winning the pointer swap. The
+    reference analog is connection fencing before DDL (reference
+    ufload/db.py:573-597: kill other sessions so exactly one writer
+    proceeds); on a filesystem the fence is an atomic create-if-absent
+    lease file."""
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -183,12 +194,95 @@ def _pointer_path(target: str) -> str:
     return f"{target}.current"
 
 
+def _lease_path(target: str) -> str:
+    return f"{target}.lease"
+
+
+#: a lease older than this is presumed crash debris (a publish at any SF is
+#: seconds; a holder that has held the lease for an hour is dead) and may be
+#: broken by the next writer. Same liveness discipline as ORPHAN_MIN_AGE_S.
+LEASE_TTL_S = 3600.0
+
+
+def _read_small(fs, jvm, jpath) -> str:
+    stream = fs.open(jpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _acquire_lease(fs, jvm, target: str, *, ttl_s: float) -> str:
+    """Take the publish lease for ``target`` via atomic create-if-absent
+    (``FileSystem.create(path, overwrite=false)`` — exactly one of any
+    number of racing writers gets the create; the rest raise). A stale
+    lease (older than ``ttl_s`` — its holder crashed mid-publish) is
+    broken with one delete + one more create attempt; losing THAT create
+    too means a live competitor re-acquired first, and we fail cleanly.
+    Returns the fencing token written into the lease."""
+    jlease = jvm.org.apache.hadoop.fs.Path(_lease_path(target))
+    token = f"{uuid.uuid4().hex}.{int(time.time() * 1000)}"
+
+    def try_create() -> bool:
+        try:
+            out = fs.create(jlease, False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(token.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    if try_create():
+        return token
+    try:
+        age_ms = time.time() * 1000 - fs.getFileStatus(jlease).getModificationTime()
+    except Exception:
+        age_ms = 0.0  # holder released between our create and stat: retry
+    if age_ms >= ttl_s * 1000 or not fs.exists(jlease):
+        fs.delete(jlease, False)
+        if try_create():
+            return token
+    raise ConcurrentPublishError(
+        f"another writer holds the publish lease {_lease_path(target)}; "
+        "refusing to race the pointer swap (single-writer contract)"
+    )
+
+
+def _release_lease(fs, jvm, target: str, token: str) -> None:
+    """Drop the lease iff we still own it (a breaker may have fenced us)."""
+    jlease = jvm.org.apache.hadoop.fs.Path(_lease_path(target))
+    try:
+        if fs.exists(jlease) and _read_small(fs, jvm, jlease) == token:
+            fs.delete(jlease, False)
+    except Exception:
+        pass  # lease debris is TTL-swept by the next writer
+
+
+def _check_lease(fs, jvm, target: str, token: str) -> None:
+    """Fencing check immediately before the pointer swap: if the lease no
+    longer carries OUR token, a competitor broke it as stale (we were
+    presumed dead) — abort rather than clobber its commit."""
+    jlease = jvm.org.apache.hadoop.fs.Path(_lease_path(target))
+    try:
+        held = fs.exists(jlease) and _read_small(fs, jvm, jlease) == token
+    except Exception:
+        held = False
+    if not held:
+        raise ConcurrentPublishError(
+            f"publish lease for {target} was broken mid-publish (holder "
+            "presumed dead); aborting before the pointer swap"
+        )
+
+
 def publish_versioned(
     spark: SparkSession,
     df: DataFrame,
     target: str,
     *,
     keep_versions: int = 1,
+    lease_ttl_s: float = LEASE_TTL_S,
 ) -> int:
     """Publish ``df`` under ``target`` with a pointer-file commit: write an
     immutable version dir ``<target>.v.<suffix>``, audit it, then atomically
@@ -202,32 +296,47 @@ def publish_versioned(
 
     ``keep_versions`` older versions are retained after commit for
     time-travel-ish debugging; the rest are swept (current is always kept).
+
+    Single-writer contract (r9): the whole version-write → audit →
+    pointer-swap span runs under a lease file (``<target>.lease``,
+    atomic create-if-absent; :func:`_acquire_lease`). A second concurrent
+    publisher raises :class:`ConcurrentPublishError` BEFORE writing
+    anything instead of silently last-winning the pointer; a crashed
+    holder's lease is broken after :data:`LEASE_TTL_S`, and the breaker's
+    fencing token check (:func:`_check_lease`) keeps a zombie holder from
+    clobbering the breaker's commit. Enforced by
+    ``test_concurrent_pointer_publish_single_writer``.
     """
-    suffix = f"{int(time.time() * 1000):x}.{uuid.uuid4().hex[:8]}"
-    version = f"{target}.v.{suffix}"
     fs, _, jvm = _fs(spark, target)
-    jversion = jvm.org.apache.hadoop.fs.Path(version)
+    token = _acquire_lease(fs, jvm, target, ttl_s=lease_ttl_s)
     try:
-        obs = Observation(f"version_audit_{suffix}")
-        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "overwrite"
-        ).parquet(version)
-        written = obs.get["rows"]
-        if written == 0:
-            raise AuditError(f"staged version {version} is empty")
-        audited = spark.read.parquet(version).count()
-        if audited != written:
-            raise AuditError(
-                f"version {version} has {audited} rows but the write observed "
-                f"{written}"
-            )
-        _commit_pointer(spark, fs, jvm, target, os.path.basename(version))
-    except Exception:
-        if fs.exists(jversion):
-            fs.delete(jversion, True)
-        raise
-    _sweep_versions(fs, jvm, target, keep=keep_versions)
-    return audited
+        suffix = f"{int(time.time() * 1000):x}.{uuid.uuid4().hex[:8]}"
+        version = f"{target}.v.{suffix}"
+        jversion = jvm.org.apache.hadoop.fs.Path(version)
+        try:
+            obs = Observation(f"version_audit_{suffix}")
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(version)
+            written = obs.get["rows"]
+            if written == 0:
+                raise AuditError(f"staged version {version} is empty")
+            audited = spark.read.parquet(version).count()
+            if audited != written:
+                raise AuditError(
+                    f"version {version} has {audited} rows but the write observed "
+                    f"{written}"
+                )
+            _check_lease(fs, jvm, target, token)
+            _commit_pointer(spark, fs, jvm, target, os.path.basename(version))
+        except Exception:
+            if fs.exists(jversion):
+                fs.delete(jversion, True)
+            raise
+        _sweep_versions(fs, jvm, target, keep=keep_versions)
+        return audited
+    finally:
+        _release_lease(fs, jvm, target, token)
 
 
 def _commit_log_path(target: str) -> str:
