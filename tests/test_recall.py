@@ -313,3 +313,87 @@ def test_winnowing_recall_on_planted_dups(spark, planted_dir):
         pairs.apply(lambda r: (r.doc_a, r.doc_b) in set(identical), axis=1)
     ]
     assert (ident_rows.overlap_micro >= 900_000).all()
+
+
+def test_winnowing_sigmod_guarantee_exact(spark, tmp_path):
+    """The SIGMOD 2003 winnowing theorem, asserted EXACTLY (r8 verdict
+    ask #6): with window W over k-gram hashes, ANY shared token run of
+    length >= W + k - 1 (here 4 + 3 - 1 = 6) places one full window of
+    identical k-gram hashes in both documents, and the window-min
+    selection (smallest hash, rightmost position — position packed below
+    the hash, so the selected HASH value is position-independent) picks
+    the same fingerprint in both. Detection is therefore guaranteed, not
+    probabilistic — unlike MinHash recall, this must be 100/100.
+
+    Fixture: 60 doc pairs of unique random tokens; each pair shares one
+    planted passage of exactly W+k-1 tokens at a DIFFERENT offset in
+    each doc (the guarantee is positional, offsets must not matter),
+    distinct passages per pair (so the df cap never bites). 20 of the
+    pairs get a second disjoint passage — those must ALSO surface in the
+    registered dedup_winnowing_pairs query (whose WINNOW_MIN_SHARED=2
+    needs two shared fingerprints)."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    from ufload_spark.operators.dedup import (
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+        _winnow_fingerprints,
+        dedup_winnowing_pairs,
+    )
+
+    K = 3  # shingle size in _winnow_fingerprints (3-gram)
+    run_len = WINNOW_W + K - 1
+    rng = random.Random(9)
+    uid = iter(f"u{i:06d}" for i in range(10**6))
+    rows = []
+    double_pairs, single_pairs = [], []
+    for p in range(60):
+        passage = [next(uid) for _ in range(run_len)]
+        passage2 = [next(uid) for _ in range(run_len)] if p % 3 == 0 else None
+        for side in (0, 1):
+            body = [next(uid) for _ in range(30 + rng.randrange(20))]
+            # different insertion offsets per side — the guarantee must
+            # hold regardless of where the shared run sits
+            at = rng.randrange(len(body))
+            toks = body[:at] + passage + body[at:]
+            if passage2 is not None:
+                # prepend/append (never a random offset — that could cut
+                # passage 1's run); sides still differ in position
+                toks = passage2 + toks if side == 0 else toks + passage2
+            rows.append((2 * p + side, " ".join(toks)))
+        (double_pairs if passage2 is not None else single_pairs).append(
+            (2 * p, 2 * p + 1)
+        )
+    df = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "planted",
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    pqt.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    fps = _winnow_fingerprints(spark, sf).toPandas()
+    by_doc = fps.groupby("doc_id")["fp"].apply(set).to_dict()
+    missed = [
+        (a, b)
+        for a, b in single_pairs + double_pairs
+        if not (by_doc.get(a, set()) & by_doc.get(b, set()))
+    ]
+    assert not missed, f"guarantee violated for pairs: {missed}"  # 60/60
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_winnowing_pairs(spark, sf).collect()
+    }
+    assert WINNOW_MIN_SHARED == 2  # the premise of the two-passage plant
+    missing_double = [p for p in double_pairs if p not in got]
+    assert not missing_double, f"two-passage pairs missed: {missing_double}"
