@@ -125,6 +125,9 @@ HEADLINE = [
     "customers_record_linkage",    # blocked FS linkage + confusion fold (r8)
     # r9 additions
     "graph_pagerank_bucketed",     # src-bucketed edge table, exchange-free edge side (r9)
+    "dedup_semantic_pairs",        # SemDeDup: corpus-derived k-means cells gate cosine pairs (r9)
+    "dedup_winnowing_incremental", # persisted fingerprint table, batch fp-probe (r9)
+    "graph_ppr_seeded",            # personalized PageRank, sparse seeded frontier (r9)
 ]
 
 

@@ -1809,9 +1809,24 @@ def test_record_linkage_matches_python_reference(spark):
         nat = (r["c_nationkey"] + 1) % 25 if k % 20 == 0 else r["c_nationkey"]
         bal = float(math.floor(r["c_acctbal"])) if k % 15 == 0 else r["c_acctbal"]
         dirty.append((k + 10_000_000, name, nat, bal, r["c_mktsegment"]))
+    # r9: both blocking passes carry the corpus-derived hash bucket of
+    # the stable name-suffix token — the replay mirrors the shipped
+    # formula exactly (at sf0.001 B=1 and the bucket is a no-op, but the
+    # reference must not silently encode the pre-knob blocking)
+    import hashlib
+
+    from ufload_spark.operators.analytics import _rl_buckets
+
+    B = _rl_buckets(len(cust))
+
+    def hb(name: str) -> int:
+        return int(hashlib.md5(name[-9:].encode()).hexdigest()[:6], 16) % B
+
     cand = set()
     for c in cust:
         for d in dirty:
+            if hb(c["c_name"]) != hb(d[1]):
+                continue
             if c["c_nationkey"] == d[2] and c["c_name"][-3:] == d[1][-3:]:
                 cand.add((c["c_custkey"], d[0]))
             if c["c_mktsegment"] == d[4] and math.floor(c["c_acctbal"]) == math.floor(d[3]):
@@ -1852,3 +1867,192 @@ def test_record_linkage_matches_python_reference(spark):
         for r in customers_record_linkage(spark, SF_DIR).collect()
     }
     assert got == {k: tuple(v) for k, v in cells.items()}
+
+
+def test_ppr_matches_python_reference(spark):
+    """graph_ppr_seeded vs a pure-Python exact-integer walk built from
+    the raw lineitem/orders/supplier rows (no Spark ops, no shared
+    code): same edge weights, same integer teleport/damping arithmetic,
+    same sparse frontier — ranks must be bit-equal."""
+    from collections import defaultdict
+
+    from ufload_spark.operators.graph import (
+        PPR_SEED_NATION,
+        PR_DAMP_PCT,
+        PR_ITERS,
+        PR_MASS,
+        graph_ppr_seeded,
+    )
+    from ufload_spark.sources.tables import table
+
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey").collect()
+    }
+    w: dict = defaultdict(int)
+    for r in li:
+        ck = orders.get(r["l_orderkey"])
+        if ck is None:
+            continue
+        c, s = ck * 2, r["l_suppkey"] * 2 + 1
+        w[(c, s)] += 1
+    edges: dict = defaultdict(list)
+    wout: dict = defaultdict(int)
+    for (c, s), n in w.items():
+        for src, dst in ((c, s), (s, c)):
+            edges[src].append((dst, n))
+            wout[src] += n
+    nodes = set(edges)
+    seeds = {
+        r["s_suppkey"] * 2 + 1
+        for r in table(spark, SF_DIR, "supplier")
+        .where(F.col("s_nationkey") == PPR_SEED_NATION)
+        .select("s_suppkey")
+        .collect()
+    }
+    ns = len(seeds)
+    r0 = {n: (PR_MASS // ns if n in seeds else 0) for n in nodes}
+    base = ((100 - PR_DAMP_PCT) * (PR_MASS // ns)) // 100
+    for _ in range(PR_ITERS):
+        fl: dict = defaultdict(int)
+        for src, r in r0.items():
+            if r <= 0:
+                continue
+            for dst, ew in edges[src]:
+                fl[dst] += (r * ew) // wout[src]
+        r0 = {
+            n: (base if n in seeds else 0) + (PR_DAMP_PCT * fl.get(n, 0)) // 100
+            for n in nodes
+        }
+    want = {n: r for n, r in r0.items() if r > 0}
+    got = {
+        r["node"]: r["rank_micro"] for r in graph_ppr_seeded(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_semdedup_matches_python_reference(spark):
+    """dedup_semantic_pairs vs a numpy replay of the full pipeline
+    (hash-ordered seeding, 3 rounded Lloyd rounds, argmin assignment,
+    cell pairs, cosine, the centroid-typicality drop rule) — identical
+    pair set and drop decisions."""
+    import hashlib
+
+    import numpy as np
+
+    from ufload_spark.operators.similarity import (
+        KMEANS_ITERS,
+        SEM_COS_T,
+        TRAIN_SAMPLE_MOD,
+        _R,
+        _sem_k,
+        dedup_semantic_pairs,
+    )
+    from ufload_spark.sources.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    V = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for r in emb}
+    k = _sem_k(len(V))
+    train = [
+        v
+        for v in V
+        if int(hashlib.md5(str(v).encode()).hexdigest()[:4], 16) % TRAIN_SAMPLE_MOD == 0
+    ]
+    seeds = sorted(train, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))[:k]
+    cent = {cid: V[v].copy() for cid, v in enumerate(seeds)}
+
+    def assign(ids):
+        out = {}
+        for v in ids:
+            best = min(
+                (round(float(((V[v] - c) ** 2).sum()), _R), cid)
+                for cid, c in cent.items()
+            )
+            out[v] = best[1]
+        return out
+
+    for _ in range(KMEANS_ITERS):
+        a = assign(train)
+        for cid in cent:
+            members = [V[v] for v, c in a.items() if c == cid]
+            if members:
+                cent[cid] = np.round(np.mean(members, axis=0), _R)
+    full = assign(list(V))
+    dists = {
+        v: round(float(((V[v] - cent[full[v]]) ** 2).sum()), _R) for v in V
+    }
+    cells: dict = {}
+    for v, c in full.items():
+        cells.setdefault(c, []).append(v)
+    want = {}
+    for c, members in cells.items():
+        members.sort()
+        for i, a_ in enumerate(members):
+            for b_ in members[i + 1 :]:
+                cos = round(
+                    float(V[a_] @ V[b_])
+                    / (float(np.linalg.norm(V[a_])) * float(np.linalg.norm(V[b_]))),
+                    6,
+                )
+                if cos >= SEM_COS_T:
+                    da, db = dists[a_], dists[b_]
+                    drop = a_ if da < db else b_ if db < da else max(a_, b_)
+                    want[(a_, b_)] = (c, cos, drop)
+    got = {
+        (r["vec_a"], r["vec_b"]): (r["cell"], r["cosine"], r["drop_id"])
+        for r in dedup_semantic_pairs(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_winnowing_incremental_matches_python_reference(spark):
+    """dedup_winnowing_incremental vs a pure-Python replay: fingerprints
+    from the hand-rolled winnower (the same reference as
+    test_winnowing_fingerprints_match_python_reference), batch/corpus
+    split, df cap, shared-fp decision — identical survivor set."""
+    import hashlib
+
+    from ufload_spark.operators.dedup import (
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+        _winnow_maxdf,
+        dedup_winnowing_incremental,
+    )
+    from ufload_spark.sources.tables import table
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    fps: dict = {}
+    for r in docs:
+        toks = r["text"].strip().lower().split()
+        if len(toks) < 3:
+            continue
+        hs = [
+            int(hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[:6], 16)
+            for i in range(len(toks) - 2)
+        ]
+        got_fps = set()
+        for s in range(0, len(hs) - WINNOW_W + 1):
+            win = hs[s : s + WINNOW_W]
+            m = min(win)
+            j = max(i for i, h in enumerate(win) if h == m)
+            got_fps.add(hs[s + j])
+        if got_fps:
+            fps[r["doc_id"]] = got_fps
+    maxdf = _winnow_maxdf(len(docs))
+    batch = {d: f for d, f in fps.items() if d % 4 == 0}
+    existing = {d: f for d, f in fps.items() if d % 4 != 0}
+    df: dict = {}
+    for f in existing.values():
+        for fp in f:
+            df[fp] = df.get(fp, 0) + 1
+    live = {fp for fp, n in df.items() if n <= maxdf}
+    survivors = {
+        d
+        for d, f in batch.items()
+        if not any(
+            len((f & ef) & live) >= WINNOW_MIN_SHARED for ef in existing.values()
+        )
+    }
+    got = {r["doc_id"] for r in dedup_winnowing_incremental(spark, SF_DIR).collect()}
+    assert got == survivors

@@ -1866,3 +1866,89 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_micro"),
         )
     )
+
+
+@register(
+    "dedup_winnowing_incremental",
+    _WINNOW_FPS_CTE
+    + f"""
+, wknob AS (
+  SELECT greatest({WINNOW_DF_FLOOR},
+                  {WINNOW_DF_SLOPE} * CAST(ceil(log2(count(*))) AS INT))
+           AS maxdf
+  FROM documents
+), batch AS (SELECT * FROM fps WHERE doc_id % 4 = 0),
+existing AS (SELECT * FROM fps WHERE doc_id % 4 <> 0),
+live AS (
+  SELECT fp FROM existing GROUP BY fp
+  HAVING count(*) <= (SELECT maxdf FROM wknob)
+), ex AS (SELECT existing.* FROM existing SEMI JOIN live USING (fp)),
+hits AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS shared
+  FROM batch b JOIN ex e ON b.fp = e.fp
+  GROUP BY b.doc_id, e.doc_id
+), collided AS (
+  SELECT DISTINCT doc_id FROM hits WHERE shared >= {WINNOW_MIN_SHARED}
+)
+SELECT doc_id FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM collided)
+GROUP BY doc_id
+""",
+    doc="incremental winnowing dedup against a PERSISTED fingerprint "
+    "table: the batch fingerprints only its own docs and probes the "
+    "published df-capped corpus fingerprints; survivors (no corpus doc "
+    f"sharing >= {WINNOW_MIN_SHARED} fingerprints) are appendable",
+)
+def dedup_winnowing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growing-corpus lifecycle for winnowing, completing the
+    incremental family (exact / MinHash / SimHash / hyperplane-LSH / IVF
+    / PQ / spans / multimodal → winnowing): corpus fingerprints are
+    PERSISTED through the staged loader (stage → audit → atomic publish,
+    read back from parquet — the `dedup_minhash_persist_roundtrip`
+    discipline), an incoming batch fingerprints only ITS OWN documents
+    and probes the published table on the fp key; a batch doc sharing
+    >= :data:`WINNOW_MIN_SHARED` fingerprints with any single corpus doc
+    is a near-dup (same decision rule as `dedup_winnowing_pairs`), the
+    rest are the appendable survivors.
+
+    Scale shape: per batch the cost is batch-sized fingerprint selection
+    (one partitioned window pass) plus one fp equi-join against the
+    published table whose per-key fan-out the corpus-derived df cap
+    (:func:`_winnow_maxdf`, oracle twin ``wknob``) bounds — the corpus
+    is never re-tokenized, and the published table grows by one append
+    per ingested batch.
+
+    Reference analog: none — extension surface (dedup family lifecycle).
+    """
+    import os
+
+    from ufload_spark.sources.loader import _scratch_unique, stage_and_publish
+    from ufload_spark.sources.tables import corpus_count
+
+    maxdf = _winnow_maxdf(corpus_count(spark, sf_dir, "documents"))
+    fps = _winnow_fingerprints(spark, sf_dir)
+    existing = fps.where(F.col("doc_id") % 4 != 0)
+    target = _scratch_unique(
+        f"winnow_fps_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+    stage_and_publish(spark, existing, target)
+    persisted = spark.read.parquet(target)
+    live = (
+        persisted.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= F.lit(maxdf))
+        .select("fp")
+    )
+    ex = persisted.join(live, "fp", "left_semi")
+    batch = fps.where(F.col("doc_id") % 4 == 0)
+    collided = (
+        batch.alias("b")
+        .join(ex.alias("e"), "fp")
+        .groupBy(F.col("b.doc_id").alias("doc_id"), F.col("e.doc_id").alias("eid"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= WINNOW_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        batch.select("doc_id").distinct().join(collided, "doc_id", "left_anti")
+    )

@@ -319,6 +319,162 @@ def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle() -> str:
+    base = f"((100 - {PR_DAMP_PCT}) * ({PR_MASS} // ns)) // 100"
+    parts = [
+        _EDGES_CTE,
+        f""", seeds AS (
+  SELECT DISTINCT s_suppkey * 2 + 1 AS node
+  FROM supplier WHERE s_nationkey = {PPR_SEED_NATION}
+), nsk AS (
+  SELECT CAST(count(*) AS BIGINT) AS ns FROM seeds
+), p0 AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN {PR_MASS} // ns ELSE 0 END AS r
+  FROM nodes n LEFT JOIN seeds s ON n.node = s.node, nsk
+)""",
+    ]
+    for k in range(1, PR_ITERS + 1):
+        prev = f"p{k - 1}"
+        parts.append(
+            f""", pin{k} AS (
+  SELECT e.dst AS node, CAST(sum((r.r * e.w) // o.wout) AS BIGINT) AS fl
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node AND r.r > 0
+  JOIN outw o ON e.src = o.src
+  GROUP BY e.dst
+), p{k} AS (
+  SELECT n.node,
+         (CASE WHEN s.node IS NOT NULL THEN {base} ELSE 0 END)
+           + ({PR_DAMP_PCT} * coalesce(i.fl, 0)) // 100 AS r
+  FROM nodes n
+  LEFT JOIN seeds s ON n.node = s.node
+  LEFT JOIN pin{k} i ON i.node = n.node, nsk
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       CAST(node // 2 AS BIGINT) AS entity_key,
+       CAST(r AS BIGINT) AS rank_micro
+FROM p{PR_ITERS} WHERE r > 0"""
+    )
+    return "".join(parts)
+
+
+#: personalized-PageRank teleport set: suppliers of this nation (the BFS
+#: seed set — both audits walk outward from the same anchor community)
+PPR_SEED_NATION = 3
+
+
+@register(
+    "graph_ppr_seeded",
+    _ppr_oracle(),
+    doc=f"personalized PageRank: teleport mass restarts at nation-"
+    f"{PPR_SEED_NATION} suppliers only, {PR_ITERS} iterations in exact "
+    "integer micro-units; emits the reachable nodes (r > 0) — proximity "
+    "to the seed community, the random-walk-with-restart recommender",
+)
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart): identical
+    integer lattice to :func:`graph_pagerank_purchases`, but the
+    (100−damp)% teleport mass restarts ONLY at the seed set (nation-
+    :data:`PPR_SEED_NATION` suppliers) instead of uniformly — the
+    standard proximity score for "more like these" recommendations and
+    community seeding (Page et al. 1999 §6; Jeh & Widom 2003 make it the
+    recommender primitive). Nodes the walk never reaches stay at exactly
+    0 and are dropped, so the output is the seed community's neighborhood
+    ranked by walk proximity.
+
+    Exactness: seed mass is ``MASS div n_seeds`` integer micro-units;
+    every update is the same integer multiply/div as PageRank, so ranks
+    are bit-identical across engines and cluster sizes.
+
+    Scale shape: same per-iteration plan as PageRank — the rank vector
+    (here SPARSE: only reached nodes, ``r > 0`` pushed into the join)
+    broadcasts onto the persisted shared edge table, one keyed aggregate
+    per iteration; the zero-mass frontier never enters the shuffle, so
+    early iterations touch only the seed neighborhood — the locality
+    that makes PPR cheap at 100 TB when the seed set is small.
+
+    Reference analog: none (extension surface — graph family; the seeded
+    sibling of ``graph_pagerank_purchases``, sharing its published edge
+    artifact and its oracle discipline).
+    """
+    from ufload_spark.sources.loader import memo_publish
+
+    edges = spark.read.parquet(
+        memo_publish(
+            spark,
+            "pagerank_edges_w",
+            sf_dir,
+            lambda: _build_pagerank_edges(spark, sf_dir),
+        )
+    ).persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == PPR_SEED_NATION)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+        .distinct()
+    )
+    # seeds that trade (appear in the graph) — keeps both engines on the
+    # same node universe; ns counts ALL seeds, exactly as the oracle does
+    ns = seeds.groupBy().agg(F.count("*").alias("ns"))
+    seed_marked = nodes.join(
+        F.broadcast(seeds.withColumn("is_seed", F.lit(1))), "node", "left"
+    ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    ranks = seed_marked.crossJoin(F.broadcast(ns)).select(
+        "node",
+        "is_seed",
+        F.when(F.col("is_seed") == 1, F.expr(f"{PR_MASS} div ns"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    base = F.expr(f"((100 - {PR_DAMP_PCT}) * ({PR_MASS} div ns)) div 100")
+    for _ in range(PR_ITERS):
+        # only the reached frontier (r > 0) rides the broadcast — the
+        # sparsity that keeps early iterations seed-local
+        live = ranks.where(F.col("r") > 0).select("node", "r")
+        inflow = (
+            edges.join(F.broadcast(live), edges.src == live.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * w) div wout").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("fl"))
+        )
+        ranks = (
+            seed_marked.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.when(F.col("is_seed") == 1, base).otherwise(F.lit(0))
+                    + F.expr(f"({PR_DAMP_PCT} * coalesce(fl, 0)) div 100")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return (
+        ranks.where(F.col("r") > 0)
+        .select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("node div 2").cast("bigint").alias("entity_key"),
+            F.col("r").cast("bigint").alias("rank_micro"),
+        )
+    )
+
+
 #: Triangle-count thresholds: an edge is a part pair co-purchased in at
 #: least this many distinct orders (keeps the graph sparse and meaningful).
 TRI_EDGE_MINSUP = 2

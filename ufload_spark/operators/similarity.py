@@ -651,10 +651,17 @@ def kmeans_centroids(
     return cent
 
 
-def _kmeans_ctes(k: int = N_CENTROIDS, iters: int = KMEANS_ITERS) -> str:
+def _kmeans_ctes(
+    k: int = N_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+    limit_expr: str | None = None,
+) -> str:
     """The DuckDB twin of :func:`kmeans_centroids`: Lloyd iterations
     unrolled as chained CTEs over a long-form (cid, i, ci) centroid table.
-    Ends by defining ``centf`` = the trained centroids."""
+    Ends by defining ``centf`` = the trained centroids. ``limit_expr``
+    overrides the seed LIMIT with a SQL expression (e.g. a scalar-subquery
+    knob CTE) — only the seed count depends on k, the iteration CTEs are
+    k-free, so a corpus-derived k needs no structural change."""
     ctes = [
         f"idx AS (SELECT unnest(range(1, {DIM + 1})) AS i)",
         f"""train AS (
@@ -666,7 +673,7 @@ def _kmeans_ctes(k: int = N_CENTROIDS, iters: int = KMEANS_ITERS) -> str:
          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
            AS cid
   FROM train
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})""",
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {limit_expr or k})""",
         """cent0 AS (
   SELECT CAST(s.cid AS INT) AS cid, x.i, CAST(e.embedding[x.i] AS DOUBLE) AS ci
   FROM seeds s JOIN train e USING (vec_id), idx x)""",
@@ -859,6 +866,155 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= DEDUP_COS_THRESHOLD)
         .select(F.col("vec_b").alias("dropped_vec_id"))
         .distinct()
+    )
+
+
+# --- SemDeDup: k-means-cell-gated semantic near-dedup ----------------------
+
+#: target expected cell population for the SemDeDup quantizer — the cell
+#: count k is DERIVED from the corpus count (r9 knob discipline, lsh_r
+#: style): k(n) = max(N_CENTROIDS, ceil(n / SEM_CELL_TARGET)), so the
+#: within-cell pair join's per-key fan-out stays ~SEM_CELL_TARGET² at ANY
+#: corpus size instead of degrading quadratically under a fixed k.
+SEM_CELL_TARGET = 64
+#: cosine threshold above which two same-cell vectors are semantic dups
+SEM_COS_T = 0.4
+
+
+def _sem_k(n_vectors: int) -> int:
+    return max(N_CENTROIDS, (n_vectors + SEM_CELL_TARGET - 1) // SEM_CELL_TARGET)
+
+
+_SEMDEDUP_ORACLE = (
+    f"""WITH sknob AS (
+  SELECT greatest({N_CENTROIDS},
+                  (count(*) + {SEM_CELL_TARGET - 1}) // {SEM_CELL_TARGET}) AS k
+  FROM embeddings
+),
+"""
+    + _kmeans_ctes(limit_expr="(SELECT k FROM sknob)")
+    + f""",
+ad AS (
+  SELECT e.vec_id, c.cid,
+         round(sum(pow(CAST(e.embedding[c.i] AS DOUBLE) - c.ci, 2)), {_R}) AS d
+  FROM embeddings e JOIN centf c ON true GROUP BY e.vec_id, c.cid
+), asn AS (
+  SELECT vec_id, cid AS cell, d FROM (
+    SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, cid) AS rn FROM ad
+  ) WHERE rn = 1
+), prs AS (
+  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.d AS da, b.d AS db
+  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), cosd AS (
+  SELECT p.cell, p.vec_a, p.vec_b, p.da, p.db,
+         round({_cosine_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine
+  FROM prs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b, idx
+  GROUP BY p.cell, p.vec_a, p.vec_b, p.da, p.db
+)
+SELECT CAST(cell AS INT) AS cell, vec_a, vec_b, cosine,
+       CASE WHEN da < db THEN vec_a
+            WHEN db < da THEN vec_b
+            ELSE greatest(vec_a, vec_b) END AS drop_id
+FROM cosd WHERE cosine >= {SEM_COS_T}
+"""
+)
+
+
+@register(
+    "dedup_semantic_pairs",
+    _SEMDEDUP_ORACLE,
+    doc="SemDeDup semantic near-dedup: k-means cells (k corpus-derived) "
+    "gate the pair join, exact cosine inside cells only, drop the member "
+    "closer to its centroid (the more typical one — diversity-preserving)",
+)
+def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): semantic near-duplicates
+    are found by clustering embeddings with k-means and comparing pairs
+    ONLY within a cell — the cluster plays the role LSH bands play for
+    MinHash, but in embedding space, so paraphrases land in the same cell
+    even when no token shingle is shared. Within a cell, pairs above
+    :data:`SEM_COS_T` cosine are dups; the DROPPED member is the one
+    CLOSER to the cell centroid (squared-L2 ``d`` from the assignment,
+    rounded to the shared ``_R`` decimals; ties drop the higher vec_id) —
+    the paper's diversity-preserving rule: keep the atypical example,
+    shed the redundant typical one.
+
+    Self-bounding (r9 knob discipline): the cell count is DERIVED from
+    the corpus count — ``k(n) = max(N_CENTROIDS, ceil(n /``
+    :data:`SEM_CELL_TARGET```))`` — in both engines (Spark:
+    :func:`_sem_k` over the cached count; oracle: the ``sknob`` scalar
+    CTE feeding the seed LIMIT), so expected cell population and
+    therefore per-key pair fan-out stay ~constant at any scale factor.
+
+    Scale shape: the quantizer trains on the content-addressed 1/4
+    sample; assignment broadcasts the k×DIM centroid table against one
+    corpus scan (at k beyond broadcast size — ~10^6 cells — production
+    uses a two-level coarse quantizer, the IVF-in-IVF ladder; stated,
+    not silent); the pair join is a cell equi-join with bounded fan-out,
+    never all-pairs; exact cosine runs on candidates only. One shuffle
+    on the cell key, one on vec_id for the assignment argmin.
+
+    Reference analog: none (extension surface — dedup family, the
+    embedding-space sibling of ``dedup_minhash_lsh_pairs``; complements
+    ``dedup_embedding_cosine``'s hyperplane-LSH retrieval with the
+    cluster-gated formulation whose keep/drop rule is centroid-aware).
+    """
+    from ufload_spark.sources.tables import corpus_count
+
+    e = table(spark, sf_dir, "embeddings")
+    k = _sem_k(corpus_count(spark, sf_dir, "embeddings"))
+    cent = kmeans_centroids(train_sample(e), k=k)
+
+    def d2(a: str) -> Column:
+        return F.round(
+            sqdist(F.transform(a, lambda x: x.cast("double")), F.col("ce")), _R
+        )
+
+    w_vec = Window.partitionBy("vec_id").orderBy("d", "cid")
+    asn = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", d2("embedding").alias("d"))
+        .withColumn("rn", F.row_number().over(w_vec))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"), "d")
+    )
+    a = asn.select(
+        "cell",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("d").alias("da"),
+    )
+    b = asn.select(
+        "cell",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("d").alias("db"),
+    )
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(sqnorm(F.col("ea"))) * F.sqrt(sqnorm(F.col("eb")))),
+        6,
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("cell", "vec_a", "vec_b", cos.alias("cosine"), "da", "db")
+        .where(F.col("cosine") >= SEM_COS_T)
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            "vec_a",
+            "vec_b",
+            "cosine",
+            F.when(F.col("da") < F.col("db"), F.col("vec_a"))
+            .when(F.col("db") < F.col("da"), F.col("vec_b"))
+            .otherwise(F.greatest("vec_a", "vec_b"))
+            .alias("drop_id"),
+        )
     )
 
 
