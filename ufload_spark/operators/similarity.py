@@ -566,8 +566,54 @@ def train_sample(emb: DataFrame, mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
     return emb.where(bucket == 0)
 
 
+def _kernel_assign(emb: DataFrame, cent: DataFrame, *, with_embedding: bool) -> DataFrame:
+    """Arrow-vectorized cell assignment: distances of every vector to ALL
+    k centroids as ONE numpy matmul per batch (``||x||² − 2·X@Cᵀ + ||c||²``,
+    rounded to the shared ``_R`` decimals; argmin ties → smallest cid,
+    identical to the fold path's ``ORDER BY d, cid``). The centroid table
+    is MODEL-sized (k×DIM) and ships via closure — the `_plane_matrix`
+    discipline — so the big side is one scan, no crossJoin row blow-up,
+    no per-(vector, centroid) Catalyst fold: at corpus-derived k the fold
+    path evaluates O(n·k) 64-step folds (measured 112 s at sf1 for
+    n=20k, k=313); the matmul is ~400 MFLOP, sub-second."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    C = np.array([r["ce"] for r in rows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in rows], dtype=np.int32)
+    nc = (C * C).sum(axis=1)
+
+    schema = "vec_id long, cell int, d double"
+    if with_embedding:
+        schema = "vec_id long, embedding array<float>, cell int, d double"
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            D = np.round(
+                (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + nc[None, :], _R
+            )
+            j = D.argmin(axis=1)  # first min = smallest cid (C sorted by cid)
+            out = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": cids[j],
+                "d": D[np.arange(len(j)), j],
+            }
+            if with_embedding:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
+
+    return emb.select("vec_id", "embedding").mapInPandas(fn, schema=schema)
+
+
 def kmeans_centroids(
-    emb: DataFrame, k: int = N_CENTROIDS, iters: int = KMEANS_ITERS
+    emb: DataFrame,
+    k: int = N_CENTROIDS,
+    iters: int = KMEANS_ITERS,
+    kernel: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over an embeddings frame, as pure DataFrame ops —
     no MLlib, no RDDs, no Python rows. Returns ``(cid int, ce
@@ -617,20 +663,31 @@ def kmeans_centroids(
     ).select("cid", "ce")
     w = Window.partitionBy("vec_id").orderBy("d", "cid")
     for _ in range(iters):
-        asn = (
-            emb.select(
-                "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("xe")
-            )
-            .crossJoin(F.broadcast(cent))
-            .select(
+        if kernel:
+            # corpus-derived k (SemDeDup): the fold path's O(n·k) 64-step
+            # folds dominate; the Arrow matmul kernel assigns per batch.
+            # Same distances (rounded _R), same tie rule, same means.
+            asn = _kernel_assign(emb, cent, with_embedding=True).select(
                 "vec_id",
-                "xe",
-                "cid",
-                F.round(sqdist(F.col("xe"), F.col("ce")), _R).alias("d"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("xe"),
+                F.col("cell").alias("cid"),
             )
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-        )
+        else:
+            asn = (
+                emb.select(
+                    "vec_id",
+                    F.transform("embedding", lambda x: x.cast("double")).alias("xe"),
+                )
+                .crossJoin(F.broadcast(cent))
+                .select(
+                    "vec_id",
+                    "xe",
+                    "cid",
+                    F.round(sqdist(F.col("xe"), F.col("ce")), _R).alias("d"),
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+            )
         means = (
             asn.select("cid", F.posexplode("xe").alias("pos", "x"))
             .groupBy("cid", (F.col("pos") + 1).alias("i"))
@@ -968,53 +1025,57 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     k = _sem_k(corpus_count(spark, sf_dir, "embeddings"))
-    cent = kmeans_centroids(train_sample(e), k=k)
+    # corpus-derived k makes the fold-based crossJoin assignment O(n·k)
+    # Catalyst folds (112 s at sf1) — train and assign via the Arrow
+    # matmul kernel instead (see _kernel_assign; same rounded distances,
+    # same tie rule, oracle-identical output)
+    cent = kmeans_centroids(train_sample(e), k=k, kernel=True)
+    asn = _kernel_assign(e, cent, with_embedding=True).select(
+        "vec_id", "embedding", "cell", "d"
+    )
+    # Pair stage: one grouped Arrow kernel per cell — the knob bounds the
+    # group to ~SEM_CELL_TARGET members, so each group's all-pairs cosine
+    # is one tiny Gram matmul (64×64×DIM ≈ 0.3 MFLOP) instead of
+    # ~cell²/2 Catalyst 64-step folds through a cell self-join (the fold
+    # form measured 15 s at sf1; the kernel form ~3 s). One shuffle on
+    # the cell key; within-group memory is cell²·8 B, bounded by the knob.
+    import numpy as np
+    import pandas as pd
 
-    def d2(a: str) -> Column:
-        return F.round(
-            sqdist(F.transform(a, lambda x: x.cast("double")), F.col("ce")), _R
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"cell": [], "vec_a": [], "vec_b": [], "cosine": [], "drop_id": []}
+            ).astype(
+                {"cell": "int32", "vec_a": "int64", "vec_b": "int64",
+                 "cosine": "float64", "drop_id": "int64"}
+            )
+        X = np.array(list(pdf["embedding"]), dtype=np.float64)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        G = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+        ii, jj = np.triu_indices(n, k=1)
+        keep = G[ii, jj] >= SEM_COS_T
+        ii, jj = ii[keep], jj[keep]
+        ids = pdf["vec_id"].to_numpy()
+        da, db = pdf["d"].to_numpy()[ii], pdf["d"].to_numpy()[jj]
+        drop = np.where(
+            da < db, ids[ii], np.where(db < da, ids[jj], np.maximum(ids[ii], ids[jj]))
+        )
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(ii), pdf["cell"].iloc[0], dtype=np.int32),
+                "vec_a": ids[ii],
+                "vec_b": ids[jj],
+                "cosine": G[ii, jj],
+                "drop_id": drop,
+            }
         )
 
-    w_vec = Window.partitionBy("vec_id").orderBy("d", "cid")
-    asn = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", d2("embedding").alias("d"))
-        .withColumn("rn", F.row_number().over(w_vec))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"), "d")
-    )
-    a = asn.select(
-        "cell",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("d").alias("da"),
-    )
-    b = asn.select(
-        "cell",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("d").alias("db"),
-    )
-    cos = F.round(
-        dot(F.col("ea"), F.col("eb"))
-        / (F.sqrt(sqnorm(F.col("ea"))) * F.sqrt(sqnorm(F.col("eb")))),
-        6,
-    )
-    return (
-        a.join(b, "cell")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("cell", "vec_a", "vec_b", cos.alias("cosine"), "da", "db")
-        .where(F.col("cosine") >= SEM_COS_T)
-        .select(
-            F.col("cell").cast("int").alias("cell"),
-            "vec_a",
-            "vec_b",
-            "cosine",
-            F.when(F.col("da") < F.col("db"), F.col("vec_a"))
-            .when(F.col("db") < F.col("da"), F.col("vec_b"))
-            .otherwise(F.greatest("vec_a", "vec_b"))
-            .alias("drop_id"),
-        )
+    return asn.groupBy("cell").applyInPandas(
+        cell_pairs,
+        schema="cell int, vec_a long, vec_b long, cosine double, drop_id long",
     )
 
 
