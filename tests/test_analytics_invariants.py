@@ -2056,3 +2056,24 @@ def test_winnowing_incremental_matches_python_reference(spark):
     }
     got = {r["doc_id"] for r in dedup_winnowing_incremental(spark, SF_DIR).collect()}
     assert got == survivors
+
+
+def test_semantic_cell_quality_invariants(spark):
+    """similarity_semantic_cell_quality: membership partitions the
+    corpus exactly; margins are non-negative (d2 is the SECOND-nearest);
+    cells match dedup_semantic_pairs' assignment universe (same trained
+    quantizer, same tie rules)."""
+    from ufload_spark.operators.similarity import (
+        _sem_k,
+        similarity_semantic_cell_quality,
+    )
+    from ufload_spark.sources.tables import corpus_count, table
+
+    rows = similarity_semantic_cell_quality(spark, SF_DIR).collect()
+    n = corpus_count(spark, SF_DIR, "embeddings")
+    assert sum(r["n_members"] for r in rows) == n
+    assert all(r["mean_margin"] >= 0 for r in rows)
+    assert all(r["mean_intra"] >= 0 for r in rows)
+    k = _sem_k(n)
+    assert len(rows) <= k
+    assert all(0 <= r["cell"] < k for r in rows)

@@ -1341,9 +1341,6 @@ PARTITIONLESS_WINDOW_BOUNDS = {
     "corpus_quota_apportion": "#sources-row quota frame",
     "customer_spend_gini": "<=512-row spend-bin table",
     "customers_abc_migration": "bounded bin-id tables (one per period)",
-    "dedup_semantic_pairs": (
-        "k-row hash-ordered k-means seed frame (k corpus-derived, r9)"
-    ),
     "delive_create_users": "config-sized login list (reference -createusers)",
     "delive_hide_groups": "config-sized group-name list",
     "delive_ilike_groups": "config-sized group-name list",

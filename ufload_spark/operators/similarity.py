@@ -1079,6 +1079,106 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_QUALITY_ORACLE = (
+    f"""WITH sknob AS (
+  SELECT greatest({N_CENTROIDS},
+                  (count(*) + {SEM_CELL_TARGET - 1}) // {SEM_CELL_TARGET}) AS k
+  FROM embeddings
+),
+"""
+    + _kmeans_ctes(limit_expr="(SELECT k FROM sknob)")
+    + f""",
+ad AS (
+  SELECT e.vec_id, c.cid,
+         round(sum(pow(CAST(e.embedding[c.i] AS DOUBLE) - c.ci, 2)), {_R}) AS d
+  FROM embeddings e JOIN centf c ON true GROUP BY e.vec_id, c.cid
+), r2 AS (
+  SELECT vec_id, cid, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM ad
+), per_vec AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cid END) AS cell,
+         max(CASE WHEN rn = 1 THEN d END) AS d1,
+         max(CASE WHEN rn = 2 THEN d END) AS d2
+  FROM r2 WHERE rn <= 2 GROUP BY vec_id
+)
+SELECT CAST(cell AS INT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(d1), 6) + 0.0 AS mean_intra,
+       round(avg(d2 - d1), 6) + 0.0 AS mean_margin
+FROM per_vec GROUP BY cell
+"""
+)
+
+
+@register(
+    "similarity_semantic_cell_quality",
+    _SEM_QUALITY_ORACLE,
+    doc="SemDeDup quantizer audit: per cell, member count, mean distance "
+    "to own centroid and mean margin to the 2nd-nearest centroid — the "
+    "simplified-silhouette evaluation tier for dedup_semantic_pairs",
+)
+def similarity_semantic_cell_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation tier for the SemDeDup quantizer, the way
+    `similarity_quantized_recall_eval` audits the ANN tiers: per cell,
+    how many members it holds, how tight it is (mean squared-L2 to the
+    own centroid) and how separated (mean margin to the second-nearest
+    centroid — the simplified-silhouette numerator). Cells with small
+    margin are the ones whose near-dup pairs straddle a boundary — the
+    known SemDeDup blind spot — so this table tells a pipeline operator
+    where to add an epsilon-overlap pass.
+
+    Scale shape: one Arrow matmul kernel pass over the corpus (distances
+    to all k centroids per batch, keeping only (d1, d2) — the centroid
+    table ships model-sized via closure, same as `_kernel_assign`), then
+    ONE hash aggregate keyed by cell. No join, no window over the corpus.
+
+    Reference analog: none (extension surface — evaluation family).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ufload_spark.sources.tables import corpus_count
+
+    e = table(spark, sf_dir, "embeddings")
+    k = _sem_k(corpus_count(spark, sf_dir, "embeddings"))
+    cent = kmeans_centroids(train_sample(e), k=k, kernel=True)
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    C = np.array([r["ce"] for r in rows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in rows], dtype=np.int32)
+    nc = (C * C).sum(axis=1)
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            D = np.round(
+                (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + nc[None, :], _R
+            )
+            j = D.argmin(axis=1)
+            two = np.sort(D, axis=1)[:, :2]
+            yield pd.DataFrame(
+                {
+                    "cell": cids[j],
+                    "d1": two[:, 0],
+                    "d2": two[:, 1],
+                }
+            )
+
+    per_vec = e.select("vec_id", "embedding").mapInPandas(
+        fn, schema="cell int, d1 double, d2 double"
+    )
+    return per_vec.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        (F.round(F.avg("d1"), 6) + F.lit(0.0)).alias("mean_intra"),
+        (F.round(F.avg(F.col("d2") - F.col("d1")), 6) + F.lit(0.0)).alias(
+            "mean_margin"
+        ),
+    )
+
+
 @register(
     "similarity_lsh_incremental",
     f"""
