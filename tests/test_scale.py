@@ -1439,3 +1439,29 @@ def test_every_partitionless_window_is_allowlisted_with_a_bound(spark):
         f"window or add the bound to the allowlist: {sorted(unlisted)}"
     )
     assert not stale, f"allowlist entries no longer needed: {sorted(stale)}"
+
+
+def test_semdedup_kernel_scale_shape(spark):
+    """r9: the SemDeDup tier's physical plan is the kernel shape the
+    112→4 s sf1 fix installed — assignment is a MapInPandas over ONE
+    corpus scan (centroids ship via closure, no crossJoin row blow-up),
+    the pair stage is a grouped kernel behind exactly ONE hash exchange
+    on the cell key, and nothing is cartesian or range-partitioned."""
+    from ufload_spark.plans.registry import load_all
+
+    reg = load_all()
+    p = _plan(reg["dedup_semantic_pairs"].fn(spark, SF_DIR))
+    assert "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in p and "Exchange rangepartitioning" not in p
+
+    q = _plan(reg["similarity_semantic_cell_quality"].fn(spark, SF_DIR))
+    assert "MapInPandas" in q
+    assert q.count("Exchange hashpartitioning") == 1  # the cell aggregate
+    assert "CartesianProduct" not in q and "Exchange rangepartitioning" not in q
+
+    r = _plan(reg["graph_ppr_seeded"].fn(spark, SF_DIR))
+    # checkpoint cuts + broadcast frontier: the final iteration plan has
+    # no shuffle at all on the edge side
+    assert "CartesianProduct" not in r and "Exchange rangepartitioning" not in r
