@@ -128,6 +128,7 @@ HEADLINE = [
     "dedup_semantic_pairs",        # SemDeDup: corpus-derived k-means cells gate cosine pairs (r9)
     "dedup_winnowing_incremental", # persisted fingerprint table, batch fp-probe (r9)
     "graph_ppr_seeded",            # personalized PageRank, sparse seeded frontier (r9)
+    "streaming_neardup_gate",      # SimHash admission gate, replay-idempotent publish (r9)
 ]
 
 

@@ -328,3 +328,113 @@ def test_ingest_gate_recovers_from_checkpoint(spark, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected.select("fp", "doc_id")).count() == 0
     corpus_fp.unpersist()
+
+
+def test_neardup_gate_recovers_from_checkpoint(spark, tmp_path):
+    """r9: kill the streaming NEAR-dup gate mid-run (after a publish,
+    before the epoch's offset commit) and restart from the checkpoint —
+    the final admitted table must EXACTLY equal the batch answer
+    (dedup_simhash_incremental's survivor set against the static corpus
+    index), proving the doc_id-keyed merge is replay-idempotent and the
+    static-index gate is batching-independent."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from ufload_spark.operators.dedup import (
+        HAMMING_D,
+        N_SEGS,
+        SEG_BITS,
+        simhash_frame,
+    )
+    from ufload_spark.streaming.jobs import neardup_gate_batch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    batch_docs = docs.where(F.col("doc_id") % 4 == 0)
+    src_dir = str(tmp_path / "docs_split")
+    batch_docs.repartition(6).write.parquet(src_dir)
+    corpus_sims = (
+        simhash_frame(docs.where(F.col("doc_id") % 4 != 0)).persist()
+    )
+    corpus_sims.count()
+    target = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src_dir)
+        )
+
+    calls: list[int] = []
+
+    def make_admit(crash_at):
+        def admit(b, epoch_id):
+            if b.isEmpty():
+                return
+            calls.append(epoch_id)
+            neardup_gate_batch(b, target, corpus_sims)
+            if crash_at is not None and epoch_id >= crash_at:
+                raise RuntimeError("injected crash after publish")
+
+        return admit
+
+    q = (
+        stream().writeStream.foreachBatch(make_admit(crash_at=1))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    q2 = (
+        stream().writeStream.foreachBatch(make_admit(crash_at=None))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert calls.count(1) == 2, calls  # the crashed epoch replayed
+
+    # batch answer: segment-pigeonhole probe of the SAME static index
+    sims = simhash_frame(batch_docs.select("doc_id", "text"))
+
+    def melt(df):
+        segs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("seg"),
+                    F.shiftright(F.col("simhash"), SEG_BITS * j)
+                    .bitwiseAND(F.lit((1 << SEG_BITS) - 1))
+                    .alias("segval"),
+                )
+                for j in range(N_SEGS)
+            ]
+        )
+        return df.select(
+            "doc_id", "simhash", F.explode(segs).alias("sv")
+        ).select("doc_id", "simhash", "sv.seg", "sv.segval")
+
+    b, e = melt(sims).alias("b"), melt(corpus_sims).alias("e")
+    collided = (
+        b.join(
+            e,
+            (F.col("b.seg") == F.col("e.seg"))
+            & (F.col("b.segval") == F.col("e.segval")),
+        )
+        .where(
+            F.bit_count(F.col("b.simhash").bitwiseXOR(F.col("e.simhash")))
+            <= HAMMING_D
+        )
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    expected = {
+        r["doc_id"]
+        for r in sims.join(collided, "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    assert got == expected
+    corpus_sims.unpersist()

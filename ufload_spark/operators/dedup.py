@@ -91,7 +91,14 @@ def shingles(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFra
     only by consumers whose math needs set semantics (SimHash's bit votes,
     Jaccard's set sizes) — min-hash aggregates are duplicate-insensitive and
     skip it."""
-    d = table(spark, sf_dir, "documents")
+    return shingles_frame(table(spark, sf_dir, "documents"), distinct=distinct)
+
+
+def shingles_frame(d: DataFrame, distinct: bool = True) -> DataFrame:
+    """Frame-level core of :func:`shingles` — same shape, but over any
+    frame carrying (doc_id, text): reused by the streaming near-dup gate,
+    whose micro-batches are not a fixture table."""
+    spark = d.sparkSession
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     # floor of 8 only matters on tiny local sessions (defaultParallelism
     # dominates on any real cluster); the exchange itself is what the
@@ -112,6 +119,30 @@ def shingles(spark: SparkSession, sf_dir: str, distinct: bool = True) -> DataFra
         .select("doc_id", "shingle")
     )
     return tri.distinct() if distinct else tri
+
+
+def simhash_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash) over any (doc_id, text) frame — the frame-level
+    core of :func:`dedup_simhash`, bit-identical math (distinct shingles,
+    per-bit majority vote). The streaming near-dup gate fingerprints its
+    micro-batches through this."""
+    sh = shingles_frame(d, distinct=True)
+    h = base_hash32(F.col("shingle"))
+    bitsums = sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    combined = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(SIMHASH_BITS)
+    )
+    return bitsums.select("doc_id", combined.cast("bigint").alias("simhash"))
 
 
 SHINGLES_CTE = """
@@ -510,21 +541,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash: per-bit majority vote over shingle hashes → near-identical
     docs land on nearby fingerprints. One explode + one groupBy(doc) —
     linear, shuffle only on doc_id."""
-    sh = shingles(spark, sf_dir)
-    h = base_hash32(F.col("shingle"))
-    bitsums = sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    combined = sum(
-        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        for j in range(SIMHASH_BITS)
-    )
-    return bitsums.select("doc_id", combined.cast("bigint").alias("simhash"))
+    return simhash_frame(table(spark, sf_dir, "documents"))
 
 
 #: Hamming-distance retrieval: pairs within HAMMING_D of each other must

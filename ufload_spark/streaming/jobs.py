@@ -950,3 +950,181 @@ def streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+def neardup_gate_batch(
+    batch: DataFrame, target: str, corpus_sims: DataFrame
+) -> None:
+    """One micro-batch of the streaming NEAR-dup admission gate:
+    SimHash-fingerprint the batch (frame-level core of ``dedup_simhash``),
+    drop docs with any corpus fingerprint within Hamming
+    :data:`~ufload_spark.operators.dedup.HAMMING_D` (segment pigeonhole
+    probe — the ``dedup_simhash_incremental`` decision, against the
+    STATIC corpus index, so the admitted set is independent of how the
+    stream was batched), and merge survivors into the published admitted
+    table keyed by doc_id. Re-merging already-seen rows cannot change a
+    doc_id-keyed distinct — the replay-idempotence the foreachBatch
+    exactly-once contract needs."""
+    s = batch.sparkSession
+    from ufload_spark.operators.dedup import (
+        HAMMING_D,
+        N_SEGS,
+        SEG_BITS,
+        simhash_frame,
+    )
+    from ufload_spark.sources.loader import _fs, stage_and_publish
+
+    sims = simhash_frame(batch.select("doc_id", "text")).join(
+        batch.select("doc_id", "source"), "doc_id"
+    )
+
+    def melt(df: DataFrame) -> DataFrame:
+        segs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("seg"),
+                    F.shiftright(F.col("simhash"), SEG_BITS * j)
+                    .bitwiseAND(F.lit((1 << SEG_BITS) - 1))
+                    .alias("segval"),
+                )
+                for j in range(N_SEGS)
+            ]
+        )
+        return df.select("doc_id", "simhash", F.explode(segs).alias("sv")).select(
+            "doc_id", "simhash", "sv.seg", "sv.segval"
+        )
+
+    b, e = melt(sims).alias("b"), melt(corpus_sims).alias("e")
+    hamming = F.bit_count(F.col("b.simhash").bitwiseXOR(F.col("e.simhash")))
+    collided = (
+        b.join(
+            e,
+            (F.col("b.seg") == F.col("e.seg"))
+            & (F.col("b.segval") == F.col("e.segval")),
+        )
+        .where(hamming <= HAMMING_D)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    rows = sims.join(collided, "doc_id", "left_anti").select(
+        "doc_id", "source", "simhash"
+    )
+    fs, jt, _ = _fs(s, target)
+    if fs.exists(jt):
+        rows = s.read.parquet(target).unionByName(rows).distinct()
+    if rows.isEmpty():
+        return
+    stage_and_publish(s, rows, target)
+
+
+@register(
+    "streaming_neardup_gate",
+    """
+WITH tokens AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM tokens, unnest(range(1, greatest(len(toks) - 1, 1))) AS t(i)
+  WHERE len(toks) >= 3
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+), bitsums AS (
+  SELECT doc_id, """
+    + ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(32)
+    )
+    + """
+  FROM hashed GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, CAST("""
+    + " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+    + """ AS BIGINT) AS simhash FROM bitsums
+), batch AS (SELECT * FROM sims WHERE doc_id % 4 = 0),
+existing AS (SELECT * FROM sims WHERE doc_id % 4 <> 0),
+bsegs AS (
+  SELECT doc_id, simhash, j AS seg, (simhash >> (8 * j)) & 255 AS segval
+  FROM batch, (SELECT unnest(range(0, 4)) AS j)
+), esegs AS (
+  SELECT doc_id, simhash, j AS seg, (simhash >> (8 * j)) & 255 AS segval
+  FROM existing, (SELECT unnest(range(0, 4)) AS j)
+), collided AS (
+  SELECT DISTINCT b.doc_id
+  FROM bsegs b JOIN esegs e ON b.seg = e.seg AND b.segval = e.segval
+  WHERE bit_count(xor(b.simhash, e.simhash)) <= 3
+), admitted AS (
+  SELECT d.doc_id, d.source FROM documents d
+  SEMI JOIN batch USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM collided)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_admitted,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM admitted GROUP BY source
+""",
+    doc="streaming NEAR-dup admission gate: document stream → foreachBatch "
+    "SimHash + segment-pigeonhole probe of the persisted corpus "
+    "fingerprints + doc_id-keyed merge into the published admitted table "
+    "(batching-independent vs the static index, replay-idempotent); "
+    "per-source admission census read back from the published table",
+)
+def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-duplicate sibling of :func:`streaming_ingest_gate` —
+    admission gated on SIMILARITY, not equality: each micro-batch
+    SimHash-fingerprints only itself and probes the memo-published corpus
+    fingerprint table with the segment pigeonhole join
+    (``dedup_simhash_incremental``'s decision); survivors merge into the
+    published admitted table through stage → audit → atomic swap. Gating
+    against the STATIC corpus index makes the admitted set independent of
+    batching (near-dup is not transitive, so gating against
+    already-admitted stream docs would make admission order-dependent —
+    intra-batch near-dups are a downstream batch-dedup concern, stated,
+    not silent); doc_id-keyed merge makes epoch replay a no-op
+    (kill-and-restart proof:
+    tests/test_streaming.py::test_neardup_gate_recovers_from_checkpoint).
+
+    Scale shape: per batch — batch-sized shingle window + one segment
+    equi-join against the index scan (bucket cardinality 2^SEG_BITS per
+    segment bounds per-bucket pairing), merge shuffled on doc_id. The
+    corpus is never re-shingled; the index only ever appends.
+
+    Reference analog: OP-STR-2 (skip-if-unchanged memo) composed with the
+    dedup extension family — the streaming lifecycle of SimHash.
+    """
+    import tempfile as _tempfile
+
+    from ufload_spark.operators.dedup import dedup_simhash
+    from ufload_spark.sources.loader import _scratch_unique, memo_publish
+    from ufload_spark.streaming.notify import run_with_notify
+
+    corpus_path = memo_publish(
+        spark,
+        "simhash_fps_corpus",
+        sf_dir,
+        lambda: dedup_simhash(spark, sf_dir).where(F.col("doc_id") % 4 != 0),
+    )
+    corpus_sims = spark.read.parquet(corpus_path)
+    sdf = documents_readstream(spark, sf_dir).where(F.col("doc_id") % 4 == 0)
+    target = _scratch_unique(
+        f"neardup_admitted_{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+    )
+
+    def admit(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        neardup_gate_batch(batch, target, corpus_sims)
+
+    ckpt = _tempfile.mkdtemp(prefix="ufload-ckpt-neardup-")
+    run_with_notify(sdf, admit, checkpoint_dir=ckpt)
+    return (
+        spark.read.parquet(target)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_admitted"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
