@@ -60,6 +60,11 @@ _ALLOWED_DRIVER_COLLECT = {
     # candidate walk the reference runs (cli/main.py:288-371); the dumps,
     # de-live rewrites and publishes all stay distributed
     "restore_e2e.py": 1,
+    # r9: the trained k-means centroid MODEL (k×DIM doubles, bounded by
+    # the quantizer size, never the corpus) collected to ship into the
+    # Arrow matmul kernels via closure — the `_plane_matrix` discipline.
+    # One site in _kernel_assign, one in the cell-quality audit kernel.
+    "similarity.py": 2,
 }
 
 
