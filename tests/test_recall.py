@@ -397,3 +397,45 @@ def test_winnowing_sigmod_guarantee_exact(spark, tmp_path):
     assert WINNOW_MIN_SHARED == 2  # the premise of the two-passage plant
     missing_double = [p for p in double_pairs if p not in got]
     assert not missing_double, f"two-passage pairs missed: {missing_double}"
+
+
+def test_semdedup_recall_on_planted_dups(spark, planted_dir):
+    """dedup_semantic_pairs recall on the planted ~0.999-cosine and
+    ~0.96-0.995-cosine embedding dups: SemDeDup's one blind spot is a
+    pair straddling a cell boundary, so recall is measured, not assumed
+    — high-cosine planted pairs should overwhelmingly co-cluster and
+    surface. Also: every emitted pair clears the threshold, and every
+    drop decision names a member of its own pair."""
+    from ufload_spark.operators.similarity import SEM_COS_T, dedup_semantic_pairs
+
+    sf, _ = planted_dir
+    rows = dedup_semantic_pairs(spark, sf).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in rows}
+    for r in rows:
+        assert r["cosine"] >= SEM_COS_T
+        assert r["drop_id"] in (r["vec_a"], r["vec_b"])
+    planted = [(q, 10000 + q) for q in IVF_QUERIES] + [
+        (b, 20000 + b) for b in LSH_BASES
+    ]
+    found = sum(1 for p in planted if p in got)
+    recall = found / len(planted)
+    assert recall >= 0.8, f"semdedup planted-dup recall: {recall}"
+
+
+def test_semdedup_is_arrow_batch_size_independent(spark, planted_dir):
+    """The kernel path must not depend on Arrow batch boundaries: the
+    same corpus processed with a tiny maxRecordsPerBatch (forcing many
+    kernel invocations and split batches) yields the identical pair set
+    and drop decisions."""
+    from ufload_spark.operators.similarity import dedup_semantic_pairs
+
+    sf, _ = planted_dir
+    key = lambda r: (r["cell"], r["vec_a"], r["vec_b"], r["cosine"], r["drop_id"])
+    base = sorted(map(key, dedup_semantic_pairs(spark, sf).collect()))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        small = sorted(map(key, dedup_semantic_pairs(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert base == small
