@@ -129,6 +129,7 @@ HEADLINE = [
     "dedup_winnowing_incremental", # persisted fingerprint table, batch fp-probe (r9)
     "graph_ppr_seeded",            # personalized PageRank, sparse seeded frontier (r9)
     "streaming_neardup_gate",      # SimHash admission gate, replay-idempotent publish (r9)
+    "dedup_semantic_pairs_hier",   # two-level quantizer probe, O(sqrt k) assignment (r9)
 ]
 
 

@@ -439,3 +439,35 @@ def test_semdedup_is_arrow_batch_size_independent(spark, planted_dir):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert base == small
+
+
+def test_semdedup_hier_recall_on_planted_dups(spark, planted_dir):
+    """The two-level tier must not lose TRUE near-dups: planted
+    0.96-0.999-cosine pairs co-probe (near-identical vectors pick the
+    same pivots), so hier recall on them must match the flat tier —
+    measured 0.96 both. The approximation only sheds borderline
+    ~threshold random pairs (worst-case on these near-uniform
+    fixtures)."""
+    from ufload_spark.operators.similarity import (
+        dedup_semantic_pairs,
+        dedup_semantic_pairs_hier,
+    )
+
+    sf, _ = planted_dir
+    flat = {
+        (r["vec_a"], r["vec_b"]) for r in dedup_semantic_pairs(spark, sf).collect()
+    }
+    hier = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_semantic_pairs_hier(spark, sf).collect()
+    }
+    planted = [(q, 10000 + q) for q in IVF_QUERIES] + [
+        (b, 20000 + b) for b in LSH_BASES
+    ]
+    flat_hits = {p for p in planted if p in flat}
+    hier_hits = {p for p in planted if p in hier}
+    assert len(hier_hits) / len(planted) >= 0.9, hier_hits
+    # the probe may shed at most the weakest planted pair or two (the
+    # ~0.96-cosine tail can straddle pivot boundaries); measured: exactly
+    # one lost, (116, 20116) at eps=0.26
+    assert len(flat_hits - hier_hits) <= 2, flat_hits - hier_hits

@@ -942,25 +942,16 @@ def _sem_k(n_vectors: int) -> int:
     return max(N_CENTROIDS, (n_vectors + SEM_CELL_TARGET - 1) // SEM_CELL_TARGET)
 
 
-_SEMDEDUP_ORACLE = (
-    f"""WITH sknob AS (
+_SEM_KNOB_SQL = f"""WITH sknob AS (
   SELECT greatest({N_CENTROIDS},
                   (count(*) + {SEM_CELL_TARGET - 1}) // {SEM_CELL_TARGET}) AS k
   FROM embeddings
 ),
 """
-    + _kmeans_ctes(limit_expr="(SELECT k FROM sknob)")
-    + f""",
-ad AS (
-  SELECT e.vec_id, c.cid,
-         round(sum(pow(CAST(e.embedding[c.i] AS DOUBLE) - c.ci, 2)), {_R}) AS d
-  FROM embeddings e JOIN centf c ON true GROUP BY e.vec_id, c.cid
-), asn AS (
-  SELECT vec_id, cid AS cell, d FROM (
-    SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id
-                                              ORDER BY d, cid) AS rn FROM ad
-  ) WHERE rn = 1
-), prs AS (
+
+#: the pair + scoring tail shared by the flat and hierarchical SemDeDup
+#: oracles: expects an ``asn(vec_id, cell, d)`` CTE upstream
+_SEM_PAIRS_TAIL_SQL = f""", prs AS (
   SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
          a.d AS da, b.d AS db
   FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -978,6 +969,22 @@ SELECT CAST(cell AS INT) AS cell, vec_a, vec_b, cosine,
             ELSE greatest(vec_a, vec_b) END AS drop_id
 FROM cosd WHERE cosine >= {SEM_COS_T}
 """
+
+_SEMDEDUP_ORACLE = (
+    _SEM_KNOB_SQL
+    + _kmeans_ctes(limit_expr="(SELECT k FROM sknob)")
+    + f""",
+ad AS (
+  SELECT e.vec_id, c.cid,
+         round(sum(pow(CAST(e.embedding[c.i] AS DOUBLE) - c.ci, 2)), {_R}) AS d
+  FROM embeddings e JOIN centf c ON true GROUP BY e.vec_id, c.cid
+), asn AS (
+  SELECT vec_id, cid AS cell, d FROM (
+    SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, cid) AS rn FROM ad
+  ) WHERE rn = 1
+)"""
+    + _SEM_PAIRS_TAIL_SQL
 )
 
 
@@ -1033,50 +1040,216 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     asn = _kernel_assign(e, cent, with_embedding=True).select(
         "vec_id", "embedding", "cell", "d"
     )
-    # Pair stage: one grouped Arrow kernel per cell — the knob bounds the
-    # group to ~SEM_CELL_TARGET members, so each group's all-pairs cosine
-    # is one tiny Gram matmul (64×64×DIM ≈ 0.3 MFLOP) instead of
-    # ~cell²/2 Catalyst 64-step folds through a cell self-join (the fold
-    # form measured 15 s at sf1; the kernel form ~3 s). One shuffle on
-    # the cell key; within-group memory is cell²·8 B, bounded by the knob.
+    return _pairs_from_assignment(asn)
+
+
+def _cell_pairs(pdf):
+    """Per-cell all-pairs cosine + the centroid-typicality drop rule as
+    one Gram matmul — the SemDeDup pair kernel, shared by the flat and
+    hierarchical tiers. The cell-size knob bounds the group to
+    ~SEM_CELL_TARGET members, so each group is ~0.3 MFLOP and cell²·8 B
+    (the fold-based cell self-join this replaced measured 15 s at sf1;
+    this form ~3 s)."""
     import numpy as np
     import pandas as pd
 
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"cell": [], "vec_a": [], "vec_b": [], "cosine": [], "drop_id": []}
-            ).astype(
-                {"cell": "int32", "vec_a": "int64", "vec_b": "int64",
-                 "cosine": "float64", "drop_id": "int64"}
-            )
-        X = np.array(list(pdf["embedding"]), dtype=np.float64)
-        nrm = np.sqrt((X * X).sum(axis=1))
-        G = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
-        ii, jj = np.triu_indices(n, k=1)
-        keep = G[ii, jj] >= SEM_COS_T
-        ii, jj = ii[keep], jj[keep]
-        ids = pdf["vec_id"].to_numpy()
-        da, db = pdf["d"].to_numpy()[ii], pdf["d"].to_numpy()[jj]
-        drop = np.where(
-            da < db, ids[ii], np.where(db < da, ids[jj], np.maximum(ids[ii], ids[jj]))
-        )
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    n = len(pdf)
+    if n < 2:
         return pd.DataFrame(
-            {
-                "cell": np.full(len(ii), pdf["cell"].iloc[0], dtype=np.int32),
-                "vec_a": ids[ii],
-                "vec_b": ids[jj],
-                "cosine": G[ii, jj],
-                "drop_id": drop,
-            }
+            {"cell": [], "vec_a": [], "vec_b": [], "cosine": [], "drop_id": []}
+        ).astype(
+            {"cell": "int32", "vec_a": "int64", "vec_b": "int64",
+             "cosine": "float64", "drop_id": "int64"}
         )
+    X = np.array(list(pdf["embedding"]), dtype=np.float64)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    G = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+    ii, jj = np.triu_indices(n, k=1)
+    keep = G[ii, jj] >= SEM_COS_T
+    ii, jj = ii[keep], jj[keep]
+    ids = pdf["vec_id"].to_numpy()
+    da, db = pdf["d"].to_numpy()[ii], pdf["d"].to_numpy()[jj]
+    drop = np.where(
+        da < db, ids[ii], np.where(db < da, ids[jj], np.maximum(ids[ii], ids[jj]))
+    )
+    return pd.DataFrame(
+        {
+            "cell": np.full(len(ii), pdf["cell"].iloc[0], dtype=np.int32),
+            "vec_a": ids[ii],
+            "vec_b": ids[jj],
+            "cosine": G[ii, jj],
+            "drop_id": drop,
+        }
+    )
 
+
+def _pairs_from_assignment(asn: DataFrame) -> DataFrame:
+    """groupBy(cell) → :func:`_cell_pairs`; one shuffle on the cell key."""
     return asn.groupBy("cell").applyInPandas(
-        cell_pairs,
+        _cell_pairs,
         schema="cell int, vec_a long, vec_b long, cosine double, drop_id long",
     )
+
+
+#: hierarchical tier: coarse pivots probed per vector before the fine
+#: argmin — SEM_PROBE2 nearest pivots' fine-cell groups are the candidate
+#: set. k2 = max(4, ceil(sqrt(k))) pivots keeps both levels ~sqrt(k)-sized.
+SEM_PROBE2 = 2
+
+
+def _sem_k2(k: int) -> int:
+    import math
+
+    return max(4, math.ceil(math.sqrt(k)))
+
+
+_SEMDEDUP_HIER_ORACLE = (
+    _SEM_KNOB_SQL
+    + _kmeans_ctes(limit_expr="(SELECT k FROM sknob)")
+    + f""",
+k2knob AS (
+  SELECT greatest(4, CAST(ceil(sqrt(k)) AS INT)) AS k2 FROM sknob
+), fids AS (SELECT DISTINCT cid FROM centf),
+pivots AS (
+  SELECT cid AS pcid FROM fids
+  ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT (SELECT k2 FROM k2knob)
+), cpd AS (
+  SELECT a.cid AS fcid, p.pcid,
+         round(sum(pow(a.ci - b.ci, 2)), {_R}) AS d
+  FROM centf a
+  JOIN pivots p ON true
+  JOIN centf b ON b.cid = p.pcid AND b.i = a.i
+  GROUP BY a.cid, p.pcid
+), f2c AS (
+  SELECT fcid, pcid FROM (
+    SELECT fcid, pcid,
+           row_number() OVER (PARTITION BY fcid ORDER BY d, pcid) AS rn
+    FROM cpd) WHERE rn = 1
+), vpd AS (
+  SELECT e.vec_id, c.cid AS pcid,
+         round(sum(pow(CAST(e.embedding[c.i] AS DOUBLE) - c.ci, 2)), {_R}) AS d
+  FROM embeddings e
+  JOIN centf c ON true
+  SEMI JOIN pivots ON c.cid = pivots.pcid
+  GROUP BY e.vec_id, c.cid
+), probe AS (
+  SELECT vec_id, pcid FROM (
+    SELECT vec_id, pcid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, pcid) AS rn
+    FROM vpd) WHERE rn <= {SEM_PROBE2}
+), cand AS (
+  SELECT pr.vec_id, f.fcid FROM probe pr JOIN f2c f ON f.pcid = pr.pcid
+), vfd AS (
+  SELECT e.vec_id, c.cid,
+         round(sum(pow(CAST(e.embedding[c.i] AS DOUBLE) - c.ci, 2)), {_R}) AS d
+  FROM embeddings e
+  JOIN cand ca ON ca.vec_id = e.vec_id
+  JOIN centf c ON c.cid = ca.fcid
+  GROUP BY e.vec_id, c.cid
+), asn AS (
+  SELECT vec_id, cid AS cell, d FROM (
+    SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, cid) AS rn FROM vfd
+  ) WHERE rn = 1
+)"""
+    + _SEM_PAIRS_TAIL_SQL
+)
+
+
+@register(
+    "dedup_semantic_pairs_hier",
+    _SEMDEDUP_HIER_ORACLE,
+    doc="hierarchical SemDeDup: two-level quantizer probe — nearest "
+    f"{SEM_PROBE2} of ~sqrt(k) coarse pivots gate the fine argmin, so "
+    "per-vector assignment work is O(sqrt(k)) distances at cluster scale "
+    "instead of O(k); pair stage identical to the flat tier",
+)
+def dedup_semantic_pairs_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level coarse-quantizer tier of :func:`dedup_semantic_pairs`
+    — the IVF-in-IVF ladder the flat tier's docstring names for the
+    regime where the corpus-derived k outgrows a shippable model (~10^6
+    cells): ``k2 = max(4, ceil(sqrt k))`` coarse PIVOTS (hash-ordered
+    fine centroids — sampled pivots, the standard trained-coarse-level
+    substitute, deterministic and oracle-expressible), each fine cell
+    assigned to its nearest pivot, and each vector probing its
+    :data:`SEM_PROBE2` nearest pivots so the fine argmin runs over only
+    the probed groups' cells (~2k/k2 = O(√k) candidates). Assignment is
+    APPROXIMATE by construction — a boundary vector whose true-nearest
+    fine cell hangs under an unprobed pivot lands in its best PROBED
+    cell; both engines apply the identical rule, and the planted-dup
+    recall test measures what the approximation costs: on the planted
+    ~0.96-0.999-cosine TRUE dups the hier tier matches the flat tier
+    exactly (0.96 recall both — near-identical vectors co-probe), while
+    borderline ~threshold random pairs on the worst-case near-uniform
+    fixtures drop to ~0.6 agreement (the quantized-topk fixture caveat;
+    real clustered embeddings sit between).
+
+    At fixture scale the kernel still evaluates the full distance matrix
+    and masks non-candidates (the matmul is cheaper than gathering); the
+    plan property that matters at 10^6 cells — only pivot distances plus
+    probed-group distances are ever NEEDED — is the rule itself, which
+    the oracle replays exactly. A cluster deployment shards the fine
+    centroid table by pivot and ships only probed shards per batch.
+
+    Reference analog: none (extension surface — dedup family; the r9
+    "make the stated fallback real" discipline applied to SemDeDup's
+    own scaling caveat, as `graph_pagerank_bucketed` did for the graph
+    family).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ufload_spark.sources.tables import corpus_count
+
+    e = table(spark, sf_dir, "embeddings")
+    k = _sem_k(corpus_count(spark, sf_dir, "embeddings"))
+    cent = kmeans_centroids(train_sample(e), k=k, kernel=True)
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    C = np.array([r["ce"] for r in rows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in rows], dtype=np.int32)
+    k2 = _sem_k2(len(rows))
+    by_hash = sorted(
+        range(len(rows)),
+        key=lambda i: (hashlib.md5(str(cids[i]).encode()).hexdigest(), cids[i]),
+    )
+    piv_idx = np.array(sorted(by_hash[:k2], key=lambda i: cids[i]))
+    P, pc = C[piv_idx], cids[piv_idx]
+    # fine cell → its pivot: argmin of rounded pivot distance, tie →
+    # smallest pivot cid (stable argsort over cid-ordered columns)
+    DC = np.round(((C[:, None, :] - P[None, :, :]) ** 2).sum(axis=2), _R)
+    f2c = pc[np.argsort(DC, axis=1, kind="stable")[:, 0]]
+    npv, nc = (P * P).sum(axis=1), (C * C).sum(axis=1)
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            nx = (X * X).sum(axis=1)[:, None]
+            DP = np.round(nx - 2.0 * (X @ P.T) + npv[None, :], _R)
+            probed = pc[np.argsort(DP, axis=1, kind="stable")[:, :SEM_PROBE2]]
+            D = np.round(nx - 2.0 * (X @ C.T) + nc[None, :], _R)
+            M = f2c[None, :] == probed[:, 0:1]
+            for q in range(1, SEM_PROBE2):
+                M |= f2c[None, :] == probed[:, q : q + 1]
+            Dm = np.where(M, D, np.inf)
+            j = Dm.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "embedding": pdf["embedding"],
+                    "cell": cids[j],
+                    "d": Dm[np.arange(len(j)), j],
+                }
+            )
+
+    asn = e.select("vec_id", "embedding").mapInPandas(
+        fn, schema="vec_id long, embedding array<float>, cell int, d double"
+    )
+    return _pairs_from_assignment(asn)
 
 
 _SEM_QUALITY_ORACLE = (
