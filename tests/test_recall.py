@@ -471,3 +471,49 @@ def test_semdedup_hier_recall_on_planted_dups(spark, planted_dir):
     # ~0.96-cosine tail can straddle pivot boundaries); measured: exactly
     # one lost, (116, 20116) at eps=0.26
     assert len(flat_hits - hier_hits) <= 2, flat_hits - hier_hits
+
+
+def test_hier_pivot_rule_parity_when_cells_die(spark):
+    """r9 ADVICE (medium): the hier tier must derive k2 from the KNOB k
+    (the oracle's ``ceil(sqrt(k)) FROM sknob``), not from the survivor
+    count, or the two engines pick different pivot counts whenever the
+    trained table carries fewer cids than k (train sample < k seeds) AND
+    the survivor count straddles a ceil(sqrt) boundary. Current corpus
+    constants cannot reach that regime (the 1/4 train sample always
+    exceeds k past the N_CENTROIDS floor, and the max(4,·) floor hides
+    the straddle below it), so this pins the RULE component-level:
+    _hier_pivots vs a DuckDB replica of the k2knob/fids/pivots CTEs, on
+    survivor sets with dead cells, including straddle cases where the
+    old survivor-derived rule provably diverges."""
+    import duckdb
+
+    from ufload_spark.operators.similarity import _hier_pivots, _sem_k2
+
+    cases = [
+        # (surviving cids, knob k) — survivors < k with ceil(sqrt) straddle
+        (list(range(0, 50, 2)), 30),   # 25 survive, sqrt straddle 5 vs 6
+        ([1, 3, 4, 7, 9, 12, 15, 20, 21, 22, 23, 30, 31, 33, 40, 44], 17),
+        (list(range(8)), 8),           # no dead cells (the common regime)
+        ([0, 2, 5], 8),                # fewer survivors than k2 itself
+    ]
+    con = duckdb.connect()
+    try:
+        for cids, k in cases:
+            vals = ", ".join(f"({c})" for c in cids)
+            want = [
+                r[0]
+                for r in con.execute(
+                    f"""WITH k2knob AS (
+  SELECT greatest(4, CAST(ceil(sqrt({k})) AS INT)) AS k2
+), fids AS (SELECT * FROM (VALUES {vals}) t(cid))
+SELECT cid FROM fids
+ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT (SELECT k2 FROM k2knob)"""
+                ).fetchall()
+            ]
+            got = [cids[i] for i in _hier_pivots(cids, k)]
+            assert sorted(got) == sorted(want), (cids, k, got, want)
+    finally:
+        con.close()
+    # the straddle case has teeth: the OLD survivor-derived rule picks a
+    # different pivot COUNT there
+    assert _sem_k2(25) != _sem_k2(30)

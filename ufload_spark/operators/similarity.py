@@ -570,7 +570,14 @@ def _kernel_assign(emb: DataFrame, cent: DataFrame, *, with_embedding: bool) -> 
     """Arrow-vectorized cell assignment: distances of every vector to ALL
     k centroids as ONE numpy matmul per batch (``||x||² − 2·X@Cᵀ + ||c||²``,
     rounded to the shared ``_R`` decimals; argmin ties → smallest cid,
-    identical to the fold path's ``ORDER BY d, cid``). The centroid table
+    the fold path's ``ORDER BY d, cid``). Numeric caveat (r9 ADVICE): the
+    expansion form accumulates float error differently from the fold
+    path's / the oracle's direct ``sum(pow(x−c,2))``, so the rounded
+    distances agree only when no distance lands within ~1e-13 of a
+    0.5e-6 rounding boundary — overwhelmingly likely on real data, not
+    guaranteed; a boundary hit would shift one rounded distance by 1e-6
+    and surface as a driver hash mismatch, which is the detector we keep
+    pointed at it. The centroid table
     is MODEL-sized (k×DIM) and ships via closure — the `_plane_matrix`
     discipline — so the big side is one scan, no crossJoin row blow-up,
     no per-(vector, centroid) Catalyst fold: at corpus-derived k the fold
@@ -666,7 +673,8 @@ def kmeans_centroids(
         if kernel:
             # corpus-derived k (SemDeDup): the fold path's O(n·k) 64-step
             # folds dominate; the Arrow matmul kernel assigns per batch.
-            # Same distances (rounded _R), same tie rule, same means.
+            # Same rounded distances and tie rule (up to the
+            # expansion-form float caveat in _kernel_assign), same means.
             asn = _kernel_assign(emb, cent, with_embedding=True).select(
                 "vec_id",
                 F.transform("embedding", lambda x: x.cast("double")).alias("xe"),
@@ -1034,8 +1042,8 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _sem_k(corpus_count(spark, sf_dir, "embeddings"))
     # corpus-derived k makes the fold-based crossJoin assignment O(n·k)
     # Catalyst folds (112 s at sf1) — train and assign via the Arrow
-    # matmul kernel instead (see _kernel_assign; same rounded distances,
-    # same tie rule, oracle-identical output)
+    # matmul kernel instead (see _kernel_assign; same rounded distances
+    # and tie rule up to the expansion-form float caveat noted there)
     cent = kmeans_centroids(train_sample(e), k=k, kernel=True)
     asn = _kernel_assign(e, cent, with_embedding=True).select(
         "vec_id", "embedding", "cell", "d"
@@ -1102,6 +1110,27 @@ def _sem_k2(k: int) -> int:
     import math
 
     return max(4, math.ceil(math.sqrt(k)))
+
+
+def _hier_pivots(cids, k: int):
+    """Pivot selection shared with the hier oracle's ``k2knob``/``pivots``
+    CTEs: order the TRAINED (surviving) cids by ``(md5(cid), cid)``, take
+    the first ``_sem_k2(k)`` — k2 derived from the corpus-knob k, exactly
+    like the oracle's ``ceil(sqrt(k)) FROM sknob``, never from the
+    survivor count — and return their positions in ascending-cid order.
+    Factored out so the survivor<k regime (train sample smaller than the
+    knob: both engines then carry fewer cids than k) is unit-testable
+    against a DuckDB replica of the CTEs without a corpus that reaches it."""
+    import hashlib
+
+    import numpy as np
+
+    k2 = _sem_k2(k)
+    by_hash = sorted(
+        range(len(cids)),
+        key=lambda i: (hashlib.md5(str(cids[i]).encode()).hexdigest(), cids[i]),
+    )
+    return np.array(sorted(by_hash[:k2], key=lambda i: cids[i]))
 
 
 _SEMDEDUP_HIER_ORACLE = (
@@ -1197,8 +1226,6 @@ def dedup_semantic_pairs_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     own scaling caveat, as `graph_pagerank_bucketed` did for the graph
     family).
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
 
@@ -1210,12 +1237,14 @@ def dedup_semantic_pairs_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = sorted(cent.collect(), key=lambda r: r["cid"])
     C = np.array([r["ce"] for r in rows], dtype=np.float64)
     cids = np.array([r["cid"] for r in rows], dtype=np.int32)
-    k2 = _sem_k2(len(rows))
-    by_hash = sorted(
-        range(len(rows)),
-        key=lambda i: (hashlib.md5(str(cids[i]).encode()).hexdigest(), cids[i]),
-    )
-    piv_idx = np.array(sorted(by_hash[:k2], key=lambda i: cids[i]))
+    # k2 from the KNOB k, not the survivor count len(rows): the oracle's
+    # k2knob computes ceil(sqrt(k)) from sknob, and whenever the trained
+    # table carries fewer cids than k (train sample < k seeds) a
+    # survivor-derived k2 could straddle a ceil(sqrt) boundary and pick a
+    # different pivot set than the oracle (r9 ADVICE, medium).
+    # tests/test_recall.py::test_hier_pivot_rule_parity_when_cells_die
+    # pins the aligned rule in the survivor<k regime.
+    piv_idx = _hier_pivots(cids, k)
     P, pc = C[piv_idx], cids[piv_idx]
     # fine cell → its pivot: argmin of rounded pivot distance, tie →
     # smallest pivot cid (stable argsort over cid-ordered columns)
