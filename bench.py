@@ -130,6 +130,9 @@ HEADLINE = [
     "graph_ppr_seeded",            # personalized PageRank, sparse seeded frontier (r9)
     "streaming_neardup_gate",      # SimHash admission gate, replay-idempotent publish (r9)
     "dedup_semantic_pairs_hier",   # two-level quantizer probe, O(sqrt k) assignment (r9)
+    # r10 additions
+    "graph_lpa_bucketed",          # LPA over the src-bucketed edge table, no label broadcast (r10)
+    "graph_kcore_bucketed",        # k-core peel, one pair exchange/round via parity alternation (r10)
 ]
 
 

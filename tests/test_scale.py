@@ -1330,6 +1330,105 @@ def test_bucketed_pagerank_iteration_join_no_edge_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bucketed_lpa_round_join_no_edge_exchange(spark):
+    """r10: the LPA bucketed fallback is real, not documented — one vote
+    round against the src-bucketed edge table, broadcast disabled (the
+    regime where the fallback matters: label vector too big to
+    broadcast), must read the edge side straight from its buckets
+    (SelectedBucketsCount, NO exchange between scan and join); every
+    hash exchange in the plan is keyed node/label (the node-sized label
+    vector and the two vote aggregates), never the edge table's src."""
+    import re
+
+    from ufload_spark.operators.graph import LPA_SELF_W, _bucketed_edges_table
+
+    name = _bucketed_edges_table(spark, SF_DIR)
+    edges = spark.table(name).select("src", "dst", "w")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+        )
+        contrib = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label", "w"
+        )
+        votes = (
+            contrib.unionByName(
+                labels.select(
+                    "node", "label", F.lit(LPA_SELF_W).cast("bigint").alias("w")
+                )
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("w").cast("bigint").alias("wsum"))
+        )
+        nxt = votes.groupBy("node").agg(
+            F.max_by(
+                "label", F.struct(F.col("wsum"), (-F.col("label")).alias("nl"))
+            ).alias("label")
+        )
+        plan = _plan(nxt)
+        assert "SelectedBucketsCount" in plan  # bucket spec reached the scan
+        assert "BroadcastHashJoin" not in plan  # the fallback regime
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]+)\)", plan):
+            keys = m.group(1)
+            assert "node" in keys or "label" in keys, plan
+            assert "src" not in keys, plan
+        assert nxt.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_kcore_round_no_pair_exchange_on_bucket_key(spark):
+    """r10: the k-core bucketed fallback is real — round 0 of the peel
+    over the c-bucketed pair layout, broadcast disabled, runs its
+    c-degree aggregate and c-keep semi join with NO exchange keyed by
+    the bucket key anywhere in the plan; the only pair-sized move is the
+    single s-side exchange. And the alternation premise holds: after
+    persisting round 0's output (partitioned by s), the next round's
+    s-degree aggregate plans with NO new exchange above the cache."""
+    import re
+
+    from ufload_spark.operators.graph import KCORE_K, _bucketed_edges_table
+
+    name = _bucketed_edges_table(spark, SF_DIR)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pairs = (
+            spark.table(name)
+            .where(F.col("src") % 2 == 0)
+            .select(F.col("src").alias("c"), F.col("dst").alias("s"))
+        )
+        deg_c = pairs.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
+        deg_s = pairs.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
+        keep_c = deg_c.where(F.col("d") >= KCORE_K).select("c")
+        keep_s = deg_s.where(F.col("d") >= KCORE_K).select("s")
+        nxt = pairs.join(keep_c, "c", "left_semi").join(keep_s, "s", "left_semi")
+        plan = _plan(nxt)
+        assert "SelectedBucketsCount" in plan
+        assert "BroadcastHashJoin" not in plan
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]+)\)", plan):
+            keys = m.group(1)
+            assert "c#" not in keys and "src" not in keys, plan
+        # alternation: the persisted round-0 output is partitioned by s,
+        # so round 1's s-degree aggregate adds no exchange of its own
+        # (everything below the InMemoryRelation marker is the cached
+        # round-0 subtree, already paid for)
+        cached = nxt.persist()
+        try:
+            cached.count()
+            p1 = _plan(cached.groupBy("s").agg(F.count("*").alias("d")))
+            above = p1.split("InMemoryRelation", 1)[0]
+            assert "Exchange hashpartitioning" not in above, above
+        finally:
+            cached.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 #: r9 registry-wide partition-less-window allowlist (r8 verdict ask #4):
 #: every registered query whose OPTIMIZED plan contains a window with no
 #: partition spec must be listed here WITH the bound that makes the

@@ -736,6 +736,19 @@ def _lpa_edges_and_labels(
     # process lifetime with no second reader (r8 advice)
     if persist_edges:
         edges = edges.persist()
+    labels = _lpa_rounds(edges, broadcast_labels=True)
+    return edges, labels
+
+
+def _lpa_rounds(edges: DataFrame, *, broadcast_labels: bool) -> DataFrame:
+    """The :data:`LPA_ITERS` synchronous vote rounds over an ``(src, dst,
+    w)`` edge frame — shared by the broadcast tier
+    (:func:`graph_label_propagation`, ``broadcast_labels=True``) and the
+    bucketed tier (:func:`graph_lpa_bucketed`, ``False``: the label vector
+    shuffles node-sized into the edge table's bucket layout instead of
+    broadcasting to every executor). Vote weights, tie order and the
+    per-round lineage cut are identical, so both tiers walk the same
+    bit-exact trajectory."""
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -751,9 +764,14 @@ def _lpa_edges_and_labels(
         # together — bit-identical to aggregating inflow first and
         # re-summing after a union, but one aggregate and one exchange
         # fewer per round (the r6 shape ran inflow agg -> union -> re-agg).
-        contrib = edges.join(
-            F.broadcast(labels.withColumnRenamed("node", "src")), "src"
-        ).select(F.col("dst").alias("node"), "label", "w")
+        # explicit equi-condition (not a rename+USING): the label side
+        # keeps its `node` name, so in the bucketed tier every exchange
+        # in the plan is verifiably keyed node/label, never the edge
+        # table's src — the property the plan pin asserts.
+        lab = F.broadcast(labels) if broadcast_labels else labels
+        contrib = edges.join(lab, edges.src == lab.node).select(
+            F.col("dst").alias("node"), "label", "w"
+        )
         votes = (
             contrib.unionByName(
                 labels.select(
@@ -777,7 +795,45 @@ def _lpa_edges_and_labels(
         # the entire round-1..k-1 prefix (measured 26 s -> 0.3 s at sf0.1).
         # Lazy, so nothing materializes until the final action.
         labels = labels.localCheckpoint(eager=False)
-    return edges, labels
+    return labels
+
+
+@register(
+    "graph_lpa_bucketed",
+    _lpa_oracle(),
+    doc=f"label propagation over the SRC-BUCKETED edge table — the "
+    f"cluster-scale fallback for label vectors past the broadcast "
+    f"threshold: per round the bucketed edge scan satisfies the vote join "
+    f"with NO exchange on the edge side, only the node-sized label vector "
+    f"shuffles; results bit-identical to graph_label_propagation "
+    f"({LPA_ITERS} rounds, integer vote weights)",
+)
+def graph_lpa_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-join tier of :func:`graph_label_propagation` — same
+    integer votes, same tie order, same oracle, different physical
+    strategy: the r9 `graph_pagerank_bucketed` playbook applied to the
+    operator whose docstring still carried the fallback as prose
+    (r9 VERDICT ask #1). The broadcast tier wins while the (node, label)
+    vector fits the broadcast threshold (~4M nodes at 16 B/row under
+    64 MB); past that, broadcasting O(nodes) to every executor each round
+    loses to shuffling O(nodes) once per round into the edge table's
+    bucket layout. ``test_bucketed_lpa_round_join_no_edge_exchange`` pins
+    the plan: the edge side of the vote join carries its bucket spec
+    (SelectedBucketsCount) and NO exchange; the only hash exchanges are
+    the node-sized label vector and the two vote aggregates. SCALING.md
+    records the crossover arithmetic (shared with PageRank — same edge
+    table, same vector size).
+
+    Reference analog: none (extension surface — the layout discipline of
+    ``graph_pagerank_bucketed`` applied to the LPA family).
+    """
+    edges = spark.table(_bucketed_edges_table(spark, sf_dir)).select(
+        "src", "dst", "w"
+    )
+    labels = _lpa_rounds(edges, broadcast_labels=False)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
 
 
 def _modularity_oracle() -> str:
@@ -1173,6 +1229,25 @@ KCORE_K = 8
 KCORE_ROUNDS = 4
 
 
+def _kcore_stats(deg_c: DataFrame, deg_s: DataFrame, rnd: int) -> DataFrame:
+    """One k-core round's (round, n_nodes, n_edges) audit row straight off
+    the NODE-sized degree frames the peel computes anyway: distinct-c =
+    deg_c rows, edges = Σdegree — no countDistinct over the pair frame
+    (which Catalyst plans as an Expand that doubles the widest stream, the
+    same trap de-Expanded out of text_repetition_ratio). Shared by the
+    broadcast and bucketed peel tiers."""
+    a = deg_c.agg(
+        F.count("*").cast("bigint").alias("n_c"),
+        F.sum("d").cast("bigint").alias("n_edges"),
+    )
+    b = deg_s.agg(F.count("*").cast("bigint").alias("n_s"))
+    return a.crossJoin(b).select(
+        F.lit(rnd).cast("bigint").alias("round"),
+        (F.col("n_c") + F.col("n_s")).cast("bigint").alias("n_nodes"),
+        "n_edges",
+    )
+
+
 def _kcore_oracle() -> str:
     parts = [
         """
@@ -1262,23 +1337,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("c"), F.col("dst").alias("s"))
     )
     pairs = pairs.localCheckpoint(eager=False)
-
-    def stats_from(deg_c: DataFrame, deg_s: DataFrame, rnd: int) -> DataFrame:
-        # (n_nodes, n_edges) straight off the NODE-sized degree frames
-        # the peel computes anyway: distinct-c = deg_c rows, edges =
-        # Σdegree — no countDistinct over the pair frame (which Catalyst
-        # plans as an Expand that doubles the widest stream, the same
-        # trap de-Expanded out of text_repetition_ratio).
-        a = deg_c.agg(
-            F.count("*").cast("bigint").alias("n_c"),
-            F.sum("d").cast("bigint").alias("n_edges"),
-        )
-        b = deg_s.agg(F.count("*").cast("bigint").alias("n_s"))
-        return a.crossJoin(b).select(
-            F.lit(rnd).cast("bigint").alias("round"),
-            (F.col("n_c") + F.col("n_s")).cast("bigint").alias("n_nodes"),
-            "n_edges",
-        )
+    stats_from = _kcore_stats
 
     out = []
     for rnd in range(KCORE_ROUNDS + 1):
@@ -1309,6 +1368,89 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Lineage barrier: stats AND the next round both read this frame.
         pairs = pairs.localCheckpoint(eager=False)
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionByName(frame)
+    return res
+
+
+@register(
+    "graph_kcore_bucketed",
+    _kcore_oracle(),
+    doc=f"k-core peel (k={KCORE_K}, {KCORE_ROUNDS} rounds) over the "
+    "C-BUCKETED pair layout — the cluster-scale fallback for keep lists "
+    "past the broadcast threshold: per round ONE pair-frame exchange "
+    "(the opposite-parity key), the same-parity degree aggregate and "
+    "semi-join ride the current layout exchange-free; results "
+    "bit-identical to graph_kcore_peel",
+)
+def graph_kcore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed tier of :func:`graph_kcore_peel` — same synchronous
+    peel, same audit curve, same oracle, the physical strategy for the
+    regime where the per-round keep lists outgrow the broadcast threshold
+    (the r9 `graph_pagerank_bucketed` playbook applied to the second
+    operator whose docstring carried the fallback as prose; r10).
+
+    The pair set is the customer-side half of the SRC-bucketed shared
+    edge table, so round 0's pair frame arrives hash-partitioned by ``c``
+    straight from the bucket layout: the c-degree aggregate and the
+    c-keep semi join run with NO exchange on the pair side. The s-side
+    work costs exactly ONE pair-frame exchange (AQE reuses it between
+    the s-degree partials' input and the s-semi probe), after which the
+    frame is partitioned by ``s`` — so the NEXT round runs its s-side
+    exchange-free and pays one c-exchange, alternating. Each round
+    therefore moves the pair frame once instead of the four times a
+    layout-blind no-broadcast peel would (2 degree aggregates + 2 semi
+    joins); the degree partials that do shuffle are node-sized.
+
+    Rounds persist (not ``localCheckpoint``) because persistence KEEPS
+    the outputPartitioning the alternation exploits, while a checkpoint
+    rewrites the frame as an opaque RDD scan with no partitioning —
+    measured: post-checkpoint every aggregate re-exchanges. On a real
+    cluster the equivalent is writing each round's survivors back
+    bucketed (or relying on exchange reuse within the single job, as
+    here). ``test_bucketed_kcore_round_no_pair_exchange_on_bucket_key``
+    pins round 0's shape: bucket spec in the scan, no broadcast, and no
+    exchange keyed by ``c``/``src`` anywhere — the only pair-sized
+    exchange is the s-side key.
+
+    Reference analog: none (extension surface — layout discipline of
+    ``graph_pagerank_bucketed`` applied to the peeling family).
+    """
+    pairs = (
+        spark.table(_bucketed_edges_table(spark, sf_dir))
+        .where(F.col("src") % 2 == 0)
+        .select(F.col("src").alias("c"), F.col("dst").alias("s"))
+    )
+    out = []
+    for rnd in range(KCORE_ROUNDS + 1):
+        deg_c = pairs.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
+        deg_s = pairs.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
+        out.append(_kcore_stats(deg_c, deg_s, rnd))
+        if rnd == KCORE_ROUNDS:
+            break
+        # NO broadcast hints (this tier IS the past-threshold fallback).
+        # Join order follows the frame's current partitioning parity:
+        # same-parity key first (exchange-free on the pair side), then
+        # the opposite key (the round's single pair-frame exchange, which
+        # also leaves the frame partitioned for the NEXT round's first
+        # join).
+        keep_c = deg_c.where(F.col("d") >= KCORE_K).select("c")
+        keep_s = deg_s.where(F.col("d") >= KCORE_K).select("s")
+        if rnd % 2 == 0:
+            pairs = pairs.join(keep_c, "c", "left_semi").join(
+                keep_s, "s", "left_semi"
+            )
+        else:
+            pairs = pairs.join(keep_s, "s", "left_semi").join(
+                keep_c, "c", "left_semi"
+            )
+        # persist, not localCheckpoint: both the stats row and the next
+        # round consume this frame (compute-once), and InMemoryRelation
+        # preserves the partitioning the parity alternation rides. The
+        # frames are pair-sized and KCORE_ROUNDS is small; the cache is
+        # bounded and process-local.
+        pairs = pairs.persist()
     res = out[0]
     for frame in out[1:]:
         res = res.unionByName(frame)
