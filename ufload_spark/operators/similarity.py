@@ -1214,18 +1214,42 @@ def dedup_semantic_pairs_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixtures drop to ~0.6 agreement (the quantized-topk fixture caveat;
     real clustered embeddings sit between).
 
-    At fixture scale the kernel still evaluates the full distance matrix
-    and masks non-candidates (the matmul is cheaper than gathering); the
-    plan property that matters at 10^6 cells — only pivot distances plus
-    probed-group distances are ever NEEDED — is the rule itself, which
-    the oracle replays exactly. A cluster deployment shards the fine
-    centroid table by pivot and ships only probed shards per batch.
+    The probed-shard path is EXECUTED, not simulated (r10 — the r9
+    kernel computed the full n×k distance matrix and masked
+    non-candidates, which at 10^6 cells is exactly what is impossible):
+    the probe pass ships only the k2×DIM pivot matrix via closure; the
+    fine centroids travel as a k-row DATAFRAME sharded by pivot, joined
+    to the distinct probe tuples and cogrouped with the vectors on
+    (p1, p2, salt) — so each kernel group receives exactly its two
+    probed shards' centroid rows (per-group centroid bytes =
+    |shard(p1)|+|shard(p2)| ≈ 2k/k2 = O(√k) rows, never k; pinned by
+    ``test_hier_gather_ships_probed_shards_not_k``). The ``salt`` key
+    (:data:`SEM_SALT` sub-groups per tuple, centroid side replicated)
+    bounds the vector group a skewed probe tuple could otherwise
+    accumulate. Vectors whose probed shards are all empty (possible only
+    under duplicate trained centroids) drop out of the assignment, which
+    is the oracle's behavior too (its ``cand`` CTE is empty for them).
 
     Reference analog: none (extension surface — dedup family; the r9
     "make the stated fallback real" discipline applied to SemDeDup's
     own scaling caveat, as `graph_pagerank_bucketed` did for the graph
     family).
     """
+    asn, _cand = _hier_assignment(spark, sf_dir)
+    return _pairs_from_assignment(asn)
+
+
+#: sub-groups per probe tuple in the hier gather: a skewed tuple's vectors
+#: split across SEM_SALT cogroup keys (centroid side replicated per salt),
+#: so no single applyInPandas group accumulates an unbounded vector set
+SEM_SALT = 4
+
+
+def _hier_assignment(spark: SparkSession, sf_dir: str):
+    """The hier tier's two-level assignment as (asn, cand): ``asn`` is the
+    (vec_id, embedding, cell, d) frame the pair stage consumes, ``cand``
+    the per-probe-tuple candidate-centroid frame (exposed so the shard
+    pin test can measure what each kernel group is shipped)."""
     import numpy as np
     import pandas as pd
 
@@ -1250,9 +1274,9 @@ def dedup_semantic_pairs_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # smallest pivot cid (stable argsort over cid-ordered columns)
     DC = np.round(((C[:, None, :] - P[None, :, :]) ** 2).sum(axis=2), _R)
     f2c = pc[np.argsort(DC, axis=1, kind="stable")[:, 0]]
-    npv, nc = (P * P).sum(axis=1), (C * C).sum(axis=1)
+    npv = (P * P).sum(axis=1)
 
-    def fn(it):
+    def probe_fn(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
@@ -1260,25 +1284,85 @@ def dedup_semantic_pairs_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
             nx = (X * X).sum(axis=1)[:, None]
             DP = np.round(nx - 2.0 * (X @ P.T) + npv[None, :], _R)
             probed = pc[np.argsort(DP, axis=1, kind="stable")[:, :SEM_PROBE2]]
-            D = np.round(nx - 2.0 * (X @ C.T) + nc[None, :], _R)
-            M = f2c[None, :] == probed[:, 0:1]
-            for q in range(1, SEM_PROBE2):
-                M |= f2c[None, :] == probed[:, q : q + 1]
-            Dm = np.where(M, D, np.inf)
-            j = Dm.argmin(axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "embedding": pdf["embedding"],
-                    "cell": cids[j],
-                    "d": Dm[np.arange(len(j)), j],
+                    "p1": probed[:, 0],
+                    "p2": probed[:, 1],
+                    "salt": (pdf["vec_id"].to_numpy() % SEM_SALT).astype(
+                        "int32"
+                    ),
                 }
             )
 
-    asn = e.select("vec_id", "embedding").mapInPandas(
-        fn, schema="vec_id long, embedding array<float>, cell int, d double"
+    probes = e.select("vec_id", "embedding").mapInPandas(
+        probe_fn,
+        schema="vec_id long, embedding array<float>, p1 int, p2 int, salt int",
     )
-    return _pairs_from_assignment(asn)
+    # fine centroids as a k-row DATA frame keyed by owning pivot — the
+    # shard table a cluster deployment partitions; model-sized, so the
+    # broadcast below is the cheap side of both joins
+    shardf = spark.createDataFrame(
+        [
+            (int(cids[i]), int(f2c[i]), [float(x) for x in C[i]])
+            for i in range(len(cids))
+        ],
+        "cid int, pivot int, ce array<double>",
+    )
+    # fresh key names on the candidate side: cand derives from probes, and
+    # cogrouping a frame with its own derivative on same-named keys trips
+    # Catalyst's ambiguous-attribute check
+    tuples = probes.select(
+        F.col("p1").alias("q1"),
+        F.col("p2").alias("q2"),
+        F.col("salt").alias("qsalt"),
+    ).distinct()
+    cand = (
+        tuples.join(F.broadcast(shardf), tuples.q1 == shardf.pivot)
+        .select("q1", "q2", "qsalt", "cid", "ce")
+        .unionByName(
+            tuples.join(F.broadcast(shardf), tuples.q2 == shardf.pivot)
+            .select("q1", "q2", "qsalt", "cid", "ce")
+        )
+    )
+
+    def gather_fn(_key, vec_pdf, cent_pdf):
+        if len(vec_pdf) == 0 or len(cent_pdf) == 0:
+            # no probed shard carries a centroid → the oracle's cand CTE
+            # is empty for these vectors: drop them from the assignment
+            return pd.DataFrame(
+                {"vec_id": [], "embedding": [], "cell": [], "d": []}
+            ).astype({"vec_id": "int64", "cell": "int32", "d": "float64"})
+        cent_pdf = cent_pdf.sort_values("cid")  # argmin tie → smallest cid
+        Cc = np.array(list(cent_pdf["ce"]), dtype=np.float64)
+        cc = cent_pdf["cid"].to_numpy()
+        X = np.array(list(vec_pdf["embedding"]), dtype=np.float64)
+        D = np.round(
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ Cc.T)
+            + (Cc * Cc).sum(axis=1)[None, :],
+            _R,
+        )
+        j = D.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": vec_pdf["vec_id"].to_numpy(),
+                "embedding": vec_pdf["embedding"],
+                "cell": cc[j].astype("int32"),
+                "d": D[np.arange(len(j)), j],
+            }
+        )
+
+    asn = (
+        probes.groupBy("p1", "p2", "salt")
+        .cogroup(cand.groupBy("q1", "q2", "qsalt"))
+        .applyInPandas(
+            gather_fn,
+            schema="vec_id long, embedding array<float>, cell int, d double",
+        )
+    )
+    return asn, cand
 
 
 _SEM_QUALITY_ORACLE = (
