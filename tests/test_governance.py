@@ -63,9 +63,10 @@ _ALLOWED_DRIVER_COLLECT = {
     # r9: the trained k-means centroid MODEL (k×DIM doubles, bounded by
     # the quantizer size, never the corpus) collected to ship into the
     # Arrow matmul kernels via closure — the `_plane_matrix` discipline.
-    # One site in _kernel_assign, one in the cell-quality audit kernel,
-    # one in the hierarchical tier's pivot construction.
-    "similarity.py": 3,
+    # One site in _kernel_assign, one in _kernel_assign2 (the
+    # epsilon-overlap top-2 variant), one in the cell-quality audit
+    # kernel, one in the hierarchical tier's shard construction.
+    "similarity.py": 4,
 }
 
 

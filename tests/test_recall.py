@@ -517,3 +517,107 @@ ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT (SELECT k2 FROM k2knob)"""
     # the straddle case has teeth: the OLD survivor-derived rule picks a
     # different pivot COUNT there
     assert _sem_k2(25) != _sem_k2(30)
+
+
+def test_overlap_recovers_planted_boundary_dups(spark, tmp_path):
+    """r10 (r9 VERDICT ask #3): near-dup pairs planted ASTRIDE trained
+    cell borders — members pulled slightly toward opposite centroids
+    from the midpoint of adjacent centroid pairs — are invisible to the
+    flat tier (different primary cells) and recovered by the
+    epsilon-overlap pass (each member's 2nd membership covers the
+    other's primary cell). Planted ids are chosen OUTSIDE the md5
+    training bucket and the total stays ≤ 512 rows, so the trained
+    centroids are bit-identical to the base corpus and the midpoints
+    are computed against the very model both tiers use."""
+    import hashlib
+
+    from ufload_spark.operators.similarity import (
+        _R,
+        SEM_COS_T,
+        SEM_EPS_FRAC,
+        _sem_k,
+        dedup_semantic_pairs,
+        dedup_semantic_pairs_overlap,
+        kmeans_centroids,
+        train_sample,
+    )
+    from ufload_spark.sources.tables import corpus_count, table
+
+    etab = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    emb = etab.to_pandas()
+    k = _sem_k(len(emb))
+    cent = kmeans_centroids(
+        train_sample(table(spark, SF_DIR, "embeddings")), k=k, kernel=True
+    )
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    C = np.array([r["ce"] for r in rows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in rows], dtype=np.int32)
+
+    # adjacent centroid pairs: each centroid with its nearest neighbor
+    DC = ((C[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(DC, np.inf)
+    adj = sorted({tuple(sorted((a, int(DC[a].argmin())))) for a in range(len(C))})
+
+    def out_of_train(i: int) -> bool:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 4 != 0
+
+    t, nid, planted = 0.004, 30000, []
+    for a, b in adj[:6]:
+        m = (C[a] + C[b]) / 2.0
+        v1 = (m + t * (C[a] - m)).astype(np.float32)
+        v2 = (m + t * (C[b] - m)).astype(np.float32)
+        while not out_of_train(nid) or not out_of_train(nid + 1):
+            nid += 2
+        planted.append((nid, v1, nid + 1, v2))
+        nid += 2
+    assert len(emb) + 2 * len(planted) <= 512  # k unchanged by planting
+
+    # verify with numpy which planted pairs actually straddle in-band at
+    # float32 storage precision (what both engines will read back)
+    verified = []
+    for i1, v1, i2, v2 in planted:
+        X = np.stack([v1, v2]).astype(np.float64)
+        D = np.round(
+            (X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None, :],
+            _R,
+        )
+        o = np.argsort(D, axis=1, kind="stable")
+        c1, c2 = cids[o[0, 0]], cids[o[1, 0]]
+        band = [
+            D[r, o[r, 1]] - D[r, o[r, 0]] <= SEM_EPS_FRAC * D[r, o[r, 0]]
+            for r in (0, 1)
+        ]
+        cos = round(
+            float(X[0] @ X[1] / (np.linalg.norm(X[0]) * np.linalg.norm(X[1]))), 6
+        )
+        if c1 != c2 and all(band) and cos >= SEM_COS_T:
+            verified.append((i1, i2))
+    assert len(verified) >= 3, (len(verified), adj)
+
+    prows = pd.DataFrame(
+        {
+            "vec_id": [i for p in planted for i in (p[0], p[2])],
+            "embedding": [v for p in planted for v in (p[1], p[3])],
+            "label": [0] * (2 * len(planted)),
+        }
+    )
+    allemb = pd.concat([emb, prows], ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(allemb, schema=etab.schema, preserve_index=False),
+        f"{tmp_path}/embeddings.parquet",
+    )
+    sf = str(tmp_path)
+    assert _sem_k(corpus_count(spark, sf, "embeddings")) == k
+
+    flat = {
+        tuple(sorted((r["vec_a"], r["vec_b"])))
+        for r in dedup_semantic_pairs(spark, sf).collect()
+    }
+    over = {
+        tuple(sorted((r["vec_a"], r["vec_b"])))
+        for r in dedup_semantic_pairs_overlap(spark, sf).collect()
+    }
+    missed_by_flat = [p for p in verified if p not in flat]
+    found_by_overlap = [p for p in verified if p in over]
+    assert missed_by_flat == verified, "flat tier unexpectedly saw a straddler"
+    assert found_by_overlap == verified, (verified, sorted(over)[:20])
