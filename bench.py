@@ -134,6 +134,7 @@ HEADLINE = [
     "graph_lpa_bucketed",          # LPA over the src-bucketed edge table, no label broadcast (r10)
     "graph_kcore_bucketed",        # k-core peel, one pair exchange/round via parity alternation (r10)
     "dedup_semantic_pairs_overlap",# epsilon-overlap boundary pass, 2nd membership in-band (r10)
+    "dedup_semantic_incremental",  # published-model batch admit gate, BxN pair kernel (r10)
 ]
 
 

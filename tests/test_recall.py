@@ -621,3 +621,37 @@ def test_overlap_recovers_planted_boundary_dups(spark, tmp_path):
     found_by_overlap = [p for p in verified if p in over]
     assert missed_by_flat == verified, "flat tier unexpectedly saw a straddler"
     assert found_by_overlap == verified, (verified, sorted(over)[:20])
+
+
+def test_cell_pairs_batch_kernel_matches_full_reference():
+    """Engine-external replay for the incremental SemDeDup pair kernel:
+    the B×N batch-touching kernel must emit exactly the full N² kernel's
+    pairs restricted to pairs with a batch member — same cosines, same
+    drop rule — on synthetic cells including all-batch, no-batch and
+    tie-distance cases."""
+    from ufload_spark.operators.similarity import _cell_pairs, _cell_pairs_batch
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n = int(rng.integers(2, 40))
+        ids = np.sort(rng.choice(np.arange(1000), size=n, replace=False))
+        base_v = rng.normal(size=16)
+        # correlated cell members so a decent fraction crosses SEM_COS_T
+        X = base_v + 0.8 * rng.normal(size=(n, 16))
+        d = np.round(rng.uniform(0, 2, size=n), 1)  # coarse → distance ties
+        pdf = pd.DataFrame(
+            {
+                "cell": np.full(n, 7, dtype=np.int32),
+                "vec_id": ids.astype("int64"),
+                "embedding": list(X.astype(np.float64)),
+                "d": d,
+            }
+        )
+        full = _cell_pairs(pdf.copy())
+        want = full[(full.vec_a % 4 == 0) | (full.vec_b % 4 == 0)]
+        got = _cell_pairs_batch(pdf.copy())
+        key = lambda df: sorted(
+            (int(a), int(b), float(c), int(dr))
+            for a, b, c, dr in zip(df.vec_a, df.vec_b, df.cosine, df.drop_id)
+        )
+        assert key(got) == key(want), trial

@@ -720,19 +720,22 @@ def _kmeans_ctes(
     k: int = N_CENTROIDS,
     iters: int = KMEANS_ITERS,
     limit_expr: str | None = None,
+    train_pred: str = "",
 ) -> str:
     """The DuckDB twin of :func:`kmeans_centroids`: Lloyd iterations
     unrolled as chained CTEs over a long-form (cid, i, ci) centroid table.
     Ends by defining ``centf`` = the trained centroids. ``limit_expr``
     overrides the seed LIMIT with a SQL expression (e.g. a scalar-subquery
     knob CTE) — only the seed count depends on k, the iteration CTEs are
-    k-free, so a corpus-derived k needs no structural change."""
+    k-free, so a corpus-derived k needs no structural change.
+    ``train_pred`` appends an extra predicate to the training-set filter
+    (the incremental tier trains on the base slice only)."""
     ctes = [
         f"idx AS (SELECT unnest(range(1, {DIM + 1})) AS i)",
         f"""train AS (
   SELECT vec_id, embedding FROM embeddings
   WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INT
-          % {TRAIN_SAMPLE_MOD} = 0)""",
+          % {TRAIN_SAMPLE_MOD} = 0{train_pred})""",
         f"""seeds AS (
   SELECT vec_id,
          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
@@ -1232,6 +1235,166 @@ def dedup_semantic_pairs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _sem_k(corpus_count(spark, sf_dir, "embeddings"))
     cent = kmeans_centroids(train_sample(e), k=k, kernel=True)
     return _pairs_from_assignment(_kernel_assign2(e, cent))
+
+
+_SEM_INCR_ORACLE = (
+    _SEM_KNOB_SQL
+    + _kmeans_ctes(
+        limit_expr="(SELECT k FROM sknob)", train_pred=" AND vec_id % 4 <> 0"
+    )
+    + f""",
+ad AS (
+  SELECT e.vec_id, c.cid,
+         round(sum(pow(CAST(e.embedding[c.i] AS DOUBLE) - c.ci, 2)), {_R}) AS d
+  FROM embeddings e JOIN centf c ON true GROUP BY e.vec_id, c.cid
+), asn AS (
+  SELECT vec_id, cid AS cell, d FROM (
+    SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, cid) AS rn FROM ad
+  ) WHERE rn = 1
+), prs AS (
+  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.d AS da, b.d AS db
+  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.vec_id % 4 = 0 OR b.vec_id % 4 = 0
+), cosd AS (
+  SELECT p.cell, p.vec_a, p.vec_b, p.da, p.db,
+         round({_cosine_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine
+  FROM prs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b, idx
+  GROUP BY p.cell, p.vec_a, p.vec_b, p.da, p.db
+)
+SELECT CAST(cell AS INT) AS cell, vec_a, vec_b, cosine,
+       CASE WHEN da < db THEN vec_a
+            WHEN db < da THEN vec_b
+            ELSE greatest(vec_a, vec_b) END AS drop_id
+FROM cosd WHERE cosine >= {SEM_COS_T}
+"""
+)
+
+
+def _cell_pairs_batch(pdf):
+    """Per-cell pair kernel for the INCREMENTAL SemDeDup tier: only pairs
+    touching a batch member are scored, via a B×N Gram (batch rows ×
+    all members) instead of the full N×N — per-cell work scales with the
+    batch share, not the corpus. Batch-batch pairs appear twice in B×N;
+    the id order dedupes them. Same cosine rounding, threshold and
+    centroid-typicality drop rule as :func:`_cell_pairs`."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {"cell": [], "vec_a": [], "vec_b": [], "cosine": [], "drop_id": []}
+    ).astype(
+        {"cell": "int32", "vec_a": "int64", "vec_b": "int64",
+         "cosine": "float64", "drop_id": "int64"}
+    )
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    n = len(pdf)
+    ids = pdf["vec_id"].to_numpy()
+    isb = (ids % 4 == 0)
+    bpos = np.flatnonzero(isb)
+    if n < 2 or len(bpos) == 0:
+        return empty
+    X = np.array(list(pdf["embedding"]), dtype=np.float64)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    G = np.round((X[bpos] @ X.T) / np.outer(nrm[bpos], nrm), 6)
+    bi = np.repeat(bpos, n)
+    jj = np.tile(np.arange(n), len(bpos))
+    keep = (
+        (G.ravel() >= SEM_COS_T)
+        & (bi != jj)
+        # batch-batch pairs show up from both rows: keep the id_i < id_j copy
+        & (~isb[jj] | (ids[bi] < ids[jj]))
+    )
+    bi, jj = bi[keep], jj[keep]
+    if len(bi) == 0:
+        return empty
+    lo, hi = np.minimum(bi, jj), np.maximum(bi, jj)  # ids ascend with index
+    da, db = pdf["d"].to_numpy()[lo], pdf["d"].to_numpy()[hi]
+    drop = np.where(
+        da < db, ids[lo], np.where(db < da, ids[hi], np.maximum(ids[lo], ids[hi]))
+    )
+    return pd.DataFrame(
+        {
+            "cell": np.full(len(lo), pdf["cell"].iloc[0], dtype=np.int32),
+            "vec_a": ids[lo],
+            "vec_b": ids[hi],
+            "cosine": G[np.searchsorted(bpos, bi), jj],
+            "drop_id": drop,
+        }
+    )
+
+
+@register(
+    "dedup_semantic_incremental",
+    _SEM_INCR_ORACLE,
+    doc="incremental SemDeDup: batch vectors assign against the PUBLISHED "
+    "centroid model (trained on the base slice only, never retrained) and "
+    "pair only within their cell against published base winners and each "
+    "other — the admit gate the minhash/simhash/winnowing families "
+    "already have, in embedding space",
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental tier of :func:`dedup_semantic_pairs` (r9 VERDICT
+    ask #5), completing the incremental matrix the other dedup families
+    already have (`dedup_exact_incremental`, `dedup_minhash_incremental`,
+    `dedup_simhash_incremental`, `dedup_winnowing_incremental`): the
+    quantizer is trained ONCE on the base corpus (``vec_id % 4 != 0``
+    stands in) and PUBLISHED through stage→audit→atomic-publish together
+    with the base assignment table; an incoming batch (``% 4 == 0``)
+    assigns against the published k×DIM model — one Arrow kernel scan of
+    the batch, no retraining, the corpus never re-assigned — and pairs
+    only within its cells, against the published members and its own
+    same-cell batchmates (the B×N kernel: per-cell work scales with the
+    batch share, never the full cell²). Output schema and rules are the
+    flat tier's; only pairs touching the batch are emitted, which is the
+    incremental contract (base-base pairs were the train tier's output).
+
+    The cell-count knob stays derived from the FULL corpus count (the
+    footer count, same as the flat tier) so the two tiers share one
+    density discipline; both engines compute it identically.
+
+    Scale shape: published-model read (k rows) + batch kernel scan + one
+    cell-keyed shuffle of (batch ∪ same-cell base members) with
+    ~SEM_CELL_TARGET-bounded fan-out. Batch cost is strictly below the
+    train tier: no k-means iterations, no corpus re-assignment, B×N
+    pair work instead of N².
+
+    Reference analog: none (extension surface — the incremental
+    discipline of dedup.py:205 applied to the SemDeDup family).
+    """
+    from ufload_spark.sources.loader import memo_publish
+    from ufload_spark.sources.tables import corpus_count
+
+    e = table(spark, sf_dir, "embeddings")
+    k = _sem_k(corpus_count(spark, sf_dir, "embeddings"))
+    base = e.where(F.col("vec_id") % 4 != 0)
+    cent_path = memo_publish(
+        spark,
+        "sem_centroids",
+        sf_dir,
+        lambda: kmeans_centroids(train_sample(base), k=k, kernel=True),
+    )
+    cent = spark.read.parquet(cent_path)
+    base_asn_path = memo_publish(
+        spark,
+        "sem_base_asn",
+        sf_dir,
+        lambda: _kernel_assign(base, cent, with_embedding=True),
+    )
+    base_asn = spark.read.parquet(base_asn_path)
+    batch_asn = _kernel_assign(
+        e.where(F.col("vec_id") % 4 == 0), cent, with_embedding=True
+    )
+    union = base_asn.select("vec_id", "embedding", "cell", "d").unionByName(
+        batch_asn.select("vec_id", "embedding", "cell", "d")
+    )
+    return union.groupBy("cell").applyInPandas(
+        _cell_pairs_batch,
+        schema="cell int, vec_a long, vec_b long, cosine double, drop_id long",
+    )
 
 
 #: hierarchical tier: coarse pivots probed per vector before the fine
