@@ -655,3 +655,112 @@ def test_cell_pairs_batch_kernel_matches_full_reference():
             for a, b, c, dr in zip(df.vec_a, df.vec_b, df.cosine, df.drop_id)
         )
         assert key(got) == key(want), trial
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory):
+    """Mixture-of-Gaussians embeddings (r9 VERDICT ask #4): the stock
+    fixture is near-uniform — the stated WORST case for every quantized
+    tier — so recall claims measured only there undersell the regime
+    real embeddings live in. Same vec_ids/schema/row count as sf0.001
+    (all id-derived constants and the corpus-count knobs hold verbatim):
+    12 well-separated Gaussian clusters, plus the planted_dir-style
+    near-dups (one ~0.99-cosine dup per IVF query id, twenty ~0.96-0.99
+    dups of ids 100..119) so the planted-recall measurements run
+    unchanged. Documents copied through untouched."""
+    import shutil
+
+    out_dir = tmp_path_factory.mktemp("clustered")
+    rng = np.random.default_rng(42)
+    etab = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    emb = etab.to_pandas()
+    dim = len(emb.embedding.iloc[0])
+    centers = rng.normal(size=(12, dim)) * 4.0
+    vecs = {}
+    for vid in emb.vec_id:
+        c = centers[int(vid) % 12]
+        vecs[int(vid)] = (c + 0.5 * rng.standard_normal(dim)).astype(np.float32)
+    emb["embedding"] = [vecs[int(v)] for v in emb.vec_id]
+
+    def corrupt(v, eps):
+        noise = rng.standard_normal(len(v))
+        noise /= np.linalg.norm(noise)
+        return (v + eps * np.linalg.norm(v) * noise).astype(np.float32)
+
+    rows = [(10000 + q, corrupt(vecs[q], 0.05), 0) for q in IVF_QUERIES]
+    rows += [
+        (20000 + b, corrupt(vecs[b], 0.1 + 0.01 * j), 0)
+        for j, b in enumerate(LSH_BASES)
+    ]
+    allemb = pd.concat(
+        [
+            emb,
+            pd.DataFrame(
+                {
+                    "vec_id": [r[0] for r in rows],
+                    "embedding": [r[1] for r in rows],
+                    "label": [r[2] for r in rows],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(allemb, schema=etab.schema, preserve_index=False),
+        f"{out_dir}/embeddings.parquet",
+    )
+    shutil.copy(f"{SF_DIR}/documents.parquet", f"{out_dir}/documents.parquet")
+    return str(out_dir), vecs
+
+
+def test_quantized_recall_on_clustered_fixture(spark, clustered_dir):
+    """similarity_quantized_recall_eval on BOTH regimes: the clustered
+    fixture must not be worse than the near-uniform one — quantization
+    error hurts most when everything is equidistant."""
+    from ufload_spark.operators.similarity import similarity_quantized_recall_eval
+
+    sf, _ = clustered_dir
+
+    def mean_recall(d):
+        rows = similarity_quantized_recall_eval(spark, d).collect()
+        return sum(r["recall_at_k"] for r in rows) / len(rows)
+
+    uni, clu = mean_recall(SF_DIR), mean_recall(sf)
+    # measured: near-uniform 0.96, clustered 1.00 — separation helps, as
+    # the quantized-topk fixture caveat predicted
+    assert clu >= uni - 0.1, (uni, clu)
+    assert clu >= 0.85, clu
+
+
+def test_semdedup_tiers_on_clustered_fixture(spark, clustered_dir):
+    """Planted-dup recall + hier/flat agreement in the CLUSTERED regime:
+    (a) both tiers must retrieve ≥0.9 of the planted true dups, and
+    (b) hier/flat full-pair agreement (Jaccard) must beat the ~0.6
+    borderline band measured on the near-uniform fixture — cluster
+    structure is exactly what makes the 2-probe approximation safe."""
+    from ufload_spark.operators.similarity import (
+        dedup_semantic_pairs,
+        dedup_semantic_pairs_hier,
+    )
+
+    sf, _ = clustered_dir
+    flat = {
+        tuple(sorted((r["vec_a"], r["vec_b"])))
+        for r in dedup_semantic_pairs(spark, sf).collect()
+    }
+    hier = {
+        tuple(sorted((r["vec_a"], r["vec_b"])))
+        for r in dedup_semantic_pairs_hier(spark, sf).collect()
+    }
+    planted = [(q, 10000 + q) for q in IVF_QUERIES] + [
+        (b, 20000 + b) for b in LSH_BASES
+    ]
+    flat_recall = sum(1 for p in planted if p in flat) / len(planted)
+    hier_recall = sum(1 for p in planted if p in hier) / len(planted)
+    assert flat_recall >= 0.9, flat_recall
+    assert hier_recall >= 0.9, hier_recall
+    jac = len(flat & hier) / max(len(flat | hier), 1)
+    # measured: planted recall 1.0/1.0 and Jaccard 1.00 (10990 pairs both
+    # tiers) vs the ~0.6 borderline-band agreement on the near-uniform
+    # fixture — cluster structure makes the 2-probe approximation exact
+    assert jac >= 0.8, (jac, len(flat), len(hier))
