@@ -1068,3 +1068,37 @@ def test_stale_lease_broken_and_zombie_fenced(spark, tmp_path):
     # the zombie comes back: its token is gone, the fence stops it
     with pytest.raises(ConcurrentPublishError):
         loader._check_lease(fs, jvm, target, zombie_token)
+
+
+def test_lease_release_never_deletes_competitor_lease(spark, tmp_path):
+    """r10 (r9 ADVICE): release is token-checked ATOMICALLY via rename
+    capture. After a breaker fences a zombie and holds its own live
+    lease, the zombie's release must leave the breaker's lease intact
+    (the old exists/read/delete form could delete it between the read
+    and the delete). And the capture primitive is single-winner: a
+    second capture of the same lease returns None."""
+    from ufload_spark.sources import loader
+
+    target = str(tmp_path / "t")
+    fs, _, jvm = loader._fs(spark, target)
+
+    # zombie A acquires; breaker B breaks (ttl=0) and holds its own lease
+    token_a = loader._acquire_lease(fs, jvm, target, ttl_s=3600)
+    token_b = loader._acquire_lease(fs, jvm, target, ttl_s=0.0)
+    assert token_a != token_b
+    # A's release must not destroy B's live lease
+    loader._release_lease(fs, jvm, target, token_a)
+    jlease = jvm.org.apache.hadoop.fs.Path(loader._lease_path(target))
+    assert fs.exists(jlease)
+    assert loader._read_small(fs, jvm, jlease) == token_b
+    # B's own release cleans up
+    loader._release_lease(fs, jvm, target, token_b)
+    assert not fs.exists(jlease)
+
+    # capture is single-winner
+    token_c = loader._acquire_lease(fs, jvm, target, ttl_s=3600)
+    cap1 = loader._capture_lease(fs, jvm, target, "xxxxxxxx")
+    cap2 = loader._capture_lease(fs, jvm, target, "yyyyyyyy")
+    assert cap1 is not None and cap2 is None
+    assert loader._read_small(fs, jvm, cap1) == token_c
+    fs.delete(cap1, False)

@@ -373,7 +373,7 @@ def test_neardup_gate_recovers_from_checkpoint(spark, tmp_path):
             if b.isEmpty():
                 return
             calls.append(epoch_id)
-            neardup_gate_batch(b, target, corpus_sims)
+            neardup_gate_batch(b, target, corpus_sims, epoch_id)
             if crash_at is not None and epoch_id >= crash_at:
                 raise RuntimeError("injected crash after publish")
 
@@ -435,6 +435,17 @@ def test_neardup_gate_recovers_from_checkpoint(spark, tmp_path):
         .select("doc_id")
         .collect()
     }
-    got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    from ufload_spark.streaming.jobs import read_admitted
+
+    got = {r["doc_id"] for r in read_admitted(spark, target).collect()}
     assert got == expected
+    # append-only contract (r10): the replayed epoch rewrote its OWN
+    # segment; each epoch directory holds only its batch's survivors and
+    # no segment was rewritten with another epoch's rows
+    import glob as _glob
+
+    segs = sorted(_glob.glob(f"{target}/e*"))
+    assert len(segs) >= 2, segs
+    per_seg = [spark.read.parquet(p).count() for p in segs]
+    assert sum(per_seg) == len(expected), (per_seg, len(expected))
     corpus_sims.unpersist()

@@ -241,7 +241,14 @@ def _acquire_lease(fs, jvm, target: str, *, ttl_s: float) -> str:
     except Exception:
         age_ms = 0.0  # holder released between our create and stat: retry
     if age_ms >= ttl_s * 1000 or not fs.exists(jlease):
-        fs.delete(jlease, False)
+        # break via atomic CAPTURE, not delete (r9 ADVICE): rename is
+        # atomic and refuses a missing source, so of N breakers that all
+        # passed the age check exactly ONE captures the stale file — the
+        # losers fall through to the create race below instead of
+        # deleting the winner's freshly created lease.
+        cap = _capture_lease(fs, jvm, target, token)
+        if cap is not None:
+            fs.delete(cap, False)
         if try_create():
             return token
     raise ConcurrentPublishError(
@@ -250,12 +257,45 @@ def _acquire_lease(fs, jvm, target: str, *, ttl_s: float) -> str:
     )
 
 
-def _release_lease(fs, jvm, target: str, token: str) -> None:
-    """Drop the lease iff we still own it (a breaker may have fenced us)."""
+def _capture_lease(fs, jvm, target: str, tag: str):
+    """Atomically take custody of whatever lease file currently exists by
+    renaming it to a caller-unique path (``FileSystem.rename`` — atomic,
+    fails if the source is gone or the destination exists, so exactly one
+    of any number of racing capturers wins). Returns the captured Path,
+    or None if there was nothing to capture / someone else won."""
     jlease = jvm.org.apache.hadoop.fs.Path(_lease_path(target))
+    dst = jvm.org.apache.hadoop.fs.Path(
+        f"{_lease_path(target)}.cap.{tag[:8]}.{uuid.uuid4().hex[:8]}"
+    )
     try:
-        if fs.exists(jlease) and _read_small(fs, jvm, jlease) == token:
-            fs.delete(jlease, False)
+        if fs.rename(jlease, dst):
+            return dst
+    except Exception:
+        pass
+    return None
+
+
+def _release_lease(fs, jvm, target: str, token: str) -> None:
+    """Drop the lease iff we still own it (a breaker may have fenced us).
+    Token-checked ATOMICALLY (r9 ADVICE): capture the lease file by
+    rename, inspect the captured copy, and either delete it (ours — clean
+    release) or rename it back (a competitor's live lease we must not
+    destroy; if a third writer created a new lease in the window, the
+    rename-back refuses the existing destination and the captured copy is
+    dropped — the displaced competitor's own pre-commit ``_check_lease``
+    then fails CLOSED with a spurious abort, never a clobber). The old
+    exists/read/delete form could delete a competitor's freshly created
+    lease after a stale-break race."""
+    try:
+        cap = _capture_lease(fs, jvm, target, token)
+        if cap is None:
+            return  # already released or broken
+        if _read_small(fs, jvm, cap) == token:
+            fs.delete(cap, False)
+            return
+        jlease = jvm.org.apache.hadoop.fs.Path(_lease_path(target))
+        if not fs.rename(cap, jlease):
+            fs.delete(cap, False)
     except Exception:
         pass  # lease debris is TTL-swept by the next writer
 
@@ -306,6 +346,19 @@ def publish_versioned(
     fencing token check (:func:`_check_lease`) keeps a zombie holder from
     clobbering the breaker's commit. Enforced by
     ``test_concurrent_pointer_publish_single_writer``.
+
+    Residual TOCTOU (r9 ADVICE, documented): ``_check_lease`` →
+    ``_commit_pointer`` is check-then-act — a TTL-breaker that acquires
+    AND commits inside that window can still be last-wins'd by the
+    zombie's pointer swap. A plain filesystem offers atomic
+    create-if-absent and rename but no compare-and-swap, so the window
+    cannot be closed here; closing it needs a conditional put (S3
+    If-Match, etcd txn) at the pointer itself. Every committed pointer
+    still names a complete audited version — the race affects WHICH
+    complete version wins, never pointer integrity. Break and release
+    are rename-captured (:func:`_capture_lease`), so the breaker-break
+    and release-after-fence races fail closed rather than deleting a
+    competitor's live lease.
     """
     fs, _, jvm = _fs(spark, target)
     token = _acquire_lease(fs, jvm, target, ttl_s=lease_ttl_s)

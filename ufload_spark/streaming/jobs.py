@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ufload_spark.operators.dedup import (
+    HAMMING_D as _SH_HAMMING_D,
+    N_SEGS as _SH_N_SEGS,
+    SEG_BITS as _SH_SEG_BITS,
+    SIMHASH_BITS as _SH_BITS,
+)
 from ufload_spark.plans.registry import register
 from ufload_spark.session import tune
 from ufload_spark.sources.tables import normalize_ts
@@ -953,7 +959,7 @@ def streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def neardup_gate_batch(
-    batch: DataFrame, target: str, corpus_sims: DataFrame
+    batch: DataFrame, target: str, corpus_sims: DataFrame, epoch_id: int
 ) -> None:
     """One micro-batch of the streaming NEAR-dup admission gate:
     SimHash-fingerprint the batch (frame-level core of ``dedup_simhash``),
@@ -961,10 +967,16 @@ def neardup_gate_batch(
     :data:`~ufload_spark.operators.dedup.HAMMING_D` (segment pigeonhole
     probe — the ``dedup_simhash_incremental`` decision, against the
     STATIC corpus index, so the admitted set is independent of how the
-    stream was batched), and merge survivors into the published admitted
-    table keyed by doc_id. Re-merging already-seen rows cannot change a
-    doc_id-keyed distinct — the replay-idempotence the foreachBatch
-    exactly-once contract needs."""
+    stream was batched), and publish survivors to the epoch's OWN
+    append-only segment ``<target>/e<epoch>`` (r10, r9 ADVICE: the old
+    form re-read, unioned and re-published the ENTIRE admitted table
+    every micro-batch — O(total admitted) rewrite per batch, quadratic
+    total I/O on a long stream). Per-batch cost is now batch-sized plus
+    one segment publish; a replayed epoch re-publishes the SAME segment
+    with the same rows (the gate is a pure function of batch × static
+    index), which is the replay-idempotence the foreachBatch
+    exactly-once contract needs. Readers go through
+    :func:`read_admitted`, which doc_id-dedups across segments."""
     s = batch.sparkSession
     from ufload_spark.operators.dedup import (
         HAMMING_D,
@@ -972,7 +984,7 @@ def neardup_gate_batch(
         SEG_BITS,
         simhash_frame,
     )
-    from ufload_spark.sources.loader import _fs, stage_and_publish
+    from ufload_spark.sources.loader import stage_and_publish
 
     sims = simhash_frame(batch.select("doc_id", "text")).join(
         batch.select("doc_id", "source"), "doc_id"
@@ -1009,12 +1021,18 @@ def neardup_gate_batch(
     rows = sims.join(collided, "doc_id", "left_anti").select(
         "doc_id", "source", "simhash"
     )
-    fs, jt, _ = _fs(s, target)
-    if fs.exists(jt):
-        rows = s.read.parquet(target).unionByName(rows).distinct()
     if rows.isEmpty():
         return
-    stage_and_publish(s, rows, target)
+    stage_and_publish(s, rows, f"{target}/e{int(epoch_id):06d}")
+
+
+def read_admitted(spark: SparkSession, target: str) -> DataFrame:
+    """The admitted table across all epoch segments of a
+    :func:`neardup_gate_batch` target, doc_id-deduped at read time — a
+    replayed epoch republished its own segment so duplicates are
+    crash-window debris at most; the dedup makes the read exact either
+    way. One glob scan; the per-batch side never touches other epochs."""
+    return spark.read.parquet(f"{target}/e*").dropDuplicates(["doc_id"])
 
 
 @register(
@@ -1034,26 +1052,30 @@ WITH tokens AS (
   SELECT doc_id, """
     + ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(32)
+        for j in range(_SH_BITS)
     )
     + """
   FROM hashed GROUP BY doc_id
 ), sims AS (
   SELECT doc_id, CAST("""
-    + " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
-    + """ AS BIGINT) AS simhash FROM bitsums
+    + " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SH_BITS)
+    )
+    + f""" AS BIGINT) AS simhash FROM bitsums
 ), batch AS (SELECT * FROM sims WHERE doc_id % 4 = 0),
 existing AS (SELECT * FROM sims WHERE doc_id % 4 <> 0),
 bsegs AS (
-  SELECT doc_id, simhash, j AS seg, (simhash >> (8 * j)) & 255 AS segval
-  FROM batch, (SELECT unnest(range(0, 4)) AS j)
+  SELECT doc_id, simhash, j AS seg,
+         (simhash >> ({_SH_SEG_BITS} * j)) & {(1 << _SH_SEG_BITS) - 1} AS segval
+  FROM batch, (SELECT unnest(range(0, {_SH_N_SEGS})) AS j)
 ), esegs AS (
-  SELECT doc_id, simhash, j AS seg, (simhash >> (8 * j)) & 255 AS segval
-  FROM existing, (SELECT unnest(range(0, 4)) AS j)
+  SELECT doc_id, simhash, j AS seg,
+         (simhash >> ({_SH_SEG_BITS} * j)) & {(1 << _SH_SEG_BITS) - 1} AS segval
+  FROM existing, (SELECT unnest(range(0, {_SH_N_SEGS})) AS j)
 ), collided AS (
   SELECT DISTINCT b.doc_id
   FROM bsegs b JOIN esegs e ON b.seg = e.seg AND b.segval = e.segval
-  WHERE bit_count(xor(b.simhash, e.simhash)) <= 3
+  WHERE bit_count(xor(b.simhash, e.simhash)) <= {_SH_HAMMING_D}
 ), admitted AS (
   SELECT d.doc_id, d.source FROM documents d
   SEMI JOIN batch USING (doc_id)
@@ -1067,29 +1089,33 @@ FROM admitted GROUP BY source
 """,
     doc="streaming NEAR-dup admission gate: document stream → foreachBatch "
     "SimHash + segment-pigeonhole probe of the persisted corpus "
-    "fingerprints + doc_id-keyed merge into the published admitted table "
-    "(batching-independent vs the static index, replay-idempotent); "
-    "per-source admission census read back from the published table",
+    "fingerprints + per-epoch APPEND-ONLY segment publish "
+    "(batching-independent vs the static index, replay-idempotent — a "
+    "replayed epoch rewrites its own segment); per-source admission "
+    "census read back doc_id-deduped across segments",
 )
 def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-duplicate sibling of :func:`streaming_ingest_gate` —
     admission gated on SIMILARITY, not equality: each micro-batch
     SimHash-fingerprints only itself and probes the memo-published corpus
     fingerprint table with the segment pigeonhole join
-    (``dedup_simhash_incremental``'s decision); survivors merge into the
-    published admitted table through stage → audit → atomic swap. Gating
+    (``dedup_simhash_incremental``'s decision); survivors publish to the
+    epoch's own APPEND-ONLY segment through stage → audit → atomic swap
+    (r10 — the previous form re-read and re-published the whole admitted
+    table every micro-batch, O(total admitted) I/O per batch). Gating
     against the STATIC corpus index makes the admitted set independent of
     batching (near-dup is not transitive, so gating against
     already-admitted stream docs would make admission order-dependent —
     intra-batch near-dups are a downstream batch-dedup concern, stated,
-    not silent); doc_id-keyed merge makes epoch replay a no-op
-    (kill-and-restart proof:
+    not silent); a replayed epoch rewrites its own segment with identical
+    rows, and :func:`read_admitted` doc_id-dedups across segments, so
+    epoch replay is a no-op (kill-and-restart proof:
     tests/test_streaming.py::test_neardup_gate_recovers_from_checkpoint).
 
     Scale shape: per batch — batch-sized shingle window + one segment
     equi-join against the index scan (bucket cardinality 2^SEG_BITS per
-    segment bounds per-bucket pairing), merge shuffled on doc_id. The
-    corpus is never re-shingled; the index only ever appends.
+    segment bounds per-bucket pairing), one batch-sized segment publish.
+    The corpus is never re-shingled; the admitted table only ever appends.
 
     Reference analog: OP-STR-2 (skip-if-unchanged memo) composed with the
     dedup extension family — the streaming lifecycle of SimHash.
@@ -1115,12 +1141,12 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def admit(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        neardup_gate_batch(batch, target, corpus_sims)
+        neardup_gate_batch(batch, target, corpus_sims, epoch_id)
 
     ckpt = _tempfile.mkdtemp(prefix="ufload-ckpt-neardup-")
     run_with_notify(sdf, admit, checkpoint_dir=ckpt)
     return (
-        spark.read.parquet(target)
+        read_admitted(spark, target)
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_admitted"),
