@@ -135,6 +135,7 @@ HEADLINE = [
     "graph_kcore_bucketed",        # k-core peel, one pair exchange/round via parity alternation (r10)
     "dedup_semantic_pairs_overlap",# epsilon-overlap boundary pass, 2nd membership in-band (r10)
     "dedup_semantic_incremental",  # published-model batch admit gate, BxN pair kernel (r10)
+    "graph_bfs_bucketed",          # frontier BFS over the bucketed edge table (r10)
 ]
 
 

@@ -755,9 +755,10 @@ def _lpa_rounds(edges: DataFrame, *, broadcast_labels: bool) -> DataFrame:
     for _ in range(LPA_ITERS):
         # The label vector is node-sized (<< edge-sized) and joined to the
         # persisted edges EVERY round — the same repeated-join shape as
-        # PageRank's rank vector, so it gets the same pinned broadcast
-        # (edges never shuffle; beyond broadcastable label vectors at
-        # cluster scale: drop the hint, bucket edges by src).
+        # PageRank's rank vector, so the broadcast tier pins the hint
+        # (edges never shuffle); past broadcastable label vectors the
+        # fallback is graph_lpa_bucketed — this same loop with
+        # broadcast_labels=False over the src-bucketed table.
         # The unit self-vote joins the RAW contribution stream BEFORE the
         # vote aggregate (node-sized rows unioned into an edge-sized
         # stream), so one hash aggregate sums neighbor and self votes
@@ -1039,9 +1040,10 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-merge aggregate, and a lazy ``localCheckpoint`` lineage barrier
     (without it round k's broadcast subtree replans rounds 1..k-1; the
     LPA lesson, 26 s → 4 s at sf0.1). Only the FRONTIER joins the edges
-    — settled nodes ride along in the union at zero join cost. At
-    cluster scale beyond broadcastable distance vectors: bucket the
-    published edges by src, as the PageRank docstring documents.
+    — settled nodes ride along in the union at zero join cost. Past
+    broadcastable frontiers the fallback is REAL, not prose:
+    `graph_bfs_bucketed` runs the same rounds against the src-bucketed
+    shared edge table.
 
     Reference analog: none (extension surface — graph family; components
     answer "connected at all?", BFS answers "how far?").
@@ -1062,6 +1064,17 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .persist()
     )
+    return _bfs_rounds(spark, sf_dir, edges, broadcast_frontier=True)
+
+
+def _bfs_rounds(
+    spark: SparkSession, sf_dir: str, edges: DataFrame, *, broadcast_frontier: bool
+) -> DataFrame:
+    """The :data:`BFS_ROUNDS` synchronous frontier expansions shared by
+    the broadcast tier (:func:`graph_bfs_distances`) and the bucketed
+    tier (:func:`graph_bfs_bucketed`, no hint — the frontier shuffles
+    node-sized into the edge buckets). Same min-merge, same lineage
+    cuts: identical distances either way."""
     sup = table(spark, sf_dir, "supplier")
     dist = (
         sup.where(F.col("s_nationkey") == BFS_SEED_NATION)
@@ -1070,8 +1083,9 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.lit(0).cast("bigint").alias("d"))
     )
     for k in range(1, BFS_ROUNDS + 1):
-        frontier = dist.where(F.col("d") == k - 1).withColumnRenamed("node", "src")
-        nbr = edges.join(F.broadcast(frontier), "src").select(
+        frontier = dist.where(F.col("d") == k - 1)
+        f = F.broadcast(frontier) if broadcast_frontier else frontier
+        nbr = edges.join(f, edges.src == f.node).select(
             F.col("dst").alias("node"), F.lit(k).cast("bigint").alias("d")
         )
         dist = (
@@ -1085,6 +1099,32 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy(F.col("d").alias("distance")).agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
+
+
+@register(
+    "graph_bfs_bucketed",
+    _bfs_oracle(),
+    doc=f"multi-source BFS over the SRC-BUCKETED edge table — the "
+    "cluster-scale fallback for frontiers past the broadcast threshold: "
+    "per round the bucketed edge scan satisfies the frontier join with "
+    "NO exchange on the edge side; results bit-identical to "
+    f"graph_bfs_distances ({BFS_ROUNDS} rounds, exact hop counts)",
+)
+def graph_bfs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed tier of :func:`graph_bfs_distances` — the last graph
+    iterative whose past-broadcast fallback was prose (r10; PageRank got
+    its bucketed tier in r9, LPA and k-core earlier in r10). Same seeds,
+    same min-merge rounds, same oracle; the frontier joins the
+    src-bucketed shared edge table with no hint, so the edge side reads
+    its bucket layout exchange-free and only the node-sized frontier
+    shuffles per round. Crossover arithmetic: identical to PageRank/LPA
+    (same table, same node-sized vector; SCALING.md r9/r10 entries).
+
+    Reference analog: none (extension surface — layout discipline of
+    ``graph_pagerank_bucketed`` applied to bounded traversal).
+    """
+    edges = spark.table(_bucketed_edges_table(spark, sf_dir)).select("src", "dst")
+    return _bfs_rounds(spark, sf_dir, edges, broadcast_frontier=False)
 
 
 #: link-prediction output size
@@ -1359,8 +1399,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The keep lists are NODE-sized (<< pair-sized) — broadcast them
         # so the pair frame never shuffles for the semi joins; per round
         # the only exchanges are the two degree aggregates' partials.
-        # Beyond broadcastable node lists at cluster scale: drop the
-        # hints and bucket the pair table by c (the docstring note).
+        # Past broadcastable keep lists the fallback is REAL:
+        # graph_kcore_bucketed peels the c-bucketed pair layout with one
+        # pair-frame exchange per round.
         keep_c = deg_c.where(F.col("d") >= KCORE_K).select("c")
         keep_s = deg_s.where(F.col("d") >= KCORE_K).select("s")
         pairs = pairs.join(F.broadcast(keep_c), "c", "left_semi").join(

@@ -1028,9 +1028,10 @@ def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the quantizer trains on the content-addressed 1/4
     sample; assignment broadcasts the k×DIM centroid table against one
-    corpus scan (at k beyond broadcast size — ~10^6 cells — production
-    uses a two-level coarse quantizer, the IVF-in-IVF ladder; stated,
-    not silent); the pair join is a cell equi-join with bounded fan-out,
+    corpus scan (at k beyond broadcast size — ~10^6 cells — the
+    two-level coarse quantizer is REAL: `dedup_semantic_pairs_hier`
+    executes the probed-shard gather); the pair join is a cell
+    equi-join with bounded fan-out,
     never all-pairs; exact cosine runs on candidates only. One shuffle
     on the cell key, one on vec_id for the assignment argmin.
 
