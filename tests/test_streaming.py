@@ -293,7 +293,7 @@ def test_ingest_gate_recovers_from_checkpoint(spark, tmp_path):
             if b.isEmpty():
                 return
             calls.append(epoch_id)
-            ingest_gate_batch(b, target, corpus_fp)
+            ingest_gate_batch(b, target, corpus_fp, epoch_id)
             if crash_at is not None and epoch_id >= crash_at:
                 raise RuntimeError("injected crash after publish")
 
@@ -324,9 +324,16 @@ def test_ingest_gate_recovers_from_checkpoint(spark, tmp_path):
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    got = spark.read.parquet(target).select("fp", "doc_id")
+    from ufload_spark.streaming.jobs import read_ingest_admitted
+
+    got = read_ingest_admitted(spark, target).select("fp", "doc_id")
     assert got.count() == expected.count()
     assert got.exceptAll(expected.select("fp", "doc_id")).count() == 0
+    # append-only contract (r10): per-epoch segments hold per-batch
+    # minima only; the global min-wins is resolved at read time
+    import glob as _glob
+
+    assert len(sorted(_glob.glob(f"{target}/e*"))) >= 2
     corpus_fp.unpersist()
 
 

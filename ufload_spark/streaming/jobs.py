@@ -823,17 +823,22 @@ def documents_readstream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ingest_gate_batch(
-    batch: DataFrame, target: str, corpus_fp: DataFrame
+    batch: DataFrame, target: str, corpus_fp: DataFrame, epoch_id: int
 ) -> None:
     """One micro-batch of the streaming admission gate: fingerprint the
-    batch, drop docs whose fingerprint is in the corpus index, and MERGE
-    the survivors into the admitted table under MIN-DOC-ID-WINS conflict
-    resolution. Min-wins makes the final table (a) independent of how
-    the stream was batched and (b) idempotent under epoch replay — the
-    foreachBatch exactly-once contract — because re-merging any subset
-    of already-seen rows cannot change a min."""
+    batch, drop docs whose fingerprint is in the corpus index, and
+    publish the survivors (per-batch min doc_id per fp) to the epoch's
+    OWN append-only segment ``<target>/e<epoch>`` (r10 — the previous
+    form re-read, re-merged and re-published the ENTIRE admitted table
+    every micro-batch: O(total admitted) I/O per batch, quadratic on a
+    long stream). MIN-DOC-ID-WINS conflict resolution moves to read time
+    (:func:`read_ingest_admitted`) and stays exact because min is
+    associative — the global min per fp over per-epoch minima is the
+    same min. A replayed epoch rewrites its own segment with identical
+    rows (the per-batch result is a pure function of batch × static
+    index), which is the foreachBatch exactly-once contract."""
     s = batch.sparkSession
-    from ufload_spark.sources.loader import _fs, stage_and_publish
+    from ufload_spark.sources.loader import stage_and_publish
 
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     rows = (
@@ -847,20 +852,23 @@ def ingest_gate_batch(
         )
         .select("fp", "d.doc_id", "d.source")
     )
-    fs, jt, _ = _fs(s, target)
-    if fs.exists(jt):
-        existing = s.read.parquet(target)
-        merged = (
-            existing.unionByName(rows)
-            .groupBy("fp")
-            .agg(F.min_by(F.struct("doc_id", "source"), "doc_id").alias("d"))
-            .select("fp", "d.doc_id", "d.source")
-        )
-    else:
-        merged = rows
-    if merged.isEmpty():
+    if rows.isEmpty():
         return
-    stage_and_publish(s, merged, target)
+    stage_and_publish(s, rows, f"{target}/e{int(epoch_id):06d}")
+
+
+def read_ingest_admitted(spark: SparkSession, target: str) -> DataFrame:
+    """The admitted table across all epoch segments of an
+    :func:`ingest_gate_batch` target: min-doc-id-wins resolved at read
+    time over the per-epoch minima — exact because min is associative,
+    batching-independent and replay-safe. One glob scan + one fp-keyed
+    aggregate; the per-batch side never touches other epochs."""
+    return (
+        spark.read.parquet(f"{target}/e*")
+        .groupBy("fp")
+        .agg(F.min_by(F.struct("doc_id", "source"), "doc_id").alias("d"))
+        .select("fp", "d.doc_id", "d.source")
+    )
 
 
 @register(
@@ -943,12 +951,12 @@ def streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def admit(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        ingest_gate_batch(batch, target, corpus_fp)
+        ingest_gate_batch(batch, target, corpus_fp, epoch_id)
 
     ckpt = _tempfile.mkdtemp(prefix="ufload-ckpt-ingest-")
     run_with_notify(sdf, admit, checkpoint_dir=ckpt)
     return (
-        spark.read.parquet(target)
+        read_ingest_admitted(spark, target)
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_admitted"),
