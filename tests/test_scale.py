@@ -1404,8 +1404,15 @@ def test_bucketed_kcore_round_no_pair_exchange_on_bucket_key(spark):
         )
         deg_c = pairs.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
         deg_s = pairs.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
-        keep_c = deg_c.where(F.col("d") >= KCORE_K).select("c")
-        keep_s = deg_s.where(F.col("d") >= KCORE_K).select("s")
+        # KCORE_K + 1, deliberately NOT the registered query's threshold:
+        # graph_kcore_bucketed persists its round frames, and Spark's
+        # cache manager substitutes any MATCHING plan fragment with the
+        # InMemoryRelation — which would silently replace the parquet
+        # scan this test pins (observed when the full suite runs the
+        # registered query first). A different threshold guarantees a
+        # cache miss without changing the plan shape under test.
+        keep_c = deg_c.where(F.col("d") >= KCORE_K + 1).select("c")
+        keep_s = deg_s.where(F.col("d") >= KCORE_K + 1).select("s")
         nxt = pairs.join(keep_c, "c", "left_semi").join(keep_s, "s", "left_semi")
         plan = _plan(nxt)
         assert "SelectedBucketsCount" in plan
