@@ -136,6 +136,8 @@ HEADLINE = [
     "dedup_semantic_pairs_overlap",# epsilon-overlap boundary pass, 2nd membership in-band (r10)
     "dedup_semantic_incremental",  # published-model batch admit gate, BxN pair kernel (r10)
     "graph_bfs_bucketed",          # frontier BFS over the bucketed edge table (r10)
+    "multimodal_audio_vad_segments",  # PCM energy islands, rank-difference runs (r10)
+    "customers_linkage_sorted_neighborhood",  # merge/purge SN candidate tier (r10)
 ]
 
 

@@ -2077,3 +2077,103 @@ def test_semantic_cell_quality_invariants(spark):
     k = _sem_k(n)
     assert len(rows) <= k
     assert all(0 <= r["cell"] < k for r in rows)
+
+
+def test_sorted_neighborhood_pure_replay(spark):
+    """Engine-external replay (r10): rebuild the sorted-neighborhood
+    candidate generation, Fellegi-Sunter scoring and confusion census in
+    pure python over the raw parquet — no Spark expressions, no SQL —
+    and require the exact census. Also pins the method property that
+    justifies the tier: every true pair is found (the sort key is the
+    stable suffix, so true pairs are adjacent), i.e. no (match|possible,
+    true) mass is lost to a block boundary."""
+    import pandas as pd
+
+    from ufload_spark.operators.analytics import (
+        RL_MATCH_T,
+        RL_POSSIBLE_T,
+        RL_W_ACCTBAL,
+        RL_W_NAME,
+        RL_W_NATION,
+        RL_W_SEGMENT,
+        SN_BUCKET,
+        SN_W,
+        customers_linkage_sorted_neighborhood,
+    )
+
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    clean = {
+        int(r.c_custkey): (r.c_name, int(r.c_nationkey), r.c_mktsegment,
+                           float(r.c_acctbal))
+        for r in c.itertuples()
+    }
+    dirty = {}
+    for k, (nm, nat, seg, bal) in clean.items():
+        if k % 5 != 0:
+            continue
+        dnm = nm.replace("Customer", "Custmer") if k % 10 == 0 else nm
+        dnat = (nat + 1) % 25 if k % 20 == 0 else nat
+        dbal = float(math.floor(bal)) if k % 15 == 0 else bal
+        dirty[k + 10_000_000] = (dnm, dnat, seg, dbal)
+
+    recs = [(int(nm[-9:]), 0, k) for k, (nm, *_rest) in clean.items()]
+    recs += [(int(nm[-9:]), 1, k) for k, (nm, *_rest) in dirty.items()]
+    by_bucket: dict[int, list] = {}
+    for sfx, side, key in recs:
+        by_bucket.setdefault(sfx // SN_BUCKET, []).append((sfx, side, key))
+    cand = set()
+    ranked = {}
+    for bkt, rows in by_bucket.items():
+        rows.sort()
+        ranked[bkt] = rows
+        for i, (s1, sd1, k1) in enumerate(rows):
+            for j in range(i + 1, min(i + SN_W + 1, len(rows))):
+                s2, sd2, k2 = rows[j]
+                if sd1 == 0 and sd2 == 1:
+                    cand.add((k1, k2))
+                elif sd1 == 1 and sd2 == 0:
+                    cand.add((k2, k1))
+    for bkt, rows in ranked.items():
+        nxt = ranked.get(bkt + 1)
+        if not nxt:
+            continue
+        cnt = len(rows)
+        for i, (s1, sd1, k1) in enumerate(rows, start=1):
+            if i <= cnt - SN_W:
+                continue
+            for j, (s2, sd2, k2) in enumerate(nxt[:SN_W], start=1):
+                if (cnt - i) + j > SN_W or sd1 == sd2:
+                    continue
+                cand.add((k1, k2) if sd1 == 0 else (k2, k1))
+
+    census: dict[tuple, list] = {}
+    for a_key, b_key in cand:
+        nm_a, nat_a, seg_a, bal_a = clean[a_key]
+        nm_b, nat_b, seg_b, bal_b = dirty[b_key]
+        score = (
+            (RL_W_NAME[0] if nm_a == nm_b
+             else RL_W_NAME[1] if nm_a[-6:] == nm_b[-6:] else RL_W_NAME[2])
+            + (RL_W_NATION[0] if nat_a == nat_b else RL_W_NATION[1])
+            + (RL_W_SEGMENT[0] if seg_a == seg_b else RL_W_SEGMENT[1])
+            + (RL_W_ACCTBAL[0] if abs(bal_a - bal_b) < 1.0 else RL_W_ACCTBAL[1])
+        )
+        dec = ("match" if score >= RL_MATCH_T
+               else "possible" if score > RL_POSSIBLE_T else "non_match")
+        truth = b_key == a_key + 10_000_000
+        cell = census.setdefault((dec, truth), [0, None, None])
+        cell[0] += 1
+        cell[1] = score if cell[1] is None else min(cell[1], score)
+        cell[2] = score if cell[2] is None else max(cell[2], score)
+
+    want = {
+        (dec, truth, n, lo, hi) for (dec, truth), (n, lo, hi) in census.items()
+    }
+    got = {
+        (r["decision"], r["is_true_pair"], r["n_pairs"],
+         r["min_score_micro"], r["max_score_micro"])
+        for r in customers_linkage_sorted_neighborhood(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # every true pair retrieved: total true mass equals the dirty count
+    n_true = sum(n for (dec, truth, n, _lo, _hi) in want if truth)
+    assert n_true == len(dirty), (n_true, len(dirty))

@@ -188,3 +188,50 @@ def test_phash_bits_shape_and_pattern_identity():
         for b in range(AH_PATTERN_MOD)
     }
     assert len(others) > 1  # the DCT actually separates patterns
+
+
+def test_vad_segments_match_pure_python_replay(spark):
+    """Engine-external replay for the VAD islands operator: recompute
+    frame energies and maximal active runs straight from the
+    synthesizer's id-arithmetic in pure python/numpy (no Spark, no SQL,
+    no shared decode code path) and require the exact segment set."""
+    import numpy as np
+
+    from tests.conftest import SF_DIR
+    from ufload_spark.operators.multimodal import (
+        VAD_FRAME,
+        VAD_THRESH,
+        multimodal_audio_vad_segments,
+    )
+
+    want = set()
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    for doc_id in ids["doc_id"].to_pylist():
+        total = (doc_id % 1000 + 100) * (doc_id % 2 + 1)
+        nf = total // VAD_FRAME
+        if nf == 0:
+            continue
+        i = np.arange(nf * VAD_FRAME, dtype=np.int64)
+        v = ((doc_id * 31 + i * 7919) % 4096) - 2048
+        e = (v.reshape(nf, VAD_FRAME) ** 2).sum(axis=1)
+        act = e >= VAD_THRESH
+        start = None
+        for f in range(nf + 1):
+            on = f < nf and act[f]
+            if on and start is None:
+                start = f
+            elif not on and start is not None:
+                seg = slice(start, f)
+                want.add(
+                    (doc_id, start, f - 1, f - start, int(e[seg].sum()))
+                )
+                start = None
+    got = {
+        (r["doc_id"], r["start_frame"], r["end_frame"], r["n_frames"],
+         r["energy_sum"])
+        for r in multimodal_audio_vad_segments(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(want) > 500  # the fixture has real island structure

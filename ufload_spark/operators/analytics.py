@@ -4406,55 +4406,11 @@ def _rl_buckets(n_customers: int) -> int:
     """max(1, ceil-div(n, RL_BLOCK_TARGET)) in exact integers."""
     return max(1, (n_customers + RL_BLOCK_TARGET - 1) // RL_BLOCK_TARGET)
 
-_RL_DIRTY_CTE = """
-WITH dirty AS (
-  SELECT c_custkey + 10000000 AS d_key,
-         CASE WHEN c_custkey % 10 = 0
-              THEN replace(c_name, 'Customer', 'Custmer')
-              ELSE c_name END AS d_name,
-         CASE WHEN c_custkey % 20 = 0
-              THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
-              ELSE c_nationkey END AS d_nationkey,
-         CASE WHEN c_custkey % 15 = 0 THEN floor(c_acctbal)
-              ELSE c_acctbal END AS d_acctbal,
-         c_mktsegment AS d_mktsegment
-  FROM customer WHERE c_custkey % 5 = 0
-)
-"""
-
-
-@register(
-    "customers_record_linkage",
-    _RL_DIRTY_CTE
-    + f"""
-, bknob AS (
-  SELECT greatest(1, (count(*) + {RL_BLOCK_TARGET - 1}) // {RL_BLOCK_TARGET})
-           AS b
-  FROM customer
-), cb AS (
-  SELECT c.*, ('0x' || substr(md5(right(c_name, 9)), 1, 6))::BIGINT
-              % (SELECT b FROM bknob) AS hb
-  FROM customer c
-), db AS (
-  SELECT d.*, ('0x' || substr(md5(right(d_name, 9)), 1, 6))::BIGINT
-              % (SELECT b FROM bknob) AS hb
-  FROM dirty d
-), p1 AS (
-  SELECT c.c_custkey AS a_key, d.d_key AS b_key
-  FROM cb c JOIN db d
-    ON c.c_nationkey = d.d_nationkey
-   AND right(c.c_name, 3) = right(d.d_name, 3)
-   AND c.hb = d.hb
-), p2 AS (
-  SELECT c.c_custkey AS a_key, d.d_key AS b_key
-  FROM cb c JOIN db d
-    ON c.c_mktsegment = d.d_mktsegment
-   AND floor(c.c_acctbal) = floor(d.d_acctbal)
-   AND c.hb = d.hb
-), cand AS (
-  SELECT DISTINCT a_key, b_key FROM (
-    SELECT * FROM p1 UNION ALL SELECT * FROM p2)
-), scored AS (
+#: shared Fellegi-Sunter scoring + confusion-census oracle tail — expects
+#: ``cand(a_key, b_key)`` and the ``dirty`` CTE upstream; used by the
+#: blocked and the sorted-neighborhood linkage oracles
+_RL_SCORE_TAIL_SQL = f"""
+, scored AS (
   SELECT cand.a_key, cand.b_key,
          (CASE WHEN c.c_name = d.d_name THEN {RL_W_NAME[0]}
                WHEN right(c.c_name, 6) = right(d.d_name, 6)
@@ -4479,45 +4435,33 @@ SELECT CASE WHEN score_micro >= {RL_MATCH_T} THEN 'match'
        CAST(min(score_micro) AS BIGINT) AS min_score_micro,
        CAST(max(score_micro) AS BIGINT) AS max_score_micro
 FROM scored GROUP BY 1, 2
-""",
-    doc="Fellegi-Sunter record linkage: a deterministically-perturbed "
-    "duplicate table (typos, wrong nation, truncated balances) is linked "
-    "back via two blocking passes + integer log-odds field weights; "
-    "output is the decision x ground-truth confusion with score ranges",
+"""
+
+
+_RL_DIRTY_CTE = """
+WITH dirty AS (
+  SELECT c_custkey + 10000000 AS d_key,
+         CASE WHEN c_custkey % 10 = 0
+              THEN replace(c_name, 'Customer', 'Custmer')
+              ELSE c_name END AS d_name,
+         CASE WHEN c_custkey % 20 = 0
+              THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+              ELSE c_nationkey END AS d_nationkey,
+         CASE WHEN c_custkey % 15 = 0 THEN floor(c_acctbal)
+              ELSE c_acctbal END AS d_acctbal,
+         c_mktsegment AS d_mktsegment
+  FROM customer WHERE c_custkey % 5 = 0
 )
-def customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probabilistic record linkage (Fellegi & Sunter 1969), the
-    entity-resolution sibling of the text near-dup tiers: a "dirty"
-    registry is derived from ``customer`` with deterministic
-    perturbations (1-in-10 a name typo, 1-in-20 a wrong nation, 1-in-15
-    a truncated balance), then linked back with the production shape —
-    BLOCKING first (two passes: nation+name-suffix, robust to balance
-    noise; segment+dollar-floor, robust to nation noise — their union is
-    the candidate set, so a record survives any single corrupted block
-    key), field-level agreement weights in integer log-odds micro-units,
-    and the three-way match/possible/non-match decision. Ground truth is
-    known by construction (``b_key = a_key + 10^7``), so the output is
-    the decision × truth confusion matrix with per-cell score ranges —
-    a hash-stable audit of precision/recall, not just a pair dump.
+"""
 
-    Scale shape: candidates come ONLY from block equi-joins (two
-    shuffle-on-key joins whose per-key fan-out is the block size), never
-    all-pairs; scoring joins the two dimension tables back by key; the
-    confusion fold is a 6-row aggregate. The block keys are SELF-BOUNDING
-    (r9): both passes append a hash bucket of the stable identity token
-    with the bucket count derived from the corpus count
-    (:func:`_rl_buckets` — key space grows with the corpus, expected
-    block size constant, candidate volume linear at ANY scale factor;
-    pinned by the flat-candidate-volume test in
-    tests/test_scale.py). A true pair can never split across buckets:
-    every perturbation leaves the 9-digit name suffix intact, and the
-    oracle derives the identical bucket count in its ``bknob`` CTE.
 
-    Reference analog: none (extension surface — data-quality family,
-    beside ``quality_reconciliation`` and ``dedup_editdist_confirm``).
-    """
-    c = table(spark, sf_dir, "customer")
-    dirty = c.where(F.col("c_custkey") % 5 == 0).select(
+def _rl_dirty(c: DataFrame) -> DataFrame:
+    """The deterministically-perturbed duplicate registry shared by the
+    blocked and sorted-neighborhood linkage tiers (1-in-10 a name typo,
+    1-in-20 a wrong nation, 1-in-15 a truncated balance; ground truth
+    d_key = c_custkey + 10^7). Twin of the ``dirty`` CTE in
+    :data:`_RL_DIRTY_CTE`."""
+    return c.where(F.col("c_custkey") % 5 == 0).select(
         (F.col("c_custkey") + 10_000_000).alias("d_key"),
         F.when(
             F.col("c_custkey") % 10 == 0,
@@ -4536,32 +4480,13 @@ def customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d_acctbal"),
         F.col("c_mktsegment").alias("d_mktsegment"),
     )
-    from ufload_spark.sources.tables import corpus_count
 
-    nb = _rl_buckets(corpus_count(spark, sf_dir, "customer"))
 
-    def hb(name_col: str):
-        return (
-            F.conv(F.substring(F.md5(F.expr(f"right({name_col}, 9)")), 1, 6), 16, 10)
-            .cast("bigint")
-            % F.lit(nb)
-        )
-
-    cb = c.withColumn("hb", hb("c_name"))
-    db = dirty.withColumn("hb", hb("d_name"))
-    p1 = cb.join(
-        db,
-        (cb["c_nationkey"] == db["d_nationkey"])
-        & (F.expr("right(c_name, 3)") == F.expr("right(d_name, 3)"))
-        & (cb["hb"] == db["hb"]),
-    ).select(F.col("c_custkey").alias("a_key"), F.col("d_key").alias("b_key"))
-    p2 = cb.join(
-        db,
-        (cb["c_mktsegment"] == db["d_mktsegment"])
-        & (F.floor(cb["c_acctbal"]) == F.floor(db["d_acctbal"]))
-        & (cb["hb"] == db["hb"]),
-    ).select(F.col("c_custkey").alias("a_key"), F.col("d_key").alias("b_key"))
-    cand = p1.unionByName(p2).distinct()
+def _rl_score_census(cand: DataFrame, c: DataFrame, dirty: DataFrame) -> DataFrame:
+    """Fellegi-Sunter field-agreement scoring (integer log-odds
+    micro-units) + the decision × ground-truth confusion census — the
+    shared back half of both linkage tiers; twin of
+    :data:`_RL_SCORE_TAIL_SQL`."""
     w = {
         "name": RL_W_NAME,
         "nation": RL_W_NATION,
@@ -4612,3 +4537,243 @@ def customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score_micro").cast("bigint").alias("max_score_micro"),
         )
     )
+
+
+@register(
+    "customers_record_linkage",
+    _RL_DIRTY_CTE
+    + f"""
+, bknob AS (
+  SELECT greatest(1, (count(*) + {RL_BLOCK_TARGET - 1}) // {RL_BLOCK_TARGET})
+           AS b
+  FROM customer
+), cb AS (
+  SELECT c.*, ('0x' || substr(md5(right(c_name, 9)), 1, 6))::BIGINT
+              % (SELECT b FROM bknob) AS hb
+  FROM customer c
+), db AS (
+  SELECT d.*, ('0x' || substr(md5(right(d_name, 9)), 1, 6))::BIGINT
+              % (SELECT b FROM bknob) AS hb
+  FROM dirty d
+), p1 AS (
+  SELECT c.c_custkey AS a_key, d.d_key AS b_key
+  FROM cb c JOIN db d
+    ON c.c_nationkey = d.d_nationkey
+   AND right(c.c_name, 3) = right(d.d_name, 3)
+   AND c.hb = d.hb
+), p2 AS (
+  SELECT c.c_custkey AS a_key, d.d_key AS b_key
+  FROM cb c JOIN db d
+    ON c.c_mktsegment = d.d_mktsegment
+   AND floor(c.c_acctbal) = floor(d.d_acctbal)
+   AND c.hb = d.hb
+), cand AS (
+  SELECT DISTINCT a_key, b_key FROM (
+    SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+)"""
+    + _RL_SCORE_TAIL_SQL,
+    doc="Fellegi-Sunter record linkage: a deterministically-perturbed "
+    "duplicate table (typos, wrong nation, truncated balances) is linked "
+    "back via two blocking passes + integer log-odds field weights; "
+    "output is the decision x ground-truth confusion with score ranges",
+)
+def customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (Fellegi & Sunter 1969), the
+    entity-resolution sibling of the text near-dup tiers: a "dirty"
+    registry is derived from ``customer`` with deterministic
+    perturbations (1-in-10 a name typo, 1-in-20 a wrong nation, 1-in-15
+    a truncated balance), then linked back with the production shape —
+    BLOCKING first (two passes: nation+name-suffix, robust to balance
+    noise; segment+dollar-floor, robust to nation noise — their union is
+    the candidate set, so a record survives any single corrupted block
+    key), field-level agreement weights in integer log-odds micro-units,
+    and the three-way match/possible/non-match decision. Ground truth is
+    known by construction (``b_key = a_key + 10^7``), so the output is
+    the decision × truth confusion matrix with per-cell score ranges —
+    a hash-stable audit of precision/recall, not just a pair dump.
+
+    Scale shape: candidates come ONLY from block equi-joins (two
+    shuffle-on-key joins whose per-key fan-out is the block size), never
+    all-pairs; scoring joins the two dimension tables back by key; the
+    confusion fold is a 6-row aggregate. The block keys are SELF-BOUNDING
+    (r9): both passes append a hash bucket of the stable identity token
+    with the bucket count derived from the corpus count
+    (:func:`_rl_buckets` — key space grows with the corpus, expected
+    block size constant, candidate volume linear at ANY scale factor;
+    pinned by the flat-candidate-volume test in
+    tests/test_scale.py). A true pair can never split across buckets:
+    every perturbation leaves the 9-digit name suffix intact, and the
+    oracle derives the identical bucket count in its ``bknob`` CTE.
+
+    Reference analog: none (extension surface — data-quality family,
+    beside ``quality_reconciliation`` and ``dedup_editdist_confirm``).
+    """
+    c = table(spark, sf_dir, "customer")
+    dirty = _rl_dirty(c)
+    from ufload_spark.sources.tables import corpus_count
+
+    nb = _rl_buckets(corpus_count(spark, sf_dir, "customer"))
+
+    def hb(name_col: str):
+        return (
+            F.conv(F.substring(F.md5(F.expr(f"right({name_col}, 9)")), 1, 6), 16, 10)
+            .cast("bigint")
+            % F.lit(nb)
+        )
+
+    cb = c.withColumn("hb", hb("c_name"))
+    db = dirty.withColumn("hb", hb("d_name"))
+    p1 = cb.join(
+        db,
+        (cb["c_nationkey"] == db["d_nationkey"])
+        & (F.expr("right(c_name, 3)") == F.expr("right(d_name, 3)"))
+        & (cb["hb"] == db["hb"]),
+    ).select(F.col("c_custkey").alias("a_key"), F.col("d_key").alias("b_key"))
+    p2 = cb.join(
+        db,
+        (cb["c_mktsegment"] == db["d_mktsegment"])
+        & (F.floor(cb["c_acctbal"]) == F.floor(db["d_acctbal"]))
+        & (cb["hb"] == db["hb"]),
+    ).select(F.col("c_custkey").alias("a_key"), F.col("d_key").alias("b_key"))
+    cand = p1.unionByName(p2).distinct()
+    return _rl_score_census(cand, c, dirty)
+
+
+#: sorted-neighborhood geometry: the union registry sorts on the stable
+#: 9-digit name suffix, SN_BUCKET consecutive suffix values form a sorted
+#: block (block population is ~SN_BUCKET*6/5 by construction — custkeys are
+#: dense — so per-block work is constant at ANY corpus size), and records
+#: within SN_W sorted positions pair up; block boundaries are healed by
+#: pairing each block's tail sliver with the next block's head sliver.
+SN_BUCKET = 32
+SN_W = 2
+
+_SN_ORACLE = (
+    _RL_DIRTY_CTE
+    + f"""
+, u AS (
+  SELECT CAST(right(c_name, 9) AS BIGINT) AS sfx, 0 AS side,
+         CAST(c_custkey AS BIGINT) AS key FROM customer
+  UNION ALL
+  SELECT CAST(right(d_name, 9) AS BIGINT) AS sfx, 1 AS side,
+         CAST(d_key AS BIGINT) AS key FROM dirty
+), r AS (
+  SELECT sfx, side, key, sfx // {SN_BUCKET} AS bucket,
+         row_number() OVER (PARTITION BY sfx // {SN_BUCKET}
+                            ORDER BY sfx, side, key) AS rnk,
+         count(*) OVER (PARTITION BY sfx // {SN_BUCKET}) AS cnt
+  FROM u
+), within AS (
+  SELECT a.key AS a_key, b.key AS b_key
+  FROM r a JOIN r b ON a.bucket = b.bucket
+   AND a.side = 0 AND b.side = 1 AND abs(a.rnk - b.rnk) <= {SN_W}
+), bound AS (
+  SELECT CASE WHEN t.side = 0 THEN t.key ELSE h.key END AS a_key,
+         CASE WHEN t.side = 0 THEN h.key ELSE t.key END AS b_key
+  FROM r t JOIN r h ON h.bucket = t.bucket + 1
+   AND t.rnk > t.cnt - {SN_W} AND h.rnk <= {SN_W}
+   AND (t.cnt - t.rnk) + h.rnk <= {SN_W}
+   AND t.side <> h.side
+), cand AS (
+  SELECT DISTINCT a_key, b_key FROM (
+    SELECT * FROM within UNION ALL SELECT * FROM bound)
+)"""
+    + _RL_SCORE_TAIL_SQL
+)
+
+
+@register(
+    "customers_linkage_sorted_neighborhood",
+    _SN_ORACLE,
+    doc="sorted-neighborhood record linkage (Hernandez-Stolfo): clean + "
+    f"dirty registries sort on the stable name suffix, records within "
+    f"{SN_W} sorted positions pair (sorted blocks of {SN_BUCKET} suffix "
+    "values + boundary-sliver healing), then the shared Fellegi-Sunter "
+    "scoring and confusion census",
+)
+def customers_linkage_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sorted-neighborhood method (Hernández & Stolfo 1995, the merge/
+    purge paper) as the second candidate-generation tier of the linkage
+    family: instead of hash blocks, sort BOTH registries on a stable key
+    (the 9-digit name suffix — untouched by every perturbation) and pair
+    records within :data:`SN_W` positions of the sorted order. SN finds
+    matches blocking can miss when every block key is corrupted, and
+    misses what blocking finds when the SORT key is corrupted — which is
+    why production linkage runs both and unions candidates; here each
+    tier is its own oracle-checked query sharing the scoring/census back
+    half (:func:`_rl_score_census`).
+
+    The global sort is realized SCALE-SAFELY: no corpus-wide window.
+    ``sfx // SN_BUCKET`` forms sorted blocks whose population is constant
+    by construction (custkeys are dense, so ~:data:`SN_BUCKET`·6/5 rows
+    per block at any corpus size — the same self-bounding argument as
+    `_rl_buckets`, without needing the corpus count); ranks are
+    block-partitioned windows, within-block neighbors pair by rank
+    distance, and block boundaries are healed by pairing each block's
+    last-:data:`SN_W` sliver with the next block's first-:data:`SN_W`
+    sliver under the cross-boundary distance bound — the standard
+    distributed formulation of SN's sliding window.
+
+    Scale shape: one union scan, block-partitioned windows (never
+    partition-less), two bounded equi-joins on the block id (within +
+    boundary), then the shared score/census joins. Candidate volume is
+    ~2·SN_W per record — linear at any scale factor.
+
+    Engine-external replay:
+    tests/test_analytics_invariants.py::test_sorted_neighborhood_pure_replay.
+
+    Reference analog: none (extension surface — data-quality family,
+    the second Fellegi-Sunter candidate tier beside
+    ``customers_record_linkage``).
+    """
+    c = table(spark, sf_dir, "customer")
+    dirty = _rl_dirty(c)
+    u = (
+        c.select(
+            F.expr("CAST(right(c_name, 9) AS BIGINT)").alias("sfx"),
+            F.lit(0).alias("side"),
+            F.col("c_custkey").cast("bigint").alias("key"),
+        )
+        .unionByName(
+            dirty.select(
+                F.expr("CAST(right(d_name, 9) AS BIGINT)").alias("sfx"),
+                F.lit(1).alias("side"),
+                F.col("d_key").cast("bigint").alias("key"),
+            )
+        )
+        .withColumn("bucket", F.expr(f"sfx div {SN_BUCKET}"))
+    )
+    r = u.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("sfx", "side", "key")
+        ),
+    ).withColumn("cnt", F.count("*").over(Window.partitionBy("bucket")))
+    a, b = r.alias("a"), r.alias("b")
+    within = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.side") == 0)
+        & (F.col("b.side") == 1)
+        & (F.abs(F.col("a.rnk") - F.col("b.rnk")) <= SN_W),
+    ).select(F.col("a.key").alias("a_key"), F.col("b.key").alias("b_key"))
+    t, h = r.alias("t"), r.alias("h")
+    bound = t.join(
+        h,
+        (F.col("h.bucket") == F.col("t.bucket") + 1)
+        & (F.col("t.rnk") > F.col("t.cnt") - SN_W)
+        & (F.col("h.rnk") <= SN_W)
+        & ((F.col("t.cnt") - F.col("t.rnk")) + F.col("h.rnk") <= SN_W)
+        & (F.col("t.side") != F.col("h.side")),
+    ).select(
+        F.when(F.col("t.side") == 0, F.col("t.key"))
+        .otherwise(F.col("h.key"))
+        .alias("a_key"),
+        F.when(F.col("t.side") == 0, F.col("h.key"))
+        .otherwise(F.col("t.key"))
+        .alias("b_key"),
+    )
+    cand = within.unionByName(bound).distinct()
+    return _rl_score_census(cand, c, dirty)
