@@ -138,6 +138,7 @@ HEADLINE = [
     "graph_bfs_bucketed",          # frontier BFS over the bucketed edge table (r10)
     "multimodal_audio_vad_segments",  # PCM energy islands, rank-difference runs (r10)
     "customers_linkage_sorted_neighborhood",  # merge/purge SN candidate tier (r10)
+    "dedup_minhash_estimate_error_eval",  # MinHash estimator audit, integer micro Jaccard (r10)
 ]
 
 

@@ -764,3 +764,47 @@ def test_semdedup_tiers_on_clustered_fixture(spark, clustered_dir):
     # tiers) vs the ~0.6 borderline-band agreement on the near-uniform
     # fixture — cluster structure makes the 2-probe approximation exact
     assert jac >= 0.8, (jac, len(flat), len(hier))
+
+
+def test_minhash_error_eval_pure_replay(spark):
+    """Engine-external replay for the estimator audit's EXACT side and
+    fold arithmetic: take the (oracle-verified, planted-recall-tested)
+    LSH candidate pairs as input, recompute exact shingle-set Jaccard in
+    pure python from the raw text, fold the integer-micro census, and
+    require the exact output."""
+    from collections import defaultdict
+
+    from ufload_spark.operators.dedup import (
+        K_HASHES,
+        dedup_minhash_estimate_error_eval,
+        dedup_minhash_lsh_pairs,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    sets = {}
+    for r in docs.itertuples():
+        toks = r.text.strip().lower().split()
+        sets[int(r.doc_id)] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    pairs = [
+        (r["doc_a"], r["doc_b"], int(round(r["est_sim"] * K_HASHES)))
+        for r in dedup_minhash_lsh_pairs(spark, SF_DIR).collect()
+    ]
+    cells = defaultdict(lambda: [0, 0, 0])  # n, sum_exact, sum_abs_err
+    for a, b, m in pairs:
+        inter = len(sets[a] & sets[b])
+        exact = (1_000_000 * inter) // (len(sets[a]) + len(sets[b]) - inter)
+        cell = cells[m]
+        cell[0] += 1
+        cell[1] += exact
+        cell[2] += abs(m * (1_000_000 // K_HASHES) - exact)
+    want = {
+        (m, n, s // n, e // n) for m, (n, s, e) in cells.items()
+    }
+    got = {
+        (r["n_match"], r["n_pairs"], r["mean_exact_micro"],
+         r["mean_abs_err_micro"])
+        for r in dedup_minhash_estimate_error_eval(spark, SF_DIR).collect()
+    }
+    assert got == want

@@ -1969,3 +1969,120 @@ def dedup_winnowing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         batch.select("doc_id").distinct().join(collided, "doc_id", "left_anti")
     )
+
+
+_MINHASH_ERR_ORACLE = (
+    _MINHASH_SIGS_SQL
+    + f"""
+, cand AS (
+{_BAND_JOINS_SQL}
+), scored AS (
+  SELECT DISTINCT c.doc_a, c.doc_b, ({_MATCHES_SQL}) AS n_match
+  FROM cand c
+  JOIN sigs a ON c.doc_a = a.doc_id
+  JOIN sigs b ON c.doc_b = b.doc_id
+  WHERE ({_MATCHES_SQL}) >= 2
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT s.doc_a, s.doc_b, CAST(count(*) AS BIGINT) AS n
+  FROM scored s
+  JOIN shingles x ON x.doc_id = s.doc_a
+  JOIN shingles y ON y.doc_id = s.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+), px AS (
+  SELECT s.n_match,
+         (1000000 * coalesce(i.n, 0))
+           // (sa.sz + sb.sz - coalesce(i.n, 0)) AS exact_micro
+  FROM scored s
+  LEFT JOIN inter i ON i.doc_a = s.doc_a AND i.doc_b = s.doc_b
+  JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+)
+SELECT CAST(n_match AS INT) AS n_match,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(exact_micro) // count(*) AS BIGINT) AS mean_exact_micro,
+       CAST(sum(abs(n_match * {1_000_000 // K_HASHES} - exact_micro))
+              // count(*) AS BIGINT) AS mean_abs_err_micro
+FROM px GROUP BY n_match
+"""
+)
+
+
+@register(
+    "dedup_minhash_estimate_error_eval",
+    _MINHASH_ERR_ORACLE,
+    doc="MinHash estimator audit: for every LSH candidate pair, exact "
+    "shingle-set Jaccard (integer micro-units, pure integer floor "
+    "division) vs the signature-agreement estimate, folded per agreement "
+    "level into pair counts, mean exact similarity and mean absolute "
+    "estimator error",
+)
+def dedup_minhash_estimate_error_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash family, the dedup sibling
+    of ``similarity_quantized_recall_eval``: every LSH candidate pair's
+    EXACT shingle-set Jaccard is computed (candidate-bounded — the exact
+    intersection joins only pair members' shingles, never all-pairs) and
+    compared with the K-hash agreement estimate, per agreement level.
+    This prices the K={K_HASHES} signature in ranking terms on the live
+    corpus, inside the correctness sweep: an index owner reads
+    ``mean_abs_err_micro`` by ``n_match`` to decide whether K needs to
+    grow before trusting ``est_sim`` thresholds. All similarity values
+    are integer micro-units via pure integer floor division
+    (``1e6·|A∩B| // |A∪B|``), so the fold is order-free and bit-exact —
+    no float path to drift between engines.
+
+    Scale shape: the candidate set is the banded LSH join (bounded per
+    band key); the exact-intersection join carries only candidate
+    members' shingles (two shuffle-on-key joins); the final fold is a
+    ≤K-row aggregate. Engine-external replay:
+    ``tests/test_recall.py::test_minhash_error_eval_pure_replay``.
+
+    Reference analog: none (extension surface — evaluation family).
+    """
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("est_sim") * K_HASHES).cast("int").alias("n_match"),
+    )
+    sh = shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(x, "doc_a")
+        .join(y, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    px = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "n_match",
+            F.expr(
+                "(1000000 * coalesce(n, 0)) div (sza + szb - coalesce(n, 0))"
+            ).alias("exact_micro"),
+        )
+    )
+    est = F.col("n_match") * (1_000_000 // K_HASHES)
+    return px.groupBy("n_match").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.expr("sum(exact_micro) div count(*)")
+        .cast("bigint")
+        .alias("mean_exact_micro"),
+        F.sum(F.abs(est - F.col("exact_micro")))
+        .cast("bigint")
+        .alias("_s"),
+    ).select(
+        "n_match",
+        "n_pairs",
+        "mean_exact_micro",
+        F.expr("_s div n_pairs").cast("bigint").alias("mean_abs_err_micro"),
+    )
