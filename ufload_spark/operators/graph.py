@@ -769,7 +769,15 @@ def _lpa_rounds(edges: DataFrame, *, broadcast_labels: bool) -> DataFrame:
         # keeps its `node` name, so in the bucketed tier every exchange
         # in the plan is verifiably keyed node/label, never the edge
         # table's src — the property the plan pin asserts.
-        lab = F.broadcast(labels) if broadcast_labels else labels
+        # bucketed tier: SHUFFLE_HASH on the node-sized side — the hint
+        # pins the build side so the planner can never pick the EDGE side
+        # as a broadcast build (with the persisted scan's size estimate
+        # it tried exactly that at sf1 and OOMed an 8g driver); the edge
+        # side still satisfies the join distribution from its
+        # bucket/cache partitioning, and SHJ needs no per-round sort.
+        lab = F.broadcast(labels) if broadcast_labels else labels.hint(
+            "shuffle_hash"
+        )
         contrib = edges.join(lab, edges.src == lab.node).select(
             F.col("dst").alias("node"), "label", "w"
         )
@@ -1088,7 +1096,10 @@ def _bfs_rounds(
     )
     for k in range(1, BFS_ROUNDS + 1):
         frontier = dist.where(F.col("d") == k - 1)
-        f = F.broadcast(frontier) if broadcast_frontier else frontier
+        # same build-side pin as _lpa_rounds: never broadcast-build edges
+        f = F.broadcast(frontier) if broadcast_frontier else frontier.hint(
+            "shuffle_hash"
+        )
         nbr = edges.join(f, edges.src == f.node).select(
             F.col("dst").alias("node"), F.lit(k).cast("bigint").alias("d")
         )
@@ -1490,6 +1501,10 @@ def graph_kcore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join).
         keep_c = deg_c.where(F.col("d") >= KCORE_K).select("c")
         keep_s = deg_s.where(F.col("d") >= KCORE_K).select("s")
+        # SHUFFLE_HASH pins the keep lists as build sides (see _lpa_rounds:
+        # with persisted-scan size estimates the planner may otherwise
+        # broadcast-build the PAIR side)
+        keep_c, keep_s = keep_c.hint("shuffle_hash"), keep_s.hint("shuffle_hash")
         if rnd % 2 == 0:
             pairs = pairs.join(keep_c, "c", "left_semi").join(
                 keep_s, "s", "left_semi"
