@@ -1359,7 +1359,10 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: published-model read (k rows) + batch kernel scan + one
     cell-keyed shuffle of (batch ∪ same-cell base members) with
-    ~SEM_CELL_TARGET-bounded fan-out. Batch cost is strictly below the
+    ~SEM_CELL_TARGET-bounded fan-out — "same-cell" enforced BEFORE the
+    exchange by a broadcast semi-join of the published base assignment on
+    the batch's distinct cells (r11), so a batch touching 3 cells ships 3
+    cells' base members, never the corpus. Batch cost is strictly below the
     train tier: no k-means iterations, no corpus re-assignment, B×N
     pair work instead of N².
 
@@ -1389,7 +1392,20 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_asn = _kernel_assign(
         e.where(F.col("vec_id") % 4 == 0), cent, with_embedding=True
     )
-    union = base_asn.select("vec_id", "embedding", "cell", "d").unionByName(
+    # Scope the base side to the BATCH's cells before the cell-keyed
+    # shuffle (r10 VERDICT ask #1): base cells the batch never touches can
+    # only feed kernels that return empty (every emitted pair involves a
+    # batch row), so semi-joining the published assignment on the batch's
+    # distinct cells drops their rows BEFORE the exchange — per-batch
+    # shuffle bytes scale with the batch's cell footprint, not the corpus
+    # (the key-scoped probe discipline of dedup_minhash_incremental,
+    # dedup.py). The cell list is ≤ min(|batch|, k) rows, broadcast; the
+    # batch kernel runs twice (once under the broadcast build, once in the
+    # union) — both scans are batch-sized, strictly cheaper than shipping
+    # every base cell through the shuffle.
+    batch_cells = batch_asn.select("cell").distinct()
+    base_touched = base_asn.join(F.broadcast(batch_cells), "cell", "left_semi")
+    union = base_touched.select("vec_id", "embedding", "cell", "d").unionByName(
         batch_asn.select("vec_id", "embedding", "cell", "d")
     )
     return union.groupBy("cell").applyInPandas(
