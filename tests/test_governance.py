@@ -65,7 +65,9 @@ _ALLOWED_DRIVER_COLLECT = {
     # Arrow matmul kernels via closure — the `_plane_matrix` discipline.
     # One site in _kernel_assign, one in _kernel_assign2 (the
     # epsilon-overlap top-2 variant), one in the cell-quality audit
-    # kernel, one in the hierarchical tier's shard construction.
+    # kernel, one in the hierarchical tier's PIVOT selection (k2 = O(√k)
+    # rows — the k-row fine model itself stays a published DataFrame
+    # end to end since r11).
     "similarity.py": 4,
 }
 

@@ -519,6 +519,35 @@ ORDER BY md5(CAST(cid AS VARCHAR)), cid LIMIT (SELECT k2 FROM k2knob)"""
     assert _sem_k2(25) != _sem_k2(30)
 
 
+def test_hier_spark_pivot_selection_matches_rule(spark):
+    """r11: `_hier_assignment` now selects pivots WITH SPARK (orderBy
+    md5(cid), cid → limit k2 over the published model — the de-broadcast
+    rewrite collects only those O(√k) rows), so the Spark expression must
+    agree with `_hier_pivots`, the rule the numpy replay and the DuckDB
+    CTE parity test pin. Checked on survivor sets with dead cells,
+    including the sqrt-straddle case."""
+    from pyspark.sql import functions as F
+
+    from ufload_spark.operators.similarity import _hier_pivots, _sem_k2
+
+    cases = [
+        (list(range(0, 50, 2)), 30),
+        ([1, 3, 4, 7, 9, 12, 15, 20, 21, 22, 23, 30, 31, 33, 40, 44], 17),
+        (list(range(8)), 8),
+        ([0, 2, 5], 8),
+    ]
+    for cids, k in cases:
+        df = spark.createDataFrame([(c,) for c in cids], "cid int")
+        got = sorted(
+            r["cid"]
+            for r in df.orderBy(F.md5(F.col("cid").cast("string")), "cid")
+            .limit(_sem_k2(k))
+            .collect()
+        )
+        want = sorted(cids[i] for i in _hier_pivots(cids, k))
+        assert got == want, (cids, k, got, want)
+
+
 def test_overlap_recovers_planted_boundary_dups(spark, tmp_path):
     """r10 (r9 VERDICT ask #3): near-dup pairs planted ASTRIDE trained
     cell borders — members pulled slightly toward opposite centroids

@@ -1432,9 +1432,12 @@ def _hier_pivots(cids, k: int):
     the first ``_sem_k2(k)`` — k2 derived from the corpus-knob k, exactly
     like the oracle's ``ceil(sqrt(k)) FROM sknob``, never from the
     survivor count — and return their positions in ascending-cid order.
-    Factored out so the survivor<k regime (train sample smaller than the
-    knob: both engines then carry fewer cids than k) is unit-testable
-    against a DuckDB replica of the CTEs without a corpus that reaches it."""
+    Since r11 this is the TEST-SIDE reference of the rule: production
+    (`_hier_assignment`) runs the same ORDER BY md5(cid), cid LIMIT k2 as
+    a Spark top-k over the published model and collects only the k2
+    pivot rows; `test_hier_spark_pivot_selection_matches_rule` pins the
+    two against each other, and the DuckDB-replica test pins this
+    function in the survivor<k regime."""
     import hashlib
 
     import numpy as np
@@ -1567,27 +1570,44 @@ def _hier_assignment(spark: SparkSession, sf_dir: str):
     import numpy as np
     import pandas as pd
 
+    from ufload_spark.sources.loader import memo_publish
     from ufload_spark.sources.tables import corpus_count
 
     e = table(spark, sf_dir, "embeddings")
     k = _sem_k(corpus_count(spark, sf_dir, "embeddings"))
-    cent = kmeans_centroids(train_sample(e), k=k, kernel=True)
-    rows = sorted(cent.collect(), key=lambda r: r["cid"])
-    C = np.array([r["ce"] for r in rows], dtype=np.float64)
-    cids = np.array([r["cid"] for r in rows], dtype=np.int32)
-    # k2 from the KNOB k, not the survivor count len(rows): the oracle's
-    # k2knob computes ceil(sqrt(k)) from sknob, and whenever the trained
-    # table carries fewer cids than k (train sample < k seeds) a
+    # The trained model is PUBLISHED (stage→audit→publish, the incremental
+    # tier's pattern) and stays a DataFrame end to end: this tier exists
+    # for the ~10^6-cell regime where the k-row model must never pass
+    # through the driver (r10 VERDICT ask #2 — the r9 kernel collected all
+    # k rows and re-created them as a driver-side DataFrame).
+    cent_path = memo_publish(
+        spark,
+        "hier_centroids",
+        sf_dir,
+        lambda: kmeans_centroids(train_sample(e), k=k, kernel=True),
+    )
+    cent = spark.read.parquet(cent_path)
+    # k2 from the KNOB k, not the survivor count: the oracle's k2knob
+    # computes ceil(sqrt(k)) from sknob, and whenever the trained table
+    # carries fewer cids than k (train sample < k seeds) a
     # survivor-derived k2 could straddle a ceil(sqrt) boundary and pick a
     # different pivot set than the oracle (r9 ADVICE, medium).
     # tests/test_recall.py::test_hier_pivot_rule_parity_when_cells_die
-    # pins the aligned rule in the survivor<k regime.
-    piv_idx = _hier_pivots(cids, k)
-    P, pc = C[piv_idx], cids[piv_idx]
-    # fine cell → its pivot: argmin of rounded pivot distance, tie →
-    # smallest pivot cid (stable argsort over cid-ordered columns)
-    DC = np.round(((C[:, None, :] - P[None, :, :]) ** 2).sum(axis=2), _R)
-    f2c = pc[np.argsort(DC, axis=1, kind="stable")[:, 0]]
+    # pins the rule; test_hier_spark_pivot_selection_matches_rule pins
+    # this Spark expression against it.
+    k2 = _sem_k2(k)
+    # pivot selection = the oracle's pivots CTE verbatim (ORDER BY
+    # md5(cid), cid LIMIT k2), planned as a distributed top-k; ONLY the
+    # k2 = O(√k) pivot rows are collected — the pivot matrix is the one
+    # piece small enough to ship via closure at this tier's target scale
+    piv_rows = sorted(
+        cent.orderBy(F.md5(F.col("cid").cast("string")), "cid")
+        .limit(k2)
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    P = np.array([r["ce"] for r in piv_rows], dtype=np.float64)
+    pc = np.array([r["cid"] for r in piv_rows], dtype=np.int32)
     npv = (P * P).sum(axis=1)
 
     def probe_fn(it):
@@ -1614,15 +1634,30 @@ def _hier_assignment(spark: SparkSession, sf_dir: str):
         probe_fn,
         schema="vec_id long, embedding array<float>, p1 int, p2 int, salt int",
     )
-    # fine centroids as a k-row DATA frame keyed by owning pivot — the
-    # shard table a cluster deployment partitions; model-sized, so the
-    # broadcast below is the cheap side of both joins
-    shardf = spark.createDataFrame(
-        [
-            (int(cids[i]), int(f2c[i]), [float(x) for x in C[i]])
-            for i in range(len(cids))
-        ],
-        "cid int, pivot int, ce array<double>",
+
+    # fine cell → its pivot, computed DISTRIBUTED over the published
+    # model (argmin of rounded pivot distance, tie → smallest pivot cid —
+    # the pc columns are cid-ascending, stable argsort keeps the rule):
+    # the shard table a cluster deployment partitions by pivot, derived
+    # without ever materializing the k rows on the driver
+    def shard_fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Cb = np.array(list(pdf["ce"]), dtype=np.float64)
+            DC = np.round(
+                ((Cb[:, None, :] - P[None, :, :]) ** 2).sum(axis=2), _R
+            )
+            yield pd.DataFrame(
+                {
+                    "cid": pdf["cid"].to_numpy(),
+                    "pivot": pc[np.argsort(DC, axis=1, kind="stable")[:, 0]],
+                    "ce": pdf["ce"],
+                }
+            )
+
+    shardf = cent.mapInPandas(
+        shard_fn, schema="cid int, pivot int, ce array<double>"
     )
     # fresh key names on the candidate side: cand derives from probes, and
     # cogrouping a frame with its own derivative on same-named keys trips
@@ -1632,11 +1667,23 @@ def _hier_assignment(spark: SparkSession, sf_dir: str):
         F.col("p2").alias("q2"),
         F.col("salt").alias("qsalt"),
     ).distinct()
+    # tuples×shards as a SHUFFLE join (r10 VERDICT ask #2): both sides
+    # hash on the pivot key — the shard side carries ~k/k2 = O(√k) rows
+    # per key, the tuple side ≤ k2·SEM_SALT rows per key — so no side is
+    # ever collected to the driver or replicated to every executor the
+    # way F.broadcast(shardf) was. The shuffle_hash pin keeps the planner
+    # from broadcast-building either side when size estimates say it
+    # could (the r10 bucketed-tier lesson). Measured at sf1 the rewrite
+    # is ~3× FASTER warm (6.1 → 2.0 s, SCALING.md r11) — the k×k2
+    # cell→pivot mapping moved off the driver into shard_fn — so there is
+    # no small-k broadcast branch to maintain: the shuffle form wins at
+    # fixture k already and is the only shape that survives 10^6 cells.
+    shardf = shardf.hint("shuffle_hash")
     cand = (
-        tuples.join(F.broadcast(shardf), tuples.q1 == shardf.pivot)
+        tuples.join(shardf, tuples.q1 == shardf.pivot)
         .select("q1", "q2", "qsalt", "cid", "ce")
         .unionByName(
-            tuples.join(F.broadcast(shardf), tuples.q2 == shardf.pivot)
+            tuples.join(shardf, tuples.q2 == shardf.pivot)
             .select("q1", "q2", "qsalt", "cid", "ce")
         )
     )
