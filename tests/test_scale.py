@@ -1293,18 +1293,25 @@ def test_bucketed_pagerank_iteration_join_no_edge_exchange(spark):
     fallback matters: rank vector too big to broadcast), must read the
     edge side straight from its buckets (SelectedBucketsCount in the
     scan, NO exchange between scan and join); the only shuffles are the
-    node-sized rank vector and the inflow aggregate."""
-    from ufload_spark.operators.graph import _bucketed_edges_table
+    node-sized rank vector and the inflow aggregate. Runs at
+    shuffle.partitions=32 — NOT the session's 8 == N_GRAPH_BUCKETS — the
+    regime where the r11 defect lived: without the explicit repartition
+    into the bucket count, EnsureRequirements re-shuffles the EDGE side
+    to match the 32-partition rank vector every iteration."""
+    from ufload_spark.operators.graph import N_GRAPH_BUCKETS, _bucketed_edges_table
 
     name = _bucketed_edges_table(spark, SF_DIR)
     edges = spark.table(name)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    oldp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
         ranks = (
             edges.select(F.col("src").alias("node"))
             .distinct()
             .withColumn("r", F.lit(1000))
+            .repartition(N_GRAPH_BUCKETS, F.col("node"))
         )
         inflow = (
             edges.join(ranks, edges.src == ranks.node)
@@ -1328,6 +1335,7 @@ def test_bucketed_pagerank_iteration_join_no_edge_exchange(spark):
         assert inflow.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.shuffle.partitions", oldp)
 
 
 def test_bucketed_lpa_round_join_no_edge_exchange(spark):
@@ -1337,22 +1345,33 @@ def test_bucketed_lpa_round_join_no_edge_exchange(spark):
     broadcast), must read the edge side straight from its buckets
     (SelectedBucketsCount, NO exchange between scan and join); every
     hash exchange in the plan is keyed node/label (the node-sized label
-    vector and the two vote aggregates), never the edge table's src."""
+    vector and the two vote aggregates), never the edge table's src.
+    Runs at shuffle.partitions=32 != N_GRAPH_BUCKETS with the round's
+    repartition-into-buckets, the r11 conf-independence fix."""
     import re
 
-    from ufload_spark.operators.graph import LPA_SELF_W, _bucketed_edges_table
+    from ufload_spark.operators.graph import (
+        LPA_SELF_W,
+        N_GRAPH_BUCKETS,
+        _bucketed_edges_table,
+    )
 
     name = _bucketed_edges_table(spark, SF_DIR)
     edges = spark.table(name).select("src", "dst", "w")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    oldp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
         labels = (
             edges.select(F.col("src").alias("node"))
             .distinct()
             .select("node", F.col("node").alias("label"))
         )
-        contrib = edges.join(labels, edges.src == labels.node).select(
+        lab = labels.repartition(N_GRAPH_BUCKETS, F.col("node")).hint(
+            "shuffle_hash"
+        )
+        contrib = edges.join(lab, edges.src == lab.node).select(
             F.col("dst").alias("node"), "label", "w"
         )
         votes = (
@@ -1379,6 +1398,7 @@ def test_bucketed_lpa_round_join_no_edge_exchange(spark):
         assert nxt.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.shuffle.partitions", oldp)
 
 
 def test_bucketed_kcore_round_no_pair_exchange_on_bucket_key(spark):
@@ -1388,15 +1408,21 @@ def test_bucketed_kcore_round_no_pair_exchange_on_bucket_key(spark):
     the bucket key anywhere in the plan; the only pair-sized move is the
     single s-side exchange. And the alternation premise holds: after
     persisting round 0's output (partitioned by s), the next round's
-    s-degree aggregate plans with NO new exchange above the cache."""
+    s-degree aggregate plans with NO new exchange above the cache.
+    Runs at shuffle.partitions=32 != N_GRAPH_BUCKETS (r11): the c-side
+    work rides the 8-bucket layout regardless of conf because the keep
+    list DERIVES from that layout — unlike LPA/BFS/PageRank this tier
+    needs no repartition fix, and this pin proves it."""
     import re
 
     from ufload_spark.operators.graph import KCORE_K, _bucketed_edges_table
 
     name = _bucketed_edges_table(spark, SF_DIR)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    oldp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
         pairs = (
             spark.table(name)
             .where(F.col("src") % 2 == 0)
@@ -1434,6 +1460,102 @@ def test_bucketed_kcore_round_no_pair_exchange_on_bucket_key(spark):
             cached.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.shuffle.partitions", oldp)
+
+
+def test_bucketed_bfs_round_no_edge_exchange(spark):
+    """r11 (r10 VERDICT ask #3): the BFS bucketed fallback's round shape,
+    pinned like LPA's — one frontier expansion against the src-bucketed
+    edge table, broadcast disabled, must read the edge side straight from
+    its buckets (SelectedBucketsCount, no exchange between scan and
+    join), plan the join as ShuffledHashJoin with the NODE-sized frontier
+    as build side (the shuffle_hash pin that fixed the r10 sf1
+    broadcast-build OOM), and key every hash exchange on node — never the
+    edge table's src. Runs at shuffle.partitions=32 != N_GRAPH_BUCKETS:
+    the frontier comes from an UNRELATED table (supplier), so without the
+    repartition-into-buckets the edge side re-exchanges to match the
+    32-partition frontier — the r11 defect this pin was written to
+    catch."""
+    import re
+
+    from ufload_spark.operators.graph import (
+        BFS_SEED_NATION,
+        N_GRAPH_BUCKETS,
+        _bucketed_edges_table,
+    )
+
+    name = _bucketed_edges_table(spark, SF_DIR)
+    edges = spark.table(name).select("src", "dst")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    oldp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        sup = table(spark, SF_DIR, "supplier")
+        # a seed nation that EXISTS but is deliberately NOT the registered
+        # seed — a cached subtree from an earlier in-suite run of the
+        # registered query must not substitute the scan this pin tests
+        # (r10 trap), and the tiny fixture may lack BFS_SEED_NATION+1
+        alt_seed = (
+            sup.where(F.col("s_nationkey") != BFS_SEED_NATION)
+            .select("s_nationkey")
+            .first()[0]
+        )
+        dist = (
+            sup.where(F.col("s_nationkey") == alt_seed)
+            .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+            .distinct()
+            .select("node", F.lit(0).cast("bigint").alias("d"))
+        )
+        frontier = (
+            dist.where(F.col("d") == 0)
+            .repartition(N_GRAPH_BUCKETS, F.col("node"))
+            .hint("shuffle_hash")
+        )
+        nbr = edges.join(frontier, edges.src == frontier.node).select(
+            F.col("dst").alias("node"), F.lit(1).cast("bigint").alias("d")
+        )
+        nxt = (
+            dist.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("d").cast("bigint").alias("d"))
+        )
+        plan = _plan(nxt)
+        assert "SelectedBucketsCount" in plan  # bucket spec reached the scan
+        assert "BroadcastHashJoin" not in plan  # the fallback regime
+        assert "ShuffledHashJoin" in plan and "BuildRight" in plan, plan
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]+)\)", plan):
+            keys = m.group(1)
+            assert "node" in keys, plan
+            assert "src" not in keys, plan
+        assert nxt.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.shuffle.partitions", oldp)
+
+
+def test_bucketed_tiers_release_their_caches(spark):
+    """r11 (r10 VERDICT ask #5): the bucketed graph tiers publish their
+    audit-sized results through the staged loader and unpersist every
+    cache their rounds accumulated — a registered query in a long-lived
+    session leaves NO new persistent RDDs behind once it returns."""
+    from ufload_spark.plans.registry import load_all
+
+    def ids():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs()
+            .keySet()
+            .toArray()
+        }
+
+    reg = load_all()
+    for name in ("graph_lpa_bucketed", "graph_bfs_bucketed", "graph_kcore_bucketed"):
+        before = ids()
+        df = reg[name].fn(spark, SF_DIR)
+        leaked = ids() - before
+        assert not leaked, (name, leaked)
+        assert df.count() > 0, name
 
 
 def test_hier_gather_ships_probed_shards_not_k(spark):

@@ -293,8 +293,14 @@ def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (At fixture scale the planner may still pick broadcast for the
         # tiny rank side — results are identical either way; the plan pin
         # runs with broadcast disabled to verify the fallback shape.)
+        # Conf-independence repartition (r11, see _lpa_rounds): the rank
+        # vector lands at spark.sql.shuffle.partitions after its
+        # aggregate; shuffle it into the bucket count so the EDGE side
+        # stays exchange-free when conf != N_GRAPH_BUCKETS (it re-shuffled
+        # edge-sized every iteration in the 32-partition bench session).
+        rank_b = ranks.repartition(N_GRAPH_BUCKETS, F.col("node"))
         inflow = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(rank_b, edges.src == rank_b.node)
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(r * w) div wout").alias("contrib"),
@@ -740,7 +746,29 @@ def _lpa_edges_and_labels(
     return edges, labels
 
 
-def _lpa_rounds(edges: DataFrame, *, broadcast_labels: bool) -> DataFrame:
+def _publish_release(spark, result: DataFrame, name: str, cached) -> DataFrame:
+    """Materialize a bucketed tier's audit-sized result through the staged
+    loader, RELEASE every cache the rounds accumulated, and return the
+    published frame (r10 VERDICT ask #5 — the r8 LPA publish-path leak
+    class: a registered query in a long-lived session must not leave
+    persistent RDDs behind after its result is consumed). The write is
+    distributed — no driver materialization; the result frames are
+    audit-sized (community counts / distance histogram / peel curve), so
+    the extra write+read is bounded.
+    ``tests/test_scale.py::test_bucketed_tiers_release_their_caches``
+    pins the contract."""
+    from ufload_spark.sources.loader import _scratch_unique, stage_and_publish
+
+    target = _scratch_unique(name)
+    stage_and_publish(spark, result, target)
+    for df in cached:
+        df.unpersist()
+    return spark.read.parquet(target)
+
+
+def _lpa_rounds(
+    edges: DataFrame, *, broadcast_labels: bool, track: list | None = None
+) -> DataFrame:
     """The :data:`LPA_ITERS` synchronous vote rounds over an ``(src, dst,
     w)`` edge frame — shared by the broadcast tier
     (:func:`graph_label_propagation`, ``broadcast_labels=True``) and the
@@ -775,8 +803,21 @@ def _lpa_rounds(edges: DataFrame, *, broadcast_labels: bool) -> DataFrame:
         # it tried exactly that at sf1 and OOMed an 8g driver); the edge
         # side still satisfies the join distribution from its
         # bucket/cache partitioning, and SHJ needs no per-round sort.
-        lab = F.broadcast(labels) if broadcast_labels else labels.hint(
-            "shuffle_hash"
+        # The explicit repartition INTO the bucket layout's partition
+        # count is what makes "exchange-free edge side" conf-independent
+        # (r11): the vote aggregate lands the label vector at
+        # spark.sql.shuffle.partitions, and whenever that differs from
+        # N_GRAPH_BUCKETS (bench/production run 32, the buckets are 8)
+        # EnsureRequirements would re-shuffle the EDGE side to match the
+        # label side — the exact exchange this tier exists to avoid,
+        # invisible in the test session where the two numbers coincide.
+        # One node-sized exchange buys out the edge-sized one.
+        lab = (
+            F.broadcast(labels)
+            if broadcast_labels
+            else labels.repartition(
+                N_GRAPH_BUCKETS, F.col("node")
+            ).hint("shuffle_hash")
         )
         contrib = edges.join(lab, edges.src == lab.node).select(
             F.col("dst").alias("node"), "label", "w"
@@ -802,8 +843,15 @@ def _lpa_rounds(edges: DataFrame, *, broadcast_labels: bool) -> DataFrame:
         # Lineage barrier: each round's label vector feeds the next round's
         # broadcast; without a cut, round k's broadcast subtree re-executes
         # the entire round-1..k-1 prefix (measured 26 s -> 0.3 s at sf0.1).
-        # Lazy, so nothing materializes until the final action.
-        labels = labels.localCheckpoint(eager=False)
+        # Lazy, so nothing materializes until the final action. The
+        # bucketed tier tracks a PERSIST instead (same compute-once
+        # effect; the caller can release it — localCheckpoint leaves an
+        # unreleasable persistent RDD behind, r10 VERDICT ask #5).
+        if track is None:
+            labels = labels.localCheckpoint(eager=False)
+        else:
+            labels = labels.persist()
+            track.append(labels)
     return labels
 
 
@@ -843,10 +891,12 @@ def graph_lpa_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.table(_bucketed_edges_table(spark, sf_dir)).select(
         "src", "dst", "w"
     ).persist()
-    labels = _lpa_rounds(edges, broadcast_labels=False)
-    return labels.groupBy(F.col("label").alias("community")).agg(
+    cached: list[DataFrame] = [edges]
+    labels = _lpa_rounds(edges, broadcast_labels=False, track=cached)
+    result = labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").cast("bigint").alias("n_members")
     )
+    return _publish_release(spark, result, "lpa_bucketed_out", cached)
 
 
 def _modularity_oracle() -> str:
@@ -1080,11 +1130,18 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bfs_rounds(
-    spark: SparkSession, sf_dir: str, edges: DataFrame, *, broadcast_frontier: bool
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame,
+    *,
+    broadcast_frontier: bool,
+    track: list | None = None,
 ) -> DataFrame:
     """The :data:`BFS_ROUNDS` synchronous frontier expansions shared by
     the broadcast tier (:func:`graph_bfs_distances`) and the bucketed
-    tier (:func:`graph_bfs_bucketed`, no hint — the frontier shuffles
+    tier (:func:`graph_bfs_bucketed`, SHUFFLE_HASH pinned on the
+    node-sized frontier so the planner can never broadcast-build the
+    persisted EDGE side — the r10 sf1 OOM lesson; the frontier shuffles
     node-sized into the edge buckets). Same min-merge, same lineage
     cuts: identical distances either way."""
     sup = table(spark, sf_dir, "supplier")
@@ -1096,9 +1153,17 @@ def _bfs_rounds(
     )
     for k in range(1, BFS_ROUNDS + 1):
         frontier = dist.where(F.col("d") == k - 1)
-        # same build-side pin as _lpa_rounds: never broadcast-build edges
-        f = F.broadcast(frontier) if broadcast_frontier else frontier.hint(
-            "shuffle_hash"
+        # same build-side pin as _lpa_rounds: never broadcast-build edges;
+        # same conf-independence repartition (r11): the min-merge lands
+        # the frontier at spark.sql.shuffle.partitions — shuffle it into
+        # the bucket layout's count so the EDGE side never re-exchanges
+        # to match (it did, every round, whenever conf != N_GRAPH_BUCKETS)
+        f = (
+            F.broadcast(frontier)
+            if broadcast_frontier
+            else frontier.repartition(
+                N_GRAPH_BUCKETS, F.col("node")
+            ).hint("shuffle_hash")
         )
         nbr = edges.join(f, edges.src == f.node).select(
             F.col("dst").alias("node"), F.lit(k).cast("bigint").alias("d")
@@ -1109,8 +1174,13 @@ def _bfs_rounds(
             .agg(F.min("d").cast("bigint").alias("d"))
         )
         # Lineage barrier per round (the LPA lesson) — lazy, nothing
-        # materializes until the final action.
-        dist = dist.localCheckpoint(eager=False)
+        # materializes until the final action. Bucketed tier: tracked
+        # persist instead, releasable by the caller (r10 VERDICT ask #5).
+        if track is None:
+            dist = dist.localCheckpoint(eager=False)
+        else:
+            dist = dist.persist()
+            track.append(dist)
     return dist.groupBy(F.col("d").alias("distance")).agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
@@ -1130,10 +1200,14 @@ def graph_bfs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative whose past-broadcast fallback was prose (r10; PageRank got
     its bucketed tier in r9, LPA and k-core earlier in r10). Same seeds,
     same min-merge rounds, same oracle; the frontier joins the
-    src-bucketed shared edge table with no hint, so the edge side reads
-    its bucket layout exchange-free and only the node-sized frontier
-    shuffles per round. Crossover arithmetic: identical to PageRank/LPA
-    (same table, same node-sized vector; SCALING.md r9/r10 entries).
+    src-bucketed shared edge table with the SHUFFLE_HASH hint pinned on
+    the node-sized frontier (the build side — with the persisted scan's
+    size estimate the planner would otherwise broadcast-build the EDGE
+    side, the r10 sf1 OOM), so the edge side reads its bucket layout
+    exchange-free and only the node-sized frontier shuffles per round;
+    ``test_bucketed_bfs_round_no_edge_exchange`` pins the shape.
+    Crossover arithmetic: identical to PageRank/LPA (same table, same
+    node-sized vector; SCALING.md r9/r10 entries).
 
     Reference analog: none (extension surface — layout discipline of
     ``graph_pagerank_bucketed`` applied to bounded traversal).
@@ -1143,7 +1217,11 @@ def graph_bfs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = spark.table(_bucketed_edges_table(spark, sf_dir)).select(
         "src", "dst"
     ).persist()
-    return _bfs_rounds(spark, sf_dir, edges, broadcast_frontier=False)
+    cached: list[DataFrame] = [edges]
+    result = _bfs_rounds(
+        spark, sf_dir, edges, broadcast_frontier=False, track=cached
+    )
+    return _publish_release(spark, result, "bfs_bucketed_out", cached)
 
 
 #: link-prediction output size
@@ -1486,6 +1564,7 @@ def graph_kcore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("c"), F.col("dst").alias("s"))
         .persist()
     )
+    cached: list[DataFrame] = [pairs]
     out = []
     for rnd in range(KCORE_ROUNDS + 1):
         deg_c = pairs.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
@@ -1516,13 +1595,14 @@ def graph_kcore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persist, not localCheckpoint: both the stats row and the next
         # round consume this frame (compute-once), and InMemoryRelation
         # preserves the partitioning the parity alternation rides. The
-        # frames are pair-sized and KCORE_ROUNDS is small; the cache is
-        # bounded and process-local.
+        # frames are pair-sized and KCORE_ROUNDS is small; every round's
+        # cache is tracked and released once the curve is published.
         pairs = pairs.persist()
+        cached.append(pairs)
     res = out[0]
     for frame in out[1:]:
         res = res.unionByName(frame)
-    return res
+    return _publish_release(spark, res, "kcore_bucketed_out", cached)
 
 
 @register(
