@@ -548,6 +548,24 @@ def test_hier_spark_pivot_selection_matches_rule(spark):
         assert got == want, (cids, k, got, want)
 
 
+def test_kernel_assign2_single_centroid_degrades_gracefully(spark):
+    """r10 ADVICE: a degenerate corpus can train a SINGLE centroid (seed
+    sample smaller than 2); the top-2 overlap kernel must emit primary
+    memberships only — the oracle's behavior (no rn=2 rows) — instead of
+    raising IndexError on order[:, 1]."""
+    from ufload_spark.operators.similarity import _kernel_assign2
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cent = spark.createDataFrame([(7, [0.5, 0.5])], "cid int, ce array<double>")
+    rows = _kernel_assign2(emb, cent).collect()
+    assert len(rows) == 2, rows  # no overflow rows
+    assert {r["vec_id"] for r in rows} == {1, 2}
+    assert all(r["cell"] == 7 for r in rows)
+
+
 def test_overlap_recovers_planted_boundary_dups(spark, tmp_path):
     """r10 (r9 VERDICT ask #3): near-dup pairs planted ASTRIDE trained
     cell borders — members pulled slightly toward opposite centroids

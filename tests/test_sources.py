@@ -1102,3 +1102,70 @@ def test_lease_release_never_deletes_competitor_lease(spark, tmp_path):
     assert cap1 is not None and cap2 is None
     assert loader._read_small(fs, jvm, cap1) == token_c
     fs.delete(cap1, False)
+
+
+def test_lease_breaker_gives_back_fresh_lease(spark, tmp_path, monkeypatch):
+    """r11 (r10 ADVICE): the stale-break still had a stat→capture TOCTOU —
+    between the age check and the capture, the measured holder can
+    release and a LIVE writer can create a fresh lease, which the old
+    code then captured and deleted (fencing a live, non-stale holder).
+    Now the breaker compares the captured file's token against the one
+    it measured and renames a mismatched (fresh) lease BACK. Simulated by
+    making the age-check read return a phantom stale token while the real
+    file carries a live competitor's."""
+    import pytest
+
+    from ufload_spark.sources import loader
+
+    target = str(tmp_path / "t")
+    fs, _, jvm = loader._fs(spark, target)
+    live = "live-competitor-token"
+    jlease = jvm.org.apache.hadoop.fs.Path(loader._lease_path(target))
+    out = fs.create(jlease, False)
+    out.write(bytearray(live.encode("utf-8")))
+    out.close()
+
+    real = loader._read_small
+    calls = {"n": 0}
+
+    def fake(fs_, jvm_, jpath):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the age-check read: the phantom stale holder
+            return "phantom-stale-token"
+        return real(fs_, jvm_, jpath)
+
+    monkeypatch.setattr(loader, "_read_small", fake)
+    # ttl 0 makes the age check pass, so the breaker enters the capture
+    # path believing it measured a stale holder
+    with pytest.raises(loader.ConcurrentPublishError):
+        loader._acquire_lease(fs, jvm, target, ttl_s=0.0)
+    # the live lease survived the spurious break attempt, token intact
+    assert fs.exists(jlease)
+    assert real(fs, jvm, jlease) == live
+    fs.delete(jlease, False)
+
+
+def test_stale_capture_orphans_are_swept(spark, tmp_path):
+    """r11 (r10 ADVICE): a breaker that crashes between capture and
+    delete leaks a ``.lease.cap.*`` orphan the TTL sweep never touched;
+    the next acquisition now sweeps age-expired captures (and leaves
+    fresh ones, which may belong to a live breaker mid-break)."""
+    from ufload_spark.sources import loader
+
+    target = str(tmp_path / "t")
+    fs, _, jvm = loader._fs(spark, target)
+    orphan = jvm.org.apache.hadoop.fs.Path(
+        loader._lease_path(target) + ".cap.deadbeef.cafe0123"
+    )
+    out = fs.create(orphan, False)
+    out.write(bytearray(b"crashed-breaker"))
+    out.close()
+    # fresh: kept
+    loader._sweep_stale_captures(fs, jvm, target)
+    assert fs.exists(orphan)
+    # age-expired: swept (min_age_s=0 stands in for an hour-old orphan)
+    loader._sweep_stale_captures(fs, jvm, target, min_age_s=0.0)
+    assert not fs.exists(orphan)
+    # and a normal acquisition runs the sweep without disturbing itself
+    token = loader._acquire_lease(fs, jvm, target, ttl_s=3600)
+    loader._release_lease(fs, jvm, target, token)

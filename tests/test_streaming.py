@@ -456,3 +456,33 @@ def test_neardup_gate_recovers_from_checkpoint(spark, tmp_path):
     per_seg = [spark.read.parquet(p).count() for p in segs]
     assert sum(per_seg) == len(expected), (per_seg, len(expected))
     corpus_sims.unpersist()
+
+
+def test_gate_readers_skip_staging_debris(spark, tmp_path):
+    """r10 ADVICE: a crashed epoch publish leaves ``eNNNNNN.staging.*`` /
+    ``eNNNNNN.old.*`` siblings that are younger than the orphan-sweep age
+    at replay time; the segment readers must list EXACT ``e<digits>``
+    names and never include the unaudited debris rows — the
+    stage→audit→atomic-publish contract enforced at read time, not
+    rescued by the min-wins dedup happening to make debris idempotent."""
+    from ufload_spark.sources.loader import stage_and_publish
+    from ufload_spark.streaming.jobs import read_admitted, read_ingest_admitted
+
+    target = str(tmp_path / "gate")
+    good = spark.createDataFrame(
+        [("fpA", 4, "s1"), ("fpB", 8, "s1")],
+        "fp string, doc_id long, source string",
+    )
+    stage_and_publish(spark, good, f"{target}/e000000")
+    # unaudited mid-publish debris: same schema, poisoned rows that a bare
+    # {target}/e* glob would happily union in
+    debris = spark.createDataFrame(
+        [("fpC", 12, "s9")], "fp string, doc_id long, source string"
+    )
+    debris.write.parquet(f"{target}/e000001.staging.deadbeef")
+    debris.write.parquet(f"{target}/e000002.old.cafe")
+
+    assert {
+        r["fp"] for r in read_ingest_admitted(spark, target).collect()
+    } == {"fpA", "fpB"}
+    assert {r["doc_id"] for r in read_admitted(spark, target).collect()} == {4, 8}

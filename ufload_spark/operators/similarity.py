@@ -1168,9 +1168,8 @@ def _kernel_assign2(emb: DataFrame, cent: DataFrame) -> DataFrame:
             )
             order = np.argsort(D, axis=1, kind="stable")
             ii = np.arange(len(X))
-            j1, j2 = order[:, 0], order[:, 1]
-            d1, d2 = D[ii, j1], D[ii, j2]
-            sec = (d2 - d1) <= SEM_EPS_FRAC * d1
+            j1 = order[:, 0]
+            d1 = D[ii, j1]
             prim = pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
@@ -1179,6 +1178,16 @@ def _kernel_assign2(emb: DataFrame, cent: DataFrame) -> DataFrame:
                     "d": d1,
                 }
             )
+            if D.shape[1] < 2:
+                # single trained centroid (train sample yields one seed on
+                # a degenerate corpus): no second-nearest cell exists —
+                # emit primary memberships only, exactly the oracle's
+                # behavior (its rn=2 rows are simply absent). r10 ADVICE.
+                yield prim
+                continue
+            j2 = order[:, 1]
+            d2 = D[ii, j2]
+            sec = (d2 - d1) <= SEM_EPS_FRAC * d1
             ovf = pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy()[sec],

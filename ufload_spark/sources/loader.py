@@ -204,6 +204,20 @@ def _lease_path(target: str) -> str:
 LEASE_TTL_S = 3600.0
 
 
+def _sweep_stale_captures(fs, jvm, target: str, *, min_age_s: float = LEASE_TTL_S) -> None:
+    """Remove ``<lease>.cap.*`` orphans left by a breaker/releaser that
+    crashed between capture and delete (r10 ADVICE): the TTL discipline
+    covers only the ``.lease`` path itself, so these would leak forever.
+    Age-gated like the staging sweep — a fresh capture may belong to a
+    live breaker mid-break."""
+    for st in _glob(fs, jvm, f"{_lease_path(target)}.cap.*"):
+        if time.time() * 1000 - st.getModificationTime() >= min_age_s * 1000:
+            try:
+                fs.delete(st.getPath(), False)
+            except Exception:
+                pass  # another sweeper won the race; nothing to leak
+
+
 def _read_small(fs, jvm, jpath) -> str:
     stream = fs.open(jpath)
     try:
@@ -222,6 +236,7 @@ def _acquire_lease(fs, jvm, target: str, *, ttl_s: float) -> str:
     Returns the fencing token written into the lease."""
     jlease = jvm.org.apache.hadoop.fs.Path(_lease_path(target))
     token = f"{uuid.uuid4().hex}.{int(time.time() * 1000)}"
+    _sweep_stale_captures(fs, jvm, target)
 
     def try_create() -> bool:
         try:
@@ -236,8 +251,10 @@ def _acquire_lease(fs, jvm, target: str, *, ttl_s: float) -> str:
 
     if try_create():
         return token
+    stale_tok = None
     try:
         age_ms = time.time() * 1000 - fs.getFileStatus(jlease).getModificationTime()
+        stale_tok = _read_small(fs, jvm, jlease)
     except Exception:
         age_ms = 0.0  # holder released between our create and stat: retry
     if age_ms >= ttl_s * 1000 or not fs.exists(jlease):
@@ -248,7 +265,28 @@ def _acquire_lease(fs, jvm, target: str, *, ttl_s: float) -> str:
         # deleting the winner's freshly created lease.
         cap = _capture_lease(fs, jvm, target, token)
         if cap is not None:
-            fs.delete(cap, False)
+            cap_tok = None
+            try:
+                cap_tok = _read_small(fs, jvm, cap)
+            except Exception:
+                pass
+            if stale_tok is not None and cap_tok == stale_tok:
+                fs.delete(cap, False)  # the stale lease we measured: break it
+            else:
+                # r10 ADVICE: the captured file is NOT the lease the age
+                # check measured — the stale holder released and a LIVE
+                # writer re-created it inside the stat→capture window.
+                # Give it back instead of fencing a live holder. rename
+                # refuses an existing destination: if a third writer
+                # claimed the path meanwhile, drop the captured copy and
+                # its displaced owner fails CLOSED at _check_lease
+                # (spurious abort, never a clobber — the documented
+                # residual of the check-then-act window).
+                try:
+                    if not fs.rename(cap, jlease):
+                        fs.delete(cap, False)
+                except Exception:
+                    fs.delete(cap, False)
         if try_create():
             return token
     raise ConcurrentPublishError(

@@ -857,14 +857,51 @@ def ingest_gate_batch(
     stage_and_publish(s, rows, f"{target}/e{int(epoch_id):06d}")
 
 
+def _epoch_segments(spark: SparkSession, target: str) -> DataFrame:
+    """One DataFrame over the PUBLISHED epoch segments of a gate target —
+    the immediate children whose name is exactly ``e<digits>``, the name
+    :func:`ingest_gate_batch` / :func:`neardup_gate_batch` publish. A bare
+    ``{target}/e*`` glob also matches the ``eNNNNNN.staging.*`` /
+    ``eNNNNNN.old.*`` siblings ``stage_and_publish`` parks while an
+    epoch's publish is in flight (r10 ADVICE): debris from a crashed
+    publish is younger than ``ORPHAN_MIN_AGE_S`` at replay time and is
+    never swept unless that exact segment republishes, so the glob could
+    silently include partially-committed staging rows that were never
+    audited. Listing + exact-name filter keeps every read inside the
+    stage→audit→atomic-publish contract (readers see only audited data),
+    instead of leaning on the min-wins dedup to make the debris harmless.
+    """
+    import re
+
+    from ufload_spark.sources.loader import _fs
+
+    fs, jtarget, _jvm = _fs(spark, target)
+    segs = (
+        sorted(
+            str(st.getPath().toString())
+            for st in fs.listStatus(jtarget)
+            if re.fullmatch(r"e\d{6,}", st.getPath().getName())
+        )
+        if fs.exists(jtarget)
+        else []
+    )
+    # no published segment: keep the pre-r11 failure mode (the glob read
+    # raises PATH_NOT_FOUND) rather than inventing an empty schema
+    return spark.read.parquet(*segs) if segs else spark.read.parquet(
+        f"{target}/e[0-9]*/"
+    )
+
+
 def read_ingest_admitted(spark: SparkSession, target: str) -> DataFrame:
     """The admitted table across all epoch segments of an
     :func:`ingest_gate_batch` target: min-doc-id-wins resolved at read
     time over the per-epoch minima — exact because min is associative,
-    batching-independent and replay-safe. One glob scan + one fp-keyed
-    aggregate; the per-batch side never touches other epochs."""
+    batching-independent and replay-safe. One listed-segment scan
+    (:func:`_epoch_segments` — published segments only, never staging
+    debris) + one fp-keyed aggregate; the per-batch side never touches
+    other epochs."""
     return (
-        spark.read.parquet(f"{target}/e*")
+        _epoch_segments(spark, target)
         .groupBy("fp")
         .agg(F.min_by(F.struct("doc_id", "source"), "doc_id").alias("d"))
         .select("fp", "d.doc_id", "d.source")
@@ -1039,8 +1076,10 @@ def read_admitted(spark: SparkSession, target: str) -> DataFrame:
     :func:`neardup_gate_batch` target, doc_id-deduped at read time — a
     replayed epoch republished its own segment so duplicates are
     crash-window debris at most; the dedup makes the read exact either
-    way. One glob scan; the per-batch side never touches other epochs."""
-    return spark.read.parquet(f"{target}/e*").dropDuplicates(["doc_id"])
+    way. One listed-segment scan (:func:`_epoch_segments` — published
+    segments only, never in-flight staging debris); the per-batch side
+    never touches other epochs."""
+    return _epoch_segments(spark, target).dropDuplicates(["doc_id"])
 
 
 @register(
