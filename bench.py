@@ -139,6 +139,9 @@ HEADLINE = [
     "multimodal_audio_vad_segments",  # PCM energy islands, rank-difference runs (r10)
     "customers_linkage_sorted_neighborhood",  # merge/purge SN candidate tier (r10)
     "dedup_minhash_estimate_error_eval",  # MinHash estimator audit, integer micro Jaccard (r10)
+    # r11 additions
+    "text_quality_logreg",         # learned quality filter, integer-exact GD steps (r11)
+    "text_quality_logreg_eval",    # confusion + exact tie-aware AUC audit (r11)
 ]
 
 

@@ -2177,3 +2177,57 @@ def test_sorted_neighborhood_pure_replay(spark):
     # every true pair retrieved: total true mass equals the dirty count
     n_true = sum(n for (dec, truth, n, _lo, _hi) in want if truth)
     assert n_true == len(dirty), (n_true, len(dirty))
+
+
+def test_quality_logreg_matches_pure_python_replay(spark):
+    """text_quality_logreg (r11): the integer GD trajectory, the trained
+    weights AND every per-doc score replayed engine-external in pure
+    python (truncating division — DuckDB `//` and Spark `div` semantics,
+    NOT python floor `//`) from the same feature rows must match the
+    Spark results bit-exactly; and the learned filter actually ranks its
+    own rule labels (AUC well above chance)."""
+    from ufload_spark.operators.textops import (
+        _LOGREG_NF,
+        LOGREG_LR_MILLI,
+        LOGREG_STEPS,
+        _logreg_fit,
+        text_quality_logreg,
+        text_quality_logreg_eval,
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    feat, w = _logreg_fit(spark, SF_DIR)
+    rows = feat.collect()
+    X = [[r[f"x{j}"] for j in range(_LOGREG_NF)] for r in rows]
+    Y = [r["y"] for r in rows]
+    n = len(rows)
+    wp = [0] * _LOGREG_NF
+    for _ in range(LOGREG_STEPS):
+        g = [0] * _LOGREG_NF
+        for x, y in zip(X, Y):
+            z = tdiv(sum(a * b for a, b in zip(x, wp)), 1000)
+            p = 500 + tdiv(500 * z, 1000 + abs(z))
+            for j in range(_LOGREG_NF):
+                g[j] += (p - 1000 * y) * x[j]
+        g = [tdiv(gj, n) for gj in g]
+        wp = [wj - tdiv(LOGREG_LR_MILLI * gj, 1000000) for wj, gj in zip(wp, g)]
+    got_w = w.collect()[0]
+    assert [got_w[f"w{j}"] for j in range(_LOGREG_NF)] == wp, (got_w, wp)
+
+    want = {}
+    for r, x, y in zip(rows, X, Y):
+        z = tdiv(sum(a * b for a, b in zip(x, wp)), 1000)
+        want[r["doc_id"]] = (y, 500 + tdiv(500 * z, 1000 + abs(z)))
+    got = {
+        r["doc_id"]: (r["label"], r["score_milli"])
+        for r in text_quality_logreg(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+    ev = text_quality_logreg_eval(spark, SF_DIR).collect()[0]
+    assert ev["n_docs"] == n and ev["n_pos"] == sum(Y)
+    assert ev["tp"] + ev["fn"] == ev["n_pos"]
+    assert ev["auc_micro"] is not None and ev["auc_micro"] > 700000, ev

@@ -1734,6 +1734,9 @@ PARTITIONLESS_WINDOW_BOUNDS = {
     "streaming_changepoint_monitor": "calendar-bounded day frame",
     "streaming_emd_monitor": "<=512-row bin frame",
     "text_bm25_search": "BM25_TOPK-row limit result",
+    "text_quality_logreg_eval": (
+        "<=1001-row score-bin frame (score_milli in (0, 1000))"
+    ),
     "text_rake_keywords": "RAKE_TOP_N-row frame",
     "text_zipf_fit": "top-vocab frame (orderBy+limit cut feeds the rank)",
     "version_sort": (
