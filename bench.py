@@ -145,6 +145,30 @@ HEADLINE = [
 ]
 
 
+def record_isolated(name: str, sf_key: str, triple: list[float]) -> None:
+    """Close-ritual adjudication hook (r10 VERDICT ask #6): merge an
+    isolated fresh-process re-measurement of a flagged entry into
+    ``BENCH_DETAIL.json`` under the ``isolated`` side-map, so the next
+    round's comparison base is the committed artifact itself (median of
+    the triple) instead of a footnote in SCALING.md. Call after the main
+    bench wrote the sidecar::
+
+        python -c "import bench; bench.record_isolated('q', 'sf1', [a,b,c])"
+    """
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(sidecar) as f:
+        detail = json.load(f)
+    iso = detail.setdefault("isolated", {})
+    iso.setdefault(sf_key, {})[name] = {
+        "median": round(sorted(triple)[len(triple) // 2], 3),
+        "runs": [round(t, 3) for t in triple],
+    }
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # measured passes per SF section (median-of-N); the bench-contract

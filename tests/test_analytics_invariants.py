@@ -2231,3 +2231,55 @@ def test_quality_logreg_matches_pure_python_replay(spark):
     assert ev["n_docs"] == n and ev["n_pos"] == sum(Y)
     assert ev["tp"] + ev["fn"] == ev["n_pos"]
     assert ev["auc_micro"] is not None and ev["auc_micro"] > 700000, ev
+
+
+def test_quality_logreg_apply_matches_base_trained_replay(spark):
+    """text_quality_logreg_apply (r11): train pure-python on the BASE
+    rows only (doc_id % 4 != 0), score the batch rows (doc_id % 4 == 0)
+    with the base-trained weights — every batch score and admit flag
+    from the published-model Spark path must match bit-exactly, and the
+    base-trained weights must differ from the full-corpus ones (the
+    apply tier really trains on the slice, not the whole fixture)."""
+    from ufload_spark.operators.textops import (
+        _LOGREG_NF,
+        LOGREG_LR_MILLI,
+        LOGREG_STEPS,
+        _logreg_fit,
+        text_quality_logreg_apply,
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    feat, w_full = _logreg_fit(spark, SF_DIR)
+    rows = feat.collect()
+    base = [r for r in rows if r["doc_id"] % 4 != 0]
+    batch = [r for r in rows if r["doc_id"] % 4 == 0]
+    X = [[r[f"x{j}"] for j in range(_LOGREG_NF)] for r in base]
+    Y = [r["y"] for r in base]
+    n = len(base)
+    wp = [0] * _LOGREG_NF
+    for _ in range(LOGREG_STEPS):
+        g = [0] * _LOGREG_NF
+        for x, y in zip(X, Y):
+            z = tdiv(sum(a * b for a, b in zip(x, wp)), 1000)
+            p = 500 + tdiv(500 * z, 1000 + abs(z))
+            for j in range(_LOGREG_NF):
+                g[j] += (p - 1000 * y) * x[j]
+        g = [tdiv(gj, n) for gj in g]
+        wp = [wj - tdiv(LOGREG_LR_MILLI * gj, 1000000) for wj, gj in zip(wp, g)]
+
+    want = {}
+    for r in batch:
+        x = [r[f"x{j}"] for j in range(_LOGREG_NF)]
+        z = tdiv(sum(a * b for a, b in zip(x, wp)), 1000)
+        s = 500 + tdiv(500 * z, 1000 + abs(z))
+        want[r["doc_id"]] = (r["y"], s, 1 if s >= 500 else 0)
+    got = {
+        r["doc_id"]: (r["label"], r["score_milli"], r["admit"])
+        for r in text_quality_logreg_apply(spark, SF_DIR).collect()
+    }
+    assert got == want
+    w_full_row = w_full.collect()[0]
+    assert [w_full_row[f"w{j}"] for j in range(_LOGREG_NF)] != wp

@@ -1827,3 +1827,20 @@ def test_semdedup_kernel_scale_shape(spark):
     # checkpoint cuts + broadcast frontier: the final iteration plan has
     # no shuffle at all on the edge side
     assert "CartesianProduct" not in r and "Exchange rangepartitioning" not in r
+
+
+def test_logreg_apply_warm_plan_is_aggregate_free(spark):
+    """r11: `text_quality_logreg_apply`'s scoring plan must be a
+    batch-sized scan of the published feature table plus a 1-row
+    broadcast of the PUBLISHED model — no aggregate anywhere in the
+    executed plan (an aggregate would mean the batch path retrains),
+    and the model side is a FileScan of the published logreg_base_model
+    parquet, not a recomputed frame."""
+    from ufload_spark.plans.registry import load_all
+
+    fn = load_all()["text_quality_logreg_apply"].fn
+    fn(spark, SF_DIR)  # cold call: trains on the base slice + publishes
+    plan = _plan(fn(spark, SF_DIR))  # warm: published model only
+    assert "logreg_base_model" in plan, plan
+    assert "Aggregate" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

@@ -2463,11 +2463,15 @@ _LOGREG_Y_SQL = f"""CASE WHEN nw BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORD
   THEN 1 ELSE 0 END"""
 
 
-def _logreg_sql_prefix() -> str:
+def _logreg_sql_prefix(train_where: str = "", score_where: str = "") -> str:
     """The shared oracle prefix: feature table, then LOGREG_STEPS unrolled
     (z → fast-sigmoid p → gradient → weight update) CTEs, ending in the
     ``scored`` table. All integer: z and p in milli, gradients in micro,
-    every division a truncating ``//`` on HUGEINT operands."""
+    every division a truncating ``//`` on HUGEINT operands.
+    ``train_where`` / ``score_where`` scope the GD steps and the final
+    scoring pass to a doc subset (the apply tier trains on the base
+    corpus and scores only the ingest batch); both default to the full
+    corpus, which is the two original registered oracles verbatim."""
     xs = _logreg_x_exprs("//")
     cols = ", ".join(f"{e} AS x{j}" for j, e in enumerate(xs))
     zsum = " + ".join(f"x{j} * w{j}" for j in range(_LOGREG_NF))
@@ -2496,7 +2500,7 @@ def _logreg_sql_prefix() -> str:
         parts.append(
             f""", s{k} AS (
   SELECT f.*, 500 + (500 * z) // (1000 + abs(z)) AS p FROM (
-    SELECT f0.*, ({zsum}) // 1000 AS z FROM feat f0 CROSS JOIN w{k - 1}
+    SELECT f0.*, ({zsum}) // 1000 AS z FROM feat f0 CROSS JOIN w{k - 1} {train_where}
   ) f
 ), g{k} AS (
   SELECT {gcols} FROM s{k}
@@ -2508,7 +2512,7 @@ def _logreg_sql_prefix() -> str:
         f""", scored AS (
   SELECT doc_id, y, 500 + (500 * z) // (1000 + abs(z)) AS p FROM (
     SELECT f0.*, ({zsum}) // 1000 AS z
-    FROM feat f0 CROSS JOIN w{LOGREG_STEPS}
+    FROM feat f0 CROSS JOIN w{LOGREG_STEPS} {score_where}
   ) f
 )"""
     )
@@ -2544,25 +2548,35 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logreg_fit(spark: SparkSession, sf_dir: str):
-    """Train the quality classifier: publish the feature table once
-    (stage→audit→publish — the regex pass runs exactly once and both
-    registered queries share the artifact), then LOGREG_STEPS full-batch
-    GD steps, each ONE aggregate over the published features with the
-    current 1-row weight frame broadcast. Returns ``(feat, w)``: the
-    published feature frame and the trained 1-row weight frame (w0..w4,
-    milli units). The per-step lineage cut on the weight frame is the
-    HITS/LPA lesson — without it step k's broadcast subtree re-executes
-    the whole step 1..k−1 prefix."""
+def _logreg_feat_path(spark: SparkSession, sf_dir: str) -> str:
+    """Publish the feature table once per (process, fixture) — the regex
+    pass runs exactly once and all three registered queries share it."""
     from ufload_spark.sources.loader import memo_publish
 
-    path = memo_publish(
+    return memo_publish(
         spark,
         "logreg_features",
         sf_dir,
         lambda: _logreg_features(spark, sf_dir),
     )
-    feat = spark.read.parquet(path)
+
+
+def _logreg_fit(spark: SparkSession, sf_dir: str):
+    """Train the quality classifier: publish the feature table once
+    (stage→audit→publish), then LOGREG_STEPS full-batch GD steps, each
+    ONE aggregate over the published features with the current 1-row
+    weight frame broadcast. Returns ``(feat, w)``: the published feature
+    frame and the trained 1-row weight frame (w0..w4, milli units)."""
+    feat = spark.read.parquet(_logreg_feat_path(spark, sf_dir))
+    return feat, _logreg_train_weights(spark, feat)
+
+
+def _logreg_train_weights(spark: SparkSession, feat: DataFrame) -> DataFrame:
+    """The GD loop over an arbitrary feature frame (the full corpus for
+    the train/eval tiers, the base slice for the apply tier). The
+    per-step lineage cut on the weight frame is the HITS/LPA lesson —
+    without it step k's broadcast subtree re-executes the whole step
+    1..k−1 prefix."""
     w = spark.createDataFrame(
         [tuple([0] * _LOGREG_NF)],
         ", ".join(f"w{j} long" for j in range(_LOGREG_NF)),
@@ -2594,7 +2608,7 @@ def _logreg_fit(spark: SparkSession, sf_dir: str):
             ]
         )
         w = w.localCheckpoint(eager=False)
-    return feat, w
+    return w
 
 
 def _logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2751,4 +2765,80 @@ def text_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN n1t = 0 OR n0t = 0 THEN NULL "
         "ELSE CAST((u2 * 1000000) div (2 * n1t * n0t) AS BIGINT) END "
         "AS auc_micro",
+    )
+
+
+@register(
+    "text_quality_logreg_apply",
+    _logreg_sql_prefix(
+        train_where="WHERE f0.doc_id % 4 <> 0",
+        score_where="WHERE f0.doc_id % 4 = 0",
+    )
+    + """
+SELECT doc_id, CAST(y AS INT) AS label, CAST(p AS BIGINT) AS score_milli,
+       CAST(CASE WHEN p >= 500 THEN 1 ELSE 0 END AS INT) AS admit
+FROM scored
+""",
+    doc="the learned quality filter's ingest lifecycle: train once on the "
+    "base corpus (doc_id % 4 <> 0), PUBLISH the 1-row weight model, score "
+    "an incoming batch (doc_id % 4 = 0) against the published model — a "
+    "batch-sized scan plus a 1-row broadcast, no retraining",
+)
+def text_quality_logreg_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-once / score-at-ingest lifecycle of the learned quality
+    filter — the tier every other family already carries
+    (``dedup_minhash_incremental``, ``dedup_semantic_incremental``,
+    ``similarity_pq_incremental``, ...): a curation pipeline trains the
+    classifier on the standing corpus, publishes the model artifact, and
+    every ingest batch is scored against the PUBLISHED model without
+    touching the training data again. The fixture stands in for both
+    sides (base = doc_id % 4 != 0, batch = doc_id % 4 == 0 — the
+    family's split convention, dedup.py:189).
+
+    The model is the trained 1-row weight frame published through the
+    staged loader (``memo_publish`` — stage→audit→publish, the
+    `dedup_semantic_incremental` centroid-model pattern), so the warm
+    batch cost is: one batch-sized scan of the published feature table +
+    a broadcast of ONE row. Nothing corpus-sized moves and no aggregate
+    runs (the plan-pin test asserts the warm scoring plan is
+    aggregate-free). Same integer discipline as the train tier — scores
+    are bit-identical to the pure-python base-trained replay
+    (tests/test_analytics_invariants.py).
+
+    Scale shape at 100 TB: training amortizes over every future batch;
+    per-batch work is O(batch) regex + 5 multiplies per doc, the exact
+    dataflow of a production fasttext-style filter at ingest. ``admit``
+    is the gate decision at the 0.5 threshold.
+
+    Reference analog: none (extension surface — the ingest tier of the
+    learned quality filter).
+    """
+    from ufload_spark.sources.loader import memo_publish
+
+    fpath = _logreg_feat_path(spark, sf_dir)
+
+    def build() -> DataFrame:
+        base = spark.read.parquet(fpath).where("doc_id % 4 <> 0")
+        return _logreg_train_weights(spark, base)
+
+    wpath = memo_publish(spark, "logreg_base_model", sf_dir, build)
+    w = spark.read.parquet(wpath)
+    batch = spark.read.parquet(fpath).where("doc_id % 4 = 0")
+    zsum = " + ".join(f"x{j} * w{j}" for j in range(_LOGREG_NF))
+    return (
+        batch.crossJoin(F.broadcast(w))
+        .selectExpr(
+            "doc_id",
+            "CAST(y AS INT) AS label",
+            f"({zsum}) div 1000 AS z",
+        )
+        .selectExpr(
+            "doc_id",
+            "label",
+            "CAST(500 + (500 * z) div (1000 + abs(z)) AS BIGINT) AS score_milli",
+        )
+        .selectExpr(
+            "*",
+            "CAST(CASE WHEN score_milli >= 500 THEN 1 ELSE 0 END AS INT) AS admit",
+        )
     )
