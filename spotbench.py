@@ -12,7 +12,10 @@ point is smoking out does-it-still-run/does-the-plan-flip defects, not a
 statistics-grade number. Record the output in SCALING.md at close.
 
 Usage: python spotbench.py  [env: SPARK_GRAFT_SF_DIR source, default
-/root/testdata/sf0.1; SPARK_GRAFT_SPOT_FACTOR, default 30]
+/root/testdata/sf0.1; SPARK_GRAFT_SPOT_FACTOR, default 30;
+SPARK_GRAFT_SPOT_ONLY, comma-separated subset of SPOT for the deeper
+factor-100 tier where only the historically heaviest few are worth the
+single-machine wall time]
 """
 
 from __future__ import annotations
@@ -62,10 +65,12 @@ def main() -> None:
     ensure_scaled_fixture(spark, src, dest, factor=factor)
     gen_s = round(time.perf_counter() - t0, 1)
 
+    only = os.environ.get("SPARK_GRAFT_SPOT_ONLY", "")
+    spot = [s for s in only.split(",") if s] if only else SPOT
     registry = load_all()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
-    for name in SPOT:
+    for name in spot:
         t0 = time.perf_counter()
         try:
             registry[name].fn(spark, dest).write.format("noop").mode(

@@ -235,3 +235,76 @@ def test_vad_segments_match_pure_python_replay(spark):
     }
     assert got == want
     assert len(want) > 500  # the fixture has real island structure
+
+
+def test_video_neardup_matches_pure_python_replay(spark):
+    """Engine-external replay for the video near-dup operator: rebuild
+    every trimmed container's BYTES, walk + decode them in pure python
+    (the honest path — container length index, PNG IHDR), shingle,
+    group, cap and pair with hashlib.md5 — and require the exact group
+    pair set, including jaccard_milli and pair_count."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_DIR
+    from ufload_spark.operators.multimodal import (
+        FRAME_STEP,
+        VID_SHARED_MIN,
+        VID_SHINGLE_DF_CAP,
+        decode_image,
+        iter_video_frames,
+        make_trimmed_video,
+        multimodal_video_neardup,
+    )
+
+    ids = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    doc_sh: dict[int, set] = {}
+    for doc_id in ids["doc_id"].to_pylist():
+        fps = []
+        for idx, frame in iter_video_frames(make_trimmed_video(doc_id)):
+            if idx % FRAME_STEP:
+                continue
+            _, w, h = decode_image(frame)
+            fps.append(w * 1000 + h)
+        sh = {
+            fps[i] * 10**12 + fps[i + 1] * 10**6 + fps[i + 2]
+            for i in range(len(fps) - 2)
+        }
+        if sh:
+            doc_sh[doc_id] = sh
+
+    sig_of = {
+        d: hashlib.md5(",".join(str(s) for s in sorted(sh)).encode()).hexdigest()
+        for d, sh in doc_sh.items()
+    }
+    n_videos = Counter(sig_of.values())
+    gsh0 = defaultdict(set)
+    for d, sh in doc_sh.items():
+        gsh0[sig_of[d]] |= sh
+    df = Counter(s for sh in gsh0.values() for s in sh)
+    gsh = {
+        sig: {s for s in sh if df[s] <= VID_SHINGLE_DF_CAP}
+        for sig, sh in gsh0.items()
+    }
+    want = set()
+    sigs = sorted(gsh)
+    for i, sa in enumerate(sigs):
+        for sb in sigs[i + 1 :]:
+            shared = len(gsh[sa] & gsh[sb])
+            if shared >= VID_SHARED_MIN:
+                lo, hi = min(sa, sb), max(sa, sb)
+                union = len(gsh[lo]) + len(gsh[hi]) - shared
+                want.add(
+                    (lo, hi, shared, 1000 * shared // union,
+                     n_videos[lo] * n_videos[hi])
+                )
+
+    got = {
+        (r["sig_a"], r["sig_b"], r["n_shared"], r["jaccard_milli"],
+         r["pair_count"])
+        for r in multimodal_video_neardup(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture really plants trimmed near-dups

@@ -1900,3 +1900,242 @@ def multimodal_image_cluster_keep_best(
         .join(F.broadcast(keep), "cluster_id")
         .select("cluster_id", "n_groups", "n_docs", "keep_doc_id")
     )
+
+
+# --- near-duplicate video retrieval: frame-fingerprint shingles -------------
+
+#: pattern modulus for the trimmed-video fixture: frame CONTENT derives
+#: from ``doc_id % VID_PATTERN_MOD`` while the frame COUNT stays per-doc,
+#: planting trimmed/extended near-duplicates (same footage, different
+#: cut) the way ``make_pixel_png`` plants exact image duplicates
+VID_PATTERN_MOD = 40
+#: shingle width over the sampled-frame fingerprint sequence
+VID_SHINGLE_W = 3
+#: a pair of signature groups is near-dup when they share at least this
+#: many shingles (the winnowing ``>= 2`` decision rule)
+VID_SHARED_MIN = 2
+#: document-frequency cap: a shingle present in more than this many
+#: signature GROUPS is boilerplate (test cards, intros) and is dropped
+#: from the universe before sizing and pairing — the winnowing df-cap
+#: discipline that bounds the bucket join at any corpus size
+VID_SHINGLE_DF_CAP = 64
+
+
+def make_trimmed_video(doc_id: int) -> bytes:
+    """Same UFV1 container as :func:`make_video`, but the per-frame
+    geometry derives from the doc's PATTERN id (``doc_id %
+    VID_PATTERN_MOD``) while the frame count stays the doc's own
+    (``doc_id % 97 + 1``): docs sharing a pattern id carry the same
+    footage cut to different lengths — the trimmed-upload near-dup case
+    an exact container hash can never catch."""
+    cid = doc_id % VID_PATTERN_MOD
+    n_frames = doc_id % 97 + 1
+    parts = [VIDEO_MAGIC, struct.pack(">I", n_frames)]
+    for idx in range(n_frames):
+        png = make_png(*_frame_dims(cid, idx))
+        parts.append(struct.pack(">I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def _synthesize_trimmed_video_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(
+                    lambda d: make_trimmed_video(int(d))
+                ),
+            }
+        )
+
+
+def _video_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Sampled-frame fingerprints through the honest path: walk the
+    container's length index, slice every FRAME_STEP-th frame's actual
+    bytes, IHDR-decode (CRC-checked), and emit ``f = w * 1000 + h`` — the
+    stand-in for a perceptual frame hash (a real codec + pHash swaps in
+    here, exactly like :func:`iter_video_frames`'s codec seam)."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "f": []}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            for idx, frame_bytes in iter_video_frames(bytes(content)):
+                if idx % FRAME_STEP:
+                    continue
+                _, w, h = decode_image(frame_bytes)
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["f"].append(w * 1000 + h)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                "f": pd.Series(out["f"], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "multimodal_video_neardup",
+    f"""
+WITH vids AS (
+  SELECT doc_id, doc_id % {VID_PATTERN_MOD} AS cid, doc_id % 97 + 1 AS n_frames
+  FROM documents
+), frames AS (
+  SELECT doc_id, cid, unnest(range(0, n_frames, {FRAME_STEP})) AS frame_idx
+  FROM vids
+), fp AS (
+  SELECT doc_id, frame_idx,
+         CAST(((cid + frame_idx) % {W_MOD} + {W_OFF}) * 1000
+              + ((cid * 3 + frame_idx) % {H_MOD} + {H_OFF}) AS BIGINT) AS f
+  FROM frames
+), sh AS (
+  SELECT doc_id,
+         f * 1000000000000
+           + lead(f, 1) OVER w * 1000000
+           + lead(f, 2) OVER w AS shingle
+  FROM fp WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+  QUALIFY lead(f, 2) OVER w IS NOT NULL
+), dsh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh
+), sig AS (
+  SELECT doc_id,
+         md5(string_agg(CAST(shingle AS VARCHAR), ',' ORDER BY shingle)) AS sig
+  FROM dsh GROUP BY doc_id
+), grp AS (
+  SELECT sig, CAST(count(*) AS BIGINT) AS n_videos FROM sig GROUP BY 1
+), gsh0 AS (
+  SELECT DISTINCT s.sig, d.shingle FROM dsh d JOIN sig s USING (doc_id)
+), gsh AS (
+  SELECT sig, shingle FROM gsh0
+  WHERE shingle IN (SELECT shingle FROM gsh0 GROUP BY 1
+                    HAVING count(*) <= {VID_SHINGLE_DF_CAP})
+), sizes AS (
+  SELECT sig, CAST(count(*) AS BIGINT) AS n_sh FROM gsh GROUP BY 1
+), shared AS (
+  SELECT a.sig AS sig_a, b.sig AS sig_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM gsh a JOIN gsh b ON a.shingle = b.shingle AND a.sig < b.sig
+  GROUP BY 1, 2 HAVING count(*) >= {VID_SHARED_MIN}
+)
+SELECT s.sig_a, s.sig_b, s.n_shared,
+       CAST((1000 * s.n_shared)
+            // (za.n_sh + zb.n_sh - s.n_shared) AS BIGINT) AS jaccard_milli,
+       CAST(ga.n_videos * gb.n_videos AS BIGINT) AS pair_count
+FROM shared s
+JOIN sizes za ON za.sig = s.sig_a JOIN sizes zb ON zb.sig = s.sig_b
+JOIN grp ga ON ga.sig = s.sig_a JOIN grp gb ON gb.sig = s.sig_b
+""",
+    doc="near-duplicate VIDEO retrieval: sampled frames really sliced + "
+    f"decoded → fingerprint {VID_SHINGLE_W}-shingles over the frame "
+    "sequence → signature GROUPS sharing >= "
+    f"{VID_SHARED_MIN} shingles pair with exact shingle-Jaccard — catches "
+    "trimmed/extended uploads of the same footage, group-first so a "
+    "million identical uploads are one join row",
+)
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO retrieval — the video member of the dedup
+    family (image: ``multimodal_image_neardup``): a trimmed or extended
+    re-upload of the same footage shares its sampled-frame fingerprint
+    SHINGLES with the original even though no container/byte/exact hash
+    matches. Pipeline: binary container → row-expanding Arrow map that
+    slices every sampled frame's actual bytes and IHDR-decodes them
+    (CRC-checked — the codec swaps in at the same seam as
+    :func:`iter_video_frames`), fingerprint per frame, width-3 shingles
+    over the ordered sequence (a doc-partitioned window over ≤ 10
+    sampled rows per video), then GROUP-FIRST pairing: videos collapse
+    to shingle-set signature groups, groups sharing ≥
+    :data:`VID_SHARED_MIN` shingles pair with exact shingle-Jaccard
+    (integer milli, truncating div) and ``pair_count = n_a · n_b``.
+
+    Scale disciplines (the ``multimodal_image_neardup`` posture):
+
+    - **Group-first**: the quadratic doc-pair set is never materialized;
+      a boilerplate video uploaded a million times is ONE row in the
+      shingle join and one factor in ``pair_count``.
+    - **df-cap**: shingles present in more than
+      :data:`VID_SHINGLE_DF_CAP` groups (intro cards, test patterns) are
+      dropped from the universe before sizing and pairing — the
+      winnowing discipline that bounds every shingle bucket at any
+      corpus size.
+    - Decode is a narrow Arrow map (no shuffle); the shingle window is
+      per-video and bounded by the sampling rate; the only corpus-scale
+      exchanges are the signature aggregate and the capped bucket join.
+
+    The fixture plants the structure (:func:`make_trimmed_video`): frame
+    content follows ``doc_id % VID_PATTERN_MOD``, length stays per-doc —
+    so same-pattern videos are cuts of the same footage, and the
+    congruence arithmetic guarantees no cross-pattern shingle collisions
+    (2a ≡ 0 (mod 480) has no solution for 0 < a < 40). The oracle
+    re-derives every fingerprint closed-form from the synthesizer
+    arithmetic — a mis-seek, off-by-one length walk, or wrong-frame
+    decode shifts a fingerprint and hash-fails. A pure-python replay
+    from the container bytes pins the full pipeline a third way
+    (tests/test_multimodal.py).
+
+    Reference analog: none (extension surface — multimodal dedup family).
+    """
+    d = doc_ids(spark, sf_dir)
+    videos = d.mapInPandas(
+        _synthesize_trimmed_video_batches, schema="doc_id long, content binary"
+    )
+    fp = videos.mapInPandas(
+        _video_fp_batches, schema="doc_id long, frame_idx int, f long"
+    )
+    # SCALE GUARD: doc-partitioned window, <= ceil(97 / FRAME_STEP) rows
+    # per video by construction.
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    sh = (
+        fp.select(
+            "doc_id",
+            (
+                F.col("f") * F.lit(10**12)
+                + F.lead("f", 1).over(w) * F.lit(10**6)
+                + F.lead("f", 2).over(w)
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    sig = sh.groupBy("doc_id").agg(
+        F.expr(
+            "md5(concat_ws(',', transform(sort_array(collect_set(shingle)), "
+            "x -> CAST(x AS STRING))))"
+        ).alias("sig")
+    )
+    grp = sig.groupBy("sig").agg(F.count("*").cast("long").alias("n_videos"))
+    gsh0 = sh.join(sig, "doc_id").select("sig", "shingle").distinct()
+    capped = (
+        gsh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= VID_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    gsh = gsh0.join(capped, "shingle", "left_semi")
+    sizes = gsh.groupBy("sig").agg(F.count("*").cast("long").alias("n_sh"))
+    a = gsh.withColumnsRenamed({"sig": "sig_a"})
+    b = gsh.withColumnsRenamed({"sig": "sig_b"})
+    shared = (
+        a.join(b, ["shingle"])
+        .where(F.col("sig_a") < F.col("sig_b"))
+        .groupBy("sig_a", "sig_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= VID_SHARED_MIN)
+    )
+    za = sizes.withColumnsRenamed({"sig": "sig_a", "n_sh": "n_sh_a"})
+    zb = sizes.withColumnsRenamed({"sig": "sig_b", "n_sh": "n_sh_b"})
+    ga = grp.withColumnsRenamed({"sig": "sig_a", "n_videos": "n_a"})
+    gb = grp.withColumnsRenamed({"sig": "sig_b", "n_videos": "n_b"})
+    return (
+        shared.join(za, "sig_a").join(zb, "sig_b")
+        .join(ga, "sig_a").join(gb, "sig_b")
+        .selectExpr(
+            "sig_a",
+            "sig_b",
+            "n_shared",
+            "CAST((1000 * n_shared) div (n_sh_a + n_sh_b - n_shared) "
+            "AS BIGINT) AS jaccard_milli",
+            "CAST(n_a * n_b AS BIGINT) AS pair_count",
+        )
+    )
