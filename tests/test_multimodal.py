@@ -308,3 +308,69 @@ def test_video_neardup_matches_pure_python_replay(spark):
     }
     assert got == want
     assert len(want) > 0  # the fixture really plants trimmed near-dups
+
+
+def test_video_neardup_gate_matches_pure_python_replay(spark):
+    """Engine-external replay for the incremental video gate: base-group
+    shingle table and batch probes rebuilt from the container bytes in
+    pure python; the admitted set must match exactly, and both collided
+    and admitted batch docs must exist (the gate really gates)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_DIR
+    from ufload_spark.operators.multimodal import (
+        FRAME_STEP,
+        VID_SHARED_MIN,
+        VID_SHINGLE_DF_CAP,
+        decode_image,
+        iter_video_frames,
+        make_trimmed_video,
+        multimodal_video_neardup_incremental,
+    )
+
+    ids = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    all_ids = ids["doc_id"].to_pylist()
+
+    def shingles(doc_id):
+        fps = []
+        for idx, frame in iter_video_frames(make_trimmed_video(doc_id)):
+            if idx % FRAME_STEP:
+                continue
+            _, w, h = decode_image(frame)
+            fps.append(w * 1000 + h)
+        return {
+            fps[i] * 10**12 + fps[i + 1] * 10**6 + fps[i + 2]
+            for i in range(len(fps) - 2)
+        }
+
+    base_sh = {d: shingles(d) for d in all_ids if d % 4 != 0}
+    gsh0 = defaultdict(set)
+    for d, sh in base_sh.items():
+        if sh:
+            sig = hashlib.md5(
+                ",".join(str(s) for s in sorted(sh)).encode()
+            ).hexdigest()
+            gsh0[sig] |= sh
+    df = Counter(s for sh in gsh0.values() for s in sh)
+    bgsh = {
+        sig: {s for s in sh if df[s] <= VID_SHINGLE_DF_CAP}
+        for sig, sh in gsh0.items()
+    }
+    admitted = set()
+    for d in all_ids:
+        if d % 4:
+            continue
+        sh = shingles(d)
+        if not any(len(sh & g) >= VID_SHARED_MIN for g in bgsh.values()):
+            admitted.add(d)
+
+    got = {
+        r["doc_id"]
+        for r in multimodal_video_neardup_incremental(spark, SF_DIR).collect()
+    }
+    assert got == admitted
+    n_batch = sum(1 for d in all_ids if d % 4 == 0)
+    assert 0 < len(admitted) < n_batch

@@ -1907,8 +1907,12 @@ def multimodal_image_cluster_keep_best(
 #: pattern modulus for the trimmed-video fixture: frame CONTENT derives
 #: from ``doc_id % VID_PATTERN_MOD`` while the frame COUNT stays per-doc,
 #: planting trimmed/extended near-duplicates (same footage, different
-#: cut) the way ``make_pixel_png`` plants exact image duplicates
-VID_PATTERN_MOD = 40
+#: cut) the way ``make_pixel_png`` plants exact image duplicates.
+#: Deliberately COPRIME with the family's batch split modulus (4): with
+#: a 4-divisible pattern modulus a batch doc (doc_id ≡ 0 mod 4) could
+#: only ever share footage with other batch docs and the ingest gate
+#: would be vacuous on the fixture
+VID_PATTERN_MOD = 39
 #: shingle width over the sampled-frame fingerprint sequence
 VID_SHINGLE_W = 3
 #: a pair of signature groups is near-dup when they share at least this
@@ -1977,9 +1981,37 @@ def _video_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
-@register(
-    "multimodal_video_neardup",
-    f"""
+def _trimmed_shingles(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) over the docs in ``d``: synthesize the
+    trimmed container, slice + decode the sampled frames (Arrow map),
+    and shingle the fingerprint sequence through a doc-partitioned
+    window bounded by ``ceil(97 / FRAME_STEP)`` rows per video."""
+    videos = d.mapInPandas(
+        _synthesize_trimmed_video_batches, schema="doc_id long, content binary"
+    )
+    fp = videos.mapInPandas(
+        _video_fp_batches, schema="doc_id long, frame_idx int, f long"
+    )
+    # SCALE GUARD: doc-partitioned window, <= ceil(97 / FRAME_STEP) rows
+    # per video by construction.
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return (
+        fp.select(
+            "doc_id",
+            (
+                F.col("f") * F.lit(10**12)
+                + F.lead("f", 1).over(w) * F.lit(10**6)
+                + F.lead("f", 2).over(w)
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+#: shared oracle prefix: per-doc sampled-frame fingerprints and distinct
+#: shingles, closed-form from the synthesizer arithmetic
+_VID_SH_CTE = f"""
 WITH vids AS (
   SELECT doc_id, doc_id % {VID_PATTERN_MOD} AS cid, doc_id % 97 + 1 AS n_frames
   FROM documents
@@ -2000,7 +2032,13 @@ WITH vids AS (
   QUALIFY lead(f, 2) OVER w IS NOT NULL
 ), dsh AS (
   SELECT DISTINCT doc_id, shingle FROM sh
-), sig AS (
+)"""
+
+
+@register(
+    "multimodal_video_neardup",
+    _VID_SH_CTE
+    + f""", sig AS (
   SELECT doc_id,
          md5(string_agg(CAST(shingle AS VARCHAR), ',' ORDER BY shingle)) AS sig
   FROM dsh GROUP BY doc_id
@@ -2076,28 +2114,7 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (extension surface — multimodal dedup family).
     """
-    d = doc_ids(spark, sf_dir)
-    videos = d.mapInPandas(
-        _synthesize_trimmed_video_batches, schema="doc_id long, content binary"
-    )
-    fp = videos.mapInPandas(
-        _video_fp_batches, schema="doc_id long, frame_idx int, f long"
-    )
-    # SCALE GUARD: doc-partitioned window, <= ceil(97 / FRAME_STEP) rows
-    # per video by construction.
-    w = Window.partitionBy("doc_id").orderBy("frame_idx")
-    sh = (
-        fp.select(
-            "doc_id",
-            (
-                F.col("f") * F.lit(10**12)
-                + F.lead("f", 1).over(w) * F.lit(10**6)
-                + F.lead("f", 2).over(w)
-            ).alias("shingle"),
-        )
-        .where(F.col("shingle").isNotNull())
-        .distinct()
-    )
+    sh = _trimmed_shingles(doc_ids(spark, sf_dir))
     sig = sh.groupBy("doc_id").agg(
         F.expr(
             "md5(concat_ws(',', transform(sort_array(collect_set(shingle)), "
@@ -2139,3 +2156,91 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_a * n_b AS BIGINT) AS pair_count",
         )
     )
+
+
+@register(
+    "multimodal_video_neardup_incremental",
+    _VID_SH_CTE
+    + f""", bsig AS (
+  SELECT doc_id,
+         md5(string_agg(CAST(shingle AS VARCHAR), ',' ORDER BY shingle)) AS sig
+  FROM dsh WHERE doc_id % 4 <> 0 GROUP BY doc_id
+), bgsh0 AS (
+  SELECT DISTINCT s.sig, d.shingle
+  FROM dsh d JOIN bsig s USING (doc_id)
+), bgsh AS (
+  SELECT sig, shingle FROM bgsh0
+  WHERE shingle IN (SELECT shingle FROM bgsh0 GROUP BY 1
+                    HAVING count(*) <= {VID_SHINGLE_DF_CAP})
+), collided AS (
+  SELECT DISTINCT d.doc_id
+  FROM dsh d JOIN bgsh g ON d.shingle = g.shingle
+  WHERE d.doc_id % 4 = 0
+  GROUP BY d.doc_id, g.sig HAVING count(*) >= {VID_SHARED_MIN}
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT doc_id FROM collided)
+""",
+    doc="incremental video near-dup gate: the corpus's signature-group "
+    "shingle table is published once; a new batch decodes only its own "
+    "videos, probes the persisted shingles, and survivors (no group "
+    f"sharing >= {VID_SHARED_MIN} shingles) are safe to ingest",
+)
+def multimodal_video_neardup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ingest-time gate for a GROWING video corpus — the
+    ``multimodal_image_neardup_incremental`` lifecycle on the video
+    side: the corpus's df-capped (signature-group, shingle) table is
+    published once through the audited sink (in production each admitted
+    batch appends its group's shingles); an incoming batch decodes and
+    shingles ONLY ITS OWN videos, equi-joins the persisted shingle
+    table, and a batch video colliding with any existing group on ≥
+    :data:`VID_SHARED_MIN` shingles is held back — the survivors are
+    safe to ingest. Videos too short to shingle (< 3 sampled frames)
+    carry no near-dup evidence and are admitted, stated.
+
+    Scale shape: batch-only Arrow decode map, persisted-parquet shingle
+    scan, shingle-key equi-join bounded by the published df-cap (never
+    all-pairs), one bounded (doc, group) aggregate, one anti-join. The
+    corpus is never re-decoded or re-shingled.
+
+    Reference analog: none (extension surface — multimodal dedup family,
+    completing the video tier matrix: group near-dup → incremental
+    ingest gate).
+    """
+    from ufload_spark.sources.loader import memo_publish
+
+    d = doc_ids(spark, sf_dir)
+    base = d.where(F.col("doc_id") % 4 != 0)
+
+    def build() -> DataFrame:
+        bsh = _trimmed_shingles(base)
+        bsig = bsh.groupBy("doc_id").agg(
+            F.expr(
+                "md5(concat_ws(',', transform(sort_array(collect_set(shingle)), "
+                "x -> CAST(x AS STRING))))"
+            ).alias("sig")
+        )
+        gsh0 = bsh.join(bsig, "doc_id").select("sig", "shingle").distinct()
+        capped = (
+            gsh0.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= VID_SHINGLE_DF_CAP)
+            .select("shingle")
+        )
+        return gsh0.join(capped, "shingle", "left_semi")
+
+    published = memo_publish(spark, "video_neardup_gsh", sf_dir, build)
+    bgsh = spark.read.parquet(published)
+    batch = d.where(F.col("doc_id") % 4 == 0)
+    bsh = _trimmed_shingles(batch)
+    collided = (
+        bsh.join(bgsh, "shingle")
+        .groupBy("doc_id", "sig")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= VID_SHARED_MIN)
+        .select("doc_id")
+        .distinct()
+    )
+    return batch.select("doc_id").join(collided, "doc_id", "left_anti")
