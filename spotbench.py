@@ -55,7 +55,15 @@ def main() -> None:
     from ufload_spark.session import get_spark
     from ufload_spark.sources.scaleup import ensure_scaled_fixture
 
-    spark = get_spark(app_name="ufload_spark-spotbench")
+    # Size the single local JVM like the deployment the factor models: at
+    # factor >= 100 (~sf10 on 32 threads) 8g is ~250m per task, an eighth
+    # of production per-core guidance — the r11 first run OOMed the pair
+    # aggregate on sizing alone after the broadcast-threshold fix. 24g is
+    # 750m per task, still lean for a real cluster.
+    mem = os.environ.get(
+        "SPARK_GRAFT_SPOT_MEM", "24g" if factor >= 100 else "8g"
+    )
+    spark = get_spark(app_name="ufload_spark-spotbench", driver_memory=mem)
     spark.sparkContext.setLogLevel("ERROR")
 
     dest = os.path.join(

@@ -46,7 +46,18 @@ RUNTIME_CONF: dict[str, str] = {
 BUILD_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "128m",
-    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Broadcast threshold compares against PRUNED COMPRESSED-COLUMNAR
+    # size estimates, but the build side materializes as an in-heap
+    # HashedRelation at ~20-30x those bytes (two int64 columns of 15M
+    # orders estimate ~50m and hash to ~1g+). At 64m the r11 factor-100
+    # spot tier OOMed the 8g heap broadcast-building the ORDERS side of
+    # the CF basket join — the r10 size-estimate-flip class, this time
+    # from the conf itself; the same arithmetic kills a 4g-executor
+    # cluster. 16m bounds the worst-case hashed build to ~300-500m.
+    # Genuinely small dims (nation/region/supplier/customer) stay under
+    # it at every fixture SF; anything between 16m and 64m was a
+    # fact-sized side that had no business broadcasting.
+    "spark.sql.autoBroadcastJoinThreshold": "16m",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }
@@ -79,8 +90,20 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "ufload_spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "ufload_spark",
+    master: str | None = None,
+    driver_memory: str | None = None,
+) -> SparkSession:
     """Create (or fetch) a tuned SparkSession.
+
+    ``driver_memory`` overrides BUILD_CONF's default 8g for callers that
+    model a differently-sized deployment — the factor-100 spot tier runs
+    the single local JVM at the per-core memory a real cluster's
+    executors would have (8g/32 threads = 250m per task is ~1/8 of
+    production guidance, and the deficit, not any plan defect, is what
+    an OOM there would otherwise conflate). Only effective when this
+    call actually creates the JVM.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``),
     matching the harness environment; on a real cluster the master comes from
@@ -90,6 +113,9 @@ def get_spark(app_name: str = "ufload_spark", master: str | None = None) -> Spar
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in {**BUILD_CONF, **RUNTIME_CONF}.items():
+    conf = {**BUILD_CONF, **RUNTIME_CONF}
+    if driver_memory is not None:
+        conf["spark.driver.memory"] = driver_memory
+    for k, v in conf.items():
         builder = builder.config(k, v)
     return tune(builder.getOrCreate())
