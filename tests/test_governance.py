@@ -91,3 +91,19 @@ def test_driver_side_materialization_is_bounded():
         assert n_counts <= allowed, (
             f"{path.name} has {n_counts} .count() calls, {allowed} allowed"
         )
+
+
+def test_broadcast_threshold_respects_hashed_relation_inflation():
+    """r11: `autoBroadcastJoinThreshold` compares PRUNED COMPRESSED-
+    COLUMNAR size estimates against the threshold, but the build side
+    materializes as an in-heap HashedRelation at ~20-30x those bytes —
+    at 64m the factor-100 spot tier broadcast-built a 15M-row ORDERS
+    side (~50m estimated, ~1g+ hashed) and OOMed the 8g JVM; the same
+    arithmetic kills a 4g-executor cluster. Pin the build conf at or
+    below 16m (worst-case hashed build ~300-500m) so a future "make the
+    dims broadcast" tweak cannot silently reintroduce the class."""
+    from ufload_spark.session import BUILD_CONF
+
+    raw = BUILD_CONF["spark.sql.autoBroadcastJoinThreshold"].lower()
+    assert raw.endswith("m"), raw
+    assert int(raw[:-1]) <= 16, raw
