@@ -142,6 +142,9 @@ HEADLINE = [
     # r11 additions
     "text_quality_logreg",         # learned quality filter, integer-exact GD steps (r11)
     "text_quality_logreg_eval",    # confusion + exact tie-aware AUC audit (r11)
+    "text_quality_logreg_apply",   # published-model ingest scoring, aggregate-free (r11)
+    "multimodal_video_neardup",    # frame-shingle group pairs, df-capped buckets (r11)
+    "multimodal_video_neardup_incremental",  # published-shingle ingest gate (r11)
 ]
 
 
