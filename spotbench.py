@@ -44,6 +44,11 @@ SPOT = [
     "streaming_neardup_gate",
     "restore_end_to_end",
     "text_quality_logreg",
+    # r11: the decode-bound Arrow-map class (every frame of every video
+    # synthesized, sliced and IHDR-decoded in Python) — a fragility mode
+    # none of the shuffle-shaped entries above exercise
+    "multimodal_video_neardup",
+    "multimodal_video_neardup_incremental",
 ]
 
 
