@@ -374,3 +374,93 @@ def test_video_neardup_gate_matches_pure_python_replay(spark):
     assert got == admitted
     n_batch = sum(1 for d in all_ids if d % 4 == 0)
     assert 0 < len(admitted) < n_batch
+
+
+def test_video_keep_best_cut_matches_union_find_replay(spark):
+    """Engine-external replay for the footage-cluster canonicalizer:
+    groups, capped pairs, union-find components and the keep-longest-cut
+    rule rebuilt from the container bytes in pure python; the cluster
+    rows must match exactly, and at least one cluster must span multiple
+    groups (the fixture really links cuts of different lengths)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_DIR
+    from ufload_spark.operators.multimodal import (
+        FRAME_STEP,
+        VID_SHARED_MIN,
+        VID_SHINGLE_DF_CAP,
+        decode_image,
+        iter_video_frames,
+        make_trimmed_video,
+        multimodal_video_keep_best_cut,
+    )
+
+    ids = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    doc_sh, doc_s = {}, {}
+    for doc_id in ids["doc_id"].to_pylist():
+        fps = []
+        for idx, frame in iter_video_frames(make_trimmed_video(doc_id)):
+            if idx % FRAME_STEP:
+                continue
+            _, w, h = decode_image(frame)
+            fps.append(w * 1000 + h)
+        sh = {
+            fps[i] * 10**12 + fps[i + 1] * 10**6 + fps[i + 2]
+            for i in range(len(fps) - 2)
+        }
+        if sh:
+            doc_sh[doc_id] = sh
+            doc_s[doc_id] = len(fps)
+
+    groups = defaultdict(list)
+    for d, sh in doc_sh.items():
+        sig = hashlib.md5(
+            ",".join(str(x) for x in sorted(sh)).encode()
+        ).hexdigest()
+        groups[sig].append(d)
+    grp = {
+        sig: (min(ds), len(ds), max(doc_s[d] for d in ds))
+        for sig, ds in groups.items()
+    }
+    gsh0 = {sig: doc_sh[min(ds)] for sig, ds in groups.items()}
+    df = Counter(s for sh in gsh0.values() for s in sh)
+    gsh = {
+        sig: {s for s in sh if df[s] <= VID_SHINGLE_DF_CAP}
+        for sig, sh in gsh0.items()
+    }
+    parent = {grp[sig][0]: grp[sig][0] for sig in grp}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    sigs = sorted(grp)
+    for i, sa in enumerate(sigs):
+        for sb in sigs[i + 1 :]:
+            if len(gsh[sa] & gsh[sb]) >= VID_SHARED_MIN:
+                ra, rb = find(grp[sa][0]), find(grp[sb][0])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    clusters = defaultdict(list)
+    for sig, (rep, n_vid, s) in grp.items():
+        clusters[find(rep)].append((rep, n_vid, s))
+    want = set()
+    for cid, members in clusters.items():
+        best = sorted(members, key=lambda t: (-t[2], t[0]))[0]
+        want.add(
+            (cid, len(members), sum(m[1] for m in members), best[0], best[2])
+        )
+
+    got = {
+        (r["cluster_id"], r["n_groups"], r["n_videos"], r["keep_doc_id"],
+         r["keep_frames"])
+        for r in multimodal_video_keep_best_cut(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(n > 1 for (_c, n, _v, _k, _f) in want)

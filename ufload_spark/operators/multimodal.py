@@ -2009,6 +2009,49 @@ def _trimmed_shingles(d: DataFrame) -> DataFrame:
     )
 
 
+def _video_group_frames(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """``(per_doc, gsh)`` over the docs in ``d``: ``per_doc`` =
+    (doc_id, sig, s) where ``sig`` is the md5 of the sorted shingle set
+    and ``s`` the DECODED sampled-frame count (shingles are consecutive
+    and within-doc distinct, so s = n_shingles + 2 — no second decode
+    pass); ``gsh`` = df-capped distinct (sig, shingle), the pairing
+    universe shared by the near-dup and keep-best tiers."""
+    sh = _trimmed_shingles(d)
+    per_doc = sh.groupBy("doc_id").agg(
+        F.expr(
+            "md5(concat_ws(',', transform(sort_array(collect_set(shingle)), "
+            "x -> CAST(x AS STRING))))"
+        ).alias("sig"),
+        (F.count("*") + F.lit(2)).cast("long").alias("s"),
+    )
+    gsh0 = (
+        sh.join(per_doc.select("doc_id", "sig"), "doc_id")
+        .select("sig", "shingle")
+        .distinct()
+    )
+    capped = (
+        gsh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= VID_SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    return per_doc, gsh0.join(capped, "shingle", "left_semi")
+
+
+def _video_shared_pairs(gsh: DataFrame) -> DataFrame:
+    """(sig_a, sig_b, n_shared) group pairs sharing >= VID_SHARED_MIN
+    df-capped shingles, each pair once (sig_a < sig_b)."""
+    a = gsh.withColumnsRenamed({"sig": "sig_a"})
+    b = gsh.withColumnsRenamed({"sig": "sig_b"})
+    return (
+        a.join(b, ["shingle"])
+        .where(F.col("sig_a") < F.col("sig_b"))
+        .groupBy("sig_a", "sig_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= VID_SHARED_MIN)
+    )
+
+
 #: shared oracle prefix: per-doc sampled-frame fingerprints and distinct
 #: shingles, closed-form from the synthesizer arithmetic
 _VID_SH_CTE = f"""
@@ -2114,32 +2157,10 @@ def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (extension surface — multimodal dedup family).
     """
-    sh = _trimmed_shingles(doc_ids(spark, sf_dir))
-    sig = sh.groupBy("doc_id").agg(
-        F.expr(
-            "md5(concat_ws(',', transform(sort_array(collect_set(shingle)), "
-            "x -> CAST(x AS STRING))))"
-        ).alias("sig")
-    )
-    grp = sig.groupBy("sig").agg(F.count("*").cast("long").alias("n_videos"))
-    gsh0 = sh.join(sig, "doc_id").select("sig", "shingle").distinct()
-    capped = (
-        gsh0.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= VID_SHINGLE_DF_CAP)
-        .select("shingle")
-    )
-    gsh = gsh0.join(capped, "shingle", "left_semi")
+    per_doc, gsh = _video_group_frames(doc_ids(spark, sf_dir))
+    grp = per_doc.groupBy("sig").agg(F.count("*").cast("long").alias("n_videos"))
     sizes = gsh.groupBy("sig").agg(F.count("*").cast("long").alias("n_sh"))
-    a = gsh.withColumnsRenamed({"sig": "sig_a"})
-    b = gsh.withColumnsRenamed({"sig": "sig_b"})
-    shared = (
-        a.join(b, ["shingle"])
-        .where(F.col("sig_a") < F.col("sig_b"))
-        .groupBy("sig_a", "sig_b")
-        .agg(F.count("*").cast("long").alias("n_shared"))
-        .where(F.col("n_shared") >= VID_SHARED_MIN)
-    )
+    shared = _video_shared_pairs(gsh)
     za = sizes.withColumnsRenamed({"sig": "sig_a", "n_sh": "n_sh_a"})
     zb = sizes.withColumnsRenamed({"sig": "sig_b", "n_sh": "n_sh_b"})
     ga = grp.withColumnsRenamed({"sig": "sig_a", "n_videos": "n_a"})
@@ -2215,21 +2236,8 @@ def multimodal_video_neardup_incremental(
     base = d.where(F.col("doc_id") % 4 != 0)
 
     def build() -> DataFrame:
-        bsh = _trimmed_shingles(base)
-        bsig = bsh.groupBy("doc_id").agg(
-            F.expr(
-                "md5(concat_ws(',', transform(sort_array(collect_set(shingle)), "
-                "x -> CAST(x AS STRING))))"
-            ).alias("sig")
-        )
-        gsh0 = bsh.join(bsig, "doc_id").select("sig", "shingle").distinct()
-        capped = (
-            gsh0.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= VID_SHINGLE_DF_CAP)
-            .select("shingle")
-        )
-        return gsh0.join(capped, "shingle", "left_semi")
+        _per_doc, bgsh = _video_group_frames(base)
+        return bgsh
 
     published = memo_publish(spark, "video_neardup_gsh", sf_dir, build)
     bgsh = spark.read.parquet(published)
@@ -2244,3 +2252,142 @@ def multimodal_video_neardup_incremental(
         .distinct()
     )
     return batch.select("doc_id").join(collided, "doc_id", "left_anti")
+
+
+@register(
+    "multimodal_video_keep_best_cut",
+    _VID_SH_CTE.replace("WITH vids", "WITH RECURSIVE vids", 1)
+    + f""", sig AS (
+  SELECT doc_id,
+         md5(string_agg(CAST(shingle AS VARCHAR), ',' ORDER BY shingle)) AS sig,
+         CAST(count(*) + 2 AS BIGINT) AS s
+  FROM dsh GROUP BY doc_id
+), grp AS (
+  SELECT sig, CAST(min(doc_id) AS BIGINT) AS rep,
+         CAST(count(*) AS BIGINT) AS n_videos, CAST(max(s) AS BIGINT) AS s
+  FROM sig GROUP BY 1
+), gsh0 AS (
+  SELECT DISTINCT s.sig, d.shingle FROM dsh d JOIN sig s USING (doc_id)
+), gsh AS (
+  SELECT sig, shingle FROM gsh0
+  WHERE shingle IN (SELECT shingle FROM gsh0 GROUP BY 1
+                    HAVING count(*) <= {VID_SHINGLE_DF_CAP})
+), shared AS (
+  SELECT a.sig AS sig_a, b.sig AS sig_b
+  FROM gsh a JOIN gsh b ON a.shingle = b.shingle AND a.sig < b.sig
+  GROUP BY 1, 2 HAVING count(*) >= {VID_SHARED_MIN}
+), edges AS (
+  SELECT ga.rep AS u, gb.rep AS v FROM shared s
+  JOIN grp ga ON ga.sig = s.sig_a JOIN grp gb ON gb.sig = s.sig_b
+  UNION
+  SELECT gb.rep, ga.rep FROM shared s
+  JOIN grp ga ON ga.sig = s.sig_a JOIN grp gb ON gb.sig = s.sig_b
+), nodes AS (SELECT rep AS n FROM grp),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+), lab AS (SELECT n, min(m) AS m FROM reach GROUP BY n),
+cl AS (
+  SELECT g.sig, g.rep, g.n_videos, g.s, l.m AS cluster_id
+  FROM grp g JOIN lab l ON g.rep = l.n
+), agg AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(n_videos) AS BIGINT) AS n_videos
+  FROM cl GROUP BY 1
+), keep AS (
+  SELECT cluster_id, rep AS keep_doc_id, s AS keep_frames
+  FROM cl
+  QUALIFY row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY s DESC, rep) = 1
+)
+SELECT a.cluster_id, a.n_groups, a.n_videos, k.keep_doc_id, k.keep_frames
+FROM agg a JOIN keep k USING (cluster_id)
+""",
+    doc="footage-cluster canonicalization: connected components over the "
+    "video near-dup group graph, keeping the MOST COMPLETE cut per "
+    "cluster (max decoded sampled-frame count, tie -> smallest doc) — "
+    "the re-upload curation rule; group-representative nodes, never a "
+    "per-doc graph",
+)
+def multimodal_video_keep_best_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-cut selection over footage clusters — the video member
+    of the keep-best family (``dedup_cluster_keep_best``,
+    ``multimodal_image_cluster_keep_best``): trimmed/extended re-uploads
+    of the same footage form a CLUSTER (connected components over the
+    shingle-pair group graph, since a short cut may only overlap the
+    mid-length cut that links it to the full version), and the curation
+    rule keeps the MOST COMPLETE cut — the video with the largest
+    DECODED sampled-frame count (derived as shingles + 2, no second
+    decode pass), tie broken to the smallest doc_id.
+
+    Scale disciplines: the component solver runs over GROUP
+    REPRESENTATIVES (min doc_id per signature group, long-keyed — the
+    ``multimodal_image_cluster_keep_best`` posture), so a footage group
+    uploaded a million times is ONE node; the pair graph is the df-capped
+    shingle bucket join of the near-dup tier; `min_label_components`
+    picks union-find vs chunked min-label propagation by measured edge
+    count; the keep window partitions by cluster over the group-sized
+    frame. Singleton groups (no qualifying pair) are their own cluster
+    and keep themselves; videos too short to shingle carry no footage
+    evidence and are out of scope, stated.
+
+    Oracle: the same group graph closed-form from the synthesizer
+    arithmetic, components via a recursive-CTE transitive closure (the
+    ``dedup_connected_components`` mapping), keep rule as a window.
+    Pure-python union-find replay from the container bytes pins the
+    full pipeline a third way (tests/test_multimodal.py).
+
+    Reference analog: none (extension surface — multimodal dedup family,
+    completing the video tier matrix: group near-dup → incremental
+    ingest gate → cluster keep-best-cut).
+    """
+    from ufload_spark.operators.dedup import min_label_components
+
+    per_doc, gsh = _video_group_frames(doc_ids(spark, sf_dir))
+    grp = per_doc.groupBy("sig").agg(
+        F.min("doc_id").cast("long").alias("rep"),
+        F.count("*").cast("long").alias("n_videos"),
+        F.max("s").cast("long").alias("s"),
+    )
+    shared = _video_shared_pairs(gsh)
+    edges = (
+        shared.join(
+            grp.select(F.col("sig").alias("sig_a"), F.col("rep").alias("u")),
+            "sig_a",
+        )
+        .join(
+            grp.select(F.col("sig").alias("sig_b"), F.col("rep").alias("v")),
+            "sig_b",
+        )
+        .select("u", "v")
+    )
+    comp = min_label_components(edges)
+    joined = grp.join(comp, grp.rep == comp.n, "left").select(
+        "sig",
+        "rep",
+        "n_videos",
+        "s",
+        F.coalesce(F.col("m"), F.col("rep")).alias("cluster_id"),
+    )
+    # SCALE GUARD: window over the GROUP-sized frame, partitioned by
+    # cluster — bounded by the signature-group count, never per-doc.
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("s"), "rep")
+    keep = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("rep").alias("keep_doc_id"),
+            F.col("s").alias("keep_frames"),
+        )
+    )
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("n_videos").cast("long").alias("n_videos"),
+        )
+        .join(F.broadcast(keep), "cluster_id")
+        .select("cluster_id", "n_groups", "n_videos", "keep_doc_id", "keep_frames")
+    )
