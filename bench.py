@@ -145,6 +145,7 @@ HEADLINE = [
     "text_quality_logreg_apply",   # published-model ingest scoring, aggregate-free (r11)
     "multimodal_video_neardup",    # frame-shingle group pairs, df-capped buckets (r11)
     "multimodal_video_neardup_incremental",  # published-shingle ingest gate (r11)
+    "multimodal_video_keep_best_cut",  # footage-cluster CC, keep longest cut (r11)
 ]
 
 

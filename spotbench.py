@@ -49,6 +49,7 @@ SPOT = [
     # none of the shuffle-shaped entries above exercise
     "multimodal_video_neardup",
     "multimodal_video_neardup_incremental",
+    "multimodal_video_keep_best_cut",
 ]
 
 
