@@ -212,13 +212,17 @@ def test_q19_derives_per_table_pushdown(spark):
 
 def test_q21_double_correlation_joins(spark):
     """Q21's EXISTS and NOT EXISTS are decorrelated (r6) into per-order
-    countDistinct aggregates; both must partial-combine map-side (the
-    distinct-pair collapse BEFORE the exchange is what replaced the 6M-row
-    semi-join probe stream) and no branch may fall back to a cartesian."""
+    distinct-supplier counts. The NOT EXISTS side stays a countDistinct
+    aggregate that partial-combines map-side (the distinct-pair collapse
+    BEFORE the exchange is what replaced the 6M-row semi-join probe
+    stream); the EXISTS side is a size(collect_set) WINDOW over ONE
+    evaluation of the lateness join (r11 — the aggregate-then-rejoin form
+    executed that join twice). No branch may fall back to a cartesian."""
     from ufload_spark.operators.tpch_full import tpch_q21_waiting_suppliers
 
     plan = _plan(tpch_q21_waiting_suppliers(spark, SF_DIR))
-    assert plan.count("partial_count(distinct") >= 2
+    assert plan.count("partial_count(distinct") >= 1
+    assert "collect_set" in plan and "Window" in plan
     assert "CartesianProduct" not in plan
 
 

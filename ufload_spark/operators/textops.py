@@ -1681,10 +1681,14 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-:data:`RAKE_TOP_N` cut is a total order with no float ties.
 
     Scale shape: phrase extraction is a row-local map (regexp replace +
-    split + explode); word stats are ONE hash aggregate on the word key
-    (vocabulary-sized output); phrase scores re-join the deduped phrase
-    table to the word table on the same key — both sides shuffle once on
-    the word. The ranked cut is orderBy+limit (TakeOrderedAndProject — a
+    split + explode) that runs ONCE — occurrences fold to (phrase, cnt)
+    first, so the word-stats and distinct-phrase branches both derive
+    from that single aggregate's exchange instead of each replanning the
+    corpus scan (r11); word stats are ONE hash aggregate on the word key
+    over the vocabulary-sized distinct-phrase frame (occurrence weights
+    carried by cnt); phrase scores re-join the deduped phrase table to
+    the word table on the same key — both sides shuffle once on the
+    word. The ranked cut is orderBy+limit (TakeOrderedAndProject — a
     per-partition top-N and a single reduce, never a global sort), and
     the rank window runs over the returned ≤:data:`RAKE_TOP_N`-row frame.
 
@@ -1704,18 +1708,30 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases = frag.select(F.trim("ph").alias("phrase")).where(
         F.col("phrase") != ""
     )
+    # ONE corpus pass (r11 optimization): the word-stats branch and the
+    # distinct-phrase branch used to each replan the stopword-regexp +
+    # explode subtree (two full document scans — no shared exchange below
+    # them, so not even AQE stage reuse could collapse the pair). Folding
+    # occurrences to (phrase, cnt) FIRST makes both branches derive from
+    # that one aggregate: Σ_occurrences plen == Σ_distinct-phrases plen·cnt
+    # and count(occurrences) == Σ cnt, so w_score_micro is the identical
+    # exact integer. The phrase aggregate's exchange is shared by both
+    # consumers; word rows now explode from the distinct-phrase frame
+    # (vocabulary-sized), not the occurrence stream.
+    pc = phrases.groupBy("phrase").agg(F.count("*").alias("cnt"))
     arr = F.split("phrase", " +")
-    occw = phrases.select(
-        F.explode(arr).alias("w"), F.size(arr).cast("bigint").alias("plen")
+    pw = pc.select(
+        "phrase",
+        "cnt",
+        F.explode(arr).alias("w"),
+        F.size(arr).cast("bigint").alias("plen"),
     )
-    wstats = occw.groupBy("w").agg(
-        F.expr("CAST(sum(plen) AS BIGINT) * 1000000 div count(*)").alias(
-            "w_score_micro"
-        )
+    wstats = pw.groupBy("w").agg(
+        F.expr(
+            "CAST(sum(plen * cnt) AS BIGINT) * 1000000 div sum(cnt)"
+        ).alias("w_score_micro")
     )
-    dp = phrases.distinct()
-    dpw = dp.select("phrase", F.explode(arr).alias("w"))
-    scored = dpw.join(wstats, "w").groupBy("phrase").agg(
+    scored = pw.select("phrase", "w").join(wstats, "w").groupBy("phrase").agg(
         F.count("*").cast("bigint").alias("n_words"),
         F.sum("w_score_micro").cast("bigint").alias("score_micro"),
     )

@@ -600,14 +600,16 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     own supplier).
 
     The count form replaces a 6M-row left-semi shuffle plus a left-anti
-    join with two map-side-combinable aggregates: the partial distinct
+    join with map-side-combinable aggregates: the partial distinct
     collapses (orderkey, suppkey) pairs before the exchange, so the
     shuffled bytes are the distinct-pair set, not the full lineitem
     stream (measured ~25% faster at sf1 than the semi/anti form, same
-    rows). Lineitem is scanned three times, each pruned to 2-3 columns
-    with the lateness filter pushed down where it applies; every branch
-    exchanges on orderkey, so one bucketed layout serves all of them at
-    scale."""
+    rows). The late-supplier distinct count runs as a window over ONE
+    evaluation of the lateness join (r11 — the aggregate-then-rejoin
+    form executed that join twice); lineitem is scanned twice, each
+    pruned to 2-3 columns with the lateness filter pushed down where it
+    applies; both branches exchange on orderkey, so one bucketed layout
+    serves them at scale."""
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
@@ -621,12 +623,23 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_cnt = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("all_s")
     )
-    late_cnt = late.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("late_s")
+    # Single-late-supplier test as a WINDOW over one evaluation of `late`
+    # (r11 optimization): the aggregate-then-rejoin form referenced the
+    # late subtree twice — once under the countDistinct aggregate, once as
+    # the join probe — and the two exchanges differ (partial-agg map side
+    # vs raw rows), so the lineitem⋈orders lateness join executed twice.
+    # size(collect_set) over the order partition is the same distinct
+    # count, per-partition state is bounded by the order's line count,
+    # and the late join now runs once.
+    w_late = Window.partitionBy("l_orderkey")
+    cand = (
+        late.withColumn(
+            "late_s", F.size(F.collect_set("l_suppkey").over(w_late))
+        )
+        .where(F.col("late_s") == 1)
+        .drop("late_s")
+        .join(all_cnt.where(F.col("all_s") >= 2), "l_orderkey")
     )
-    cand = late.join(
-        late_cnt.where(F.col("late_s") == 1), "l_orderkey"
-    ).join(all_cnt.where(F.col("all_s") >= 2), "l_orderkey")
     return (
         cand.join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
