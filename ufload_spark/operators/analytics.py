@@ -1095,7 +1095,14 @@ def _basket_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pair_sup``, per-item supports and the basket count — the common input
     of the association-rule and recommendation queries. Same plan shape as
     :func:`basket_part_pairs` (pruned self-join on okey, bounded by
-    Σ basket_size²)."""
+    Σ basket_size²).
+
+    NOTE (r11, measured): do NOT localCheckpoint ``fitems`` here — unlike
+    the CF incidence (whose consumers sit above different exchanges), the
+    self-join's two sides are the same canonical subtree and share one
+    reused exchange, so the checkpoint only adds its own materialization:
+    isolated sf1 medians 17.9 s (current) vs 21.0 s (fitems checkpointed)
+    for part_recommendations_topn."""
     li = table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
@@ -1398,7 +1405,17 @@ def part_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bs") <= CF_MAX_BASKET)
         .select("cust")
     )
-    b = baskets.join(kept, "cust", "left_semi")
+    # Materialize the capped incidence ONCE (r11, measured A/B at sf1):
+    # b feeds three consumers (npart, both self-join sides) and its top is
+    # a broadcast semi-join ABOVE the distinct's exchange, so every
+    # consumer replays the reduce-side distinct + semi-join even with AQE
+    # stage reuse. localCheckpoint truncates the lineage and stores the
+    # (cust, part) rows as blocks — isolated sf1 medians: plain 39.5 s,
+    # persist() 39.7 s (the columnar cache encode eats the savings),
+    # localCheckpoint 32.8 s, all bit-identical. Incidence rows are
+    # whale-capped (≤ CF_MAX_BASKET parts/customer), two bigints each, so
+    # the checkpointed footprint stays ~corpus-incidence-sized at scale.
+    b = baskets.join(kept, "cust", "left_semi").localCheckpoint(eager=False)
     npart = b.groupBy("part").agg(F.count("*").cast("bigint").alias("n"))
     a_side = b.select(F.col("cust"), F.col("part").alias("part_a"))
     c_side = b.select(F.col("cust"), F.col("part").alias("part_b"))
@@ -1586,11 +1603,20 @@ def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ufload_spark.sources.loader import memo_publish
 
-    # NOTE (r8, measured): do NOT persist the batch/delta subtrees here —
-    # AQE's exchange reuse already shares them across the merge, the
-    # touched-prune flags and the rescore gate, and an explicit cache
-    # only adds its own materialization (+4 s warm at sf1)
-    batch = _cf_capped_baskets(spark, sf_dir, batch=True)
+    # NOTE (r8, measured): do NOT persist() the batch/delta subtrees —
+    # AQE's exchange reuse already shares their exchanges and the columnar
+    # cache encode only adds its own materialization (+4 s warm at sf1).
+    # localCheckpoint is DIFFERENT (r11, measured): batch feeds delta and
+    # the popularity increment, delta feeds the merge probe AND both
+    # touched-endpoint flag unions, and every one of those consumers sits
+    # above a DIFFERENT exchange, so each replays the lineitem⋈orders
+    # lateness join's reduce side even with stage reuse. Truncating the
+    # lineage at the two batch-sized frames (raw row blocks, no cache
+    # encode) computes the batch subtree once: isolated sf1 medians
+    # 31.4 s → 20.4 s, results bit-identical (361k rows).
+    batch = _cf_capped_baskets(spark, sf_dir, batch=True).localCheckpoint(
+        eager=False
+    )
 
     co_path = memo_publish(
         spark,
@@ -1605,7 +1631,7 @@ def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _cf_part_popularity(_cf_capped_baskets(spark, sf_dir, batch=False)),
     )
     persisted = spark.read.parquet(co_path)
-    delta = _cf_pair_counts(batch)
+    delta = _cf_pair_counts(batch).localCheckpoint(eager=False)
     touched_early = (
         delta.select(F.col("part_a").alias("part"))
         .union(delta.select(F.col("part_b").alias("part")))
@@ -3106,7 +3132,7 @@ def parts_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("mq").cast(dec).alias("sq"),
         F.sum(F.col("mq").cast(dec) * F.col("mq")).cast(dec).alias("sqq"),
         F.sum("mc").cast("bigint").alias("cents"),
-    )
+    ).localCheckpoint(eager=False)
     n, sq, sqq = (F.col(c) for c in ("n", "sq", "sqq"))
     spread = n * sqq - sq * sq
     binned = pk.select(

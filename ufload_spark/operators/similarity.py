@@ -713,6 +713,18 @@ def kmeans_centroids(
             .join(means, "cid", "left")
             .select("cid", F.coalesce("me", "pe").alias("ce"))
         )
+        # Lineage cut per Lloyd iteration — FOLD PATH ONLY (r11, both
+        # directions measured at sf1): the fold path broadcasts cent_t
+        # in-plan, so each iteration's broadcast build re-executes
+        # iterations 1..t without a cut (similarity_ivf_topk isolated
+        # median 11.3 s → 7.6 s with the cut). The kernel path instead
+        # collect()s cent per iteration and those replays already reuse
+        # the prior iterations' shuffle outputs — adding the checkpoint
+        # there only inserts block-materialization work between the
+        # per-iteration jobs (dedup_semantic_pairs 6.6 s plain vs 10.0 s
+        # checkpointed). The frame is model-sized (k rows) either way.
+        if not kernel:
+            cent = cent.localCheckpoint(eager=False)
     return cent
 
 
@@ -2349,6 +2361,11 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(means, ["m", "cid"], "left")
             .select("m", "cid", F.coalesce("me", "pe").alias("ce"))
         )
+        # Lineage cut per Lloyd iteration (r11, same as kmeans_centroids):
+        # the next iteration's broadcast and the three downstream codebook
+        # consumers (corpus encode, query distance table, ADC) otherwise
+        # each re-execute the whole training chain. PQ_M×PQ_K rows — tiny.
+        cent = cent.localCheckpoint(eager=False)
     return cent
 
 
