@@ -1733,8 +1733,11 @@ PARTITIONLESS_WINDOW_BOUNDS = {
     "orders_theilsen_trend": "calendar-bounded day-pair slope frame",
     "parts_abc_xyz_matrix": "bounded bin tables",
     "parts_skyline_price_size": "price-bin frame",
-    "similarity_ivf_topk": "k-row hash-ordered k-means seed frames",
-    "similarity_pq_topk": "PQ_K-row hash-ordered seed frames",
+    # similarity_ivf_topk / similarity_pq_topk: their k-row hash-ordered
+    # seed windows still execute (bounded by the train sample as before)
+    # but live behind the Lloyd loop's per-iteration lazy localCheckpoint
+    # (r11 change 5), so the registry-wide optimized-plan scan no longer
+    # sees them — the bound is documented at kmeans_centroids/_pq_codebooks.
     "streaming_changepoint_monitor": "calendar-bounded day frame",
     "streaming_emd_monitor": "<=512-row bin frame",
     "text_bm25_search": "BM25_TOPK-row limit result",

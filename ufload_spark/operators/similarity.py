@@ -566,6 +566,24 @@ def train_sample(emb: DataFrame, mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
     return emb.where(bucket == 0)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Hash-repartition an embeddings-shaped frame on ``vec_id`` to the
+    session's parallelism (floor 8) — the :func:`shingles` precedent from
+    dedup.py applied to the vector family: the embeddings fixture is one
+    parquet file with one row group, so every scan is ONE map task and the
+    heavy per-row work ABOVE the scan (subvector explode × broadcast
+    codebook join × argmin aggregates; the Arrow matmul kernel) runs
+    single-core while 31 cores idle. The exchange ships the (small) vector
+    table once; at 100 TB the table arrives in thousands of splits and the
+    same hash exchange is what the downstream per-vector aggregates would
+    demand anyway. Values are unchanged — every downstream reduction is
+    either exact-integer or rounded to the shared ``_R`` decimals (the
+    engine's standing reduction-order discipline)."""
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    return df.repartition(n_parts, "vec_id")
+
+
 def _kernel_assign(emb: DataFrame, cent: DataFrame, *, with_embedding: bool) -> DataFrame:
     """Arrow-vectorized cell assignment: distances of every vector to ALL
     k centroids as ONE numpy matmul per batch (``||x||² − 2·X@Cᵀ + ||c||²``,
@@ -654,6 +672,14 @@ def kmeans_centroids(
     iterations past ~10. The plan per iteration is broadcast-join →
     window argmin → explode+agg: no driver-side state.
     """
+    # Parallelize per-iteration work above 1-split scans — fold path only
+    # (r11, measured): the kernel path runs one collect JOB per iteration
+    # and cross-job shuffle output is not reused, so a repartition here
+    # would be re-paid by every collect (dedup_semantic_pairs regressed
+    # 6.6 s → ~10 s with it); the fold path evaluates everything inside
+    # one query where the exchange is planned once.
+    if not kernel:
+        emb = _spread(emb)
     seeds = (
         emb.select(
             "vec_id",
@@ -868,7 +894,8 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w_vec = Window.partitionBy("vec_id").orderBy("d", "cid")
     asn = (
-        cand.crossJoin(F.broadcast(cent))
+        _spread(cand)  # see _spread: 1-split fixture scans
+        .crossJoin(F.broadcast(cent))
         .select("vec_id", "embedding", "cid", d2("embedding").alias("d"))
         .withColumn("rn", F.row_number().over(w_vec))
         .where(F.col("rn") == 1)
@@ -2077,7 +2104,7 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = kmeans_centroids(train_sample(e))
         w_vec = Window.partitionBy("vec_id").orderBy("d", "cid")
         inv = (
-            e.where(F.col("vec_id") >= IVF_Q_HI)
+            _spread(e.where(F.col("vec_id") >= IVF_Q_HI))
             .crossJoin(F.broadcast(cent))
             .select("vec_id", "cid", d2("embedding").alias("d"))
             .withColumn("rn", F.row_number().over(w_vec))
@@ -2310,7 +2337,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     are hash-ordered vec_ids — every subspace trains from the SAME seed
     vectors (sliced differently), mirrored exactly in the oracle."""
     e = table(spark, sf_dir, "embeddings")
-    tr = train_sample(e)
+    tr = _spread(train_sample(e))  # see _spread: 1-split fixture scans
     subs = _pq_subvectors(tr, "vec_id")
     hw = Window.orderBy("h", "vec_id")
     seeds = (
@@ -2541,7 +2568,7 @@ def _pq_encode(e: DataFrame, books: DataFrame) -> DataFrame:
     ``(cand_id, m, code)``. The argmin runs as a min_by hash aggregate
     (same rationale and tie-break as training): the corpus×PQ_M×PQ_K
     scored frame never hits a sort."""
-    cand = _pq_subvectors(e.where(F.col("vec_id") >= PQ_Q_HI), "cand_id")
+    cand = _pq_subvectors(_spread(e.where(F.col("vec_id") >= PQ_Q_HI)), "cand_id")
     return (
         cand.join(F.broadcast(books), "m")
         .select(
