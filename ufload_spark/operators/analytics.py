@@ -22,7 +22,7 @@ from ufload_spark.functions.names import db_to_instance, file_to_db
 from ufload_spark.operators.listing import BACKUPS_CTE, backups
 from ufload_spark.functions.binning import suboctave_bin, suboctave_bin_sql
 from ufload_spark.plans.registry import register
-from ufload_spark.sources.tables import table
+from ufload_spark.sources.tables import spread_scan, table
 
 
 @register(
@@ -4075,7 +4075,13 @@ def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside `lineitem_ols_price_model` [levels-on-levels within return
     flags] — elasticity is the log-log slope economists actually read).
     """
-    li = table(spark, sf_dir, "lineitem")
+    # spread_scan: the broadcast part-probe + the (brand, part, month)
+    # partial aggregate run above a 2-split fixture scan; the repartition
+    # on the aggregate's own part key parallelizes them (no-op at real
+    # split counts; all sums exact integers/decimals).
+    li = spread_scan(
+        table(spark, sf_dir, "lineitem"), "l_partkey", src=(sf_dir, "lineitem")
+    )
     p = table(spark, sf_dir, "part")
     month = (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m")
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")

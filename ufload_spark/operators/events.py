@@ -2338,20 +2338,28 @@ def events_countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             % CM_WIDTH
         )
 
-    sketch = (
-        keyed.select("user_id", d_col)
-        .select("d", bucket(F.col("d"), F.col("user_id")).alias("bucket"))
-        .groupBy("d", "bucket")
-        .agg(F.count("*").cast("bigint").alias("c"))
-    )
     exact = keyed.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("exact_n")
     )
+    # One (user_id, d, bucket) frame serves BOTH the sketch build and the
+    # probe (r11, guide §2.4): counter c = count of raw (event, d) rows per
+    # (d, bucket) ≡ sum of per-user exact counts per (d, bucket) — bucket
+    # is a function of (d, user_id) only, so grouping the exact aggregate
+    # is the same exact integers. This cuts the md5/conv evaluations from
+    # D × |events| to D × |distinct users| and removes one corpus-wide
+    # fan-out pass; at 100 TB the event stream is hashed zero times and
+    # the user aggregate once. (In a true streaming sketch the counters
+    # still build from raw events map-side — this query is the offline
+    # audit, where the exact aggregate is already required.)
     probes = exact.select("user_id", "exact_n", d_col).select(
         "user_id",
         "exact_n",
         "d",
         bucket(F.col("d"), F.col("user_id")).alias("bucket"),
+    )
+    probes = probes.localCheckpoint(eager=False)  # feeds sketch + probe join
+    sketch = probes.groupBy("d", "bucket").agg(
+        F.sum("exact_n").cast("bigint").alias("c")
     )
     return (
         probes.join(F.broadcast(sketch), ["d", "bucket"])

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ufload_spark.plans.registry import register
-from ufload_spark.sources.tables import table
+from ufload_spark.sources.tables import spread_scan, table
 
 #: Stopword alternation shared by Spark and the DuckDB oracles.
 _STOP = "the|a|and|of|to|in|is|it"
@@ -1996,7 +1996,10 @@ def text_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside text_langid_confusion / text_unigram_logprob).
     """
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
+    # spread_scan: tokenize/explode + the vocab partial aggregate are the
+    # heavy map work above the 1-split fixture scan (no-op at real split
+    # counts); every downstream reduction is exact-integer or decimal.
+    toks = spread_scan(d, "doc_id", src=(sf_dir, "documents")).select(
         "doc_id",
         "lang",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),

@@ -86,6 +86,43 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (session, sf_dir, name) → scan partition count, for :func:`spread_scan`.
+_SCAN_PARTS_CACHE: dict[tuple, int] = {}
+
+
+def spread_scan(df: DataFrame, key: str, *, src: tuple | None = None) -> DataFrame:
+    """Scale-adaptive read-side parallelism (guide §2.5 "input skew: one
+    huge unsplittable file → repartition immediately after the read", §2.2):
+    hash-repartition ``df`` on ``key`` to the session's parallelism — but
+    ONLY when its scan actually arrives in fewer splits than the session
+    has cores. The fixtures are one parquet file with one row group per
+    table, so every scan is 1-2 map tasks and ALL per-row work above it
+    (regex passes, explodes, hash fan-outs, partial aggregates) runs
+    single-core while 31 cores idle. At 100 TB the same table arrives in
+    thousands of row groups, the partition count exceeds parallelism, and
+    this helper is a structural no-op — the adaptivity the constant-knob
+    alternative (`minPartitionNum`, fixed repartitions) lacks.
+
+    The decision reads ``df.rdd.getNumPartitions()`` once per (session,
+    src) — plan compilation only, no job — and memoizes it. Values are
+    unchanged: the callers' downstream reductions are exact-integer,
+    `_R`-rounded, or per-row maps (the engine's standing reduction-order
+    discipline)."""
+    spark = df.sparkSession
+    n_cores = spark.sparkContext.defaultParallelism
+    if src is not None:
+        ck = (spark, *src)
+        n_scan = _SCAN_PARTS_CACHE.get(ck)
+        if n_scan is None:
+            n_scan = df.rdd.getNumPartitions()
+            _SCAN_PARTS_CACHE[ck] = n_scan
+    else:
+        n_scan = df.rdd.getNumPartitions()
+    if n_scan >= n_cores:
+        return df
+    return df.repartition(max(n_cores, 8), key)
+
+
 #: (sf_dir, name) → row count. Corpus counts parameterize the
 #: self-bounding density knobs (LSH bits-per-band, record-linkage block
 #: fan-out, quantile-sample threshold, winnowing df cap): fixtures are
