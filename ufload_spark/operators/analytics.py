@@ -1103,7 +1103,12 @@ def _basket_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused exchange, so the checkpoint only adds its own materialization:
     isolated sf1 medians 17.9 s (current) vs 21.0 s (fitems checkpointed)
     for part_recommendations_topn."""
-    li = table(spark, sf_dir, "lineitem")
+    # spread_scan on okey (guide §2.4/§2.5): parallelizes the 2-split
+    # fixture scan and pre-satisfies the (okey, part) distinct AND the
+    # within-basket okey self-join — one exchange instead of two.
+    li = spread_scan(
+        table(spark, sf_dir, "lineitem"), "l_orderkey", src=(sf_dir, "lineitem")
+    )
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     ).distinct()
@@ -1392,7 +1397,11 @@ def part_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (extension surface — recommender family,
     beside `part_recommendations_topn`).
     """
-    li = table(spark, sf_dir, "lineitem")
+    # spread_scan: the orders probe + the (cust, part) distinct's partial
+    # aggregate run above the 2-split lineitem scan — parallelize first.
+    li = spread_scan(
+        table(spark, sf_dir, "lineitem"), "l_orderkey", src=(sf_dir, "lineitem")
+    )
     o = table(spark, sf_dir, "orders")
     baskets = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -1468,7 +1477,11 @@ def _cf_capped_baskets(
     scan is pruned, not the join output. The whale cap is per-customer
     and the mod partitions customers, so capping inside a slice equals
     capping globally then slicing."""
-    li = table(spark, sf_dir, "lineitem")
+    # spread_scan: the orders probe + the (cust, part) distinct's partial
+    # aggregate run above the 2-split lineitem scan (see part_similarity_cosine).
+    li = spread_scan(
+        table(spark, sf_dir, "lineitem"), "l_orderkey", src=(sf_dir, "lineitem")
+    )
     o = table(spark, sf_dir, "orders")
     if batch is True:
         o = o.where(F.col("o_custkey") % CF_BATCH_MOD == 0)
@@ -2811,7 +2824,12 @@ def basket_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none — extension surface.
     """
-    li = table(spark, sf_dir, "lineitem")
+    # spread_scan on okey (guide §2.4/§2.5): parallelizes the 2-split
+    # fixture scan and pre-satisfies the (okey, part) distinct AND the
+    # within-basket okey self-join — one exchange instead of two.
+    li = spread_scan(
+        table(spark, sf_dir, "lineitem"), "l_orderkey", src=(sf_dir, "lineitem")
+    )
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     ).distinct()

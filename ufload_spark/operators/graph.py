@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ufload_spark.plans.registry import register
-from ufload_spark.sources.tables import table
+from ufload_spark.sources.tables import spread_scan, table
 
 #: total probability mass in micro-units, damping as an integer percentage
 PR_MASS = 1_000_000_000
@@ -548,7 +548,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (extension surface — graph family sibling of
     ``graph_pagerank_purchases``).
     """
-    li = table(spark, sf_dir, "lineitem")
+    # spread_scan on the self-join key (guide §2.4/§2.5): one okey
+    # exchange parallelizes the 2-split fixture scan AND satisfies the
+    # (okey, part) distinct and the okey self-join behind it — the
+    # distinct's own exchange disappears.
+    li = spread_scan(
+        table(spark, sf_dir, "lineitem"), "l_orderkey", src=(sf_dir, "lineitem")
+    )
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     ).distinct()
@@ -1290,7 +1296,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     predictive sibling of `part_recommendations_topn`, which ranks
     pairs that DID co-occur).
     """
-    li = table(spark, sf_dir, "lineitem")
+    # spread_scan on the self-join key (guide §2.4/§2.5): one okey
+    # exchange parallelizes the 2-split fixture scan AND satisfies the
+    # (okey, part) distinct and the okey self-join behind it — the
+    # distinct's own exchange disappears.
+    li = spread_scan(
+        table(spark, sf_dir, "lineitem"), "l_orderkey", src=(sf_dir, "lineitem")
+    )
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     ).distinct()
