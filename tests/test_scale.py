@@ -1349,7 +1349,8 @@ def test_bucketed_lpa_round_join_no_edge_exchange(spark):
     broadcast), must read the edge side straight from its buckets
     (SelectedBucketsCount, NO exchange between scan and join); every
     hash exchange in the plan is keyed node/label (the node-sized label
-    vector and the two vote aggregates), never the edge table's src.
+    vector and the vote stream's single node-keyed repartition — r11:
+    both vote aggregates ride it), never the edge table's src.
     Runs at shuffle.partitions=32 != N_GRAPH_BUCKETS with the round's
     repartition-into-buckets, the r11 conf-independence fix."""
     import re
@@ -1378,14 +1379,15 @@ def test_bucketed_lpa_round_join_no_edge_exchange(spark):
         contrib = edges.join(lab, edges.src == lab.node).select(
             F.col("dst").alias("node"), "label", "w"
         )
-        votes = (
-            contrib.unionByName(
-                labels.select(
-                    "node", "label", F.lit(LPA_SELF_W).cast("bigint").alias("w")
-                )
+        stream = contrib.unionByName(
+            labels.select(
+                "node", "label", F.lit(LPA_SELF_W).cast("bigint").alias("w")
             )
-            .groupBy("node", "label")
-            .agg(F.sum("w").cast("bigint").alias("wsum"))
+        ).repartition(
+            max(spark.sparkContext.defaultParallelism, 8), F.col("node")
+        )
+        votes = stream.groupBy("node", "label").agg(
+            F.sum("w").cast("bigint").alias("wsum")
         )
         nxt = votes.groupBy("node").agg(
             F.max_by(
