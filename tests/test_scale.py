@@ -1152,20 +1152,27 @@ def test_vocab_cuts_avoid_partitionless_windows(spark):
 
 def test_cf_incremental_probes_persisted_pairs(spark):
     """part_similarity_incremental: the persisted co-occurrence table must
-    come back as a parquet FileScan (the train pairing never re-runs in
-    the probe plan's persisted branch), popularity joins must broadcast,
+    come back as a parquet FileScan of the BUCKETED table (the train
+    pairing never re-runs in the probe plan's persisted branch, and the
+    merge reads the buckets exchange-free — r11), the merge must appear
+    exactly ONCE (both sym orientations come from a row-local explode,
+    not a plan-duplicating self-union), popularity joins must broadcast,
     and the top-N window must be partitioned (never global)."""
     from ufload_spark.operators.analytics import part_similarity_incremental
 
     df = part_similarity_incremental(spark, SF_DIR)
     plan = _plan(df)
-    # persisted pairs are a parquet scan of the published cf_co_pairs dir
+    # persisted pairs are a bucketed-table scan of the published pairs
     scans = [
         ln
         for ln in plan.splitlines()
         if "Scan parquet" in ln and "cf_co_pairs" in ln
     ]
     assert scans, "persisted co-occurrence table not read from parquet"
+    assert "SelectedBucketsCount: 16 out of 16" in plan
+    # the pair merge (the only pair-table-sized join) evaluates once
+    assert plan.count("SortMergeJoin FullOuter") <= 3  # 1 pair merge + 2 npart
+    assert len(scans) == 1, "bucketed pair table scanned more than once"
     assert "BroadcastHashJoin" in plan
     # rank window is partitioned by part_a — no partition-less window
     assert "Exchange rangepartitioning" not in plan or "Sort" in plan

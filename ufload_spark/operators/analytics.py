@@ -1505,6 +1505,74 @@ def _cf_part_popularity(b: DataFrame) -> DataFrame:
     return b.groupBy("part").agg(F.count("*").cast("bigint").alias("n"))
 
 
+#: bucket sizing for the persisted CF pair table: buckets ≈ published pair
+#: bytes / this target, clamped below — SIZE-derived, not a core-count
+#: constant (the layout.py "buckets ≈ bytes / target file size" posture,
+#: computed instead of prose): the whole merge stage runs at the bucket
+#: count (no exchange above the bucketed scan until the rank window), so
+#: too few buckets caps the probe's parallelism at any cluster size, and
+#: too many makes tiny files.
+CF_BUCKET_TARGET_BYTES = 8 << 20
+CF_BUCKETS_MIN, CF_BUCKETS_MAX = 16, 4096
+
+#: (abs sf_dir) → (catalog name, bucket count) of the bucketed pair table;
+#: per-process memo like loader._MEMO_PUBLISHED (fixtures are immutable
+#: in-session)
+_CF_PAIRS_BUCKETED: dict[str, tuple[str, int]] = {}
+
+
+def _cf_pairs_bucketed_table(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """The persisted train co-occurrence table as a (part_a, part_b)-BUCKETED
+    managed table — the merge-side layout the incremental tier's docstring
+    declared as the cluster posture, made real (r11; the r9/r10
+    ``_bucketed_edges_table`` playbook): the per-batch full-outer merge
+    previously re-shuffled the ENTIRE persisted pair table (123M rows /
+    424 MB at sf1) on the pair key every run to meet a ~4M-row delta;
+    against the bucketed layout only the delta shuffles (repartitioned
+    into the bucket count — the r11 conf-independence rule), the persisted
+    side reads its buckets exchange-free, and one file per bucket sorted
+    by the join key lets the sort-merge ride the bucket sort order. The
+    audited artifact stays the memo-published parquet; the bucketed table
+    derives from it (one read + one bucket shuffle, once per process)."""
+    import os
+
+    from ufload_spark.sources.layout import _unique_table
+    from ufload_spark.sources.loader import memo_publish
+
+    key = os.path.abspath(sf_dir)
+    memo = _CF_PAIRS_BUCKETED.get(key)
+    if memo is not None and spark.catalog.tableExists(memo[0]):
+        return memo
+    co_path = memo_publish(
+        spark,
+        "cf_co_pairs",
+        sf_dir,
+        lambda: _cf_pair_counts(_cf_capped_baskets(spark, sf_dir, batch=False)),
+    )
+    co_bytes = sum(
+        os.path.getsize(os.path.join(co_path, f))
+        for f in os.listdir(co_path)
+        if f.endswith(".parquet")
+    )
+    n_buckets = int(
+        min(CF_BUCKETS_MAX, max(CF_BUCKETS_MIN, co_bytes // CF_BUCKET_TARGET_BYTES))
+    )
+    suffix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = _unique_table(spark, f"cf_co_pairs_b_{suffix}")
+    (
+        spark.read.parquet(co_path)
+        # one task per bucket → one file per bucket → the scan exposes the
+        # sortBy order and the merge's SMJ needs no re-sort
+        .repartition(n_buckets, "part_a", "part_b")
+        .write.bucketBy(n_buckets, "part_a", "part_b")
+        .sortBy("part_a", "part_b")
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    _CF_PAIRS_BUCKETED[key] = (name, n_buckets)
+    return name, n_buckets
+
+
 def _cf_pair_counts(b: DataFrame) -> DataFrame:
     a_side = b.select("cust", F.col("part").alias("part_a"))
     c_side = b.select("cust", F.col("part").alias("part_b"))
@@ -1605,8 +1673,11 @@ def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the probe reads the train side purely from parquet —
     the batch-customer filter sits on the orders scan BELOW the join, so
     the probe's only corpus-sized work is one pruned scan; the persisted
-    pair table (at cluster scale BUCKETED by part_a, making the merge a
-    co-located join) is pruned to touched endpoints before the merge;
+    pair table IS a (part_a, part_b)-bucketed managed table (r11 — the
+    cluster posture this docstring used to carry as prose), so the merge
+    reads it exchange-free from its buckets and only the batch-sized
+    delta shuffles; it is additionally pruned to touched endpoints
+    before the merge;
     the delta pairing shuffles Σ basket² only for batch customers;
     popularity joins broadcast; the rank window partitions by part_a
     over floor-filtered candidates of touched parts only.
@@ -1631,19 +1702,20 @@ def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
 
-    co_path = memo_publish(
-        spark,
-        "cf_co_pairs",
-        sf_dir,
-        lambda: _cf_pair_counts(_cf_capped_baskets(spark, sf_dir, batch=False)),
-    )
     np_path = memo_publish(
         spark,
         "cf_npart_train",
         sf_dir,
         lambda: _cf_part_popularity(_cf_capped_baskets(spark, sf_dir, batch=False)),
     )
-    persisted = spark.read.parquet(co_path)
+    # The persisted pair table comes back through its BUCKETED layout
+    # (r11, guide §2.4/§3.3): the full-outer merge below joins on exactly
+    # the bucket key, so the 123M-row persisted side reads exchange-free
+    # from its buckets and only the batch-sized delta shuffles — measured
+    # at sf1, the merge previously re-shuffled the whole persisted table
+    # (the dominant per-run cost, ~9 s of the 26 s isolated wall).
+    co_table, n_cf_buckets = _cf_pairs_bucketed_table(spark, sf_dir)
+    persisted = spark.table(co_table).select("part_a", "part_b", "co")
     delta = _cf_pair_counts(batch).localCheckpoint(eager=False)
     touched_early = (
         delta.select(F.col("part_a").alias("part"))
@@ -1666,7 +1738,14 @@ def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("ta", "tb")
     )
     t = persisted_pruned.select("part_a", "part_b", F.col("co").alias("co_t"))
-    d = delta.select("part_a", "part_b", F.col("co").alias("co_d"))
+    # repartition the delta INTO the bucket layout (the r11
+    # conf-independence rule: whenever shuffle.partitions differs from the
+    # bucket count, EnsureRequirements would otherwise re-shuffle the
+    # PERSISTED side to match the delta — the exact exchange the bucketed
+    # table exists to avoid)
+    d = delta.select("part_a", "part_b", F.col("co").alias("co_d")).repartition(
+        n_cf_buckets, "part_a", "part_b"
+    )
     merged = t.join(d, ["part_a", "part_b"], "full").select(
         "part_a",
         "part_b",
@@ -1688,13 +1767,26 @@ def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n"),
     )
     floored = merged.where(F.col("co") >= CF_MIN_CO)
-    sym = floored.unionByName(
-        floored.select(
-            F.col("part_b").alias("part_a"),
-            F.col("part_a").alias("part_b"),
-            "co",
-        )
-    )
+    # Both orientations from ONE evaluation of the merge via a row-local
+    # explode (the _basket_rules trick; r11): a self-union would duplicate
+    # the whole merge subtree in the plan, and with the persisted side now
+    # exchange-free from its buckets there is no exchange left for AQE
+    # stage reuse to collapse — the union form re-ran the 104M-row merge
+    # once per orientation.
+    sym = floored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("part_a"), F.col("part_b"), F.col("co")
+                ),
+                F.struct(
+                    F.col("part_b").alias("part_a"),
+                    F.col("part_a").alias("part_b"),
+                    F.col("co"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
     na = F.broadcast(
         npart.select(F.col("part").alias("part_a"), F.col("n").alias("na"))
     )
