@@ -1435,13 +1435,22 @@ def part_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("co"))
         .where(F.col("co") >= CF_MIN_CO)
     )
-    sym = co.unionByName(
-        co.select(
-            F.col("part_b").alias("part_a"),
-            F.col("part_a").alias("part_b"),
-            "co",
-        )
-    )
+    # Both orientations from ONE evaluation of the pair aggregate via a
+    # row-local explode (r11, the _basket_rules trick): the self-union
+    # form re-ran the final HashAggregate + floor filter above the reused
+    # pair exchange once per orientation.
+    sym = co.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("part_a"), F.col("part_b"), F.col("co")),
+                F.struct(
+                    F.col("part_b").alias("part_a"),
+                    F.col("part_a").alias("part_b"),
+                    F.col("co"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
     na = F.broadcast(npart.select(F.col("part").alias("part_a"), F.col("n").alias("na")))
     nb = F.broadcast(npart.select(F.col("part").alias("part_b"), F.col("n").alias("nb")))
     scored = (
