@@ -1506,17 +1506,32 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = []
     for rnd in range(KCORE_ROUNDS + 1):
-        # ONE degree aggregate shape per side serves BOTH the round's
-        # stats row and the keep list for the next peel. The two
-        # consumers recompute it from the CHECKPOINTED pair frame (one
-        # cheap map-side-partial shuffle each) — measured faster than
-        # checkpointing the node-sized degree frames themselves, whose
-        # 2-per-round materializations cost more than the recompute.
-        deg_c = pairs.groupBy("c").agg(
-            F.count("*").cast("bigint").alias("d")
+        # ONE degree aggregate for BOTH sides (r11 session 3, guide §2.4):
+        # node ids are parity-disjoint (c even, s odd), so exploding each
+        # pair into its two endpoints and counting by node computes the
+        # c-degrees AND s-degrees in one pass — one pair-frame scan, one
+        # partial aggregate, one node-sized exchange per round instead of
+        # two of each (the keys being different sides was why the two
+        # aggregates couldn't share an exchange; the explode makes them
+        # the same key). The node-sized result is lazily checkpointed so
+        # all four consumers (stats row + both keep lists) read the one
+        # materialization — without the cut, Catalyst pushes each
+        # consumer's parity filter below the aggregate and the exchange
+        # stops being shared. (The r8 recompute-vs-checkpoint note was
+        # about TWO degree frames per round; this is one, half the size.)
+        deg = (
+            pairs.select(
+                F.explode(F.array(F.col("c"), F.col("s"))).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("d"))
+            .localCheckpoint(eager=False)
         )
-        deg_s = pairs.groupBy("s").agg(
-            F.count("*").cast("bigint").alias("d")
+        deg_c = deg.where(F.col("node") % 2 == 0).select(
+            F.col("node").alias("c"), "d"
+        )
+        deg_s = deg.where(F.col("node") % 2 == 1).select(
+            F.col("node").alias("s"), "d"
         )
         out.append(stats_from(deg_c, deg_s, rnd))
         if rnd == KCORE_ROUNDS:
