@@ -1603,11 +1603,25 @@ def _cf_pairs_bucketed_table(spark: SparkSession, sf_dir: str) -> tuple[str, int
 
 
 def _cf_pair_counts(b: DataFrame) -> DataFrame:
+    # Same exploding-join aggregate sizing as part_similarity_cosine's co
+    # (r11 session 3, measured there): ship the raw 2-column pair stream
+    # into an explicit 4×parallelism hash repartition so the self-join
+    # stage carries no multi-million-key partial-agg table and the count
+    # runs at right-sized tasks. On the TRAIN side (the publish lambda,
+    # ~123M pairs at sf1) this is the identical measured pathology; on the
+    # batch-sized delta it is neutral (per-task key counts already small).
     a_side = b.select("cust", F.col("part").alias("part_a"))
     c_side = b.select("cust", F.col("part").alias("part_b"))
+    spark = b.sparkSession
     return (
         a_side.join(c_side, "cust")
         .where(F.col("part_a") < F.col("part_b"))
+        .select("part_a", "part_b")
+        .repartition(
+            4 * spark.sparkContext.defaultParallelism,
+            F.col("part_a"),
+            F.col("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("bigint").alias("co"))
     )
