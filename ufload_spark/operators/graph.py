@@ -1467,16 +1467,19 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from the previous round's edge set only (no within-round
     cascade order), so both engines walk the identical curve.
 
-    Scale shape, per round: two hash aggregates over the pair frame
-    (per-customer and per-supplier degree, map-side partials) and two
-    LEFT SEMI joins restricting the pairs to surviving endpoints — all
-    keyed shuffles, no window, no driver-side state. The per-round stats
-    rows are lazy 1-row aggregates unioned at the end (one job). Each
-    round's pair frame gets a lazy ``localCheckpoint``: both the stats
-    row and the next round consume it, and without the cut round k would
-    re-execute the whole peel prefix (the LPA lineage lesson). At cluster
-    scale, bucket the pair table by customer key so the degree aggregate
-    and the first semi-join co-locate shuffle-free.
+    Scale shape, per round: ONE exploded node-keyed degree aggregate over
+    the pair frame (node ids are parity-disjoint — c even, s odd — so
+    exploding each pair into its endpoints and counting by node yields
+    BOTH degree tables in one pass: one scan, one map-side partial, one
+    node-sized exchange) and two LEFT SEMI joins restricting the pairs to
+    surviving endpoints — keyed shuffles only, no window, no driver-side
+    state. The per-round stats rows are lazy 1-row aggregates unioned at
+    the end (one job). Each round's pair frame gets a lazy
+    ``localCheckpoint``: both the stats row and the next round consume
+    it, and without the cut round k would re-execute the whole peel
+    prefix (the LPA lineage lesson). At cluster scale, bucket the pair
+    table by customer key so the degree explode and the first semi-join
+    co-locate shuffle-free (``graph_kcore_bucketed`` is that tier).
 
     Reference analog: none (extension surface — graph family, beside
     ``graph_label_propagation`` / ``graph_triangle_count``).
@@ -1538,7 +1541,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         # The keep lists are NODE-sized (<< pair-sized) — broadcast them
         # so the pair frame never shuffles for the semi joins; per round
-        # the only exchanges are the two degree aggregates' partials.
+        # the only exchange is the exploded degree aggregate's partials.
         # Past broadcastable keep lists the fallback is REAL:
         # graph_kcore_bucketed peels the c-bucketed pair layout with one
         # pair-frame exchange per round.
