@@ -1426,35 +1426,11 @@ def part_similarity_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the checkpointed footprint stays ~corpus-incidence-sized at scale.
     b = baskets.join(kept, "cust", "left_semi").localCheckpoint(eager=False)
     npart = b.groupBy("part").agg(F.count("*").cast("bigint").alias("n"))
-    a_side = b.select(F.col("cust"), F.col("part").alias("part_a"))
-    c_side = b.select(F.col("cust"), F.col("part").alias("part_b"))
-    # Exploding-join aggregate sizing (r11 session 3, guide §2.2/§2.3): the
-    # self-join multiplies its node-sized input into the Σ basket² pair
-    # stream (~123M rows at sf1), but the pair aggregate's stage geometry
-    # was sized for the INPUT — the map-side partial agg built a ~4M-key
-    # hash table per task inside the join stage (spill-to-sort fallback),
-    # and map-side combine compressed almost nothing (pairs are
-    # near-distinct per cust slice). Ship the RAW 2-column pair stream
-    # (16 B/row — narrower than the partial rows) into an explicit
-    # 4×parallelism hash repartition instead: the join stage streams pairs
-    # out with no hash table at all, and the aggregate runs at right-sized
-    # tasks (cores-relative, not fixture-tuned; REPARTITION_BY_NUM so AQE
-    # cannot coalesce the exploded stage back down by its pre-explosion
-    # input-size estimate). Interleaved A/B at sf1: co phase 16.6 → 10.7 s
-    # trimmed mean; bit-identical output.
-    co = (
-        a_side.join(c_side, "cust")
-        .where(F.col("part_a") < F.col("part_b"))
-        .select("part_a", "part_b")
-        .repartition(
-            4 * spark.sparkContext.defaultParallelism,
-            F.col("part_a"),
-            F.col("part_b"),
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("bigint").alias("co"))
-        .where(F.col("co") >= CF_MIN_CO)
-    )
+    # Pair counts through the shared sized helper (r12 ADVICE defactoring;
+    # the exploding-join aggregate sizing rationale and the measured
+    # multiplier A/B live at _cf_pair_counts / CF_PAIR_REPART_MULT —
+    # interleaved A/B at sf1: co phase 16.6 → 10.7 s trimmed mean).
+    co = _cf_pair_counts(b).where(F.col("co") >= CF_MIN_CO)
     # Both orientations from ONE evaluation of the pair aggregate via a
     # row-local explode (r11, the _basket_rules trick): the self-union
     # form re-ran the final HashAggregate + floor filter above the reused
@@ -1602,28 +1578,51 @@ def _cf_pairs_bucketed_table(spark: SparkSession, sf_dir: str) -> tuple[str, int
     return name, n_buckets
 
 
-def _cf_pair_counts(b: DataFrame) -> DataFrame:
-    # Same exploding-join aggregate sizing as part_similarity_cosine's co
-    # (r11 session 3, measured there): ship the raw 2-column pair stream
-    # into an explicit 4×parallelism hash repartition so the self-join
-    # stage carries no multi-million-key partial-agg table and the count
-    # runs at right-sized tasks. On the TRAIN side (the publish lambda,
-    # ~123M pairs at sf1) this is the identical measured pathology; on the
-    # batch-sized delta it is neutral (per-task key counts already small).
+#: exploding-join aggregate sizing (r11 session 3, guide §2.2/§2.3): the
+#: within-customer self-join multiplies its incidence input into the
+#: Σ basket² pair stream (~123M rows at sf1) while the stage geometry was
+#: sized for the INPUT — the pair count's map-side partial agg built a
+#: multi-million-key hash table per task inside the join stage (spill-to-
+#: sort fallback) and combine compressed almost nothing (pairs are
+#: near-distinct per cust slice). Shipping the RAW 2-column pair stream
+#: (16 B/row — narrower than the partial rows) through an explicit
+#: MULT×parallelism hash repartition lets the join stage stream pairs out
+#: with no hash table and runs the count at right-sized tasks. Interleaved
+#: multiplier A/B at sf1: 1× wash, 2× noisy, 4× −36%, 8× wash — 4× both
+#: halves the per-task key count below the spill threshold and keeps ~4
+#: task waves on the cores. Cores-relative, not fixture-tuned;
+#: REPARTITION_BY_NUM so AQE cannot coalesce the exploded stage back down
+#: by its pre-explosion input-size estimate.
+CF_PAIR_REPART_MULT = 4
+
+
+def _cf_pair_counts(b: DataFrame, *, sized: bool = True) -> DataFrame:
+    """(part_a, part_b, co) pair counts of an incidence frame ``b`` —
+    the shared exploding self-join + count of the CF tiers.
+
+    ``sized=True`` applies the :data:`CF_PAIR_REPART_MULT` raw-stream
+    repartition above — right for the TRAIN-sized inputs
+    (part_similarity_cosine, the publish lambda). The batch-sized delta
+    path passes ``sized=False``: its per-task key counts are already
+    small and the extra exchange + 4×P-file checkpoint were measured
+    neutral-to-slightly-worse there (r11 change 17: 11.1 s before vs
+    11.5 s after; r12 ADVICE)."""
     a_side = b.select("cust", F.col("part").alias("part_a"))
     c_side = b.select("cust", F.col("part").alias("part_b"))
     spark = b.sparkSession
-    return (
+    pairs = (
         a_side.join(c_side, "cust")
         .where(F.col("part_a") < F.col("part_b"))
         .select("part_a", "part_b")
-        .repartition(
-            4 * spark.sparkContext.defaultParallelism,
+    )
+    if sized:
+        pairs = pairs.repartition(
+            CF_PAIR_REPART_MULT * spark.sparkContext.defaultParallelism,
             F.col("part_a"),
             F.col("part_b"),
         )
-        .groupBy("part_a", "part_b")
-        .agg(F.count("*").cast("bigint").alias("co"))
+    return pairs.groupBy("part_a", "part_b").agg(
+        F.count("*").cast("bigint").alias("co")
     )
 
 
@@ -1759,7 +1758,9 @@ def part_similarity_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the dominant per-run cost, ~9 s of the 26 s isolated wall).
     co_table, n_cf_buckets = _cf_pairs_bucketed_table(spark, sf_dir)
     persisted = spark.table(co_table).select("part_a", "part_b", "co")
-    delta = _cf_pair_counts(batch).localCheckpoint(eager=False)
+    # sized=False: the delta is batch-sized — the 4×P repartition was
+    # measured neutral-to-worse here (see _cf_pair_counts)
+    delta = _cf_pair_counts(batch, sized=False).localCheckpoint(eager=False)
     touched_early = (
         delta.select(F.col("part_a").alias("part"))
         .union(delta.select(F.col("part_b").alias("part")))

@@ -366,8 +366,14 @@ def restore_instances(
         work.append((instance, mine, target))
     from concurrent.futures import ThreadPoolExecutor
 
+    # Pool width derives from instances AND cores (r12, the r11 VERDICT's
+    # "constant 3" note): each in-flight restore is a chain of small jobs
+    # whose tasks rarely fill more than a few cores, so ~1 worker per 8
+    # cores (floor 2) keeps the back-fill effect without over-subscribing
+    # the scheduler; with few instances the instance count caps it.
+    n_workers = max(2, spark.sparkContext.defaultParallelism // 8)
     if len(work) > 1:
-        with ThreadPoolExecutor(max_workers=min(3, len(work))) as pool:
+        with ThreadPoolExecutor(max_workers=min(n_workers, len(work))) as pool:
             report_rows = list(
                 pool.map(
                     lambda w: restore_one_instance(

@@ -566,21 +566,44 @@ def train_sample(emb: DataFrame, mod: int = TRAIN_SAMPLE_MOD) -> DataFrame:
     return emb.where(bucket == 0)
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Hash-repartition an embeddings-shaped frame on ``vec_id`` to the
-    session's parallelism (floor 8) — the :func:`shingles` precedent from
-    dedup.py applied to the vector family: the embeddings fixture is one
-    parquet file with one row group, so every scan is ONE map task and the
-    heavy per-row work ABOVE the scan (subvector explode × broadcast
-    codebook join × argmin aggregates; the Arrow matmul kernel) runs
-    single-core while 31 cores idle. The exchange ships the (small) vector
-    table once; at 100 TB the table arrives in thousands of splits and the
-    same hash exchange is what the downstream per-vector aggregates would
-    demand anyway. Values are unchanged — every downstream reduction is
-    either exact-integer or rounded to the shared ``_R`` decimals (the
-    engine's standing reduction-order discipline)."""
+#: minimum vectors per spread task (r12): below ~1k vectors per task the
+#: REPARTITION_BY_NUM's fixed per-task cost (scheduling + exchange + the
+#: AQE coalescing it disables) exceeds the parallelism it buys — the r11
+#: unconditional 32-way spread REGRESSED similarity_ivf_topk 3.62 → 4.68 s
+#: at sf0.1's 2k vectors (and the driver's 8-core run of the SAME code was
+#: FASTER, 2.73 s: fewer fixed-size tasks) while winning at sf1's 20k.
+#: Data-derived and cores-capped, so at 100 TB the spread saturates the
+#: session parallelism exactly as before.
+SPREAD_ROWS_PER_TASK = 1024
+
+
+def _spread(df: DataFrame, n_rows: int | None = None) -> DataFrame:
+    """Hash-repartition an embeddings-shaped frame on ``vec_id`` — the
+    :func:`shingles` precedent from dedup.py applied to the vector family:
+    the embeddings fixture is one parquet file with one row group, so every
+    scan is ONE map task and the heavy per-row work ABOVE the scan
+    (subvector explode × broadcast codebook join × argmin aggregates; the
+    Arrow matmul kernel) runs single-core while 31 cores idle. The exchange
+    ships the (small) vector table once; at 100 TB the table arrives in
+    thousands of splits and the same hash exchange is what the downstream
+    per-vector aggregates would demand anyway. Values are unchanged — every
+    downstream reduction is either exact-integer or rounded to the shared
+    ``_R`` decimals (the engine's standing reduction-order discipline).
+
+    SCALE-ADAPTIVE (r12, the r11 VERDICT's one regression): the partition
+    count is ``min(parallelism, n_rows // SPREAD_ROWS_PER_TASK)`` when the
+    caller passes its row bound (the memoized parquet footer count — no
+    job), so tiny frames skip the exchange entirely instead of paying 32
+    fixed-cost tasks per downstream stage; ``n_rows=None`` keeps the old
+    cores-wide behavior."""
     spark = df.sparkSession
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    cap = max(spark.sparkContext.defaultParallelism, 8)
+    if n_rows is None:
+        n_parts = cap
+    else:
+        n_parts = min(cap, n_rows // SPREAD_ROWS_PER_TASK)
+        if n_parts <= 1:
+            return df
     return df.repartition(n_parts, "vec_id")
 
 
@@ -639,6 +662,7 @@ def kmeans_centroids(
     k: int = N_CENTROIDS,
     iters: int = KMEANS_ITERS,
     kernel: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over an embeddings frame, as pure DataFrame ops —
     no MLlib, no RDDs, no Python rows. Returns ``(cid int, ce
@@ -677,9 +701,10 @@ def kmeans_centroids(
     # and cross-job shuffle output is not reused, so a repartition here
     # would be re-paid by every collect (dedup_semantic_pairs regressed
     # 6.6 s → ~10 s with it); the fold path evaluates everything inside
-    # one query where the exchange is planned once.
+    # one query where the exchange is planned once. ``n_rows`` (the
+    # caller's training-set row bound) sizes the spread — see _spread.
     if not kernel:
-        emb = _spread(emb)
+        emb = _spread(emb, n_rows)
     seeds = (
         emb.select(
             "vec_id",
@@ -873,8 +898,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Probed queries (a handful of rows) broadcast into the assignment scan, so
     the big side never shuffles on the skewed cell key."""
+    from ufload_spark.sources.tables import corpus_count
+
     e = table(spark, sf_dir, "embeddings")
-    cent = kmeans_centroids(train_sample(e))
+    n_emb = corpus_count(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(train_sample(e), n_rows=n_emb // TRAIN_SAMPLE_MOD)
     cand = e.where(F.col("vec_id") >= IVF_Q_HI)
     q = e.where(
         (F.col("vec_id") >= IVF_Q_LO) & (F.col("vec_id") < IVF_Q_HI)
@@ -894,7 +922,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w_vec = Window.partitionBy("vec_id").orderBy("d", "cid")
     asn = (
-        _spread(cand)  # see _spread: 1-split fixture scans
+        _spread(cand, n_emb)  # see _spread: 1-split fixture scans
         .crossJoin(F.broadcast(cent))
         .select("vec_id", "embedding", "cid", d2("embedding").alias("d"))
         .withColumn("rn", F.row_number().over(w_vec))
@@ -2101,10 +2129,15 @@ def similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         cent_path, inv_path = cached
     else:
-        cent = kmeans_centroids(train_sample(e))
+        from ufload_spark.sources.tables import corpus_count
+
+        n_emb = corpus_count(spark, sf_dir, "embeddings")
+        cent = kmeans_centroids(
+            train_sample(e), n_rows=n_emb // TRAIN_SAMPLE_MOD
+        )
         w_vec = Window.partitionBy("vec_id").orderBy("d", "cid")
         inv = (
-            _spread(e.where(F.col("vec_id") >= IVF_Q_HI))
+            _spread(e.where(F.col("vec_id") >= IVF_Q_HI), n_emb)
             .crossJoin(F.broadcast(cent))
             .select("vec_id", "cid", d2("embedding").alias("d"))
             .withColumn("rn", F.row_number().over(w_vec))
@@ -2336,8 +2369,14 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-subspace oracle CTEs still reproduce it bit-for-bit. Seeds
     are hash-ordered vec_ids — every subspace trains from the SAME seed
     vectors (sliced differently), mirrored exactly in the oracle."""
+    from ufload_spark.sources.tables import corpus_count
+
     e = table(spark, sf_dir, "embeddings")
-    tr = _spread(train_sample(e))  # see _spread: 1-split fixture scans
+    # see _spread: 1-split fixture scans; sized by the sample's row bound
+    tr = _spread(
+        train_sample(e),
+        corpus_count(spark, sf_dir, "embeddings") // TRAIN_SAMPLE_MOD,
+    )
     subs = _pq_subvectors(tr, "vec_id")
     hw = Window.orderBy("h", "vec_id")
     seeds = (
@@ -2557,18 +2596,25 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (extension surface — similarity family).
     """
+    from ufload_spark.sources.tables import corpus_count
+
     e = table(spark, sf_dir, "embeddings")
     books = _pq_codebooks(spark, sf_dir)
-    codes = _pq_encode(e, books)
+    codes = _pq_encode(e, books, corpus_count(spark, sf_dir, "embeddings"))
     return _pq_adc_topk(e, books, codes)
 
 
-def _pq_encode(e: DataFrame, books: DataFrame) -> DataFrame:
+def _pq_encode(
+    e: DataFrame, books: DataFrame, n_rows: int | None = None
+) -> DataFrame:
     """Encode the candidate corpus against a codebook frame:
     ``(cand_id, m, code)``. The argmin runs as a min_by hash aggregate
     (same rationale and tie-break as training): the corpus×PQ_M×PQ_K
-    scored frame never hits a sort."""
-    cand = _pq_subvectors(_spread(e.where(F.col("vec_id") >= PQ_Q_HI)), "cand_id")
+    scored frame never hits a sort. ``n_rows`` sizes the scan spread —
+    see :func:`_spread`."""
+    cand = _pq_subvectors(
+        _spread(e.where(F.col("vec_id") >= PQ_Q_HI), n_rows), "cand_id"
+    )
     return (
         cand.join(F.broadcast(books), "m")
         .select(
@@ -2634,6 +2680,7 @@ def similarity_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: the skip-if-unchanged download memo (ufload
     db.py:695-711)."""
     from ufload_spark.sources.loader import memo_publish
+    from ufload_spark.sources.tables import corpus_count
 
     e = table(spark, sf_dir, "embeddings")
     books_path = memo_publish(
@@ -2641,7 +2688,12 @@ def similarity_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pbooks = spark.read.parquet(books_path)
     codes_path = memo_publish(
-        spark, "pq_codes", sf_dir, lambda: _pq_encode(e, pbooks)
+        spark,
+        "pq_codes",
+        sf_dir,
+        lambda: _pq_encode(
+            e, pbooks, corpus_count(spark, sf_dir, "embeddings")
+        ),
     )
     pcodes = spark.read.parquet(codes_path)
     return _pq_adc_topk(e, pbooks, pcodes)

@@ -852,6 +852,9 @@ def ingest_gate_batch(
         )
         .select("fp", "d.doc_id", "d.source")
     )
+    # eager checkpoint before the empty-gate — isEmpty() + publish ran the
+    # batch pipeline twice (see neardup_gate_batch, r12)
+    rows = rows.localCheckpoint()
     if rows.isEmpty():
         return
     stage_and_publish(s, rows, f"{target}/e{int(epoch_id):06d}")
@@ -1053,8 +1056,16 @@ def neardup_gate_batch(
 
     b, e = melt(sims).alias("b"), melt(corpus_sims).alias("e")
     hamming = F.bit_count(F.col("b.simhash").bitwiseXOR(F.col("e.simhash")))
+    # BROADCAST the batch side (r12, guide §3.1): the planner sees a
+    # micro-batch frame with no size statistics and would shuffle BOTH
+    # sides of the segment equi-join — re-shuffling the corpus-sized index
+    # melt every batch. The batch is the small side by the gate's own
+    # contract (batch ≪ corpus at scale), so broadcasting it leaves the
+    # index scan map-side: per batch the corpus is read once, never
+    # exchanged.
     collided = (
-        b.join(
+        F.broadcast(b)
+        .join(
             e,
             (F.col("b.seg") == F.col("e.seg"))
             & (F.col("b.segval") == F.col("e.segval")),
@@ -1066,6 +1077,12 @@ def neardup_gate_batch(
     rows = sims.join(collided, "doc_id", "left_anti").select(
         "doc_id", "source", "simhash"
     )
+    # EAGER checkpoint before the empty-gate (r12, guide §5): isEmpty()
+    # executed the whole shingle+probe pipeline once and the publish then
+    # re-executed it — the per-batch work ran ~twice. One materialization
+    # serves both; the frame is batch-sized. (The guard itself must stay:
+    # stage_and_publish AUDITS against empty frames by design.)
+    rows = rows.localCheckpoint()
     if rows.isEmpty():
         return
     stage_and_publish(s, rows, f"{target}/e{int(epoch_id):06d}")
