@@ -20,9 +20,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow  # ~250 s: full bench subprocess (fresh JVM + 112 plans)
 def test_bench_emission_contract(tmp_path):
     env = dict(os.environ)
     env.update(

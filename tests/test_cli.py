@@ -43,6 +43,7 @@ def test_restore_runs_composed_chain(spark, tmp_path):
     assert row["visible_membership_rows"] >= 0
 
 
+@pytest.mark.slow  # ~20 s: runs the composed restore chain twice per flag
 def test_restore_flag_effects_on_composed_plan(spark, tmp_path):
     """Each reference knob changes the composed output (VERDICT r7 #5):
     -live drops every audit column, -no-clean drops the stale pass,

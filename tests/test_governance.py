@@ -9,11 +9,14 @@ from __future__ import annotations
 import pathlib
 import re
 
+import pytest
+
 from tests.conftest import SF_DIR
 
 OPERATORS = pathlib.Path(__file__).resolve().parents[1] / "ufload_spark" / "operators"
 
 
+@pytest.mark.slow  # ~50 s: compiles every headline query's physical plan
 def test_headline_plans_have_no_row_python(spark):
     """Every bench headline query must execute without BatchEvalPython
     (row-at-a-time Python). Arrow-batched Python (ArrowEvalPython /

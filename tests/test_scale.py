@@ -1796,6 +1796,7 @@ def _has_partitionless_window(plan: str) -> bool:
     return False
 
 
+@pytest.mark.slow  # ~165 s: compiles the optimized plan of all 360 queries
 def test_every_partitionless_window_is_allowlisted_with_a_bound(spark):
     """r9, registry-wide (r8 verdict: the guard covered only two named
     queries): scan EVERY registered query's optimized plan; a window with
