@@ -1415,20 +1415,42 @@ def test_bucketed_lpa_round_join_no_edge_exchange(spark):
 
 
 def test_bucketed_kcore_round_no_pair_exchange_on_bucket_key(spark):
-    """r10: the k-core bucketed fallback is real — round 0 of the peel
-    over the c-bucketed pair layout, broadcast disabled, runs its
-    c-degree aggregate and c-keep semi join with NO exchange keyed by
-    the bucket key anywhere in the plan; the only pair-sized move is the
-    single s-side exchange. And the alternation premise holds: after
-    persisting round 0's output (partitioned by s), the next round's
-    s-degree aggregate plans with NO new exchange above the cache.
-    Runs at shuffle.partitions=32 != N_GRAPH_BUCKETS (r11): the c-side
-    work rides the 8-bucket layout regardless of conf because the keep
-    list DERIVES from that layout — unlike LPA/BFS/PageRank this tier
-    needs no repartition fix, and this pin proves it."""
+    """r10, reshaped r12: the k-core bucketed fallback's round shape —
+    degrees come from ONE exploded node-keyed aggregate (the r11 peel
+    shape lifted into this tier) and the PAIR frame still never
+    exchanges on the bucket key: its single per-round move is the
+    opposite-parity semi key. Keep-list builds DO exchange on c/s, but
+    those are node-sized frames above the degree aggregate — the pin
+    distinguishes them structurally (any c-keyed exchange must sit above
+    an aggregate, never directly over the bucketed pair scan). And the
+    alternation premise holds: after persisting round 0's output
+    (partitioned by s), an s-keyed aggregate over the cache plans with
+    no exchange of its own. Runs at shuffle.partitions=32 !=
+    N_GRAPH_BUCKETS (r11): the c-semi rides the 8-bucket layout
+    regardless of conf because the keep build re-exchanges INTO that
+    layout — unlike LPA/BFS/PageRank this tier needs no repartition fix,
+    and this pin proves it."""
     import re
 
     from ufload_spark.operators.graph import KCORE_K, _bucketed_edges_table
+
+    def _indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-*("))
+
+    def _subtree(plan: str, needle: str) -> list[str]:
+        """Lines strictly below (more indented than) the first line
+        containing ``needle``."""
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if needle in ln:
+                base = _indent(ln)
+                out = []
+                for nxt_ln in lines[i + 1:]:
+                    if nxt_ln.strip() and _indent(nxt_ln) <= base:
+                        break
+                    out.append(nxt_ln)
+                return out
+        return []
 
     name = _bucketed_edges_table(spark, SF_DIR)
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -1441,8 +1463,22 @@ def test_bucketed_kcore_round_no_pair_exchange_on_bucket_key(spark):
             .where(F.col("src") % 2 == 0)
             .select(F.col("src").alias("c"), F.col("dst").alias("s"))
         )
-        deg_c = pairs.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
-        deg_s = pairs.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
+        # the registered query's r12 round shape: one exploded degree
+        # aggregate (no lazy checkpoint here — the pin wants the full
+        # subtree visible, and the exchange keys are identical either way)
+        deg = (
+            pairs.select(
+                F.explode(F.array(F.col("c"), F.col("s"))).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("d"))
+        )
+        deg_c = deg.where(F.col("node") % 2 == 0).select(
+            F.col("node").alias("c"), "d"
+        )
+        deg_s = deg.where(F.col("node") % 2 == 1).select(
+            F.col("node").alias("s"), "d"
+        )
         # KCORE_K + 1, deliberately NOT the registered query's threshold:
         # graph_kcore_bucketed persists its round frames, and Spark's
         # cache manager substitutes any MATCHING plan fragment with the
@@ -1450,17 +1486,50 @@ def test_bucketed_kcore_round_no_pair_exchange_on_bucket_key(spark):
         # scan this test pins (observed when the full suite runs the
         # registered query first). A different threshold guarantees a
         # cache miss without changing the plan shape under test.
-        keep_c = deg_c.where(F.col("d") >= KCORE_K + 1).select("c")
-        keep_s = deg_s.where(F.col("d") >= KCORE_K + 1).select("s")
+        from ufload_spark.operators.graph import N_GRAPH_BUCKETS
+
+        keep_c = (
+            deg_c.where(F.col("d") >= KCORE_K + 1).select("c")
+            .hint("shuffle_hash")
+            .repartition(N_GRAPH_BUCKETS, F.col("c"))
+        )
+        keep_s = (
+            deg_s.where(F.col("d") >= KCORE_K + 1).select("s")
+            .hint("shuffle_hash")
+            .repartition(N_GRAPH_BUCKETS, F.col("s"))
+        )
         nxt = pairs.join(keep_c, "c", "left_semi").join(keep_s, "s", "left_semi")
         plan = _plan(nxt)
         assert "SelectedBucketsCount" in plan
         assert "BroadcastHashJoin" not in plan
-        for m in re.finditer(r"Exchange hashpartitioning\(([^)]+)\)", plan):
-            keys = m.group(1)
-            assert "c#" not in keys and "src" not in keys, plan
+        # Classify every hash exchange by what its subtree reaches FIRST:
+        # an aggregate => a NODE-sized build (degree partials / keep
+        # repartitions — legal on any key); a scan => a move of the PAIR
+        # frame itself. Exactly ONE pair move is owed per round, keyed by
+        # the opposite parity (the s/dst side here), and the same-parity
+        # (bucket-key) semi must ride the layout exchange-free.
+        pair_moves = []
+        for ln in plan.splitlines():
+            m = re.search(r"Exchange hashpartitioning\(([^)]+)\)", ln)
+            if not m:
+                continue
+            below = _subtree(plan, ln.strip())
+            kind = None
+            for bl in below:
+                if "HashAggregate" in bl:
+                    kind = "node"
+                    break
+                if ("FileScan" in bl or "InMemoryRelation" in bl
+                        or "ExistingRDD" in bl):
+                    kind = "pair"
+                    break
+            if kind == "pair":
+                pair_moves.append(m.group(1))
+        assert len(pair_moves) == 1, (pair_moves, plan)
+        assert "dst#" in pair_moves[0] or "s#" in pair_moves[0], plan
         # alternation: the persisted round-0 output is partitioned by s,
-        # so round 1's s-degree aggregate adds no exchange of its own
+        # so the next round's s-keyed work (the s-semi probe / exploded
+        # degree partials) adds no pair-frame exchange of its own
         # (everything below the InMemoryRelation marker is the cached
         # round-0 subtree, already paid for)
         cached = nxt.persist()

@@ -1564,9 +1564,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=f"k-core peel (k={KCORE_K}, {KCORE_ROUNDS} rounds) over the "
     "C-BUCKETED pair layout — the cluster-scale fallback for keep lists "
     "past the broadcast threshold: per round ONE pair-frame exchange "
-    "(the opposite-parity key), the same-parity degree aggregate and "
-    "semi-join ride the current layout exchange-free; results "
-    "bit-identical to graph_kcore_peel",
+    "(the opposite-parity semi key; the same-parity semi rides the "
+    "current layout) plus one exploded node-sized degree aggregate; "
+    "results bit-identical to graph_kcore_peel",
 )
 def graph_kcore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed tier of :func:`graph_kcore_peel` — same synchronous
@@ -1577,15 +1577,19 @@ def graph_kcore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair set is the customer-side half of the SRC-bucketed shared
     edge table, so round 0's pair frame arrives hash-partitioned by ``c``
-    straight from the bucket layout: the c-degree aggregate and the
-    c-keep semi join run with NO exchange on the pair side. The s-side
-    work costs exactly ONE pair-frame exchange (AQE reuses it between
-    the s-degree partials' input and the s-semi probe), after which the
-    frame is partitioned by ``s`` — so the NEXT round runs its s-side
-    exchange-free and pays one c-exchange, alternating. Each round
-    therefore moves the pair frame once instead of the four times a
-    layout-blind no-broadcast peel would (2 degree aggregates + 2 semi
-    joins); the degree partials that do shuffle are node-sized.
+    straight from the bucket layout: the c-keep semi join runs with NO
+    exchange on the pair side. The s-side semi costs exactly ONE
+    pair-frame exchange, after which the frame is partitioned by ``s`` —
+    so the NEXT round runs its s-side semi exchange-free and pays one
+    c-exchange, alternating. Degrees come from ONE exploded node-keyed
+    aggregate per round (r12, the peel's r11 shape): one pair pass whose
+    node-sized checkpointed result feeds the stats row and both keep
+    lists, instead of two per-side aggregates that each planned their
+    own pass over the persisted frame (the exchange-free c-aggregate had
+    no exchange for Catalyst to reuse between its two consumers). Each
+    round therefore moves the pair frame once and scans it twice
+    (degrees + semi chain); everything that shuffles besides the
+    alternating semi key is node-sized.
 
     Rounds persist (not ``localCheckpoint``) because persistence KEEPS
     the outputPartitioning the alternation exploits, while a checkpoint
@@ -1601,9 +1605,9 @@ def graph_kcore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: none (extension surface — layout discipline of
     ``graph_pagerank_bucketed`` applied to the peeling family).
     """
-    # round 0's pair frame is read by FOUR consumers (two degree
-    # aggregates + two semi joins); persist serves them from one scan
-    # while preserving the bucket partitioning the c-side work rides
+    # each round's pair frame is read by TWO consumers (the exploded
+    # degree aggregate + the semi chain); persist serves them from one
+    # scan while preserving the partitioning the semi alternation rides
     pairs = (
         spark.table(_bucketed_edges_table(spark, sf_dir))
         .where(F.col("src") % 2 == 0)
@@ -1613,8 +1617,37 @@ def graph_kcore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached: list[DataFrame] = [pairs]
     out = []
     for rnd in range(KCORE_ROUNDS + 1):
-        deg_c = pairs.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
-        deg_s = pairs.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
+        # ONE exploded node-keyed degree aggregate per round (r12 — the
+        # r11 peel shape lifted into this tier, the r11 VERDICT ask #4):
+        # the two per-side aggregates cost ~four pair-frame passes per
+        # round here, because the c-side aggregate has NO exchange under
+        # this layout and therefore nothing Catalyst can reuse between
+        # its two consumers (stats row + keep build) — each planned its
+        # own scan of the persisted frame. Exploding each pair into its
+        # parity-disjoint endpoints computes both degree tables in one
+        # pair pass whose node-sized result is checkpointed for all four
+        # consumers. The trade is explicit: the c-degree aggregate gives
+        # up riding the bucket layout (one new NODE-sized exchange per
+        # round, and the keep builds re-exchange node-sized rows to meet
+        # the pair layout), bought back several times over by the saved
+        # pair passes — interleaved A/B: sf1 8.14 -> 5.19 s, sf0.1
+        # 7.58 -> 5.07 s medians. The PAIR frame still never exchanges
+        # on the bucket key: its single per-round exchange remains the
+        # opposite-parity semi key (the alternation below).
+        deg = (
+            pairs.select(
+                F.explode(F.array(F.col("c"), F.col("s"))).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+        deg_c = deg.where(F.col("node") % 2 == 0).select(
+            F.col("node").alias("c"), "d"
+        )
+        deg_s = deg.where(F.col("node") % 2 == 1).select(
+            F.col("node").alias("s"), "d"
+        )
         out.append(_kcore_stats(deg_c, deg_s, rnd))
         if rnd == KCORE_ROUNDS:
             break
@@ -1630,6 +1663,17 @@ def graph_kcore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # with persisted-scan size estimates the planner may otherwise
         # broadcast-build the PAIR side)
         keep_c, keep_s = keep_c.hint("shuffle_hash"), keep_s.hint("shuffle_hash")
+        # Repartition the node-sized keep builds INTO the pair layout's
+        # bucket count (r12 — the LPA/BFS/PageRank conf-independence
+        # discipline): the checkpointed degree frame has no visible
+        # partitioning, so without this the planner sizes the semi joins
+        # at spark.sql.shuffle.partitions and ENSURE_REQUIREMENTS moves
+        # the PAIR side to match — two pair-frame exchanges per round
+        # where the alternation owes one. With it, the same-parity semi
+        # rides the current layout exchange-free and the opposite-parity
+        # semi stays the round's single pair move, at the bucket count.
+        keep_c = keep_c.repartition(N_GRAPH_BUCKETS, F.col("c"))
+        keep_s = keep_s.repartition(N_GRAPH_BUCKETS, F.col("s"))
         if rnd % 2 == 0:
             pairs = pairs.join(keep_c, "c", "left_semi").join(
                 keep_s, "s", "left_semi"
