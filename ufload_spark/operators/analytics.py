@@ -1112,6 +1112,21 @@ def _basket_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     ).distinct()
+    # localCheckpoint the (okey, part) distinct (r12, guide §2.4/§5): four
+    # consumers read it (both self-join sides, the support aggregate, the
+    # basket count) and each planned its own scan+distinct pass above the
+    # one reused spread exchange — the distinct CPU ran ~4x per query.
+    # The checkpoint is items-sized (|distinct pairs| << lineitem); the
+    # repartition AFTER it restores the hash(okey) clustering the
+    # checkpoint erases (the r10 lesson: localCheckpoint destroys visible
+    # outputPartitioning), so the self-join still rides one exchange.
+    # This is NOT the r11 measured-negative (that checkpointed FITEMS
+    # with no re-partition, adding materialization while forcing the
+    # join to re-exchange); interleaved A/B at sf1: topn 8.97 -> 6.34 s.
+    items = items.localCheckpoint(eager=False)
+    items = items.repartition(
+        max(spark.sparkContext.defaultParallelism, 8), F.col("okey")
+    )
     freq = (
         items.groupBy("part")
         .agg(F.count("*").alias("sup"))
@@ -2969,6 +2984,13 @@ def basket_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select(
         F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
     ).distinct()
+    # same items checkpoint + okey re-clustering as _basket_pair_stats
+    # (r12): here the distinct feeds FIVE consumers (two pair-join sides,
+    # three triple-join sides) plus the support aggregate
+    items = items.localCheckpoint(eager=False)
+    items = items.repartition(
+        max(spark.sparkContext.defaultParallelism, 8), F.col("okey")
+    )
     freq = (
         items.groupBy("part")
         .agg(F.count("*").alias("sup"))
